@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship query on /root/testdata/sf0.001 (smoke check).
+queries()      -- one named query per implemented operator (SURVEY.md
+                  section 2 + LLM/windowed north-star scope); each
+                  callable is (spark, sf_dir) -> DataFrame.
+oracle_sql()   -- matching DuckDB ANSI SQL per query; approximate /
+                  UDF-based operators are intentionally absent (driver
+                  records rows-only checks for those).
+
+Implementation lives in uofi_payroll_etl_main_spark/ (registry_core.py,
+registry_llm.py and the operator modules they compose).
 """
 
 from __future__ import annotations
@@ -13,26 +18,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from uofi_payroll_etl_main_spark.oracles_core import CORE_ORACLES
+from uofi_payroll_etl_main_spark.oracles_llm import LLM_ORACLES
+from uofi_payroll_etl_main_spark.registry_core import CORE_QUERIES, FLAGSHIP_SQL, flagship
+from uofi_payroll_etl_main_spark.registry_llm import LLM_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CORE_QUERIES)
+    out.update(LLM_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update({k: v for k, v in CORE_ORACLES.items() if v is not None})
+    out["flagship"] = FLAGSHIP_SQL
+    out.update(LLM_ORACLES)
+    return out

@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 on Spark AND its
+oracle_sql() on DuckDB, then compares row count, schema (column names),
+and order-insensitive values.  Use while iterating so CORRECTNESS_r{N}
+holds no surprises.
+
+Usage: python tools/check_oracles.py [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = df.copy()
+    for c in out.columns:
+        s = out[c]
+        if s.dtype == object:
+            out[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    out = out.sort_values(by=list(out.columns), na_position="last").reset_index(drop=True)
+    return out
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def frames_match(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(sp.columns) != sorted(du.columns):
+        return False, f"schema: spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    if len(sp) != len(du):
+        return False, f"rows: spark={len(sp)} duck={len(du)}"
+    a, b = canon(sp), canon(du)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if not values_equal(x, y):
+                return False, f"value mismatch col={c} row={i}: spark={x!r} duck={y!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    import __spark_entry__ as entrymod
+    from uofi_payroll_etl_main_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            n_rowsonly += 1
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
+            continue
+        ok, why = frames_match(sdf, ddf)
+        if ok:
+            n_pass += 1
+            print(f"pass  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: {why}")
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if failures:
+        print("failing:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

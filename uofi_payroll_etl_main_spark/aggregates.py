@@ -1,0 +1,54 @@
+"""Aggregates (SURVEY.md section 2.4, A1-A3).
+
+A1 (group-by mode with lexicographic-min tie-break) is the reference's
+most semantics-laden aggregate (`mode_map` :215-217, applied :290,
+:517-521): pandas `mode()` sorts candidates, `.iat[0]` takes the
+smallest.  Spark's F.mode() is tie-NONdeterministic, so we compute the
+mode as groupBy(key, value).count() + row_number over
+(count desc, value asc) -- fully deterministic and shuffle-optimal
+(two map-side-combinable aggregations on the same key; AQE coalesces
+the tiny reduce side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["mode_agg", "min_max", "count_rows"]
+
+
+def mode_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out_col: str | None = None,
+    dropna: bool = True,
+) -> DataFrame:
+    """A1 -- one row per `key`: the most frequent `value`, ties broken by
+    lexicographically smallest value (ref :215-217).
+
+    dropna mirrors pandas groupby's default NaN handling on the value
+    side (ref :285 dropna before the groupby).
+    """
+    out_col = out_col or value
+    base = df.select(F.col(key), F.col(value))
+    if dropna:
+        base = base.filter(F.col(value).isNotNull())
+    counts = base.groupBy(key, value).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(key).orderBy(F.desc("__cnt"), F.asc(value))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(key), F.col(value).alias(out_col))
+    )
+
+
+def min_max(df: DataFrame, col: str) -> DataFrame:
+    """A2 -- global min/max of a column (ref :440-441)."""
+    return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+
+
+def count_rows(df: DataFrame) -> int:
+    """A3 -- row count (ref :227-229, :424)."""
+    return df.count()

@@ -1,0 +1,130 @@
+"""Sources and sinks (SURVEY.md section 2.1, S3-S7).
+
+Distributed formats (parquet, CSV) go through `spark.read`/`df.write` so
+scans are partitioned, column-pruned, and filter-pushed at any scale.
+Excel has no first-class distributed reader in core Spark; the reference
+uses it only for KB-scale extracts (etl_payroll_pipeline.py:84, :92), so
+it is implemented as a driver-edge pandas bridge, gated behind an
+import-try on openpyxl (not installed in this container -> raises a
+clear NotImplementedError at call time, never at import time).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "write_csv",
+    "write_csv_single",
+    "read_excel",
+    "write_excel",
+    "load_table",
+]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Convenience: one TPC-H-ish testdata table (TESTDATA.md).
+
+    The events table stores ts as parquet TIMESTAMP(NANOS), which Spark
+    rejects outright; read nanos as long (legacy conf) and convert to a
+    microsecond timestamp (truncating like DuckDB/Arrow do).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
+        if ts_field is not None and isinstance(ts_field.dataType, T.LongType):
+            # integer div, NOT /1000-and-floor: the double rounds at ~1e18 ns
+            # and can land one microsecond high.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S4 -- CSV scan (ref pd.read_csv :129, :168, :173).
+
+    Prefer an explicit schema: inferSchema costs an extra full read and
+    can drift types between runs -- unacceptable at 100 TB.
+    """
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 -- distributed CSV sink: one file per partition (the 100 TB
+    shape).  Use write_csv_single only at the small parity edge."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_csv_single(df: DataFrame, path: str) -> str:
+    """S5 (parity variant) -- single named CSV file like the reference's
+    ``to_csv`` upload (ref :396-403).  coalesce(1) at the SINK EDGE only
+    -- never mid-plan (it would serialize the whole upstream plan onto
+    one task).  Returns the final file path."""
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def _require_openpyxl():
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Excel I/O needs openpyxl, which is not installed in this "
+            "environment. The engine's Excel path is a driver-edge pandas "
+            "bridge (reference-scale extracts are KB-sized); install "
+            "openpyxl to enable it."
+        ) from exc
+
+
+def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
+    """S3 -- Excel scan via driver-side pandas (ref pd.read_excel :84).
+
+    Driver-edge by design: reference Excel inputs are single small files.
+    Large-scale Excel ingest should be converted to parquet at landing.
+    """
+    _require_openpyxl()
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    pdf = pdf.where(pd.notna(pdf), None)
+    return spark.createDataFrame(pdf.astype(object))
+
+
+def write_excel(df: DataFrame, path: str) -> str:
+    """S6 -- Excel sink via driver-side pandas (ref to_excel :410-417).
+    Small outputs only; raises if the frame is suspiciously large."""
+    _require_openpyxl()
+    n = df.count()
+    if n > 1_000_000:
+        raise ValueError(f"refusing driver-side Excel write of {n} rows")
+    df.toPandas().to_excel(path, index=False)
+    return path

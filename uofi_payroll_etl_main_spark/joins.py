@@ -1,0 +1,163 @@
+"""Broadcast left-join suite + fan-out guard (SURVEY.md section 2.3,
+J1-J9; V1).
+
+Every reference join is a left equi join of a big fact against a small,
+deduplicated dimension projection (etl_payroll_pipeline.py :263-295,
+:487-540).  The Spark-first shape is therefore: dedup the dim projection,
+`F.broadcast` it, and left-join -- the fact side never shuffles, which is
+the difference between O(fact) scan and O(fact) shuffle at 100 TB.
+
+The fan-out guard (`safe_merge_left`, ref :226-232) has two modes:
+  * mode="dim-unique" (default, scale-safe): assert key uniqueness on the
+    DIMENSION side only -- O(|dim|) work, no second pass over the fact.
+    A unique dim key *proves* a left join cannot change the fact rowcount,
+    which is exactly the invariant the reference's before/after count
+    check observes.
+  * mode="count" (reference parity): literally count the fact before and
+    after.  Two extra fact-scale actions; only for small-data parity runs.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "broadcast_left_join",
+    "safe_merge_left",
+    "dict_map_join",
+    "FanOutWarning",
+]
+
+
+class FanOutWarning(UserWarning):
+    """Raised as a warning when a left join fans out the fact side (V1)."""
+
+
+def _dim_prep(dim: DataFrame, keep_cols: Sequence[str] | None, dedup: bool) -> DataFrame:
+    """Project + dedup the dimension (ref drop_duplicates on the projected
+    lookup, e.g. :263, :266, :276) -- D1 applied at the join edge."""
+    if keep_cols is not None:
+        dim = dim.select(*keep_cols)
+    if dedup:
+        dim = dim.dropDuplicates()
+    return dim
+
+
+def broadcast_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Mapping[str, str],
+    keep_cols: Sequence[str] | None = None,
+    dedup_dim: bool = True,
+    rename: Mapping[str, str] | None = None,
+    drop_dim_keys: bool = False,
+) -> DataFrame:
+    """J1-J3 / J5-J8 -- left equi join against a broadcast dim projection.
+
+    `on` forms:
+      * "key"                     -- same name both sides (J1/J5: :263-264)
+      * ["k1", "k2"]              -- composite same-named keys
+      * {"fact_key": "dim_key"}   -- differing names (J2/J6: :266-272), incl.
+        composite {"JOB_ECLS": "Job Eclass", "PAY_ID": "Pay ID"} (J8 :535-540)
+
+    With a mapping, the dim-side key columns are dropped after the join
+    when drop_dim_keys (ref :279 drops 'Job Eclass' post-merge); `rename`
+    applies dim-column renames after the join (ref :278, :492, :500).
+    """
+    dim = _dim_prep(dim, keep_cols, dedup_dim)
+    if isinstance(on, str):
+        cond = on
+        dim_keys: list[str] = []
+    elif isinstance(on, Mapping):
+        cond = None
+        for fk, dk in on.items():
+            clause = fact[fk] == dim[dk]
+            cond = clause if cond is None else (cond & clause)
+        dim_keys = list(on.values())
+    else:
+        cond = list(on)
+        dim_keys = []
+    out = fact.join(F.broadcast(dim), cond, "left")
+    if drop_dim_keys and dim_keys:
+        out = out.drop(*[dim[k] for k in dim_keys])
+    if rename:
+        for src, dst in rename.items():
+            out = out.withColumnRenamed(src, dst)
+    return out
+
+
+def safe_merge_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Mapping[str, str],
+    keep_cols: Sequence[str] | None = None,
+    dedup_dim: bool = True,
+    mode: str = "dim-unique",
+    rename: Mapping[str, str] | None = None,
+    drop_dim_keys: bool = False,
+) -> DataFrame:
+    """J4/V1 -- guarded left join (ref `safe_merge_left` :226-232).
+
+    Reference behavior is warn-don't-fail; we keep that (warnings.warn)
+    so pipelines continue like the pandas original.
+    """
+    dimp = _dim_prep(dim, keep_cols, dedup_dim)
+    if isinstance(on, Mapping):
+        dim_key_cols = list(on.values())
+    elif isinstance(on, str):
+        dim_key_cols = [on]
+    else:
+        dim_key_cols = list(on)
+
+    if mode == "dim-unique":
+        dup = (
+            dimp.groupBy(*dim_key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            warnings.warn(
+                f"left join on {dim_key_cols} may fan out: dimension key not unique",
+                FanOutWarning,
+                stacklevel=2,
+            )
+        return broadcast_left_join(
+            fact, dimp, on, None, False, rename=rename, drop_dim_keys=drop_dim_keys
+        )
+
+    before = fact.count()
+    out = broadcast_left_join(
+        fact, dimp, on, None, False, rename=rename, drop_dim_keys=drop_dim_keys
+    )
+    after = out.count()
+    if before != after:
+        warnings.warn(
+            f"row count changed during merge: {before} -> {after}", FanOutWarning, stacklevel=2
+        )
+    return out
+
+
+def dict_map_join(
+    fact: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """J9 -- the reference's dict-map (`Series.map(te_map)` :295, :529)
+    re-expressed as a broadcast left join against the aggregated lookup.
+
+    `lookup` is expected to already be one-row-per-key (e.g. the output of
+    aggregates.mode_agg).  A literal create_map would put data in the
+    plan; a broadcast join keeps it in the engine and scales to lookups
+    of any size.
+    """
+    out_col = out_col or value_col
+    lk = lookup.select(F.col(key), F.col(value_col).alias(out_col)).dropDuplicates([key])
+    return fact.join(F.broadcast(lk), key, "left")

@@ -1,0 +1,291 @@
+"""Document deduplication family for training-data curation.
+
+Five tiers, each with a distinct scale/recall trade-off:
+
+  exact_dedup_groups   -- hash-groupBy on md5(text).  One shuffle on a
+                          16-byte key; the 100 TB workhorse.
+  fingerprint_dedup    -- same, over whitespace/case-normalized text.
+  jaccard_pairs        -- EXACT word-n-gram Jaccard similarity join via
+                          shingle-explode + self-join on shared shingles.
+                          Never materializes the n^2 pair space -- only
+                          pairs sharing >=1 shingle meet, grouped
+                          map-side.  Exact, SQL-expressible (oracle-able).
+  minhash_lsh_*        -- MinHash signatures + LSH banding: candidate
+                          pairs meet only inside a band bucket, then are
+                          verified with exact Jaccard.  Sub-quadratic;
+                          the standard web-scale near-dup design
+                          (Broder resemblance sketches).
+  simhash64            -- 64-bit SimHash signature per doc + hamming-
+                          distance candidates via 16-bit chunk banding.
+
+All deterministic: hash functions are seeded xxhash64, no RNG at run
+time.  Everything is higher-order array expressions -- no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+__all__ = [
+    "exact_dedup_groups",
+    "fingerprint_dedup",
+    "word_shingles",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_candidates",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (hash, keeper=min id, n_dups).
+
+    groupBy on the digest, not the text: the shuffle moves 16-byte keys,
+    not document bodies -- at 100 TB that is the entire difference.
+    """
+    return (
+        df.select(F.md5(_c(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-canonical dedup: whitespace/case-normalized md5 groups."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text.
+
+    transform over an index sequence + slice: pure codegen, no UDF.
+    Documents shorter than n words fall back to their full token string
+    (so short docs still participate).
+    """
+    toks = tokens(normalize_text(col))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    short = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(k >= n, grams).otherwise(short))
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded table + per-doc shingle counts."""
+    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: pairs (a<b) with
+    |A ∩ B| / |A ∪ B| >= threshold.
+
+    Plan shape: explode shingles -> self-join on the shingle (only
+    co-shingled pairs ever exist) -> count intersections -> compute
+    union as |A|+|B|-inter.  The join key is the shingle, so hot
+    shingles (stopword n-grams) are the skew risk: normalize first and
+    raise n to keep shingle frequency low; AQE skew-join handles the
+    residue.
+    """
+    s = _shingle_table(df, id_col, text_col, n)
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3) -> Column:
+    """MinHash signature: array of `num_hashes` minima of seeded
+    xxhash64 over the shingle set (one permutation per seed)."""
+    sh = word_shingles(col, n)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair.  bands=16 x rows=4 over 64 hashes targets the
+    ~0.5-Jaccard operating point (s-curve threshold ≈ (1/b)^(1/r)).
+
+    Scale shape: explode per-band bucket keys (16 rows/doc), shuffle on
+    (band, bucket) -- never on raw text -- then pair within buckets.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"), minhash_signature(text_col, num_hashes, n).alias("sig")
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.element_at("sig", i * rows + j + 1).cast("string") for j in range(rows)])).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    bucketed = sig.select("doc", F.explode(band_keys).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: LSH candidates verified with EXACT
+    Jaccard (join back to shingle sets).  Output matches jaccard_pairs
+    restricted to candidates -- i.e. classic recall<=1, precision=1
+    near-dup detection, sub-quadratic."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
+    s = _shingle_table(df, id_col, text_col, n)
+    a = s.alias("a")
+    b = s.alias("b")
+    joined = (
+        cand.join(a, cand["doc_a"] == F.col("a.doc"))
+        .join(b, (cand["doc_b"] == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b", F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the token multiset.
+
+    Per token: xxhash64 -> 64 sign contributions (+1/-1 per bit);
+    aggregate element-wise; signature bit j = (sum_j > 0).  Pure
+    higher-order expressions; one pass over tokens.
+    """
+    toks = tokens(normalize_text(col))
+    # shiftleft/shiftright take Python-int bit counts, so the 64 bit
+    # positions are unrolled here (fixed-width expression, still codegen).
+    counts = F.aggregate(
+        toks,
+        F.array(*[F.lit(0)] * 64).cast("array<int>"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for j in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        weight = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+        sig = sig.bitwiseOR(F.when(F.element_at(counts, j + 1) > 0, weight).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def simhash_candidates(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit signature into 4
+    16-bit chunks; pigeonhole -- any pair within hamming<=3 agrees on at
+    least one chunk.  Verify with bit_count(xor) <= max_hamming."""
+    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    chunks = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

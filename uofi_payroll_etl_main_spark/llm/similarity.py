@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  cosine_topk        -- exact brute-force top-k.  O(n*m) pair space via a
+                        similarity join; the CORRECTNESS baseline and the
+                        right answer when one side is small (a query
+                        batch against the corpus).  Never run corpus x
+                        corpus at 100 TB.
+  lsh_topk           -- random-hyperplane LSH (sign of dot with fixed
+                        seeded planes), L tables of nbits each; pairs
+                        meet only inside a (table, bucket) shuffle key.
+                        Sub-quadratic scale path; recall tested against
+                        the exact tier.
+
+Dot products are F.aggregate over zip_with -- sequential, deterministic
+summation (important: a parallel sum would make scores run-dependent in
+the last ulp and break result reproducibility).  Scores are rounded to
+ROUND_DIGITS before ranking so rank order is stable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "with_unit_norm", "cosine_topk", "lsh_topk"]
+
+ROUND_DIGITS = 6
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute the norm once per vector (cache-friendly: norms are
+    computed on the scan side, not once per pair)."""
+    return df.withColumn("__norm", l2_norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k most similar
+    corpus vectors (self-matches excluded).
+
+    queries=None means corpus-as-queries (all-pairs -- small-corpus /
+    validation use only).  With a real query batch, broadcast the small
+    side so the corpus never shuffles.
+    """
+    q = (queries or corpus).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        ROUND_DIGITS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )
+
+
+def _planes(num_tables: int, nbits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Fixed seeded Gaussian hyperplanes -- deterministic across runs and
+    executors (shipped as plan literals, ~tables*nbits*dim doubles)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(num_tables, nbits, dim)
+
+
+def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Bucket id = sign-bit string of dots with each plane."""
+    nbits, dim = planes.shape
+    bits = []
+    for j in range(nbits):
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        bits.append(
+            F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    num_tables: int = 4,
+    nbits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN cosine top-k via random-hyperplane LSH.
+
+    Each vector lands in `num_tables` buckets; candidates are pairs
+    sharing a (table, bucket); exact cosine re-ranks within candidates.
+    Shuffle key is (table, bucket) -- never an all-pairs product.  Tune
+    recall with num_tables (more tables = more recall, linear cost) and
+    nbits (fewer bits = bigger buckets = more recall, more compare work).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(num_tables, nbits, dim, seed)
+    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    bucketed = ids.select(
+        "vid",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _bucket_expr(F.col("vec"), planes[t]).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("a.vec").alias("__qv"),
+            F.col("b.vid").alias("neighbor_id"),
+            F.col("b.vec").alias("__cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        ROUND_DIGITS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )

@@ -1,0 +1,120 @@
+"""Text analysis for training-data curation.
+
+All pure Catalyst expressions (regexp/array functions) -- no Python in
+the hot path, so these run at scan speed over 100 TB of documents.
+
+Operators:
+  * tokens / token_count     -- whitespace tokenization.
+  * wordlike_token_count     -- BPE-ish regex token estimate
+                                (\\w+ runs and single non-space symbols).
+  * en_marker_count          -- bounded-word hits of high-frequency
+                                English function words (n-gram heuristic).
+  * language_id              -- marker-ratio language heuristic.
+  * quality_features/score   -- length / punctuation / stopword /
+                                repetition heuristics.
+  * fingerprint              -- md5 of whitespace-normalized lowercase
+                                text (document-level near-canonical id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "wordlike_token_count",
+    "en_marker_count",
+    "language_id",
+    "quality_features",
+    "fingerprint",
+    "normalize_text",
+]
+
+# High-frequency English function words; bounded so 'the' != 'theory'.
+EN_MARKERS = r"(?i)\b(the|and|of|to|a|in|is|it|that|for)\b"
+_PUNCT = r"[^\w\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array (F.split on ''
+    would yield [''])."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def wordlike_token_count(col: Column | str) -> Column:
+    """BPE-ish estimate: count \\w+ runs plus lone symbols -- the classic
+    pre-tokenizer regex, countable engine-side without a tokenizer lib."""
+    return F.regexp_count(_c(col), F.lit(r"\w+|[^\w\s]")).cast("long")
+
+
+def en_marker_count(col: Column | str) -> Column:
+    return F.regexp_count(_c(col), F.lit(EN_MARKERS)).cast("long")
+
+
+def language_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """n-gram-heuristic language ID: 'en' when >=threshold of tokens are
+    high-frequency English function words, else 'other'.
+
+    A real pipeline would broadcast per-language marker tables and take
+    the argmax ratio; the shape (regexp_count ratio -> threshold) is the
+    same and stays in codegen.
+    """
+    n = token_count(col)
+    ratio = F.when(n > 0, en_marker_count(col) / n).otherwise(F.lit(0.0))
+    return F.when(ratio >= F.lit(threshold), F.lit("en")).otherwise(F.lit("other"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / marker / repetition heuristics + a binary
+    keep flag, one projection wide."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tok = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(_PUNCT)).cast("long")
+    n_uniq = F.size(F.array_distinct(tokens(t))).cast("long")
+    mean_tok_len = F.when(n_tok > 0, (F.length(F.regexp_replace(F.trim(t), r"\s+", "")) / n_tok)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    marker_ratio = F.when(n_tok > 0, en_marker_count(t) / n_tok).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0))
+    keep = (
+        (n_tok >= 5)
+        & (mean_tok_len >= 2.0)
+        & (mean_tok_len <= 15.0)
+        & (punct_ratio <= 0.3)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        mean_tok_len.alias("q_mean_token_len"),
+        punct_ratio.alias("q_punct_ratio"),
+        marker_ratio.alias("q_en_marker_ratio"),
+        uniq_ratio.alias("q_unique_token_ratio"),
+        keep.alias("q_keep"),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over normalized text.  Exact
+    near-canonical dedup key (whitespace/case-insensitive)."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,322 @@
+"""DuckDB oracle SQL for every CORE_QUERIES entry (registry_core.py).
+
+Dialect notes: DuckDB regexp_replace needs the 'g' flag for global
+replacement; `||` is the null-propagating concat (DuckDB CONCAT() skips
+nulls -- never use it where pandas `+` semantics are asserted);
+count/len/row_number are BIGINT (Spark sides cast to long to match).
+"""
+
+CORE_ORACLES: dict[str, str] = {
+    "flagship": None,  # filled from registry_core.FLAGSHIP_SQL below
+    "p1_contains_ci": """
+        SELECT p_partkey, p_type FROM part
+        WHERE lower(p_type) LIKE '%brass%'
+    """,
+    "p2_rlike_bounded": r"""
+        SELECT p_partkey, p_name FROM part
+        WHERE regexp_matches(p_name, '(?i)(^|\s|_)green(\s|_|$)')
+    """,
+    "p3_in_list": """
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+    """,
+    "p4_eq_ci": """
+        SELECT n_nationkey, n_name FROM nation WHERE lower(n_name) = 'france'
+    """,
+    "p5_first_match": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_name, c_custkey LIMIT 1
+    """,
+    "p6_date_range": """
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-07-01 00:00:00'
+                              AND TIMESTAMP '1996-06-30 23:59:59.999999'
+    """,
+    "p7_eq_filter": """
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+    "p8_projection": """
+        SELECT c_mktsegment, c_custkey, c_name FROM customer
+    """,
+    "p9_drop_tolerant": """
+        SELECT p_partkey, p_name, p_type, p_size, p_retailprice FROM part
+    """,
+    "p10_dup_columns": """
+        SELECT n_nationkey, n_name AS dup FROM nation
+    """,
+    "j1_broadcast_left": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey AS o_custkey, c_name FROM customer) c
+          ON o.o_custkey = c.o_custkey
+    """,
+    "j2_diff_keys": """
+        SELECT cu.c_custkey, cu.c_name, n.n_name
+        FROM customer cu
+        LEFT JOIN (SELECT DISTINCT n_nationkey, n_name FROM nation) n
+          ON cu.c_nationkey = n.n_nationkey
+    """,
+    "j3_rename_drop": """
+        SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation
+        FROM supplier s
+        LEFT JOIN (SELECT DISTINCT n_nationkey, n_name FROM nation) n
+          ON s.s_nationkey = n.n_nationkey
+    """,
+    "j4_safe_merge": """
+        SELECT na.n_nationkey, na.n_name, r.r_name
+        FROM nation na
+        LEFT JOIN (SELECT DISTINCT r_regionkey, r_name FROM region) r
+          ON na.n_regionkey = r.r_regionkey
+    """,
+    "j5_fact_dim": """
+        SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT p_partkey, p_brand FROM part) p
+          ON l.l_partkey = p.p_partkey
+    """,
+    "j6_fact_dim2": """
+        SELECT l.l_orderkey, l.l_linenumber, s.s_name
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT s_suppkey, s_name FROM supplier) s
+          ON l.l_suppkey = s.s_suppkey
+    """,
+    "j7_row_join": """
+        SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_orderstatus
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "j8_composite_key": """
+        WITH dim AS (
+          SELECT user_id, event_type, count(*) AS grp_n
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT e.event_id, e.user_id, e.event_type, d.grp_n
+        FROM events e
+        LEFT JOIN dim d ON e.user_id = d.user_id AND e.event_type = d.event_type
+    """,
+    "j9_dict_map": """
+        WITH counts AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
+        ), ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM counts
+        )
+        SELECT e.event_id, e.user_id, r.event_type AS modal_type
+        FROM events e
+        LEFT JOIN (SELECT user_id, event_type FROM ranked WHERE rn = 1) r
+          ON e.user_id = r.user_id
+    """,
+    "a1_mode": """
+        WITH counts AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS mode_event_type
+        FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM counts
+        ) WHERE rn = 1
+    """,
+    "a2_min_max": """
+        SELECT min(o_orderdate) AS min_o_orderdate, max(o_orderdate) AS max_o_orderdate
+        FROM orders
+    """,
+    "a3_count": """
+        SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+    """,
+    "d1_dedup_projection": """
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    "d2_business_key_dedup": """
+        SELECT o_custkey, o_orderkey, o_orderdate FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "d3_full_row_dedup": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "d4_keep_first": """
+        SELECT l_orderkey, l_linenumber, l_partkey FROM (
+          SELECT l_orderkey, l_linenumber, l_partkey,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+          FROM lineitem
+        ) WHERE rn = 1
+    """,
+    "e1_clean_headers": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+    """,
+    "e2_ensure_string": """
+        SELECT p_partkey, TRIM(CAST(p_size AS VARCHAR)) AS p_size_str FROM part
+    """,
+    "e3_strip_decimal": """
+        SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS code FROM part
+    """,
+    "e4_concat_key_nullprop": """
+        SELECT o_orderkey,
+               TRIM(CAST(o_orderkey AS VARCHAR)) || '-' || NULLIF(o_orderstatus, 'O') AS key
+        FROM orders
+    """,
+    "e5_concat_plain": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS VARCHAR) || o_orderpriority AS pay_event
+        FROM orders
+    """,
+    "e6_prefix": """
+        SELECT p_partkey, substr(p_type, 1, 5) AS type_prefix FROM part
+    """,
+    "e7_split_first": """
+        SELECT o_orderkey,
+               CASE WHEN strpos(o_orderpriority, '-') > 0
+                    THEN TRIM(substr(o_orderpriority, 1, strpos(o_orderpriority, '-') - 1))
+                    ELSE TRIM(o_orderpriority) END AS priority_code,
+               CASE WHEN strpos(o_orderpriority, '-') > 0
+                    THEN TRIM(substr(o_orderpriority, strpos(o_orderpriority, '-') + 1))
+                    ELSE '' END AS priority_name,
+               CASE WHEN strpos(o_orderstatus, '-') > 0
+                    THEN TRIM(substr(o_orderstatus, 1, strpos(o_orderstatus, '-') - 1))
+                    ELSE TRIM(o_orderstatus) END AS status_code,
+               CASE WHEN strpos(o_orderstatus, '-') > 0
+                    THEN TRIM(substr(o_orderstatus, strpos(o_orderstatus, '-') + 1))
+                    ELSE '' END AS status_name
+        FROM orders
+    """,
+    "e8_to_ts_coerce": """
+        SELECT l_orderkey, l_linenumber,
+               TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'not-a-date'
+                             ELSE CAST(l_shipdate AS VARCHAR) END AS TIMESTAMP) AS parsed_ts
+        FROM lineitem
+    """,
+    "e9_coalesce": """
+        SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), c_name) AS seg_or_name
+        FROM customer
+    """,
+    "e10_keep_or_replace": """
+        SELECT event_id,
+               CASE WHEN NULLIF(event_type,'view') IS NOT NULL
+                     AND TRIM(NULLIF(event_type,'view')) <> ''
+                    THEN NULLIF(event_type,'view') ELSE 'REPLACED' END AS kept
+        FROM events
+    """,
+    "e11_null_blank_default": """
+        SELECT o_orderkey,
+               CASE WHEN NULLIF(o_orderstatus,'O') IS NULL
+                      OR TRIM(CAST(NULLIF(o_orderstatus,'O') AS VARCHAR)) IN ('','nan','NaN')
+                    THEN 'INT' ELSE NULLIF(o_orderstatus,'O') END AS adj_code,
+               CASE WHEN NULLIF(o_orderstatus,'O') IS NULL
+                      OR TRIM(CAST(NULLIF(o_orderstatus,'O') AS VARCHAR)) IN ('','nan','NaN')
+                    THEN 'Internal' ELSE o_orderpriority END AS adj_desc
+        FROM orders
+    """,
+    "e12_ensure_column": """
+        SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS time_entry FROM region
+    """,
+    "e13_rename": """
+        SELECT o_orderkey AS order_id, o_orderstatus AS status FROM orders
+    """,
+    "e14_strip_all": """
+        SELECT c_custkey, TRIM('  ' || c_name || E'\t ') AS c_name FROM customer
+    """,
+    "e15_output_contract": """
+        SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS order_key,
+               o_orderpriority AS priority,
+               CAST(NULL AS VARCHAR) AS missing_thing
+        FROM orders
+    """,
+    "e16_finalize": """
+        SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS o_orderkey,
+               TRIM(CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR)) AS o_totalprice,
+               o_orderdate AS calc_date
+        FROM orders
+    """,
+    "u1_union_by_name": """
+        SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment FROM customer
+        UNION ALL
+        SELECT s_name AS name, s_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM supplier
+    """,
+    "v1_fanout_guard": """
+        SELECT na.n_nationkey, r.r_name
+        FROM nation na
+        LEFT JOIN (SELECT DISTINCT r_regionkey, r_name FROM region) r
+          ON na.n_regionkey = r.r_regionkey
+    """,
+    "v2_schema_check": """
+        SELECT * FROM customer
+    """,
+    "v3_tolerant_warnings": """
+        SELECT o_custkey, o_orderkey FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "v4_table_counts": """
+        SELECT * FROM (
+          SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+          UNION ALL SELECT 'nation', count(*) FROM nation
+          UNION ALL SELECT 'region', count(*) FROM region
+          UNION ALL SELECT 'supplier', count(*) FROM supplier
+        ) ORDER BY table_name
+    """,
+    "s2_catalog": r"""
+        SELECT regexp_extract(file, '([^/]+)$', 1) AS file_name,
+               lower(regexp_extract(file, '(\.[^./]+)$', 1)) AS extension
+        FROM glob('/root/testdata/sf0.01/*.parquet')
+        ORDER BY file_name
+    """,
+    "s4_csv_scan": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "s5_csv_sink": """
+        SELECT c_custkey, c_name FROM customer
+    """,
+    "s7_stamped_name": """
+        SELECT 'PUA_Data_Transformed_01152026_1234.csv' AS file_name
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_nation_volume": """
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                                AND TIMESTAMP '1994-12-31 23:59:59.999999'
+        GROUP BY n.n_name
+    """,
+}

@@ -1,0 +1,156 @@
+r"""DuckDB oracles for the exact LLM/windowed operators.
+
+No oracle entries for: llm_minhash_lsh, llm_simhash, llm_ann_lsh
+(approximate -- validated by recall tests against the exact tiers),
+mm_features / mm_frame_sample (Pandas-UDF plumbing -- rows-only).
+"""
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# Word 3-gram distinct shingles in DuckDB list algebra; mirrors
+# llm.dedup.word_shingles (short docs fall back to the full token string).
+_SHINGLES = rf"""
+  WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN length({_NORM}) = 0 THEN []
+                ELSE string_split({_NORM}, ' ') END AS t
+    FROM documents
+  ), sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM toks
+  ), ex AS (
+    SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+  )
+"""
+
+LLM_ORACLES: dict[str, str] = {
+    "llm_exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "llm_fingerprint_dedup": f"""
+        SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dups
+        FROM documents GROUP BY md5({_NORM})
+    """,
+    "llm_jaccard_pairs": _SHINGLES
+    + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+               count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
+    """,
+    "llm_token_stats": r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_wordlike,
+               len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for)\b')) AS n_en_markers
+        FROM documents
+    """,
+    "llm_language_id": r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                 len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for)\b')) AS n_mark
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN (CASE WHEN n_tok > 0 THEN n_mark / n_tok ELSE 0.0 END) >= 0.05
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM t
+    """,
+    "llm_quality": r"""
+        WITH t AS (
+          SELECT doc_id, lang, source, n_chars AS src_n_chars, text,
+                 length(text) AS n_ch,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq,
+                 len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for)\b')) AS n_mark
+          FROM documents
+        )
+        SELECT doc_id, lang, source, src_n_chars AS n_chars,
+               n_ch AS q_n_chars, n_tok AS q_n_tokens,
+               CASE WHEN n_tok > 0
+                    THEN length(regexp_replace(trim(text), '\s+', '', 'g')) / n_tok
+                    ELSE 0.0 END AS q_mean_token_len,
+               CASE WHEN n_ch > 0 THEN n_punct / n_ch ELSE 0.0 END AS q_punct_ratio,
+               CASE WHEN n_tok > 0 THEN n_mark / n_tok ELSE 0.0 END AS q_en_marker_ratio,
+               CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS q_unique_token_ratio,
+               (n_tok >= 5
+                AND (CASE WHEN n_tok > 0
+                          THEN length(regexp_replace(trim(text), '\s+', '', 'g')) / n_tok
+                          ELSE 0.0 END) BETWEEN 2.0 AND 15.0
+                AND (CASE WHEN n_ch > 0 THEN n_punct / n_ch ELSE 0.0 END) <= 0.3) AS q_keep
+        FROM t
+    """,
+    "llm_fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    """,
+    "llm_cosine_topk": """
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                   6) AS similarity
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, rank FROM (
+          SELECT query_id, neighbor_id, similarity,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 5
+    """,
+    "w_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "w_sliding": """
+        WITH starts AS (
+          SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+                 event_type, value
+          FROM events
+        )
+        SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM starts GROUP BY 1, 2, 3
+    """,
+    "w_session": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, sid
+    """,
+}

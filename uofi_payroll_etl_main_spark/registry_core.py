@@ -1,0 +1,601 @@
+"""Correctness-gate registry: one named query per SURVEY.md section 2
+operator, each paired with an ANSI-SQL DuckDB oracle over the same
+parquet tables (TESTDATA.md).
+
+Conventions (driver contract, __spark_entry__.py):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * results are deterministic: no arbitrary-row picks, all rankings
+    totally ordered, float aggregation routed through DECIMAL (exact,
+    order-independent) and surfaced as double;
+  * counts/sizes are cast to long (DuckDB count/len are BIGINT);
+  * everything is ANSI-mode-safe (try_* variants) because the driver's
+    SparkSession config is not ours to set.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import expressions as E
+from . import predicates as P
+from .aggregates import min_max, mode_agg
+from .catalog import build_catalog, stamped_name
+from .dedup import dedup_full, dedup_keys_tolerant, keep_first
+from .io import load_table, read_csv, write_csv_single
+from .joins import broadcast_left_join, dict_map_join, safe_merge_left
+from .report import check_schema, table_counts
+from .setops import union_by_name
+
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship (entry): catalog-style filter + broadcast joins + concat key +
+# keyed dedup + null-default over orders ⟕ customer ⟕ nation
+# (exercises P3/P6, J1/J2, E4, D2, E11 in one plan; SURVEY.md section 7.2 M0).
+# --------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    df = orders.filter(
+        P.in_list("o_orderpriority", ["1-URGENT", "2-HIGH"])
+        & P.between_dates("o_orderdate", "1995-07-01 00:00:00", "1996-06-30 23:59:59.999999")
+    )
+    df = broadcast_left_join(
+        df, customer, {"o_custkey": "c_custkey"},
+        keep_cols=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+    df = broadcast_left_join(
+        df, nation, {"c_nationkey": "n_nationkey"}, keep_cols=["n_nationkey", "n_name"]
+    )
+    df = df.withColumn(
+        "order_key_id",
+        E.concat_key(E.ensure_string("o_orderkey"), E.ensure_string("o_custkey")),
+    )
+    df = keep_first(df, ["o_custkey"], F.col("o_orderkey"))
+    seg = F.when(E.is_blankish(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))), F.lit("INT")).otherwise(
+        F.col("c_mktsegment")
+    )
+    return df.select(
+        "o_orderkey", "o_custkey", "order_key_id", "c_name", "n_name",
+        seg.alias("segment_coded"), "o_orderdate",
+    )
+
+
+FLAGSHIP_SQL = """
+WITH filtered AS (
+  SELECT * FROM orders
+  WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+    AND o_orderdate BETWEEN TIMESTAMP '1995-07-01 00:00:00'
+                        AND TIMESTAMP '1996-06-30 23:59:59.999999'
+), joined AS (
+  SELECT f.*, c.c_name, c.c_nationkey, c.c_mktsegment, n.n_name,
+         ROW_NUMBER() OVER (PARTITION BY f.o_custkey ORDER BY f.o_orderkey) AS rn
+  FROM filtered f
+  LEFT JOIN (SELECT DISTINCT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer) c
+    ON f.o_custkey = c.c_custkey
+  LEFT JOIN (SELECT DISTINCT n_nationkey, n_name FROM nation) n
+    ON c.c_nationkey = n.n_nationkey
+)
+SELECT o_orderkey, o_custkey,
+       TRIM(CAST(o_orderkey AS VARCHAR)) || '-' || TRIM(CAST(o_custkey AS VARCHAR)) AS order_key_id,
+       c_name, n_name,
+       CASE WHEN NULLIF(c_mktsegment,'BUILDING') IS NULL
+              OR TRIM(CAST(NULLIF(c_mktsegment,'BUILDING') AS VARCHAR)) IN ('','nan','NaN')
+            THEN 'INT' ELSE c_mktsegment END AS segment_coded,
+       o_orderdate
+FROM joined WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# P1-P10 predicates / projections
+# --------------------------------------------------------------------------
+
+def p1(spark, sf):
+    return _t(spark, sf, "part").filter(P.contains_ci("p_type", "BRASS")).select("p_partkey", "p_type")
+
+
+def p2(spark, sf):
+    return _t(spark, sf, "part").filter(P.rlike_bounded("p_name", "green")).select("p_partkey", "p_name")
+
+
+def p3(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(P.in_list("o_orderpriority", ["1-URGENT", "2-HIGH"]))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+def p4(spark, sf):
+    return _t(spark, sf, "nation").filter(P.eq_ci("n_name", "FraNce")).select("n_nationkey", "n_name")
+
+
+def p5(spark, sf):
+    df = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return P.first_match(df, ["c_name", "c_custkey"]).select("c_custkey", "c_name")
+
+
+def p6(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(P.between_dates("o_orderdate", *P.fiscal_year_bounds(1996)))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+def p7(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+def p8(spark, sf):
+    return P.project(_t(spark, sf, "customer"), ["c_mktsegment", "c_custkey", "c_name", "not_a_col"])
+
+
+def p9(spark, sf):
+    return P.drop_tolerant(_t(spark, sf, "part"), "p_brand", "no_such_column")
+
+
+def p10(spark, sf):
+    n = _t(spark, sf, "nation")
+    dup = n.select(F.col("n_nationkey"), F.col("n_name").alias("dup"), F.col("n_regionkey").alias("dup"))
+    return P.resolve_duplicate_columns(dup)
+
+
+# --------------------------------------------------------------------------
+# J1-J9 joins
+# --------------------------------------------------------------------------
+
+def j1(spark, sf):
+    orders = _t(spark, sf, "orders")
+    dim = _t(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    return broadcast_left_join(orders, dim, "o_custkey").select("o_orderkey", "o_custkey", "c_name")
+
+
+def j2(spark, sf):
+    cust = _t(spark, sf, "customer")
+    out = broadcast_left_join(
+        cust, _t(spark, sf, "nation"), {"c_nationkey": "n_nationkey"},
+        keep_cols=["n_nationkey", "n_name"],
+    )
+    return out.select("c_custkey", "c_name", "n_name")
+
+
+def j3(spark, sf):
+    supp = _t(spark, sf, "supplier")
+    out = broadcast_left_join(
+        supp, _t(spark, sf, "nation"), {"s_nationkey": "n_nationkey"},
+        keep_cols=["n_nationkey", "n_name"], rename={"n_name": "supp_nation"}, drop_dim_keys=True,
+    )
+    return out.select("s_suppkey", "s_name", "supp_nation")
+
+
+def j4(spark, sf):
+    nat = _t(spark, sf, "nation")
+    out = safe_merge_left(
+        nat, _t(spark, sf, "region"), {"n_regionkey": "r_regionkey"},
+        keep_cols=["r_regionkey", "r_name"],
+    )
+    return out.select("n_nationkey", "n_name", "r_name")
+
+
+def j5(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = broadcast_left_join(
+        li, _t(spark, sf, "part"), {"l_partkey": "p_partkey"}, keep_cols=["p_partkey", "p_brand"]
+    )
+    return out.select("l_orderkey", "l_linenumber", "p_brand")
+
+
+def j6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = broadcast_left_join(
+        li, _t(spark, sf, "supplier"), {"l_suppkey": "s_suppkey"}, keep_cols=["s_suppkey", "s_name"]
+    )
+    return out.select("l_orderkey", "l_linenumber", "s_name")
+
+
+def j7(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderstatus"
+    )
+    return li.join(orders, "l_orderkey", "left").select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "o_orderstatus"
+    )
+
+
+def j8(spark, sf):
+    ev = _t(spark, sf, "events")
+    dim = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("grp_n"))
+    out = broadcast_left_join(ev, dim, ["user_id", "event_type"], dedup_dim=False)
+    return out.select("event_id", "user_id", "event_type", "grp_n")
+
+
+def j9(spark, sf):
+    ev = _t(spark, sf, "events")
+    lookup = mode_agg(ev, "user_id", "event_type", out_col="modal_type")
+    return dict_map_join(ev, lookup, "user_id", "modal_type").select(
+        "event_id", "user_id", "modal_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# A1-A3 aggregates
+# --------------------------------------------------------------------------
+
+def a1(spark, sf):
+    return mode_agg(_t(spark, sf, "events"), "user_id", "event_type", out_col="mode_event_type")
+
+
+def a2(spark, sf):
+    return min_max(_t(spark, sf, "orders"), "o_orderdate")
+
+
+def a3(spark, sf):
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# D1-D4 dedup
+# --------------------------------------------------------------------------
+
+def d1(spark, sf):
+    return dedup_full(_t(spark, sf, "customer").select("c_mktsegment", "c_nationkey"))
+
+
+def d2(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return dedup_keys_tolerant(orders, ["o_custkey"], order_col=F.col("o_orderkey")).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+
+
+def d3(spark, sf):
+    return dedup_full(_t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus"))
+
+
+def d4(spark, sf):
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # "first" needs a TOTAL order -- extend the tie-break until unique.
+    li = _t(spark, sf, "lineitem")
+    return keep_first(
+        li, ["l_orderkey"], [F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")]
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# E1-E16 scalar expressions
+# --------------------------------------------------------------------------
+
+def e1(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    messy = li.toDF(" l_orderkey ", "\tl_linenumber ")
+    return E.clean_headers(messy)
+
+
+def e2(spark, sf):
+    return _t(spark, sf, "part").select(
+        "p_partkey", E.ensure_string("p_size").alias("p_size_str")
+    )
+
+
+def e3(spark, sf):
+    excelish = F.concat(F.col("p_partkey").cast("string"), F.lit(".0"))
+    return _t(spark, sf, "part").select(
+        "p_partkey", E.strip_decimal_str(excelish).alias("code")
+    )
+
+
+def e4(spark, sf):
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        E.concat_key(
+            E.ensure_string("o_orderkey"), F.nullif(F.col("o_orderstatus"), F.lit("O"))
+        ).alias("key"),
+    )
+
+
+def e5(spark, sf):
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        E.concat_plain(
+            F.year("o_orderdate").cast("string"), F.col("o_orderpriority")
+        ).alias("pay_event"),
+    )
+
+
+def e6(spark, sf):
+    return _t(spark, sf, "part").select("p_partkey", E.prefix("p_type", 5).alias("type_prefix"))
+
+
+def e7(spark, sf):
+    pri_head, pri_tail = E.split_first("o_orderpriority")
+    st_head, st_tail = E.split_first("o_orderstatus")  # no hyphen -> guard path
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        pri_head.alias("priority_code"),
+        pri_tail.alias("priority_name"),
+        st_head.alias("status_code"),
+        st_tail.alias("status_name"),
+    )
+
+
+def e8(spark, sf):
+    raw = F.when(F.col("l_linenumber") == 1, F.lit("not-a-date")).otherwise(
+        F.col("l_shipdate").cast("string")
+    )
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", E.to_ts_coerce(raw).alias("parsed_ts")
+    )
+
+
+def e9(spark, sf):
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        E.coalesce_cols(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.col("c_name")).alias(
+            "seg_or_name"
+        ),
+    )
+
+
+def e10(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id",
+        E.keep_or_replace(F.nullif(F.col("event_type"), F.lit("view")), F.lit("REPLACED")).alias(
+            "kept"
+        ),
+    )
+
+
+def e11(spark, sf):
+    code, desc = E.null_blank_default(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")), F.col("o_orderpriority")
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", code.alias("adj_code"), desc.alias("adj_desc")
+    )
+
+
+def e12(spark, sf):
+    return E.ensure_column(_t(spark, sf, "region"), "time_entry")
+
+
+def e13(spark, sf):
+    return E.rename_columns(
+        _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus"),
+        {"o_orderkey": "order_id", "o_orderstatus": "status"},
+    )
+
+
+def e14(spark, sf):
+    padded = _t(spark, sf, "customer").select(
+        "c_custkey", F.concat(F.lit("  "), F.col("c_name"), F.lit("\t ")).alias("c_name")
+    )
+    return E.strip_all_strings(padded)
+
+
+def e15(spark, sf):
+    src = _t(spark, sf, "orders").select(
+        E.ensure_string("o_orderkey").alias("o_orderkey_s"), "o_orderpriority"
+    )
+    out, _missing = E.output_contract(
+        src, {"order_key": "o_orderkey_s", "priority": "o_orderpriority", "missing_thing": None}
+    )
+    return out
+
+
+def e16(spark, sf):
+    src = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").alias("calc_date")
+    )
+    return E.finalize_output(src, date_cols=["calc_date"])
+
+
+# --------------------------------------------------------------------------
+# U1 / V1-V4 / S2,S4,S5,S7
+# --------------------------------------------------------------------------
+
+def u1(spark, sf):
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"), F.col("c_mktsegment")
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    return union_by_name(cust, supp)
+
+
+def v1(spark, sf):
+    nat = _t(spark, sf, "nation")
+    out = safe_merge_left(
+        nat, _t(spark, sf, "region"), {"n_regionkey": "r_regionkey"},
+        keep_cols=["r_regionkey", "r_name"], mode="count",
+    )
+    return out.select("n_nationkey", "r_name")
+
+
+def v2(spark, sf):
+    cust = _t(spark, sf, "customer")
+    expected = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    assert check_schema(cust, expected)
+    return cust
+
+
+def v3(spark, sf):
+    import warnings as _w
+
+    orders = _t(spark, sf, "orders")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # the warning IS the operator; result below
+        out = dedup_keys_tolerant(
+            orders, ["o_custkey", "no_such_key"], order_col=F.col("o_orderkey")
+        )
+    return out.select("o_custkey", "o_orderkey")
+
+
+def v4(spark, sf):
+    tables = {name: _t(spark, sf, name) for name in ("region", "nation", "customer", "supplier")}
+    return table_counts(spark, tables)
+
+
+def s2(spark, sf):
+    cat = build_catalog(spark, sf)
+    return cat.select("file_name", "extension").orderBy("file_name")
+
+
+def s4(spark, sf):
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "nation_roundtrip.csv")
+    write_csv_single(_t(spark, sf, "nation"), path)
+    return read_csv(spark, path, schema="n_nationkey int, n_name string, n_regionkey int")
+
+
+def s5(spark, sf):
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "customer_sink.csv")
+    write_csv_single(_t(spark, sf, "customer").select("c_custkey", "c_name"), path)
+    return read_csv(spark, path, schema="c_custkey bigint, c_name string")
+
+
+def s7(spark, sf):
+    from datetime import datetime
+
+    name = stamped_name("PUA_Data_Transformed", "csv", datetime(2026, 1, 15, 12, 34))
+    return spark.createDataFrame([(name,)], "file_name string")
+
+
+# --------------------------------------------------------------------------
+# Bench headliners: TPC-H-shaped analytics (pricing summary / shipping
+# priority / nation volume).  Float aggregation via DECIMAL -> exact and
+# engine-independent; surfaced as double.
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00"))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # customer broadcasts into orders; li-orders co-shuffle on the order key
+    # (both fact-scale -- the correct 100 TB shape; AQE picks the strategy).
+    joined = li.join(
+        orders.join(F.broadcast(cust.select("c_custkey")), orders["o_custkey"] == F.col("c_custkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_volume(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        P.between_dates("o_orderdate", "1994-01-01 00:00:00", "1994-12-31 23:59:59.999999")
+    )
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship": flagship,
+    "p1_contains_ci": p1,
+    "p2_rlike_bounded": p2,
+    "p3_in_list": p3,
+    "p4_eq_ci": p4,
+    "p5_first_match": p5,
+    "p6_date_range": p6,
+    "p7_eq_filter": p7,
+    "p8_projection": p8,
+    "p9_drop_tolerant": p9,
+    "p10_dup_columns": p10,
+    "j1_broadcast_left": j1,
+    "j2_diff_keys": j2,
+    "j3_rename_drop": j3,
+    "j4_safe_merge": j4,
+    "j5_fact_dim": j5,
+    "j6_fact_dim2": j6,
+    "j7_row_join": j7,
+    "j8_composite_key": j8,
+    "j9_dict_map": j9,
+    "a1_mode": a1,
+    "a2_min_max": a2,
+    "a3_count": a3,
+    "d1_dedup_projection": d1,
+    "d2_business_key_dedup": d2,
+    "d3_full_row_dedup": d3,
+    "d4_keep_first": d4,
+    "e1_clean_headers": e1,
+    "e2_ensure_string": e2,
+    "e3_strip_decimal": e3,
+    "e4_concat_key_nullprop": e4,
+    "e5_concat_plain": e5,
+    "e6_prefix": e6,
+    "e7_split_first": e7,
+    "e8_to_ts_coerce": e8,
+    "e9_coalesce": e9,
+    "e10_keep_or_replace": e10,
+    "e11_null_blank_default": e11,
+    "e12_ensure_column": e12,
+    "e13_rename": e13,
+    "e14_strip_all": e14,
+    "e15_output_contract": e15,
+    "e16_finalize": e16,
+    "u1_union_by_name": u1,
+    "v1_fanout_guard": v1,
+    "v2_schema_check": v2,
+    "v3_tolerant_warnings": v3,
+    "v4_table_counts": v4,
+    "s2_catalog": s2,
+    "s4_csv_scan": s4,
+    "s5_csv_sink": s5,
+    "s7_stamped_name": s7,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_volume": q5_nation_volume,
+}

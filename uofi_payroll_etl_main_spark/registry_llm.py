@@ -1,0 +1,120 @@
+"""Correctness-gate registry: LLM-training-data + windowed-analytics
+operators (north-star scope, SURVEY.md section 7.2 M4).
+
+Exact operators (hash dedup, n-gram Jaccard, brute-force cosine,
+tumbling/sliding/session windows, text stats) carry DuckDB oracles;
+approximate ones (MinHash-LSH, SimHash, hyperplane-LSH ANN) and the
+Pandas-UDF multimodal path are registered without oracles -> the driver
+records rows-only checks, and tests/test_llm.py asserts their recall
+against the exact tiers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .llm import dedup as LD
+from .llm import similarity as LS
+from .llm import text as LT
+from .llm.multimodal import extract_features, sample_frames, synth_media
+from .streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def llm_exact_dedup(spark, sf):
+    return LD.exact_dedup_groups(_t(spark, sf, "documents"))
+
+
+def llm_fingerprint_dedup(spark, sf):
+    return LD.fingerprint_dedup(_t(spark, sf, "documents"))
+
+
+def llm_jaccard_pairs(spark, sf):
+    return LD.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
+
+
+def llm_minhash_lsh(spark, sf):
+    return LD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
+
+
+def llm_simhash(spark, sf):
+    return LD.simhash_candidates(_t(spark, sf, "documents"), max_hamming=16)
+
+
+def llm_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        LT.token_count("text").alias("n_tokens"),
+        LT.wordlike_token_count("text").alias("n_wordlike"),
+        LT.en_marker_count("text").alias("n_en_markers"),
+    )
+
+
+def llm_language_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", LT.language_id("text", threshold=0.05).alias("lang_pred"))
+
+
+def llm_quality(spark, sf):
+    return LT.quality_features(_t(spark, sf, "documents")).drop("text")
+
+
+def llm_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", LT.fingerprint("text").alias("fp"))
+
+
+def llm_cosine_topk(spark, sf):
+    return LS.cosine_topk(_t(spark, sf, "embeddings"), k=5)
+
+
+def llm_ann_lsh(spark, sf):
+    return LS.lsh_topk(_t(spark, sf, "embeddings"), k=5, num_tables=4, nbits=10)
+
+
+def mm_features(spark, sf):
+    return extract_features(synth_media(spark, 64))
+
+
+def mm_frame_sample(spark, sf):
+    return sample_frames(synth_media(spark, 64), every_n=2)
+
+
+def w_tumbling(spark, sf):
+    return tumbling_agg(_t(spark, sf, "events"), "1 hour")
+
+
+def w_sliding(spark, sf):
+    return sliding_agg(_t(spark, sf, "events"), "2 hours", "1 hour")
+
+
+def w_session(spark, sf):
+    return session_agg(_t(spark, sf, "events"), "30 minutes")
+
+
+LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "llm_exact_dedup": llm_exact_dedup,
+    "llm_fingerprint_dedup": llm_fingerprint_dedup,
+    "llm_jaccard_pairs": llm_jaccard_pairs,
+    "llm_minhash_lsh": llm_minhash_lsh,
+    "llm_simhash": llm_simhash,
+    "llm_token_stats": llm_token_stats,
+    "llm_language_id": llm_language_id,
+    "llm_quality": llm_quality,
+    "llm_fingerprint": llm_fingerprint,
+    "llm_cosine_topk": llm_cosine_topk,
+    "llm_ann_lsh": llm_ann_lsh,
+    "mm_features": mm_features,
+    "mm_frame_sample": mm_frame_sample,
+    "w_tumbling": w_tumbling,
+    "w_sliding": w_sliding,
+    "w_session": w_session,
+}

@@ -1,0 +1,77 @@
+"""Validation / quality operators (SURVEY.md section 2.8, V2-V4).
+
+The reference's correctness machinery is runtime print-warnings
+(etl_payroll_pipeline.py:179-194, :314-316, :457-471, :423-426).  Here
+they become a structured RunReport the pipeline returns alongside its
+frames, so callers (and tests) can assert on them instead of scraping
+stdout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["RunReport", "check_schema", "table_counts"]
+
+
+@dataclass
+class RunReport:
+    """V3/V4 -- warnings + load/save metrics for one pipeline run."""
+
+    warnings: list[str] = field(default_factory=list)
+    loaded: dict[str, int] = field(default_factory=dict)
+    saved: dict[str, int] = field(default_factory=dict)
+    missing_inputs: list[str] = field(default_factory=list)
+    missing_output_sources: dict[str, list[str]] = field(default_factory=dict)
+    schema_ok: dict[str, bool] = field(default_factory=dict)
+
+    def warn(self, msg: str) -> None:
+        self.warnings.append(msg)
+
+    def record_load(self, name: str, df: DataFrame | None) -> None:
+        """Ref load summary :179-194 (missing inputs tracked, not fatal)."""
+        if df is None:
+            self.missing_inputs.append(name)
+        else:
+            self.loaded[name] = df.count()
+
+    def record_save(self, name: str, n_rows: int) -> None:
+        """Ref save summary :423-426, :637-640."""
+        self.saved[name] = n_rows
+
+    def summary(self) -> dict:
+        return {
+            "loaded": self.loaded,
+            "saved": self.saved,
+            "missing_inputs": self.missing_inputs,
+            "missing_output_sources": self.missing_output_sources,
+            "schema_ok": self.schema_ok,
+            "warnings": self.warnings,
+        }
+
+
+def check_schema(
+    df: DataFrame, expected: Sequence[str], report: RunReport | None = None, name: str = "frame"
+) -> bool:
+    """V2 -- ordered column-list contract check, warn-only (ref
+    :457-471)."""
+    ok = list(df.columns) == list(expected)
+    if report is not None:
+        report.schema_ok[name] = ok
+        if not ok:
+            report.warn(
+                f"schema mismatch for {name}: expected {list(expected)}, got {list(df.columns)}"
+            )
+    return ok
+
+
+def table_counts(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """V4 -- rowcount metrics as a DataFrame (one count action per table;
+    counts are metadata-scale, fine to union driver-side)."""
+    rows = [(name, df.count()) for name, df in sorted(tables.items())]
+    out = spark.createDataFrame(rows, "table_name string, row_count long")
+    return out.orderBy(F.col("table_name"))

@@ -1,0 +1,76 @@
+"""Windowed aggregations over event streams (batch mode).
+
+The reference has zero streaming constructs (SURVEY.md section 2.9); the
+north-star scope adds windowed event analytics.  These are the batch
+forms -- identical expressions power the streaming variants in
+`streams.py`.
+
+Scale: F.window is a generated column + ordinary hash aggregation; the
+shuffle key is (window, group) so tumbling aggs scale exactly like any
+groupBy.  Session windows use Spark's native session_window operator
+(merging state machine, spill-capable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg"]
+
+
+def _metrics():
+    """Count + exact decimal sum (order-independent; doubles would make
+    the sum run-order-dependent) surfaced as double."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    ]
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour", by: str = "event_type") -> DataFrame:
+    """Non-overlapping fixed windows; epoch-aligned."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), F.col(by))
+        .agg(*_metrics())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(by),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour", by: str = "event_type"
+) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), F.col(by))
+        .agg(*_metrics())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(by),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", by: str = "user_id") -> DataFrame:
+    """Sessionization: events within `gap` of each other merge into one
+    session per `by` key (native session_window -- the same operator the
+    streaming engine uses for stateful session aggregation)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col(by))
+        .agg(*_metrics())
+        .select(
+            F.col(by),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
