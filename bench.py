@@ -1,0 +1,72 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headliners cover the engine's hot shapes: TPC-H-style aggregation and
+multi-join analytics (q1/q3/q5), the flagship reference slice, the
+shuffle-heavy deterministic dedup (d4), hash dedup + MinHash-LSH over
+documents, and windowed event analytics (tumbling + session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINERS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "flagship",
+    "d4_keep_first",
+    "j7_row_join",
+    "llm_exact_dedup",
+    "llm_minhash_lsh",
+    "w_tumbling",
+    "w_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from uofi_payroll_etl_main_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/scan path once (not timed)
+    qs["a3_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full execution; count avoids driver-side collect cost
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

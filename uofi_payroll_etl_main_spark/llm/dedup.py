@@ -130,14 +130,38 @@ def jaccard_pairs(
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3) -> Column:
-    """MinHash signature: array of `num_hashes` minima of seeded
-    xxhash64 over the shingle set (one permutation per seed)."""
+    """MinHash signature: array of `num_hashes` permutation minima over
+    the shingle set.
+
+    One pass, two string hashes per shingle: Kirsch-Mitzenmacher double
+    hashing derives permutation i as ``h1 + (i+1)*h2``, so the
+    expression tree stays tiny -- the naive 64-independent-hash form
+    embeds the whole shingle subtree 64x in one projection (Catalyst
+    cannot CSE through higher-order-function lambdas), which blows
+    codegen to multi-MiB task binaries.  Both hashes are masked to 31
+    bits so ``h1 + num_hashes*h2`` fits in a long under ANSI mode (the
+    driver runs a default ANSI-on Spark 4 session).
+    """
     sh = word_shingles(col, n)
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    mask = F.lit((1 << 31) - 1).cast("long")
+    # per shingle: [h1, h2] masked to 31 bits (ANSI-safe arithmetic)
+    pairs = F.transform(
+        sh,
+        lambda s: F.array(
+            F.xxhash64(s).bitwiseAND(mask), F.xxhash64(s, F.lit(42)).bitwiseAND(mask)
+        ),
+    )
+    idx = F.sequence(F.lit(1).cast("long"), F.lit(num_hashes).cast("long"))
+    init = F.array(*[F.lit((1 << 62)).cast("long")] * num_hashes)
+    return F.aggregate(
+        pairs,
+        init,
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: p[0] + i * p[1]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_candidates(

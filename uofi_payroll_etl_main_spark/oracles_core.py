@@ -315,8 +315,8 @@ CORE_ORACLES: dict[str, str] = {
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE o.o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
-                                AND TIMESTAMP '1994-12-31 23:59:59.999999'
+        WHERE o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 23:59:59.999999'
         GROUP BY n.n_name
     """,
 }

@@ -529,7 +529,7 @@ def q3_shipping_priority(spark, sf):
 def q5_nation_volume(spark, sf):
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders").filter(
-        P.between_dates("o_orderdate", "1994-01-01 00:00:00", "1994-12-31 23:59:59.999999")
+        P.between_dates("o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59.999999")
     )
     supp = _t(spark, sf, "supplier")
     nat = _t(spark, sf, "nation")
