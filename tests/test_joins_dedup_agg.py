@@ -1,0 +1,163 @@
+"""Join suite (J1-J9 + fan-out guard), dedup family (D1-D4), and the
+mode aggregate (A1) -- the semantics-laden operators.  Includes the plan
+assertion that dimensions actually broadcast."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from uofi_payroll_etl_main_spark.aggregates import min_max, mode_agg
+from uofi_payroll_etl_main_spark.dedup import (
+    dedup_full,
+    dedup_keys_tolerant,
+    keep_first,
+    with_ingest_order,
+)
+from uofi_payroll_etl_main_spark.joins import (
+    FanOutWarning,
+    broadcast_left_join,
+    dict_map_join,
+    safe_merge_left,
+)
+
+
+@pytest.fixture()
+def fact(spark):
+    return spark.createDataFrame(
+        [Row(k="1-602", other="a"), Row(k="1-603", other="b"), Row(k="9-999", other="c")]
+    )
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [Row(k="1-602", title="Physics"), Row(k="1-603", title="Math"),
+         Row(k="1-602", title="Physics")]  # duplicate row: dim dedup must collapse it
+    )
+
+
+def test_broadcast_left_join_same_key(fact, dim):
+    out = broadcast_left_join(fact, dim, "k")
+    got = rows(out, "k", "other", "title")
+    assert got == [("1-602", "a", "Physics"), ("1-603", "b", "Math"), ("9-999", "c", None)]
+
+
+def test_broadcast_left_join_plan_broadcasts(fact, dim):
+    explained = broadcast_left_join(fact, dim, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained, explained
+
+
+def test_broadcast_left_join_differing_keys_drop_and_rename(spark, fact):
+    dim = spark.createDataFrame([Row(dk="1-602", t="Physics")])
+    out = broadcast_left_join(
+        fact, dim, {"k": "dk"}, rename={"t": "Title"}, drop_dim_keys=True
+    )
+    assert "dk" not in out.columns and "Title" in out.columns
+    got = dict(rows(out, "k", "Title"))
+    assert got == {"1-602": "Physics", "1-603": None, "9-999": None}
+
+
+def test_broadcast_left_join_composite_key(spark):
+    fact = spark.createDataFrame([Row(e="EA", p="BW", v=1), Row(e="EA", p="MN", v=2)])
+    dim = spark.createDataFrame([Row(je="EA", pid="BW", flsa="Exempt")])
+    out = broadcast_left_join(fact, dim, {"e": "je", "p": "pid"}, drop_dim_keys=True)
+    got = dict(rows(out, "v", "flsa"))
+    assert got == {1: "Exempt", 2: None}
+
+
+def test_safe_merge_left_warns_on_fanout_risk(spark, fact):
+    dim = spark.createDataFrame(
+        [Row(k="1-602", t="Physics"), Row(k="1-602", t="DIFFERENT")]  # same key, two values
+    )
+    with pytest.warns(FanOutWarning):
+        safe_merge_left(fact, dim, "k").collect()
+
+
+def test_safe_merge_left_quiet_when_unique(fact, dim):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FanOutWarning)
+        out = safe_merge_left(fact, dim, "k")
+        assert out.count() == 3
+
+
+def test_dict_map_join(spark, fact):
+    lookup = spark.createDataFrame([Row(k="1-602", v="Web Time"), Row(k="1-603", v="Banner")])
+    out = dict_map_join(fact, lookup, "k", "v", out_col="mapped")
+    got = dict(rows(out, "other", "mapped"))
+    assert got == {"a": "Web Time", "b": "Banner", "c": None}
+
+
+# ---------- dedup ----------
+
+def test_dedup_full(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["x", "y"])
+    assert dedup_full(df).count() == 2
+
+
+def test_keep_first_deterministic_winner(spark):
+    # same key, different payloads; explicit order column decides the winner
+    df = spark.createDataFrame(
+        [Row(k="u1", payload="FIRST", ord=0),
+         Row(k="u1", payload="SECOND", ord=1),
+         Row(k="u2", payload="ONLY", ord=2)]
+    )
+    got = dict(rows(keep_first(df, ["k"], "ord"), "k", "payload"))
+    assert got == {"u1": "FIRST", "u2": "ONLY"}
+
+
+def test_keep_first_respects_source_order_struct(spark):
+    # CPA union: (src, row) struct order -- BW rows beat MN rows
+    df = spark.createDataFrame(
+        [Row(k="u1", payload="MN", o=(1, 0)), Row(k="u1", payload="BW", o=(0, 5))]
+    )
+    got = dict(rows(keep_first(df, ["k"], "o"), "k", "payload"))
+    assert got == {"u1": "BW"}
+
+
+def test_dedup_keys_tolerant_missing_key_warns(spark):
+    df = spark.createDataFrame([Row(UIN="1", x="a"), Row(UIN="1", x="b")])
+    with pytest.warns(UserWarning, match="missing"):
+        out = dedup_keys_tolerant(df, ["UIN", "Pay Event"], order_col=F.lit(1))
+    assert out.count() == 1  # dedups on the present subset
+
+
+def test_with_ingest_order_is_monotonic_per_partition(spark):
+    df = with_ingest_order(spark.range(100).repartition(4))
+    # distinct + count unchanged; order column exists
+    assert df.count() == 100
+    assert "__ingest_order" in df.columns or len(df.columns) == 2
+
+
+# ---------- aggregates ----------
+
+def test_mode_agg_majority(spark):
+    df = spark.createDataFrame(
+        [Row(k="W", v="Web"), Row(k="W", v="Web"), Row(k="W", v="Banner")]
+    )
+    assert dict(rows(mode_agg(df, "k", "v"), "k", "v")) == {"W": "Web"}
+
+
+def test_mode_agg_tie_breaks_lexicographic_min(spark):
+    # pandas mode() returns sorted values; .iat[0] == lexicographic min (ref :217)
+    df = spark.createDataFrame(
+        [Row(k="T", v="Zulu"), Row(k="T", v="Alpha"), Row(k="T", v="Zulu"), Row(k="T", v="Alpha")]
+    )
+    assert dict(rows(mode_agg(df, "k", "v"), "k", "v")) == {"T": "Alpha"}
+
+
+def test_mode_agg_drops_null_values(spark):
+    df = spark.createDataFrame(
+        [Row(k="N", v=None), Row(k="N", v=None), Row(k="N", v="Real")]
+    )
+    assert dict(rows(mode_agg(df, "k", "v"), "k", "v")) == {"N": "Real"}
+
+
+def test_min_max(spark):
+    df = spark.createDataFrame([Row(d=x) for x in [3, 1, 2]])
+    got = min_max(df, "d").first()
+    assert (got[0], got[1]) == (1, 3)

@@ -1,0 +1,171 @@
+"""LLM-data-pipeline operators: dedup family (exact, fingerprint,
+Jaccard, MinHash-LSH, SimHash), text analysis, and similarity search.
+Crafted corpora with known near-duplicates; cosine top-k checked against
+a NumPy brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_spark.llm import dedup as D
+from uofi_payroll_etl_main_spark.llm import text as T
+from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, lsh_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold doorstep")  # small edit
+FAR = (
+    "completely unrelated text about distributed query engines shuffling "
+    "partitions across executors with adaptive execution enabled"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE),
+            Row(doc_id=2, text=BASE),        # exact duplicate
+            Row(doc_id=3, text=NEAR),        # near duplicate
+            Row(doc_id=4, text=FAR),
+            Row(doc_id=5, text="  The  QUICK brown fox jumps over the lazy dog while "
+                               "the cat watches from the warm windowsill and the birds "
+                               "sing in the garden outside  "),  # fingerprint-equal to 1
+        ]
+    )
+
+
+def test_exact_dedup_groups(docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    keepers = {r.keeper_id: r.n_dups for r in groups}
+    assert keepers[1] == 2      # docs 1+2 collapse; min doc_id is the keeper
+    assert 2 not in keepers
+    assert keepers[3] == 1 and keepers[4] == 1 and keepers[5] == 1
+
+
+def test_fingerprint_dedup_catches_case_whitespace(docs):
+    keepers = {r.keeper_id: r.n_dups for r in D.fingerprint_dedup(docs).collect()}
+    assert keepers[1] == 3      # normalized variant (doc 5) joins the 1+2 group
+    assert 5 not in keepers and 2 not in keepers
+    assert keepers[3] == 1 and keepers[4] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r.doc_id: r.sig for r in docs.select(
+        "doc_id", D.minhash_signature("text").alias("sig")).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    agree13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / len(sigs[1])
+    agree14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / len(sigs[1])
+    assert agree13 > agree14  # near-dup agrees on more components than unrelated
+    assert agree13 >= 0.5     # ~ Jaccard estimate for the near pair
+
+
+def test_minhash_lsh_pairs_recall_and_precision(docs):
+    got = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)  # exact-Jaccard verification: precision 1
+
+
+def test_simhash_hamming(docs):
+    sigs = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_simhash_candidates(docs):
+    got = {(r.doc_a, r.doc_b) for r in D.simhash_candidates(docs, max_hamming=10).collect()}
+    assert (1, 2) in got
+    assert not any((a == 4 or b == 4) for a, b in got)
+
+
+# ---------- text analysis ----------
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([Row(text="Hello,  World! hello")])
+    got = df.select(
+        T.token_count("text").alias("n"),
+        T.fingerprint("text").alias("fp"),
+        T.fingerprint(F.lit("  hello,  world! HELLO ")).alias("fp2"),
+        T.fingerprint(F.lit("entirely different")).alias("fp3"),
+    ).first()
+    assert got.n == 3
+    assert got.fp == got.fp2  # normalization: case/whitespace-insensitive
+    assert got.fp != got.fp3
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [Row(id="en", text="the cat and the dog are in the house with a bird"),
+         Row(id="xx", text="zzz qqq kkk vvv www yyy xxx uuu")]
+    )
+    got = {r.id: r.lang for r in df.select("id", T.language_id("text").alias("lang")).collect()}
+    assert got["en"] == "en"
+    assert got["xx"] != "en"
+
+
+def test_quality_features_schema(docs):
+    out = T.quality_features(docs)
+    for c in ["q_n_chars", "q_n_tokens", "q_punct_ratio", "q_en_marker_ratio", "q_keep"]:
+        assert c in out.columns
+    r = {x.doc_id: x for x in out.collect()}[1]
+    assert r.q_n_tokens > 10 and 0 <= r.q_en_marker_ratio <= 1
+    assert r.q_keep is True  # clean English prose passes the keep heuristics
+
+
+# ---------- similarity search ----------
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    return (
+        spark.createDataFrame(
+            [Row(id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+        ),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    df, vecs = embeddings
+    k = 5
+    out = cosine_topk(df, k=k, id_col="id", vec_col="embedding")
+    got: dict[int, list[int]] = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(40):
+        order = np.argsort(-sims[q])
+        expect = [int(i) for i in order if i != q][:k]
+        mine = [nid for _, nid in sorted(got[q])]
+        assert mine == expect, f"query {q}"
+
+
+def test_lsh_topk_recall(embeddings):
+    df, vecs = embeddings
+    k = 3
+    exact = cosine_topk(df, k=k, id_col="id", vec_col="embedding")
+    # 40 vectors: narrow buckets (2^4) x 8 tables so candidates collide
+    approx = lsh_topk(df, k=k, num_tables=8, nbits=4, id_col="id", vec_col="embedding")
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # bucketed ANN: meaningful overlap with exact top-k, never empty
+    assert len(a & e) / len(e) >= 0.3
+    assert all(q is not None for q, _ in a)

@@ -153,12 +153,17 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3) -> Co
     )
     idx = F.sequence(F.lit(1).cast("long"), F.lit(num_hashes).cast("long"))
     init = F.array(*[F.lit((1 << 62)).cast("long")] * num_hashes)
+    prime = F.lit((1 << 31) - 1).cast("long")  # Mersenne prime 2^31-1
     return F.aggregate(
         pairs,
         init,
         lambda acc, p: F.zip_with(
             acc,
-            F.transform(idx, lambda i: p[0] + i * p[1]),
+            # The mod-prime wrap de-correlates the permutations: unwrapped,
+            # h1 + i*h2 is ordered by h2 alone once i is large, so all 64
+            # components would agree/disagree together.  h1 + 64*h2 < 2^38
+            # keeps the pre-mod arithmetic far from long overflow (ANSI).
+            F.transform(idx, lambda i: F.pmod(p[0] + i * p[1], prime)),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -248,29 +253,37 @@ def simhash64(col: Column | str) -> Column:
     higher-order expressions; one pass over tokens.
     """
     toks = tokens(normalize_text(col))
-    # shiftleft/shiftright take Python-int bit counts, so the 64 bit
-    # positions are unrolled here (fixed-width expression, still codegen).
-    counts = F.aggregate(
-        toks,
-        F.array(*[F.lit(0)] * 64).cast("array<int>"),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for j in range(64)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(64):
-        weight = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
-        sig = sig.bitwiseOR(F.when(F.element_at(counts, j + 1) > 0, weight).otherwise(F.lit(0).cast("long")))
-    return sig
+    # Hash each token ONCE (array<long>), then unroll the 64 bit
+    # extractions over the already-hashed lambda variable.  Embedding
+    # xxhash64(t) in each of the 64 lanes (the naive form) repeats the
+    # whole hash subtree 64x per aggregate step and blows codegen to
+    # multi-MiB task binaries; this form is bit-identical output.
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # Accumulator = 65 int lanes: per-bit ones-counts + token count.  The
+    # signature is assembled in aggregate's `finish` lambda, where the
+    # accumulator is a BOUND variable -- assembling outside the aggregate
+    # would re-inline the whole aggregate subtree into each of the 64
+    # OR-terms (Catalyst doesn't CSE through it), which is exactly the
+    # multi-MiB-codegen trap this form exists to avoid.
+    def _merge(acc, h):
+        lanes = [F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") for j in range(64)]
+        return F.zip_with(acc, F.array(*lanes, F.lit(1)), lambda a, b: a + b)
+
+    def _finish(acc):
+        # bit j set <=> strict majority of tokens have bit j set
+        # (ones - (n - ones) > 0  <=>  2*ones > n), i.e. the +1/-1 sum > 0.
+        n = F.element_at(acc, 65)
+        sig = F.lit(0).cast("long")
+        for j in range(64):
+            weight = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+            sig = sig.bitwiseOR(
+                F.when(F.element_at(acc, j + 1) * 2 > n, weight).otherwise(F.lit(0).cast("long"))
+            )
+        return sig
+
+    init = F.array(*[F.lit(0)] * 65).cast("array<int>")
+    return F.aggregate(hashes, init, _merge, _finish)
 
 
 def simhash_candidates(

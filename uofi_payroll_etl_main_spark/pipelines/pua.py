@@ -157,7 +157,10 @@ def run_pua(
         df_fin = df_fin.withColumn("Calc Date", E.to_ts_coerce("Calc Date"))
     if "ADJ Reason Code" in df_fin.columns and "ADJ Reason DESC" in df_fin.columns:
         code, desc = E.null_blank_default("ADJ Reason Code", "ADJ Reason DESC")
-        df_fin = df_fin.withColumn("ADJ Reason Code", code).withColumn("ADJ Reason DESC", desc)
+        # both in ONE projection: chained withColumn would overwrite the
+        # code first, so the desc's blankish-test would see 'INT' and
+        # never fire (ref :324-328 sets the pair from the original value)
+        df_fin = df_fin.withColumns({"ADJ Reason Code": code, "ADJ Reason DESC": desc})
 
     # E15 output contract with null padding (ref :330-368).
     out, padded = E.output_contract(df_fin, PUA_COL_MAP)
