@@ -46,6 +46,21 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before a compute-bound
+    stage (signatures cost ~ms/doc; a single-file parquet scan is one
+    partition, serializing the whole corpus onto one core).
+
+    Only repartitions UP: at 100 TB the scan already has thousands of
+    splits and this is a no-op; locally it shuffles a few MB of raw text
+    once, which is noise next to the signature compute it unblocks.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: md5(text) -> (hash, keeper=min id, n_dups).
 
@@ -87,7 +102,9 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) exploded table + per-doc shingle counts."""
-    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh"))
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
+    )
     return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
 
@@ -185,7 +202,7 @@ def minhash_lsh_candidates(
     (band, bucket) -- never on raw text -- then pair within buckets.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    sig = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), minhash_signature(text_col, num_hashes, n).alias("sig")
     )
     band_keys = F.array(
@@ -200,16 +217,29 @@ def minhash_lsh_candidates(
     bucketed = sig.select("doc", F.explode(band_keys).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # Pair within buckets via groupBy + array pair-expansion, NOT a
+    # self-join: a self-join evaluates the signature subplan twice (the
+    # dominant cost), while one groupBy shuffles only (band, bucket, doc)
+    # rows.  Bucket membership requires agreeing on a whole band, so
+    # bucket sizes track true duplicate-cluster sizes; the k^2 expansion
+    # is the same pair set the join would have produced.
+    docs_per_bucket = (
+        bucketed.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.greatest(F.size("docs") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    return (
+        docs_per_bucket.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates()
     )
 
@@ -228,18 +258,30 @@ def minhash_lsh_pairs(
     restricted to candidates -- i.e. classic recall<=1, precision=1
     near-dup detection, sub-quadratic."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
-    s = _shingle_table(df, id_col, text_col, n)
-    a = s.alias("a")
-    b = s.alias("b")
-    joined = (
-        cand.join(a, cand["doc_a"] == F.col("a.doc"))
-        .join(b, (cand["doc_b"] == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("doc_a", "doc_b", F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verify with Jaccard over per-doc shingle-HASH arrays: two slim joins
+    # on the doc id + array_intersect, instead of exploding both shingle
+    # tables and re-joining on raw shingle strings (which re-reads and
+    # re-shingles the corpus twice and shuffles full n-gram text).
+    # 64-bit xxhash collisions inside one pair's union are negligible.
+    hs = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias("hs"),
     )
+    a = hs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = hs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        joined.withColumn("jaccard", jac)
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
@@ -292,7 +334,7 @@ def simhash_candidates(
     """Near-dup candidates by SimHash: band the 64-bit signature into 4
     16-bit chunks; pigeonhole -- any pair within hamming<=3 agrees on at
     least one chunk.  Verify with bit_count(xor) <= max_hamming."""
-    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    sig = _ensure_parallelism(df).select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
     chunks = sig.select(
         "doc",
         "sig",
@@ -308,21 +350,32 @@ def simhash_candidates(
             )
         ).alias("ck"),
     ).select("doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    # Pair within (chunk, key) buckets via groupBy + array expansion --
+    # one signature evaluation, one shuffle on the 16-bit bucket key --
+    # instead of a self-join that computes the SimHash subplan twice.
+    # Signatures ride along inside the collected structs, so hamming
+    # verification happens in place.
+    buckets = (
+        chunks.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_set(F.struct("doc", "sig"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
