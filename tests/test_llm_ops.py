@@ -169,3 +169,32 @@ def test_lsh_topk_recall(embeddings):
     # bucketed ANN: meaningful overlap with exact top-k, never empty
     assert len(a & e) / len(e) >= 0.3
     assert all(q is not None for q, _ in a)
+
+
+def test_embed_dup_exact_and_lsh(embeddings):
+    from uofi_payroll_etl_main_spark.llm.similarity import embed_dup_lsh, embed_dup_pairs
+
+    df, vecs = embeddings
+    import numpy as np
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    thr = 0.3
+    expect = {(a, b) for a in range(40) for b in range(a + 1, 40) if round(sims[a, b], 6) >= thr}
+    got = {(r.id_a, r.id_b) for r in embed_dup_pairs(df, threshold=thr, id_col="id").collect()}
+    assert got == expect
+    approx = {(r.id_a, r.id_b) for r in
+              embed_dup_lsh(df, threshold=thr, num_tables=8, nbits=4, id_col="id").collect()}
+    assert approx <= expect          # exact verify: precision 1
+    if expect:
+        assert len(approx) / len(expect) >= 0.3
+
+
+def test_ivf_topk_beats_lsh_recall(embeddings):
+    from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, ivf_topk
+
+    df, vecs = embeddings
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(df, k=3, id_col="id").collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in
+           ivf_topk(df, k=3, n_centroids=8, n_probe=4, id_col="id").collect()}
+    assert len(ivf & exact) / len(exact) >= 0.5  # probing half the cells

@@ -25,7 +25,16 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "with_unit_norm", "cosine_topk", "lsh_topk"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "with_unit_norm",
+    "cosine_topk",
+    "lsh_topk",
+    "embed_dup_pairs",
+    "embed_dup_lsh",
+    "ivf_topk",
+]
 
 ROUND_DIGITS = 6
 
@@ -174,6 +183,182 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
         cand.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )
+
+
+def embed_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT: all (a < b) with
+    cosine >= threshold.
+
+    O(n^2) pair space -- the correctness baseline / small-corpus tier
+    (same role as jaccard_pairs in the text-dedup family).  At scale use
+    embed_dup_lsh, which meets pairs only inside hyperplane buckets.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
+        ROUND_DIGITS,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embed_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    nbits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed scale path.
+
+    Candidates meet only inside a (table, bucket) group -- pair expansion
+    happens on collected id arrays, so the vector column is never
+    self-joined -- then exact cosine verifies each candidate (precision
+    1, recall bounded by the bucket collision probability: a pair at
+    cosine c collides in one table with prob (1 - acos(c)/pi)^nbits).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(num_tables, nbits, dim, seed)
+    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    bucketed = ids.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _bucket_expr(F.col("vec"), planes[t]).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    buckets = (
+        bucketed.groupBy("table", "bucket")
+        .agg(F.array_sort(F.collect_set("vid")).alias("vids"))
+        .filter(F.size("vids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "vids",
+            lambda x, i: F.transform(
+                F.slice("vids", i + 2, F.greatest(F.size("vids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates()
+    )
+    a = ids.select(F.col("vid").alias("id_a"), F.col("vec").alias("__va"))
+    b = ids.select(F.col("vid").alias("id_b"), F.col("vec").alias("__vb"))
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
+        ROUND_DIGITS,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _centroid_array(rows: list, vec_col: str) -> list:
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN cosine top-k via IVF-Flat: coarse-quantize the corpus to its
+    nearest centroid, probe the `n_probe` nearest centroid cells per
+    query, exact-re-rank inside the probed cells.
+
+    Centroids are a deterministic hash-ordered sample of corpus vectors
+    (no iterative k-means pass; on clustered data sampled centroids land
+    in every cluster w.h.p.).  The shuffle key is the centroid id --
+    cells are contiguous partitions, the classic FAISS IVF layout
+    expressed as a join.  Beats hyperplane LSH when neighbors sit at
+    moderate cosine (collision-probability decay makes sign-LSH recall
+    collapse below ~0.6 cosine); probing cells degrades gracefully
+    instead.
+    """
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = _centroid_array(cent_rows, vec_col)
+
+    def cell_scores(vec: Column) -> Column:
+        """array<struct<sim,cid>> sorted best-first (unit-normalized dot)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -dot(vec, F.array(*[F.lit(v) for v in c]))
+                        / (l2_norm(vec) * F.lit(float(np.sqrt(np.dot(c, c)))))
+                    ).alias("negsim"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.array_sort(scored)
+
+    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    assigned = ids.select(
+        "vid", "vec", F.element_at(cell_scores(F.col("vec")), 1)["cid"].alias("cell")
+    )
+    probes = ids.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("__qv"),
+        F.explode(
+            F.transform(F.slice(cell_scores(F.col("vec")), 1, n_probe), lambda s: s["cid"])
+        ).alias("cell"),
+    )
+    cand = probes.join(assigned, "cell").filter(F.col("query_id") != F.col("vid"))
+    sim = F.round(
+        dot(F.col("__qv"), F.col("vec")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("vec"))),
+        ROUND_DIGITS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vid").alias("neighbor_id"), sim.alias("similarity")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")

@@ -115,6 +115,20 @@ LLM_ORACLES: dict[str, str] = {
           FROM pairs
         ) WHERE rank <= 5
     """,
+    "llm_embed_dup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) >= 0.4
+    """,
     "w_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,

@@ -77,7 +77,24 @@ def llm_cosine_topk(spark, sf):
 
 
 def llm_ann_lsh(spark, sf):
-    return LS.lsh_topk(_t(spark, sf, "embeddings"), k=5, num_tables=4, nbits=10)
+    # nbits sized so buckets hold ~2^3..2^6 vectors at gate scale (500 -
+    # 5000 rows); 2^10 buckets over 500 vectors left every bucket a
+    # near-singleton and recall near zero.  Sign-LSH recall is bounded by
+    # the collision-probability decay at this data's moderate cosines --
+    # llm_ann_ivf is the stronger scale path here.
+    return LS.lsh_topk(_t(spark, sf, "embeddings"), k=5, num_tables=4, nbits=6)
+
+
+def llm_ann_ivf(spark, sf):
+    return LS.ivf_topk(_t(spark, sf, "embeddings"), k=5, n_centroids=32, n_probe=8)
+
+
+def llm_embed_dup(spark, sf):
+    return LS.embed_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+def llm_embed_dup_lsh(spark, sf):
+    return LS.embed_dup_lsh(_t(spark, sf, "embeddings"), threshold=0.4, num_tables=8, nbits=6)
 
 
 def mm_features(spark, sf):
@@ -112,6 +129,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_fingerprint": llm_fingerprint,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_ann_lsh": llm_ann_lsh,
+    "llm_ann_ivf": llm_ann_ivf,
+    "llm_embed_dup": llm_embed_dup,
+    "llm_embed_dup_lsh": llm_embed_dup_lsh,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
     "w_tumbling": w_tumbling,
