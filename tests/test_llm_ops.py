@@ -198,3 +198,14 @@ def test_ivf_topk_beats_lsh_recall(embeddings):
     ivf = {(r.query_id, r.neighbor_id) for r in
            ivf_topk(df, k=3, n_centroids=8, n_probe=4, id_col="id").collect()}
     assert len(ivf & exact) / len(exact) >= 0.5  # probing half the cells
+
+
+def test_cosine_topk_vectorized_matches_catalyst(embeddings):
+    from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, cosine_topk_vectorized
+
+    df, _ = embeddings
+    a = sorted((r.query_id, r.rank, r.neighbor_id, r.similarity)
+               for r in cosine_topk_vectorized(df, k=4, id_col="id").collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id, r.similarity)
+               for r in cosine_topk(df, k=4, id_col="id").collect())
+    assert a == b

@@ -34,6 +34,7 @@ __all__ = [
     "embed_dup_pairs",
     "embed_dup_lsh",
     "ivf_topk",
+    "cosine_topk_vectorized",
 ]
 
 ROUND_DIGITS = 6
@@ -359,6 +360,67 @@ def ivf_topk(
             "query_id", F.col("vid").alias("neighbor_id"), sim.alias("similarity")
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k on the Arrow fast path: the (small) query
+    matrix ships to executors in the UDF closure; each corpus batch is
+    one NumPy matmul; batch-local top-k keeps the shuffle at
+    O(queries * k * n_batches) rows instead of O(n * m) pairs.
+
+    Same contract and ranking rule as cosine_topk (similarity rounded to
+    ROUND_DIGITS, ties by neighbor_id) -- this is the throughput tier,
+    cosine_topk the pure-Catalyst reference.  queries=None uses the
+    corpus as the query batch (validation use; a 100 TB corpus needs a
+    bounded query batch, never corpus x corpus).
+    """
+    import pandas as pd
+
+    q_rows = (queries or corpus).select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = (
+        "query_id long, neighbor_id long, similarity double"
+        if isinstance(q_ids[0], (int, np.integer))
+        else "query_id string, neighbor_id string, similarity double"
+    )
+
+    def topk_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(qm @ cm.T, ROUND_DIGITS)  # (n_q, batch)
+            c_ids = pdf[id_col].to_numpy()
+            take = min(k + 1, sims.shape[1])  # +1 absorbs a self-match
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows = {"query_id": [], "neighbor_id": [], "similarity": []}
+            for qi in range(sims.shape[0]):
+                for ci in idx[qi]:
+                    rows["query_id"].append(q_ids[qi])
+                    rows["neighbor_id"].append(c_ids[ci])
+                    rows["similarity"].append(sims[qi, ci])
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import Window
+
+    cand = corpus.mapInPandas(topk_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")

@@ -115,6 +115,24 @@ LLM_ORACLES: dict[str, str] = {
           FROM pairs
         ) WHERE rank <= 5
     """,
+    "llm_cosine_topk_fast": """
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                   6) AS similarity
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, rank FROM (
+          SELECT query_id, neighbor_id, similarity,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 5
+    """,
     "llm_embed_dup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(

@@ -76,6 +76,10 @@ def llm_cosine_topk(spark, sf):
     return LS.cosine_topk(_t(spark, sf, "embeddings"), k=5)
 
 
+def llm_cosine_topk_fast(spark, sf):
+    return LS.cosine_topk_vectorized(_t(spark, sf, "embeddings"), k=5)
+
+
 def llm_ann_lsh(spark, sf):
     # nbits sized so buckets hold ~2^3..2^6 vectors at gate scale (500 -
     # 5000 rows); 2^10 buckets over 500 vectors left every bucket a
@@ -128,6 +132,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_quality": llm_quality,
     "llm_fingerprint": llm_fingerprint,
     "llm_cosine_topk": llm_cosine_topk,
+    "llm_cosine_topk_fast": llm_cosine_topk_fast,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
     "llm_embed_dup": llm_embed_dup,
