@@ -36,3 +36,47 @@ def test_streaming_tumbling_matches_batch(spark, event_dir):
     expect = rows(batch)
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_session_matches_batch(spark, event_dir):
+    from uofi_payroll_etl_main_spark.streaming.streams import streaming_session_counts
+    from uofi_payroll_etl_main_spark.streaming.windows import session_agg
+
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(streaming_session_counts(stream, "30 minutes"), "s_stream", timeout_s=180)
+    got = rows(spark.table("s_stream"), "user_id", "n_events", "sum_value")
+    expect = rows(session_agg(spark.read.parquet(event_dir), "30 minutes"),
+                  "user_id", "n_events", "sum_value")
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_dedup_drops_repeats(spark, event_dir, tmp_path_factory):
+    from uofi_payroll_etl_main_spark.streaming.streams import streaming_dedup
+
+    # double every event -> the deduped stream must restore the original count
+    src = spark.read.parquet(event_dir)
+    doubled_dir = str(tmp_path_factory.mktemp("events_doubled"))
+    src.union(src).write.mode("overwrite").parquet(doubled_dir)
+    stream = read_event_stream(spark, doubled_dir)
+    run_to_memory(streaming_dedup(stream), "d_stream", timeout_s=180, output_mode="append")
+    assert spark.table("d_stream").count() == src.count()
+
+
+def test_streaming_running_totals(spark, event_dir):
+    from uofi_payroll_etl_main_spark.streaming.streams import streaming_running_totals
+
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(streaming_running_totals(stream), "r_stream", timeout_s=180,
+                  output_mode="update")
+    # final state per user == batch aggregate (take the last emitted row per user)
+    import pyspark.sql.functions as F
+
+    got = (
+        spark.table("r_stream")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expect = spark.read.parquet(event_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert rows(got) == rows(expect)

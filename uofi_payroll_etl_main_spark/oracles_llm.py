@@ -147,6 +147,18 @@ LLM_ORACLES: dict[str, str] = {
                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                  6) >= 0.4
     """,
+    "st_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "st_dedup": """
+        SELECT event_id, user_id, event_type FROM events
+    """,
+    "st_running_totals": """
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
     "w_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,

@@ -21,7 +21,33 @@ from .llm import dedup as LD
 from .llm import similarity as LS
 from .llm import text as LT
 from .llm.multimodal import extract_features, sample_frames, synth_media
+from .streaming.streams import (
+    read_event_stream,
+    run_to_memory,
+    streaming_dedup,
+    streaming_running_totals,
+    streaming_tumbling_counts,
+)
 from .streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over the events table.  The raw parquet
+    stores TIMESTAMP(NANOS), which the streaming reader can't coerce, so
+    the (tiny, metadata-scale) normalized copy is cached per sf_dir;
+    a production deployment would point readStream at the landing zone."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_events_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(path)
+    return read_event_stream(spark, path)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -109,6 +135,42 @@ def mm_frame_sample(spark, sf):
     return sample_frames(synth_media(spark, 64), every_n=2)
 
 
+def st_tumbling(spark, sf):
+    """Structured Streaming tumbling counts, drained AvailableNow into a
+    memory sink -- hash-checked against the SAME DuckDB oracle as the
+    batch form (shared agg expressions; only watermark/trigger differ)."""
+    run_to_memory(
+        streaming_tumbling_counts(_event_stream(spark, sf), "1 hour"), "st_tumbling_out"
+    )
+    return spark.table("st_tumbling_out")
+
+
+def st_dedup(spark, sf):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
+    are unique in the test tables, so output == input projection."""
+    run_to_memory(
+        streaming_dedup(_event_stream(spark, sf)).select("event_id", "user_id", "event_type"),
+        "st_dedup_out",
+        output_mode="append",
+    )
+    return spark.table("st_dedup_out")
+
+
+def st_running_totals(spark, sf):
+    """applyInPandasWithState per-user accumulator; final state per user
+    == the batch aggregate (n_events is exact; the float total stays an
+    engine-internal column, tested in tests/test_streaming.py)."""
+    run_to_memory(
+        streaming_running_totals(_event_stream(spark, sf)), "st_running_out",
+        output_mode="update",
+    )
+    return (
+        spark.table("st_running_out")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
 def w_tumbling(spark, sf):
     return tumbling_agg(_t(spark, sf, "events"), "1 hour")
 
@@ -139,6 +201,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_embed_dup_lsh": llm_embed_dup_lsh,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
+    "st_tumbling": st_tumbling,
+    "st_dedup": st_dedup,
+    "st_running_totals": st_running_totals,
     "w_tumbling": w_tumbling,
     "w_sliding": w_sliding,
     "w_session": w_session,

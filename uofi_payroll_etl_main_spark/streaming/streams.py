@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["EVENTS_SCHEMA", "read_event_stream", "streaming_tumbling_counts", "run_to_memory"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_event_stream",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "streaming_dedup",
+    "streaming_running_totals",
+    "run_to_memory",
+]
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -59,13 +67,90 @@ def streaming_tumbling_counts(
     )
 
 
-def run_to_memory(sdf: DataFrame, name: str, timeout_s: int = 120) -> None:
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization: native session_window with merging state;
+    sessions close (and emit) once the watermark passes their gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """In-flight exact dedup on the event key: state holds one entry per
+    key only within the watermark horizon (dropDuplicatesWithinWatermark),
+    so state is bounded -- the streaming face of exact_dedup_groups for
+    at-least-once sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted once per trigger.
+
+    The state handle keeps two numbers per user -- the pattern for
+    operators Spark lacks natively (per-key accumulators, custom
+    sessionization, CDC folding).  Timeout is processing-time based; at
+    steady state each micro-batch updates only keys it saw.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
+) -> None:
     """Drain a bounded stream (AvailableNow) into an in-memory table
     `name` -- the test/validation sink."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
