@@ -161,3 +161,37 @@ def test_min_max(spark):
     df = spark.createDataFrame([Row(d=x) for x in [3, 1, 2]])
     got = min_max(df, "d").first()
     assert (got[0], got[1]) == (1, 3)
+
+
+# ---------- scale utilities ----------
+
+def test_salted_left_join_matches_plain(spark):
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([Row(k=0, name="zero"), Row(k=1, name="one")])
+    from uofi_payroll_etl_main_spark.joins import salted_left_join
+
+    salted = salted_left_join(fact, dim, "k", salt=4)
+    plain = fact.join(dim, "k", "left")
+    assert rows(salted, "k", "payload", "name") == rows(plain, "k", "payload", "name")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from uofi_payroll_etl_main_spark.joins import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bt_a", ["k"], n_buckets=8)
+        write_bucketed(b, "bt_b", ["k"], n_buckets=8)
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed scan: the join happens without a shuffle
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

@@ -29,6 +29,8 @@ __all__ = [
     "broadcast_left_join",
     "safe_merge_left",
     "dict_map_join",
+    "salted_left_join",
+    "write_bucketed",
     "FanOutWarning",
 ]
 
@@ -161,3 +163,49 @@ def dict_map_join(
     out_col = out_col or value_col
     lk = lookup.select(F.col(key), F.col(value_col).alias(out_col)).dropDuplicates([key])
     return fact.join(F.broadcast(lk), key, "left")
+
+
+def salted_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-mitigated equi join for the case AQE can't fix: a HOT KEY on
+    the fact side joining a dim too large to broadcast.
+
+    The fact side gets a random-salt suffix (key, salt_i); the dim side
+    is replicated `salt` ways -- so one hot key's rows spread over `salt`
+    reduce partitions instead of one straggler.  Use AQE skew-join first
+    (on in session.py); reach for explicit salting when a single key
+    exceeds what one executor can hold.  `salt` multiplies dim shuffle
+    volume -- keep it at the straggler ratio, not higher.
+    """
+    salt_col = "__salt"
+    f = fact.withColumn(salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    d = dim.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    out = f.join(d, [on, salt_col], how)
+    return out.drop(salt_col)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: Sequence[str], n_buckets: int = 32
+) -> None:
+    """Persist as a bucketed table: co-locates rows by hash(keys) at
+    WRITE time, so later fact-fact equi joins on `keys` read both sides
+    pre-partitioned -- no Exchange before the join (the 100 TB answer
+    for repeated big-big joins, e.g. lineitem x orders every run).
+
+    Requires a table catalog (saveAsTable); plain parquet files cannot
+    carry bucket metadata.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(table)
+    )
