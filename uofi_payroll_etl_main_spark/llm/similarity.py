@@ -123,6 +123,53 @@ def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _bucket_table(
+    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Vectorized (table, bucket) assignment: one NumPy sign-bit matmul
+    per Arrow batch against all tables' planes at once.  The per-row
+    Catalyst form (_bucket_expr) evaluates tables*nbits aggregate-lambda
+    dot products per row -- orders of magnitude slower on wide vectors.
+
+    Output: one row per (vector, table) with the vector carried along,
+    ready to shuffle on the (table, bucket) key.
+    """
+    import pandas as pd
+
+    num_tables, nbits, dim = planes.shape
+    flat = planes.reshape(num_tables * nbits, dim)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (cm @ flat.T) >= 0  # (n, tables*nbits)
+            frames = []
+            for t in range(num_tables):
+                bucket = bits[:, t * nbits : (t + 1) * nbits] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col],
+                            "table": np.full(len(pdf), t, dtype=np.int32),
+                            "bucket": bucket,
+                            "vec": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return df.mapInPandas(
+        assign, schema="vid long, table int, bucket long, vec array<float>"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -140,50 +187,38 @@ def lsh_topk(
     recall with num_tables (more tables = more recall, linear cost) and
     nbits (fewer bits = bigger buckets = more recall, more compare work).
     """
+    import pandas as pd
+
     dim = len(corpus.select(vec_col).first()[0])
     planes = _planes(num_tables, nbits, dim, seed)
-    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    bucketed = ids.select(
-        "vid",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        _bucket_expr(F.col("vec"), planes[t]).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
+    bucketed = _bucket_table(corpus, planes, id_col, vec_col)
+
+    def bucket_topk(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "similarity": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "similarity": "float64"}
             )
-        ).alias("tb"),
-    ).select("vid", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") != F.col("b.vid")),
+        cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+        sims = np.round(cm @ cm.T, ROUND_DIGITS)
+        ids = pdf["vid"].to_numpy()
+        np.fill_diagonal(sims, -np.inf)
+        take = min(k, n - 1)
+        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        qi = np.repeat(np.arange(n), take)
+        ci = idx.ravel()
+        return pd.DataFrame(
+            {"query_id": ids[qi], "neighbor_id": ids[ci], "similarity": sims[qi, ci]}
         )
-        .select(
-            F.col("a.vid").alias("query_id"),
-            F.col("a.vec").alias("__qv"),
-            F.col("b.vid").alias("neighbor_id"),
-            F.col("b.vec").alias("__cv"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    sim = F.round(
-        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
-        ROUND_DIGITS,
+
+    cand = bucketed.groupBy("table", "bucket").applyInPandas(
+        bucket_topk, schema="query_id long, neighbor_id long, similarity double"
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("similarity", sim)
+        cand.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
@@ -229,60 +264,37 @@ def embed_dup_lsh(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed scale path.
 
-    Candidates meet only inside a (table, bucket) group -- pair expansion
-    happens on collected id arrays, so the vector column is never
-    self-joined -- then exact cosine verifies each candidate (precision
-    1, recall bounded by the bucket collision probability: a pair at
-    cosine c collides in one table with prob (1 - acos(c)/pi)^nbits).
+    Candidates meet only inside a (table, bucket) group; within a group
+    the pairwise cosine block is one NumPy matmul, so every emitted pair
+    is already exactly verified (precision 1, recall bounded by the
+    bucket collision probability: a pair at cosine c collides in one
+    table with prob (1 - acos(c)/pi)^nbits).
     """
+    import pandas as pd
+
     dim = len(corpus.select(vec_col).first()[0])
     planes = _planes(num_tables, nbits, dim, seed)
-    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    bucketed = ids.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        _bucket_expr(F.col("vec"), planes[t]).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
+    bucketed = _bucket_table(corpus, planes, id_col, vec_col)
+
+    def bucket_pairs(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-        ).alias("tb"),
-    ).select("vid", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    buckets = (
-        bucketed.groupBy("table", "bucket")
-        .agg(F.array_sort(F.collect_set("vid")).alias("vids"))
-        .filter(F.size("vids") > 1)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "vids",
-            lambda x, i: F.transform(
-                F.slice("vids", i + 2, F.greatest(F.size("vids") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+        cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+        sims = np.round(cm @ cm.T, ROUND_DIGITS)
+        ids = pdf["vid"].to_numpy()
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": sims[ia, ib][keep]}
         )
-    )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates()
-    )
-    a = ids.select(F.col("vid").alias("id_a"), F.col("vec").alias("__va"))
-    b = ids.select(F.col("vid").alias("id_b"), F.col("vec").alias("__vb"))
-    sim = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
-        ROUND_DIGITS,
-    )
+
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine", sim)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        bucketed.groupBy("table", "bucket")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -305,61 +317,81 @@ def ivf_topk(
 
     Centroids are a deterministic hash-ordered sample of corpus vectors
     (no iterative k-means pass; on clustered data sampled centroids land
-    in every cluster w.h.p.).  The shuffle key is the centroid id --
-    cells are contiguous partitions, the classic FAISS IVF layout
-    expressed as a join.  Beats hyperplane LSH when neighbors sit at
+    in every cluster w.h.p.).  The shuffle key is the centroid id; each
+    cell meets its probing queries in a cogroup, where the scoring block
+    is one NumPy matmul -- the classic FAISS IVF layout on Arrow.
+    Beats hyperplane LSH when neighbors sit at
     moderate cosine (collision-probability decay makes sign-LSH recall
     collapse below ~0.6 cosine); probing cells degrades gracefully
     instead.
     """
+    import pandas as pd
+
     cent_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(n_centroids)
         .collect()
     )
-    cents = _centroid_array(cent_rows, vec_col)
+    cn = _norm_rows(np.array(_centroid_array(cent_rows, vec_col), dtype=np.float64))
 
-    def cell_scores(vec: Column) -> Column:
-        """array<struct<sim,cid>> sorted best-first (unit-normalized dot)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        -dot(vec, F.array(*[F.lit(v) for v in c]))
-                        / (l2_norm(vec) * F.lit(float(np.sqrt(np.dot(c, c)))))
-                    ).alias("negsim"),
-                    F.lit(i).alias("cid"),
+    def assign_cells(n_out: int):
+        """mapInPandas fn: one matmul against all centroids per batch;
+        emit (vid, cell, vec) for the n_out nearest cells."""
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+                scores = cm @ cn.T  # (n, n_centroids)
+                take = min(n_out, scores.shape[1])
+                order = np.argsort(-scores, axis=1)[:, :take]
+                qi = np.repeat(np.arange(len(pdf)), take)
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"].to_numpy()[qi],
+                        "cell": order.ravel().astype("int32"),
+                        "vec": pdf["vec"].to_numpy()[qi],
+                    }
                 )
-                for i, c in enumerate(cents)
-            ]
-        )
-        return F.array_sort(scored)
+
+        return fn
 
     ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    assigned = ids.select(
-        "vid", "vec", F.element_at(cell_scores(F.col("vec")), 1)["cid"].alias("cell")
-    )
-    probes = ids.select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("__qv"),
-        F.explode(
-            F.transform(F.slice(cell_scores(F.col("vec")), 1, n_probe), lambda s: s["cid"])
-        ).alias("cell"),
-    )
-    cand = probes.join(assigned, "cell").filter(F.col("query_id") != F.col("vid"))
-    sim = F.round(
-        dot(F.col("__qv"), F.col("vec")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("vec"))),
-        ROUND_DIGITS,
+    cell_schema = "vid long, cell int, vec array<float>"
+    assigned = ids.mapInPandas(assign_cells(1), schema=cell_schema)
+    probes = ids.mapInPandas(assign_cells(n_probe), schema=cell_schema)
+
+    def cell_topk(key, probe_pdf, cell_pdf):
+        if not len(probe_pdf) or not len(cell_pdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "similarity": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "similarity": "float64"}
+            )
+        qm = _norm_rows(np.array(list(probe_pdf["vec"]), dtype=np.float64))
+        cm = _norm_rows(np.array(list(cell_pdf["vec"]), dtype=np.float64))
+        sims = np.round(qm @ cm.T, ROUND_DIGITS)  # (n_q, n_cell)
+        q_ids = probe_pdf["vid"].to_numpy()
+        c_ids = cell_pdf["vid"].to_numpy()
+        take = min(k + 1, sims.shape[1])  # +1 absorbs the self-match
+        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        qi = np.repeat(np.arange(sims.shape[0]), take)
+        ci = idx.ravel()
+        out = pd.DataFrame(
+            {"query_id": q_ids[qi], "neighbor_id": c_ids[ci], "similarity": sims[qi, ci]}
+        )
+        return out[out.query_id != out.neighbor_id]
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(cell_topk, schema="query_id long, neighbor_id long, similarity double")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
-        cand.select(
-            "query_id", F.col("vid").alias("neighbor_id"), sim.alias("similarity")
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        cand.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
