@@ -27,8 +27,12 @@ HEADLINERS = [
     "j7_row_join",
     "llm_exact_dedup",
     "llm_minhash_lsh",
+    "llm_cosine_topk_fast",
+    "llm_embed_dup_lsh",
+    "llm_ann_ivf",
     "w_tumbling",
     "w_session",
+    "st_tumbling",
 ]
 
 
