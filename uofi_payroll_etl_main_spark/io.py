@@ -128,3 +128,24 @@ def write_excel(df: DataFrame, path: str) -> str:
         raise ValueError(f"refusing driver-side Excel write of {n} rows")
     df.toPandas().to_excel(path, index=False)
     return path
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-Lines scan -- the interchange format of LLM corpus tooling.
+
+    Always pass `schema` in production: schema inference reads the data
+    TWICE, and a drifting inferred schema breaks downstream contracts.
+    Splittable when uncompressed or zstd-framed; one task per split at
+    scale like any text source.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed JSON-Lines sink (one file per partition)."""
+    df.write.mode(mode).json(path)

@@ -308,6 +308,28 @@ CORE_ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, l.l_orderkey ASC
         LIMIT 10
     """,
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-10-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 23:59:59.999999'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """,
     "q5_nation_volume": """
         SELECT n.n_name,
                CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

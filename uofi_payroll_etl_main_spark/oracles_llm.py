@@ -133,6 +133,9 @@ LLM_ORACLES: dict[str, str] = {
           FROM pairs
         ) WHERE rank <= 5
     """,
+    "s8_jsonl_roundtrip": """
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+    """,
     "llm_embed_dup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(

@@ -526,6 +526,48 @@ def q3_shipping_priority(spark, sf):
     )
 
 
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: pure scan-side filter + single global aggregate.
+    The whole predicate pushes to the parquet scan; one partial-agg +
+    one-row final -- the minimal-shuffle analytics baseline."""
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: fact-fact join on the order key + customer/nation
+    broadcast enrich + top-20 by lost revenue."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").filter(
+        P.between_dates("o_orderdate", "1996-10-01 00:00:00", "1996-12-31 23:59:59.999999")
+    )
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q5_nation_volume(spark, sf):
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders").filter(
@@ -598,4 +640,6 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_volume": q5_nation_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
 }

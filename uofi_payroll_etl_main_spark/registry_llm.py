@@ -127,6 +127,27 @@ def llm_embed_dup_lsh(spark, sf):
     return LS.embed_dup_lsh(_t(spark, sf, "embeddings"), threshold=0.4, num_tables=8, nbits=6)
 
 
+def s8_jsonl_roundtrip(spark, sf):
+    """documents -> JSONL sink -> JSONL scan (explicit schema) -> stats.
+    The oracle reads the same rows from parquet, so the roundtrip must
+    be lossless for the check to hash-match."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .io import read_jsonl, write_jsonl
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_docs_jsonl_{tag}")
+    # write once per sf_dir: re-writing would invalidate DataFrames
+    # returned by earlier invocations (FILE_NOT_EXIST on their scan)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_jsonl(d, path)
+    back = read_jsonl(spark, path, schema="doc_id long, lang string, text string")
+    return back.select("doc_id", "lang", F.length("text").cast("long").alias("n_chars"))
+
+
 def mm_features(spark, sf):
     return extract_features(synth_media(spark, 64))
 
@@ -184,6 +205,7 @@ def w_session(spark, sf):
 
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s8_jsonl_roundtrip": s8_jsonl_roundtrip,
     "llm_exact_dedup": llm_exact_dedup,
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
     "llm_jaccard_pairs": llm_jaccard_pairs,
