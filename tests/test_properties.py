@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): the scalar expression layer vs an
+independent Python model of the reference semantics, over adversarial
+generated strings.  One Spark job per property (the whole sample batch
+goes through a single DataFrame) keeps runtime in seconds."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from uofi_payroll_etl_main_spark import expressions as E
+
+# printable-ish strings incl. whitespace padding, digits, hyphens, nan spellings
+S = st.one_of(
+    st.none(),
+    st.sampled_from(["nan", "NaN", " nan ", "", "  ", "123.0", "x-y-z", "-"]),
+    st.text(alphabet="abcXYZ019 .-_\t", max_size=12),
+)
+
+SETTINGS = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _model_strip_decimal(v):
+    if v is None:
+        return None
+    return re.sub(r"\.0$", "", v.strip())
+
+
+@SETTINGS
+@given(st.lists(S, min_size=1, max_size=25))
+def test_strip_decimal_str_model(spark, vals):
+    df = spark.createDataFrame([Row(i=i, c=v) for i, v in enumerate(vals)], "i long, c string")
+    got = {r.i: r.o for r in df.select("i", E.strip_decimal_str("c").alias("o")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == _model_strip_decimal(v), (i, v)
+
+
+def _model_concat_key(a, b, sep="-"):
+    if a is None or b is None:
+        return None
+    return a.strip() + sep + b.strip()
+
+
+@SETTINGS
+@given(st.lists(st.tuples(S, S), min_size=1, max_size=25))
+def test_concat_key_model(spark, pairs):
+    df = spark.createDataFrame(
+        [Row(i=i, a=a, b=b) for i, (a, b) in enumerate(pairs)], "i long, a string, b string"
+    )
+    got = {
+        r.i: r.o
+        for r in df.select(
+            "i", E.concat_key(E.ensure_string("a"), E.ensure_string("b")).alias("o")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == _model_concat_key(a, b), (i, a, b)
+
+
+def _model_split_first(v, delim="-"):
+    if v is None:
+        return None, ""
+    pos = v.find(delim)
+    if pos < 0:
+        return v.strip(), ""
+    return v[:pos].strip(), v[pos + 1 :].strip()
+
+
+@SETTINGS
+@given(st.lists(S, min_size=1, max_size=25))
+def test_split_first_model(spark, vals):
+    df = spark.createDataFrame([Row(i=i, c=v) for i, v in enumerate(vals)], "i long, c string")
+    head, tail = E.split_first("c")
+    got = {r.i: (r.h, r.t) for r in df.select("i", head.alias("h"), tail.alias("t")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == _model_split_first(v), (i, v)
+
+
+def _model_blankish(v):
+    return v is None or v.strip() in ("", "nan", "NaN")
+
+
+@SETTINGS
+@given(st.lists(S, min_size=1, max_size=25))
+def test_null_blank_default_model(spark, vals):
+    df = spark.createDataFrame(
+        [Row(i=i, code=v, desc="keep") for i, v in enumerate(vals)],
+        "i long, code string, desc string",
+    )
+    code, desc = E.null_blank_default("code", "desc")
+    got = {r.i: (r.c, r.d) for r in df.select("i", code.alias("c"), desc.alias("d")).collect()}
+    for i, v in enumerate(vals):
+        expect = ("INT", "Internal") if _model_blankish(v) else (v, "keep")
+        assert got[i] == expect, (i, v)

@@ -51,9 +51,20 @@ __all__ = [
     "strip_all_strings",
     "output_contract",
     "finalize_output",
+    "ws_trim",
 ]
 
 _STRINGY = (T.StringType, T.VarcharType, T.CharType)
+
+# pandas .str.strip() removes ALL whitespace; Spark F.trim only removes
+# ASCII spaces.  Every reference trim goes through ws_trim for parity
+# (property-tested against the Python model in tests/test_properties.py).
+_WS = " \t\n\r\x0b\x0c"
+
+
+def ws_trim(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.btrim(c, F.lit(_WS))
 
 
 def clean_headers(df: DataFrame) -> DataFrame:
@@ -71,7 +82,7 @@ def ensure_string(col: Column | str) -> Column:
     unification happens in `is_blankish`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(c.try_cast("string"))
+    return ws_trim(c.try_cast("string"))
 
 
 def strip_decimal_str(col: Column | str) -> Column:
@@ -117,8 +128,8 @@ def split_first(col: Column | str, delim: str = "-") -> tuple[Column, Column]:
     """
     c = F.col(col) if isinstance(col, str) else col
     pos = F.instr(c, delim)
-    head = F.when(pos > 0, F.trim(c.substr(F.lit(1), pos - 1))).otherwise(F.trim(c))
-    tail = F.when(pos > 0, F.trim(c.substr(pos + 1, F.length(c)))).otherwise(F.lit(""))
+    head = F.when(pos > 0, ws_trim(c.substr(F.lit(1), pos - 1))).otherwise(ws_trim(c))
+    tail = F.when(pos > 0, ws_trim(c.substr(pos + 1, F.length(c)))).otherwise(F.lit(""))
     return head, tail
 
 
@@ -140,7 +151,7 @@ def keep_or_replace(col: Column | str, replacement: Column | str) -> Column:
     replacement (ref Time Entry fill :296-299, :524-533)."""
     c = F.col(col) if isinstance(col, str) else col
     r = F.col(replacement) if isinstance(replacement, str) else replacement
-    return F.when(c.isNotNull() & (F.trim(c) != ""), c).otherwise(r)
+    return F.when(c.isNotNull() & (ws_trim(c) != ""), c).otherwise(r)
 
 
 def is_blankish(col: Column | str) -> Column:
@@ -151,7 +162,7 @@ def is_blankish(col: Column | str) -> Column:
     the *intent* (missing) is tested directly (SURVEY.md 7.4.2).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNull() | F.trim(c.try_cast("string")).isin("", "nan", "NaN")
+    return c.isNull() | ws_trim(c.try_cast("string")).isin("", "nan", "NaN")
 
 
 def null_blank_default(
@@ -198,7 +209,7 @@ def strip_all_strings(df: DataFrame) -> DataFrame:
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, _STRINGY):
-            cols.append(F.trim(F.col(f.name)).alias(f.name))
+            cols.append(ws_trim(F.col(f.name)).alias(f.name))
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
@@ -242,8 +253,8 @@ def finalize_output(
             out.append(to_ts_coerce(c).alias(f.name))
         elif isinstance(f.dataType, (T.DoubleType, T.FloatType, T.DecimalType)):
             out.append(
-                F.trim(c.try_cast(f"decimal(38,{decimal_scale})").try_cast("string")).alias(f.name)
+                ws_trim(c.try_cast(f"decimal(38,{decimal_scale})").try_cast("string")).alias(f.name)
             )
         else:
-            out.append(F.trim(c.try_cast("string")).alias(f.name))
+            out.append(ws_trim(c.try_cast("string")).alias(f.name))
     return df.select(*out)

@@ -224,7 +224,12 @@ CORE_ORACLES: dict[str, str] = {
         SELECT o_orderkey AS order_id, o_orderstatus AS status FROM orders
     """,
     "e14_strip_all": """
-        SELECT c_custkey, TRIM('  ' || c_name || E'\t ') AS c_name FROM customer
+        -- trim over the full whitespace set: the engine matches pandas
+        -- .str.strip() (tabs/newlines too), not SQL TRIM's spaces-only
+        SELECT c_custkey,
+               TRIM('  ' || c_name || E'\t ', ' ' || E'\t\n\r' || chr(11) || chr(12))
+                 AS c_name
+        FROM customer
     """,
     "e15_output_contract": """
         SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS order_key,
