@@ -195,3 +195,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_hll_distinct_within_rsd(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.aggregates import hll_distinct
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r[0]: r[1] for r in hll_distinct(ev, "event_type", "user_id").collect()}
+    exact = {r[0]: r[1] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)
+
+
+def test_approx_quantiles_bracket_exact_median(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.aggregates import approx_quantiles
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r[0]: r[1] for r in approx_quantiles(ev, "event_type", "value", (0.5,)).collect()}
+    import numpy as np
+
+    pdf = ev.select("event_type", "value").toPandas()
+    for k, grp in pdf.groupby("event_type"):
+        exact = float(np.median(grp["value"].dropna()))
+        lo, hi = np.percentile(grp["value"].dropna(), [40, 60])
+        assert lo <= got[k] <= hi, (k, got[k], exact)
+
+
+def test_asof_join_backward_semantics(spark):
+    from uofi_payroll_etl_main_spark.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [Row(k="u", ts=5, eid="before-any"),
+         Row(k="u", ts=10, eid="at-tie"),
+         Row(k="u", ts=17, eid="between"),
+         Row(k="v", ts=100, eid="other-group")],
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", ts=10, price=1.0),
+         Row(k="u", ts=15, price=2.0),
+         Row(k="w", ts=1, price=9.0)],
+    )
+    out = asof_join_backward(left, right, by="k", ts="ts",
+                             value_cols=["price"], right_ts_alias="mts")
+    got = {r.eid: (r.mts, r.price) for r in out.collect()}
+    assert got["before-any"] == (None, None)   # no prior right row
+    assert got["at-tie"] == (10, 1.0)          # ties match (<=)
+    assert got["between"] == (15, 2.0)         # latest prior wins
+    assert got["other-group"] == (None, None)  # group isolation

@@ -12,6 +12,8 @@ the tiny reduce side).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,3 +54,30 @@ def min_max(df: DataFrame, col: str) -> DataFrame:
 def count_rows(df: DataFrame) -> int:
     """A3 -- row count (ref :227-229, :424)."""
     return df.count()
+
+
+def hll_distinct(df: DataFrame, key: str, col: str, rsd: float = 0.02) -> DataFrame:
+    """Approximate distinct count per key (HyperLogLog++).
+
+    The sketch is fixed-size per group regardless of cardinality -- the
+    100 TB substitute for countDistinct, whose exact form shuffles every
+    distinct value.  rsd = relative standard deviation (2% default).
+    """
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame, key: str, col: str, probs: Sequence[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate quantiles per key (Greenwald-Khanna style sketch via
+    percentile_approx).  Mergeable partial sketches -> one shuffle of
+    sketch state, never of raw values."""
+    return df.groupBy(key).agg(
+        *[
+            F.percentile_approx(col, p, accuracy).alias(f"p{int(p * 100)}_{col}")
+            for p in probs
+        ]
+    )

@@ -150,6 +150,15 @@ LLM_ORACLES: dict[str, str] = {
                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                  6) >= 0.4
     """,
+    "j10_asof_backward": """
+        SELECT e.event_id, e.user_id, e.event_type,
+               p.ts AS purchase_ts, p.purchase_value
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
     "st_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,

@@ -156,6 +156,38 @@ def mm_frame_sample(spark, sf):
     return sample_frames(synth_media(spark, 64), every_n=2)
 
 
+def j10_asof_backward(spark, sf):
+    """As-of join: each event picks up the user's latest prior (or
+    simultaneous) purchase value.  Oracle is DuckDB's native ASOF JOIN."""
+    from .joins import asof_join_backward
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof_join_backward(
+        ev, purchases, by="user_id", ts="ts",
+        value_cols=["purchase_value"], right_ts_alias="purchase_ts",
+    )
+    return out.select("event_id", "user_id", "event_type", "purchase_ts", "purchase_value")
+
+
+def a4_hll_distinct(spark, sf):
+    """HLL distinct users per event type (rows-only: sketch estimates
+    differ across engines; tolerance vs exact asserted in pytest)."""
+    from .aggregates import hll_distinct
+
+    return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id")
+
+
+def a5_approx_quantiles(spark, sf):
+    from .aggregates import approx_quantiles
+
+    return approx_quantiles(_t(spark, sf, "events"), "event_type", "value")
+
+
 def st_tumbling(spark, sf):
     """Structured Streaming tumbling counts, drained AvailableNow into a
     memory sink -- hash-checked against the SAME DuckDB oracle as the
@@ -223,6 +255,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_embed_dup_lsh": llm_embed_dup_lsh,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
+    "j10_asof_backward": j10_asof_backward,
+    "a4_hll_distinct": a4_hll_distinct,
+    "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
