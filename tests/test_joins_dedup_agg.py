@@ -245,3 +245,16 @@ def test_asof_join_backward_semantics(spark):
     assert got["at-tie"] == (10, 1.0)          # ties match (<=)
     assert got["between"] == (15, 2.0)         # latest prior wins
     assert got["other-group"] == (None, None)  # group isolation
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    from uofi_payroll_etl_main_spark.io import load_table, write_partitioned
+
+    path = str(tmp_path / "events_part")
+    write_partitioned(load_table(spark, sf_dir, "events"), path, ["event_type"])
+    scan = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "purchase" in plan, plan
+    n_all = spark.read.parquet(path).count()
+    n_purch = scan.count()
+    assert 0 < n_purch < n_all

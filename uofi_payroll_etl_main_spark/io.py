@@ -11,6 +11,8 @@ clear NotImplementedError at call time, never at import time).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import glob
 import os
 import shutil
@@ -149,3 +151,17 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Distributed JSON-Lines sink (one file per partition)."""
     df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, by: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned parquet sink (`path/col=value/...`).
+
+    Partition columns become directory keys: readers filtering on them
+    prune whole directories at planning time (PartitionFilters in the
+    scan, zero I/O for pruned values) -- the first lever for 100 TB
+    time-range / category scans.  Choose low-cardinality columns; a
+    high-cardinality partition key creates a small-files explosion.
+    """
+    df.write.mode(mode).partitionBy(*by).parquet(path)

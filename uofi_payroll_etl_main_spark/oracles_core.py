@@ -313,6 +313,21 @@ CORE_ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, l.l_orderkey ASC
         LIMIT 10
     """,
+    "j11_semi_join": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00')
+        GROUP BY o_orderpriority
+    """,
+    "j12_anti_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
     "q6_forecast_revenue": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem

@@ -526,6 +526,32 @@ def q3_shipping_priority(spark, sf):
     )
 
 
+def j11_semi_join(spark, sf):
+    """Left SEMI join (TPC-H Q4 shape): orders having at least one
+    late-shipped lineitem.  The probe side streams; only the key set of
+    the build side ships -- no payload duplication, no fan-out."""
+    orders = _t(spark, sf, "orders")
+    late = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-30 00:00:00"))
+    return (
+        orders.join(late.select("l_orderkey"), orders["o_orderkey"] == F.col("l_orderkey"),
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def j12_anti_join(spark, sf):
+    """Left ANTI join (TPC-H Q22 shape): customers with no URGENT
+    orders (the unfiltered form is vacuous on dense test data)."""
+    cust = _t(spark, sf, "customer")
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent.select("o_custkey"), cust["c_custkey"] == F.col("o_custkey"),
+                  "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 def q6_forecast_revenue(spark, sf):
     """TPC-H Q6 shape: pure scan-side filter + single global aggregate.
     The whole predicate pushes to the parquet scan; one partial-agg +
@@ -640,6 +666,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_volume": q5_nation_volume,
+    "j11_semi_join": j11_semi_join,
+    "j12_anti_join": j12_anti_join,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
 }
