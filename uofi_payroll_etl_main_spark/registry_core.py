@@ -514,8 +514,12 @@ def q3_shipping_priority(spark, sf):
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     # customer broadcasts into orders; li-orders co-shuffle on the order key
     # (both fact-scale -- the correct 100 TB shape; AQE picks the strategy).
+    # customer/orders/lineitem all scale with the data: no forced
+    # broadcast hints -- AQE broadcasts the filtered side when it is
+    # actually small and falls back to shuffle join when it is not
+    # (a forced broadcast of a scaling table OOMs at 100 TB).
     joined = li.join(
-        orders.join(F.broadcast(cust.select("c_custkey")), orders["o_custkey"] == F.col("c_custkey")),
+        orders.join(cust.select("c_custkey"), orders["o_custkey"] == F.col("c_custkey")),
         li["l_orderkey"] == F.col("o_orderkey"),
     )
     return (
@@ -579,9 +583,10 @@ def q10_returned_items(spark, sf):
     cust = _t(spark, sf, "customer")
     nat = _t(spark, sf, "nation")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # customer scales with the data (AQE decides); nation is fixed-size.
     joined = (
         li.join(orders.select("o_orderkey", "o_custkey"), li["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_name", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -602,9 +607,11 @@ def q5_nation_volume(spark, sf):
     supp = _t(spark, sf, "supplier")
     nat = _t(spark, sf, "nation")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # supplier scales with the data (no forced broadcast; AQE decides);
+    # nation is a FIXED 25-row table -- broadcast is always right there.
     joined = (
         li.join(orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li["l_suppkey"] == F.col("s_suppkey"))
         .join(F.broadcast(nat.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return joined.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
