@@ -313,6 +313,32 @@ CORE_ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, l.l_orderkey ASC
         LIMIT 10
     """,
+    "a6_window_analytics": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS order_seq,
+               CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "a7_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "a8_pivot": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
     "j11_semi_join": """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         FROM orders o

@@ -556,6 +556,50 @@ def j12_anti_join(spark, sf):
     )
 
 
+def a6_window_analytics(spark, sf):
+    """Ranking/lag/cumulative window suite over the order history: the
+    shuffle key is the window partition (customer); one exchange total."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+        F.sum(price).over(cum).cast("double").alias("cum_spend"),
+    )
+
+
+def a7_rollup(spark, sf):
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag and
+    grand totals in one pass (the OLAP hierarchy aggregate)."""
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(qty).cast("double").alias("sum_qty"),
+             F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+def a8_pivot(spark, sf):
+    """Pivot event counts per user into one column per event type.
+    Values are enumerated explicitly -- an unbounded pivot would need a
+    distinct-scan planning pass and an unstable schema."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).cast("long"))
+        .select("user_id", *[F.coalesce(F.col(t), F.lit(0).cast("long")).alias(f"n_{t}") for t in types])
+    )
+
+
 def q6_forecast_revenue(spark, sf):
     """TPC-H Q6 shape: pure scan-side filter + single global aggregate.
     The whole predicate pushes to the parquet scan; one partial-agg +
@@ -673,6 +717,9 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_volume": q5_nation_volume,
+    "a6_window_analytics": a6_window_analytics,
+    "a7_rollup": a7_rollup,
+    "a8_pivot": a8_pivot,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "q6_forecast_revenue": q6_forecast_revenue,
