@@ -80,3 +80,66 @@ def test_streaming_running_totals(spark, event_dir):
         F.count(F.lit(1)).alias("n_events")
     )
     assert rows(got) == rows(expect)
+
+
+def test_merge_upsert_keeps_latest(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.io import merge_upsert
+
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [Row(k="a", v="old-a", ver=1), Row(k="b", v="old-b", ver=1), Row(k="c", v="keep-c", ver=5)]
+    ).write.parquet(base)
+    updates = spark.createDataFrame(
+        [Row(k="a", v="new-a", ver=2),     # newer version wins
+         Row(k="c", v="late-c", ver=3),    # older than existing: loses
+         Row(k="d", v="insert-d", ver=1)]  # brand-new key
+    )
+    merged = merge_upsert(spark, base, updates, keys=["k"], order_col="ver")
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {"a": "new-a", "b": "old-b", "c": "keep-c", "d": "insert-d"}
+    # ties: update wins over existing at equal version
+    updates2 = spark.createDataFrame([Row(k="b", v="tie-b", ver=1)])
+    merged2 = merge_upsert(spark, base, updates2, keys=["k"], order_col="ver")
+    assert {r.k: r.v for r in merged2.collect()}["b"] == "tie-b"
+
+
+def test_streaming_append_to_parquet_finalizes_closed_windows(spark, event_dir, tmp_path):
+    """Append-mode windowed agg -> parquet file sink: only windows the
+    watermark has CLOSED are emitted (the classic streaming-sink gotcha:
+    windows within the watermark horizon of the max event time never
+    finalize on a bounded run)."""
+    import pyspark.sql.functions as F
+
+    from uofi_payroll_etl_main_spark.streaming.streams import (
+        read_event_stream,
+        streaming_tumbling_counts,
+    )
+    from uofi_payroll_etl_main_spark.streaming.windows import tumbling_agg
+
+    out_dir = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = streaming_tumbling_counts(read_event_stream(spark, event_dir), "1 hour", "2 hours")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    batch = tumbling_agg(spark.read.parquet(event_dir), "1 hour")
+    max_ts = spark.read.parquet(event_dir).agg(F.max("ts")).first()[0]
+    # windows ending after (max_ts - 2h watermark) are still open -> absent
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    closed = batch.filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(horizon))
+    g = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
+    e = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in closed.collect()}
+    assert g == e and len(g) > 0

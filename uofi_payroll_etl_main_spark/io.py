@@ -165,3 +165,50 @@ def write_partitioned(
     high-cardinality partition key creates a small-files explosion.
     """
     df.write.mode(mode).partitionBy(*by).parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """CDC fold: apply `updates` onto the parquet dataset at `path`,
+    keeping per key the row with the HIGHEST `order_col` (a version /
+    event-time column; updates win ties).
+
+    Plain-parquet merge is read + union + keep-latest + atomic rewrite --
+    the portable form of MERGE INTO for format-agnostic storage.  One
+    shuffle on the merge keys.  At 100 TB, partition `path` by a stable
+    key range and rewrite only partitions that received updates; a table
+    format (Delta/Iceberg/Hudi) turns the rewrite into a metadata commit
+    but the fold below is the same.
+
+    Returns the merged DataFrame (also written back to `path`).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    existing = spark.read.parquet(path)
+    # updates sort after existing at equal order -> updates win ties
+    tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col("__src").desc())
+    merged = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    tmp = path.rstrip("/") + ".__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.count()  # materialize before the swap
+    swap = path.rstrip("/") + ".__merge_old"
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    return spark.read.parquet(path)
