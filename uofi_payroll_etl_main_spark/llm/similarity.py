@@ -449,6 +449,9 @@ def cosine_topk_vectorized(
 
     from pyspark.sql import Window
 
+    # NOTE: no repartition-up here -- the per-batch matmul amortizes best
+    # over FEW LARGE Arrow batches; splitting a small corpus across the
+    # cluster pays a Python-worker spin-up per sliver for no compute win.
     cand = corpus.mapInPandas(topk_batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
