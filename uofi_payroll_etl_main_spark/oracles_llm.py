@@ -171,6 +171,24 @@ LLM_ORACLES: dict[str, str] = {
     "st_running_totals": """
         SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
     """,
+    "w_resample_filled": """
+        WITH rng AS (
+          SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start FROM rng
+        ), groups AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT s.window_start, g.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM spine s CROSS JOIN groups g
+        LEFT JOIN counts c
+          ON c.window_start = s.window_start AND c.event_type = g.event_type
+    """,
     "w_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,

@@ -28,7 +28,12 @@ from .streaming.streams import (
     streaming_running_totals,
     streaming_tumbling_counts,
 )
-from .streaming.windows import session_agg, sliding_agg, tumbling_agg
+from .streaming.windows import (
+    resample_counts_filled,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,6 +237,10 @@ def w_sliding(spark, sf):
     return sliding_agg(_t(spark, sf, "events"), "2 hours", "1 hour")
 
 
+def w_resample_filled(spark, sf):
+    return resample_counts_filled(_t(spark, sf, "events"), "1 hour")
+
+
 def w_session(spark, sf):
     return session_agg(_t(spark, sf, "events"), "30 minutes")
 
@@ -264,4 +273,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_tumbling": w_tumbling,
     "w_sliding": w_sliding,
     "w_session": w_session,
+    "w_resample_filled": w_resample_filled,
 }

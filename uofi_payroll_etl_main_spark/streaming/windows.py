@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg"]
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "resample_counts_filled"]
 
 
 def _metrics():
@@ -72,5 +72,40 @@ def session_agg(events: DataFrame, gap: str = "30 minutes", by: str = "user_id")
             F.col("w.end").alias("session_end"),
             F.col("n_events"),
             F.col("sum_value"),
+        )
+    )
+
+
+def resample_counts_filled(
+    events: DataFrame, width: str = "1 hour", by: str = "event_type"
+) -> DataFrame:
+    """Gap-filled resample: tumbling counts PLUS zero rows for empty
+    buckets, so every (group, bucket) in [min(ts), max(ts)] appears --
+    the hypertable-rollup shape (time_bucket + gapfill).
+
+    The spine is sequence+explode over the GLOBAL time range crossed
+    with the distinct group keys: spine size = buckets x groups
+    (metadata-scale), never fact-scale.  One broadcast of the range, one
+    left join on (bucket, group).
+    """
+    bucket = F.window("ts", width).getField("start").alias("window_start")
+    counts = events.groupBy(bucket, F.col(by)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # one window expression per projection (Spark rejects two in one)
+    rng = events.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    rng = rng.select(F.window("mn", width).getField("start").alias("lo"), "mx")
+    rng = rng.select("lo", F.window("mx", width).getField("start").alias("hi"))
+    spine_times = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {width}"))).alias("window_start")
+    )
+    groups = events.select(F.col(by)).distinct()
+    spine = spine_times.crossJoin(F.broadcast(groups))
+    return (
+        spine.join(counts, ["window_start", by], "left")
+        .select(
+            "window_start",
+            F.col(by),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
