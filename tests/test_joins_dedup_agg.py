@@ -258,3 +258,18 @@ def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_purch = scan.count()
     assert 0 < n_purch < n_all
+
+
+def test_asof_join_null_payload_on_matched_row(spark):
+    # the matched row's NULL payload must surface as NULL, not be
+    # backfilled from an older right row (ts and values travel together)
+    from uofi_payroll_etl_main_spark.joins import asof_join_backward
+
+    left = spark.createDataFrame([Row(k="u", ts=30, eid="e")])
+    right = spark.createDataFrame(
+        [Row(k="u", ts=10, price=5.0), Row(k="u", ts=20, price=None)],
+        "k string, ts long, price double",
+    )
+    out = asof_join_backward(left, right, by="k", ts="ts",
+                             value_cols=["price"], right_ts_alias="mts").first()
+    assert out.mts == 20 and out.price is None

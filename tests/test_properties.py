@@ -17,7 +17,7 @@ from uofi_payroll_etl_main_spark import expressions as E
 S = st.one_of(
     st.none(),
     st.sampled_from(["nan", "NaN", " nan ", "", "  ", "123.0", "x-y-z", "-"]),
-    st.text(alphabet="abcXYZ019 .-_\t", max_size=12),
+    st.text(alphabet="abcXYZ019 .-_\t\xa0\u2009", max_size=12),
 )
 
 SETTINGS = settings(

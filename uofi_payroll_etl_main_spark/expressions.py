@@ -56,10 +56,16 @@ __all__ = [
 
 _STRINGY = (T.StringType, T.VarcharType, T.CharType)
 
-# pandas .str.strip() removes ALL whitespace; Spark F.trim only removes
-# ASCII spaces.  Every reference trim goes through ws_trim for parity
-# (property-tested against the Python model in tests/test_properties.py).
-_WS = " \t\n\r\x0b\x0c"
+# pandas .str.strip() removes ALL Unicode whitespace; Spark F.trim only
+# removes ASCII spaces.  Every reference trim goes through ws_trim for
+# parity (property-tested in tests/test_properties.py).  The set below
+# is every char Python str.strip() treats as whitespace -- NBSP and the
+# typographic spaces show up in real Excel exports.
+_WS = (
+    " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0"
+    "\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
 
 
 def ws_trim(col: Column | str) -> Column:

@@ -204,10 +204,17 @@ def merge_upsert(
         .drop("__rn", "__src")
     )
     tmp = path.rstrip("/") + ".__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.count()  # materialize before the swap
     swap = path.rstrip("/") + ".__merge_old"
+    # clear debris from a previous crashed merge: a leftover swap dir
+    # would make os.rename(path, swap) fail outright; a leftover tmp is
+    # simply overwritten by the write below
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+    merged.write.mode("overwrite").parquet(tmp)  # write IS the materialization
+    # POSIX offers no atomic directory swap: a crash between the two
+    # renames leaves the data at `swap` (recoverable by renaming back),
+    # never deleted.  A table format (Delta/Iceberg) turns this window
+    # into a metadata commit; for plain parquet this is the floor.
     os.rename(path, swap)
     os.rename(tmp, path)
     shutil.rmtree(swap)

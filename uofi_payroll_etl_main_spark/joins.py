@@ -174,7 +174,9 @@ def salted_left_join(
     how: str = "left",
 ) -> DataFrame:
     """Skew-mitigated equi join for the case AQE can't fix: a HOT KEY on
-    the fact side joining a dim too large to broadcast.
+    the fact side joining a dim too large to broadcast.  Only left/inner
+    are sound: the dim side is replicated `salt` ways, so right/full
+    would emit unmatched dim rows once per replica.
 
     The fact side gets a random-salt suffix (key, salt_i); the dim side
     is replicated `salt` ways -- so one hot key's rows spread over `salt`
@@ -183,6 +185,8 @@ def salted_left_join(
     exceeds what one executor can hold.  `salt` multiplies dim shuffle
     volume -- keep it at the straggler ratio, not higher.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"salted_left_join supports how='left'|'inner', got {how!r}")
     salt_col = "__salt"
     f = fact.withColumn(salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     d = dim.withColumn(
@@ -252,12 +256,18 @@ def asof_join_backward(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Fill ONE struct per row: the matched timestamp and its values must
+    # come from the SAME right row.  Per-column ignorenulls fills would
+    # skip a NULL payload on the latest right row and stitch together a
+    # row that never existed (ts from row N, value from row N-1).
+    packed = F.struct(F.col(ts).alias("__ts"), *[F.col(c).alias(c) for c in value_cols])
     filled = unioned.withColumn(
-        right_ts_alias,
-        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True).over(w),
+        "__match",
+        F.last(F.when(F.col("__side") == 0, packed), ignorenulls=True).over(w),
+    )
+    out = filled.filter(F.col("__side") == 1).withColumn(
+        right_ts_alias, F.col("__match.__ts")
     )
     for c in value_cols:
-        filled = filled.withColumn(
-            c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.drop("__side", "__match")

@@ -193,6 +193,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair.  bands=16 x rows=4 over 64 hashes targets the
@@ -228,6 +229,13 @@ def minhash_lsh_candidates(
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    # Hot-bucket guard: a degenerate bucket (e.g. thousands of sub-n-word
+    # docs sharing one fallback shingle) would expand k^2 pairs inside
+    # ONE task.  Such buckets are exact-duplicate clusters in all but
+    # name -- run exact_dedup_groups/fingerprint_dedup first; pairs
+    # inside skipped buckets are intentionally not emitted.
+    if max_bucket_size is not None:
+        docs_per_bucket = docs_per_bucket.filter(F.size("docs") <= max_bucket_size)
     pair_structs = F.flatten(
         F.transform(
             "docs",
@@ -252,12 +260,13 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: LSH candidates verified with EXACT
     Jaccard (join back to shingle sets).  Output matches jaccard_pairs
     restricted to candidates -- i.e. classic recall<=1, precision=1
     near-dup detection, sub-quadratic."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col, max_bucket_size)
     # Verify with Jaccard over per-doc shingle-HASH arrays: two slim joins
     # on the doc id + array_intersect, instead of exploding both shingle
     # tables and re-joining on raw shingle strings (which re-reads and
@@ -329,7 +338,11 @@ def simhash64(col: Column | str) -> Column:
 
 
 def simhash_candidates(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: band the 64-bit signature into 4
     16-bit chunks; pigeonhole -- any pair within hamming<=3 agrees on at
@@ -360,6 +373,8 @@ def simhash_candidates(
         .agg(F.array_sort(F.collect_set(F.struct("doc", "sig"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_bucket_size is not None:  # hot-bucket guard (see minhash_lsh_candidates)
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
     pair_structs = F.flatten(
         F.transform(
             "ds",

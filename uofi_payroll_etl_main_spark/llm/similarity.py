@@ -127,6 +127,25 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _id_sql_type(df: DataFrame, id_col: str) -> str:
+    """SQL type name for the id column in mapInPandas output schemas --
+    long for integral ids, string otherwise (ids pass through either
+    way; only the Arrow schema needs to know)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    return "long" if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) else "string"
+
+
+def _topk_tiebroken(sims: np.ndarray, ids: np.ndarray, take: int):
+    """Per-row top-`take` column indexes under the GLOBAL ranking rule
+    (similarity DESC, id ASC).  np.argpartition alone breaks ties
+    arbitrarily, which can drop the lowest-id member of a tie group at a
+    batch boundary and diverge from the exact ranking."""
+    order = np.lexsort((ids[None, :].repeat(sims.shape[0], axis=0), -sims), axis=1)
+    return order[:, :take]
+
+
 def _bucket_table(
     df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -166,7 +185,8 @@ def _bucket_table(
             yield pd.concat(frames)
 
     return df.mapInPandas(
-        assign, schema="vid long, table int, bucket long, vec array<float>"
+        assign,
+        schema=f"vid {_id_sql_type(df, id_col)}, table int, bucket long, vec array<float>",
     )
 
 
@@ -193,18 +213,21 @@ def lsh_topk(
     planes = _planes(num_tables, nbits, dim, seed)
     bucketed = _bucket_table(corpus, planes, id_col, vec_col)
 
+    id_t = _id_sql_type(corpus, id_col)
+    empty_t = "int64" if id_t == "long" else "object"
+
     def bucket_topk(key, pdf):
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "similarity": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "similarity": "float64"}
+                {"query_id": empty_t, "neighbor_id": empty_t, "similarity": "float64"}
             )
         cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
         sims = np.round(cm @ cm.T, ROUND_DIGITS)
         ids = pdf["vid"].to_numpy()
         np.fill_diagonal(sims, -np.inf)
         take = min(k, n - 1)
-        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        idx = _topk_tiebroken(sims, ids, take)
         qi = np.repeat(np.arange(n), take)
         ci = idx.ravel()
         return pd.DataFrame(
@@ -212,7 +235,7 @@ def lsh_topk(
         )
 
     cand = bucketed.groupBy("table", "bucket").applyInPandas(
-        bucket_topk, schema="query_id long, neighbor_id long, similarity double"
+        bucket_topk, schema=f"query_id {id_t}, neighbor_id {id_t}, similarity double"
     )
     from pyspark.sql import Window
 
@@ -276,11 +299,14 @@ def embed_dup_lsh(
     planes = _planes(num_tables, nbits, dim, seed)
     bucketed = _bucket_table(corpus, planes, id_col, vec_col)
 
+    id_t = _id_sql_type(corpus, id_col)
+    empty_t = "int64" if id_t == "long" else "object"
+
     def bucket_pairs(key, pdf):
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                {"id_a": empty_t, "id_b": empty_t, "cosine": "float64"}
             )
         cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
         sims = np.round(cm @ cm.T, ROUND_DIGITS)
@@ -293,7 +319,7 @@ def embed_dup_lsh(
 
     return (
         bucketed.groupBy("table", "bucket")
-        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
+        .applyInPandas(bucket_pairs, schema=f"id_a {id_t}, id_b {id_t}, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -359,14 +385,16 @@ def ivf_topk(
         return fn
 
     ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    cell_schema = "vid long, cell int, vec array<float>"
+    id_t = _id_sql_type(corpus, id_col)
+    empty_t = "int64" if id_t == "long" else "object"
+    cell_schema = f"vid {id_t}, cell int, vec array<float>"
     assigned = ids.mapInPandas(assign_cells(1), schema=cell_schema)
     probes = ids.mapInPandas(assign_cells(n_probe), schema=cell_schema)
 
     def cell_topk(key, probe_pdf, cell_pdf):
         if not len(probe_pdf) or not len(cell_pdf):
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "similarity": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "similarity": "float64"}
+                {"query_id": empty_t, "neighbor_id": empty_t, "similarity": "float64"}
             )
         qm = _norm_rows(np.array(list(probe_pdf["vec"]), dtype=np.float64))
         cm = _norm_rows(np.array(list(cell_pdf["vec"]), dtype=np.float64))
@@ -374,7 +402,7 @@ def ivf_topk(
         q_ids = probe_pdf["vid"].to_numpy()
         c_ids = cell_pdf["vid"].to_numpy()
         take = min(k + 1, sims.shape[1])  # +1 absorbs the self-match
-        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        idx = _topk_tiebroken(sims, c_ids, take)
         qi = np.repeat(np.arange(sims.shape[0]), take)
         ci = idx.ravel()
         out = pd.DataFrame(
@@ -385,7 +413,7 @@ def ivf_topk(
     cand = (
         probes.groupBy("cell")
         .cogroup(assigned.groupBy("cell"))
-        .applyInPandas(cell_topk, schema="query_id long, neighbor_id long, similarity double")
+        .applyInPandas(cell_topk, schema=f"query_id {id_t}, neighbor_id {id_t}, similarity double")
     )
     from pyspark.sql import Window
 
@@ -429,6 +457,8 @@ def cosine_topk_vectorized(
         else "query_id string, neighbor_id string, similarity double"
     )
 
+    self_mode = queries is None  # corpus-vs-corpus: exclude the self-match
+
     def topk_batches(batches):
         for pdf in batches:
             if not len(pdf):
@@ -437,8 +467,8 @@ def cosine_topk_vectorized(
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
             sims = np.round(qm @ cm.T, ROUND_DIGITS)  # (n_q, batch)
             c_ids = pdf[id_col].to_numpy()
-            take = min(k + 1, sims.shape[1])  # +1 absorbs a self-match
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            take = min(k + 1 if self_mode else k, sims.shape[1])
+            idx = _topk_tiebroken(sims, c_ids, take)
             rows = {"query_id": [], "neighbor_id": [], "similarity": []}
             for qi in range(sims.shape[0]):
                 for ci in idx[qi]:
@@ -453,10 +483,11 @@ def cosine_topk_vectorized(
     # over FEW LARGE Arrow batches; splitting a small corpus across the
     # cluster pays a Python-worker spin-up per sliver for no compute win.
     cand = corpus.mapInPandas(topk_batches, schema=out_schema)
+    if self_mode:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
-        cand.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )

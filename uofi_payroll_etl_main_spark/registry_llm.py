@@ -36,16 +36,31 @@ from .streaming.windows import (
 )
 
 
+def _source_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for tempdir copies of a source table: path + mtime +
+    size, so regenerating the source invalidates the cached copy instead
+    of silently serving stale data."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = src
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming file source over the events table.  The raw parquet
     stores TIMESTAMP(NANOS), which the streaming reader can't coerce, so
     the (tiny, metadata-scale) normalized copy is cached per sf_dir;
     a production deployment would point readStream at the landing zone."""
-    import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = _source_tag(sf_dir, "events")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_events_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -136,14 +151,13 @@ def s8_jsonl_roundtrip(spark, sf):
     """documents -> JSONL sink -> JSONL scan (explicit schema) -> stats.
     The oracle reads the same rows from parquet, so the roundtrip must
     be lossless for the check to hash-match."""
-    import hashlib
     import os
     import tempfile
 
     from .io import read_jsonl, write_jsonl
 
     d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    tag = _source_tag(sf, "documents")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_docs_jsonl_{tag}")
     # write once per sf_dir: re-writing would invalidate DataFrames
     # returned by earlier invocations (FILE_NOT_EXIST on their scan)
