@@ -209,3 +209,14 @@ def test_cosine_topk_vectorized_matches_catalyst(embeddings):
     b = sorted((r.query_id, r.rank, r.neighbor_id, r.similarity)
                for r in cosine_topk(df, k=4, id_col="id").collect())
     assert a == b
+
+
+def test_jaccard_hot_shingle_guard(docs):
+    # guard off: exact pairs; guard on with a huge cap: identical output
+    exact = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in
+              D.jaccard_pairs(docs, threshold=0.5, max_shingle_docs=1000).collect()}
+    assert capped == exact
+    # cap of 1 removes every shared shingle -> no pairs can meet
+    none = D.jaccard_pairs(docs, threshold=0.1, max_shingle_docs=1).collect()
+    assert none == []

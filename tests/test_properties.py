@@ -99,3 +99,36 @@ def test_null_blank_default_model(spark, vals):
     for i, v in enumerate(vals):
         expect = ("INT", "Internal") if _model_blankish(v) else (v, "keep")
         assert got[i] == expect, (i, v)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.sampled_from("kml"), st.sampled_from("ABCD")),
+                min_size=1, max_size=30))
+def test_mode_agg_matches_pandas_mode(spark, pairs):
+    """mode_agg == pandas groupby mode with .iat[0] (sorted -> lexicographic
+    min on ties), the reference's exact tie rule."""
+    import pandas as pd
+
+    from uofi_payroll_etl_main_spark.aggregates import mode_agg
+
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in pairs], "k string, v string")
+    got = {r.k: r.v for r in mode_agg(df, "k", "v").collect()}
+    pdf = pd.DataFrame(pairs, columns=["k", "v"])
+    expect = pdf.groupby("k")["v"].agg(lambda s: s.mode().iat[0]).to_dict()
+    assert got == expect
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.sampled_from("xy"), st.integers(0, 99)),
+                min_size=1, max_size=30))
+def test_keep_first_matches_pandas_drop_duplicates(spark, rows_in):
+    import pandas as pd
+
+    from uofi_payroll_etl_main_spark.dedup import keep_first
+
+    data = [Row(k=k, payload=p, ord=i) for i, (k, p) in enumerate(rows_in)]
+    df = spark.createDataFrame(data, "k string, payload long, ord long")
+    got = sorted((r.k, r.payload) for r in keep_first(df, ["k"], "ord").collect())
+    pdf = pd.DataFrame([(d.k, d.payload) for d in data], columns=["k", "payload"])
+    expect = sorted(map(tuple, pdf.drop_duplicates(subset="k", keep="first").values))
+    assert got == expect

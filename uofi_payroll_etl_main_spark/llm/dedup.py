@@ -114,6 +114,7 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: pairs (a<b) with
     |A ∩ B| / |A ∪ B| >= threshold.
@@ -126,6 +127,20 @@ def jaccard_pairs(
     residue.
     """
     s = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_docs is not None:
+        # Hot-shingle guard (opt-in because it changes exact semantics):
+        # drop shingles appearing in more than `max_shingle_docs` docs
+        # before the self-join.  A stopword n-gram present in x% of a
+        # 100 TB corpus would otherwise create an (x*N)^2 join blowup on
+        # one key; dropping ubiquitous shingles barely moves Jaccard for
+        # near-dup thresholds (they contribute equally to both sides).
+        hot = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_docs)
+            .select("shingle")
+        )
+        s = s.join(F.broadcast(hot), "shingle", "left_anti")
     a = s.alias("a")
     b = s.alias("b")
     inter = (
