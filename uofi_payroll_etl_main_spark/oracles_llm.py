@@ -150,6 +150,9 @@ LLM_ORACLES: dict[str, str] = {
                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                  6) >= 0.4
     """,
+    "e17_json_extract": """
+        SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events
+    """,
     "j10_asof_backward": """
         SELECT e.event_id, e.user_id, e.event_type,
                p.ts AS purchase_ts, p.purchase_value

@@ -175,6 +175,19 @@ def mm_frame_sample(spark, sf):
     return sample_frames(synth_media(spark, 64), every_n=2)
 
 
+def e17_json_extract(spark, sf):
+    """Semi-structured extraction: parse the JSON props column with an
+    EXPLICIT schema (schema inference over a 100 TB column is a second
+    full scan) and surface a typed field.  Malformed rows -> null struct,
+    the coerce-to-null house rule."""
+    ev = _t(spark, sf, "events")
+    parsed = F.from_json(F.col("props"), "k int")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").cast("long").alias("prop_k"),
+    )
+
+
 def j10_asof_backward(spark, sf):
     """As-of join: each event picks up the user's latest prior (or
     simultaneous) purchase value.  Oracle is DuckDB's native ASOF JOIN."""
@@ -278,6 +291,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_embed_dup_lsh": llm_embed_dup_lsh,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
+    "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
