@@ -5,7 +5,9 @@ oracle_sql() on DuckDB, then compares row count, schema (column names),
 and order-insensitive values.  Use while iterating so CORRECTNESS_r{N}
 holds no surprises.
 
-Usage: python tools/check_oracles.py [name_filter ...]
+Usage: python tools/check_oracles.py [--ansi] [name_filter ...]
+  --ansi: use a DEFAULT SparkSession (ANSI on, like the driver) instead
+          of the tuned engine session.
 """
 
 from __future__ import annotations
@@ -68,11 +70,19 @@ def frames_match(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    use_ansi = "--ansi" in args
+    filters = [a for a in args if a != "--ansi"]
     import __spark_entry__ as entrymod
-    from uofi_payroll_etl_main_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if use_ansi:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from uofi_payroll_etl_main_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

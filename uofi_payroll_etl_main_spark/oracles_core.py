@@ -354,6 +354,27 @@ CORE_ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
     """,
+    "u2_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "u3_except": """
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1996-03-02 00:00:00'
+    """,
+    "q14_promo_share": """
+        SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+               / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                               AND TIMESTAMP '1996-03-31 23:59:59.999999'
+    """,
     "q6_forecast_revenue": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem

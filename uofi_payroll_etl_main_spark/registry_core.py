@@ -28,7 +28,7 @@ from .dedup import dedup_full, dedup_keys_tolerant, keep_first
 from .io import load_table, read_csv, write_csv_single
 from .joins import broadcast_left_join, dict_map_join, safe_merge_left
 from .report import check_schema, table_counts
-from .setops import union_by_name
+from .setops import except_rows, intersect_rows, union_by_name
 
 SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch")
 
@@ -600,6 +600,38 @@ def a8_pivot(spark, sf):
     )
 
 
+def u2_intersect(spark, sf):
+    """Customer nations that also host suppliers (row-set INTERSECT)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect_rows(c, su)
+
+
+def u3_except(spark, sf):
+    """Parts with no shipment on/before the cutoff (row-set EXCEPT)."""
+    all_parts = _t(spark, sf, "part").select(F.col("p_partkey").alias("partkey"))
+    shipped = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1996-03-02 00:00:00"))
+        .select(F.col("l_partkey").alias("partkey"))
+    )
+    return except_rows(all_parts, shipped)
+
+
+def q14_promo_share(spark, sf):
+    """TPC-H Q14 shape: conditional aggregate ratio over one join month."""
+    li = _t(spark, sf, "lineitem").filter(
+        P.between_dates("l_shipdate", "1996-03-01 00:00:00", "1996-03-31 23:59:59.999999")
+    )
+    part = _t(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    joined = li.join(part.select("p_partkey", "p_type"), li["l_partkey"] == F.col("p_partkey"))
+    return joined.agg(
+        (F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double")).alias("promo_revenue_pct")
+    )
+
+
 def q6_forecast_revenue(spark, sf):
     """TPC-H Q6 shape: pure scan-side filter + single global aggregate.
     The whole predicate pushes to the parquet scan; one partial-agg +
@@ -722,6 +754,9 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_pivot": a8_pivot,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
+    "u2_intersect": u2_intersect,
+    "u3_except": u3_except,
+    "q14_promo_share": q14_promo_share,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
 }

@@ -13,7 +13,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 
-__all__ = ["union_by_name"]
+__all__ = ["union_by_name", "intersect_rows", "except_rows"]
 
 
 def union_by_name(*frames: DataFrame, allow_missing: bool = True) -> DataFrame:
@@ -21,3 +21,14 @@ def union_by_name(*frames: DataFrame, allow_missing: bool = True) -> DataFrame:
     if not frames:
         raise ValueError("union_by_name needs at least one frame")
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing), frames)
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set INTERSECT (distinct rows in both) -- hash-aggregate both
+    sides on the full row, one shuffle each."""
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set EXCEPT (distinct rows of a not in b)."""
+    return a.exceptAll(b).distinct()
