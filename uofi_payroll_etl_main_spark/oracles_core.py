@@ -408,4 +408,89 @@ CORE_ORACLES: dict[str, str] = {
                                 AND TIMESTAMP '1996-12-31 23:59:59.999999'
         GROUP BY n.n_name
     """,
+    "q7_nation_trade": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    "q8_market_share": """
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS mkt_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        GROUP BY o_year
+    """,
+    "q13_order_distribution": """
+        SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH srev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_rev_dec AS DOUBLE) AS total_rev
+        FROM srev r
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev_dec = (SELECT max(total_rev_dec) FROM srev)
+    """,
+    "q17_small_qty_revenue": """
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 2.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                    WHERE l2.l_partkey = p.p_partkey)
+    """,
+    "q18_large_orders": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               CAST(b.total_qty_dec AS DOUBLE) AS total_qty
+        FROM (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_dec
+            FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        ) b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 100
+    """,
+    "q19_disjunctive": """
+        SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
 }

@@ -693,6 +693,194 @@ def q5_nation_volume(spark, sf):
     return joined.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
 
 
+def q7_nation_trade(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume between two nations, by
+    ship year.  The nation filter is applied to supplier/customer BEFORE
+    they touch the fact table, so the big joins see only the selected
+    slice; nation itself is fixed-size and broadcast."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    nat = _t(spark, sf, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                     F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"),
+                                     F.col("n_name").alias("cust_nation"))),
+              F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold to a
+    region's customers, per order year (conditional-aggregate ratio over
+    a 6-table join).  Region/nation are fixed-size broadcasts; the
+    customer region restriction is pre-joined so the fact join is
+    already selective."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = _t(spark, sf, "orders")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eur_keys = (
+        nat.join(F.broadcast(reg.select("r_regionkey")),
+                 nat["n_regionkey"] == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("eu_key"))
+    )
+    cust_eu = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(eur_keys), F.col("c_nationkey") == F.col("eu_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                     F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    n5 = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    joined = (
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .join(cust_eu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(n5).cast("double") / F.sum(rev).cast("double")).alias("mkt_share"))
+    )
+
+
+def q13_order_distribution(spark, sf):
+    """TPC-H Q13 shape: customer order-count distribution.  LEFT OUTER
+    join keeps zero-order customers, then a double aggregation
+    (per-customer count, then histogram of counts)."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) with the maximum half-year revenue.
+    The scalar max is a 1-row broadcast joined back on exact DECIMAL
+    equality (float equality would be nondeterministic)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00"))
+    )
+    supp = _t(spark, sf, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev_dec"))
+    mx = srev.agg(F.max("total_rev_dec").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), F.col("total_rev_dec") == F.col("mx"))
+        .join(supp.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_rev"))
+    )
+
+
+def q17_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half the per-part average.  The correlated AVG subquery becomes a
+    window aggregate over the part key -- ONE scan + one shuffle instead
+    of the self-join's two (quantities are integral doubles, so the avg
+    is exact and order-independent in both engines)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    part_li = li.join(part, li["l_partkey"] == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flagged = part_li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 2.0)
+             .alias("avg_yearly"))
+    )
+
+
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: large-volume orders -- HAVING on an order-level
+    quantity sum, then enrich with orders/customer and take a
+    deterministic top-100."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 150)
+    )
+    joined = (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust.select("c_custkey", "c_name"), orders["o_custkey"] == F.col("c_custkey"))
+    )
+    return (
+        joined.select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+                      F.col("total_qty_dec").cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: disjunction of (brand, size-range, qty-range)
+    branches over the part join.  The brand IN-list is applied to part
+    before the join so the scan prunes; the residual OR stays a single
+    Catalyst predicate (no union-of-three-scans)."""
+    li = _t(spark, sf, "lineitem")
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#24"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    joined = li.join(part, li["l_partkey"] == F.col("p_partkey"))
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return joined.filter(branch).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "p1_contains_ci": p1,
@@ -759,4 +947,11 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_share": q14_promo_share,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q7_nation_trade": q7_nation_trade,
+    "q8_market_share": q8_market_share,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
 }
