@@ -493,4 +493,45 @@ CORE_ORACLES: dict[str, str] = {
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
     """,
+    "q12_priority_class": """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 23:59:59.999999'
+        GROUP BY l.l_returnflag
+    """,
+    "q16_supplier_variety": """
+        SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type <> 'PROMO'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+    """,
+    "q20_excess_shippers": """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 60
+        )
+    """,
+    "q22_dormant_wealthy": """
+        WITH t AS (
+            SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer c, t
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * t.n > t.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
 }

@@ -881,6 +881,89 @@ def q19_disjunctive(spark, sf):
     return joined.filter(branch).agg(F.sum(rev).cast("double").alias("revenue"))
 
 
+def q12_priority_class(spark, sf):
+    """TPC-H Q12 shape: two conditional counts (high/low priority) per
+    group over the order join, one pass."""
+    li = _t(spark, sf, "lineitem").filter(
+        P.between_dates("l_shipdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59.999999")
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.select("l_orderkey", "l_returnflag").join(
+        orders, li["l_orderkey"] == F.col("o_orderkey")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_count"),
+    )
+
+
+def q16_supplier_variety(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier count per (brand, size) with a
+    NOT-IN supplier exclusion.  The exclusion list is tiny (negative
+    balances) -> broadcast LEFT ANTI before the part join; keys are
+    non-null so anti-join is exactly NOT IN."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") != "PROMO")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    cleaned = li.join(F.broadcast(bad), li["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+    joined = cleaned.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        joined.groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shippers(spark, sf):
+    """TPC-H Q20 shape: suppliers with an over-threshold (supplier, part)
+    shipped-quantity sum in the window -- aggregate HAVING subquery
+    consumed through a LEFT SEMI join (never materializes the fact)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+    )
+    supp = _t(spark, sf, "supplier")
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, supp["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def q22_dormant_wealthy(spark, sf):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders (scalar-avg threshold + anti-join).  The avg comparison is
+    cross-multiplied on exact decimals (bal*n > sum) so no
+    float-division boundary can flip a row between engines."""
+    cust = _t(spark, sf, "customer")
+    urgent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(urgent, cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "p1_contains_ci": p1,
@@ -954,4 +1037,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
+    "q12_priority_class": q12_priority_class,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q22_dormant_wealthy": q22_dormant_wealthy,
 }
