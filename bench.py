@@ -22,6 +22,8 @@ HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_volume",
+    "q8_market_share",
+    "q18_large_orders",
     "flagship",
     "d4_keep_first",
     "j7_row_join",
