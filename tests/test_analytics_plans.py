@@ -64,3 +64,28 @@ def test_q18_having_before_join(spark):
     assert "HashAggregate" in plan and "Join" in plan, plan
     df = R.q18_large_orders(spark, SF)
     assert df.count() <= 100
+
+
+def test_q2_window_min_single_pass(spark):
+    # the correlated scalar MIN is a window over the joined relation:
+    # no second join back onto an aggregated copy, so each base table
+    # is scanned exactly once and the dims broadcast
+    df = R.q2_min_cost_supplier(spark, SF)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    fmt = _formatted(R.q2_min_cost_supplier(spark, SF))
+    for t in ("part.parquet", "supplier.parquet", "lineitem.parquet"):
+        assert fmt.count(t) == 1, fmt
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the corpus side must not shuffle: benchmark grams and the
+    # contaminated-id set both arrive by broadcast
+    from uofi_payroll_etl_main_spark.registry_llm import llm_decontaminate
+
+    df = llm_decontaminate(spark, SF)
+    plan = _final_plan(df)
+    semi_anti = [seg for seg in plan.split("BroadcastHashJoin")[1:]]
+    assert len(semi_anti) >= 2, plan  # semi (grams) + anti (ids)
+    assert "SortMergeJoin" not in plan, plan

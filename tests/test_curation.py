@@ -1,0 +1,109 @@
+"""Corpus-curation operators: decontamination, deterministic
+sampling/splits, sequence packing, corpus stats.  Crafted corpora with
+known contamination / known packing layouts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_spark.llm import curation as C
+
+LEAK = "alpha beta gamma delta epsilon zeta eta theta"
+CLEAN = "one two three four five six seven eight nine ten"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", source="a", text=LEAK),                # verbatim leak
+            Row(doc_id=2, lang="en", source="a", text="x " + LEAK + " y"),  # embedded leak
+            Row(doc_id=3, lang="en", source="b", text=CLEAN),
+            Row(doc_id=4, lang="de", source="b", text="kurz"),              # < n words
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame([Row(doc_id=100, text=LEAK)])
+
+
+def test_decontaminate_removes_leaks(corpus, bench_docs):
+    kept = {r.doc_id for r in C.decontaminate(corpus, bench_docs, n=5).collect()}
+    assert kept == {3, 4}
+
+
+def test_decontaminate_short_doc_exact_match_only(spark, corpus):
+    # a short benchmark doc (< n words) participates as its full string:
+    # it may only hit docs containing that exact token string as a gram
+    bench = spark.createDataFrame([Row(doc_id=100, text="kurz")])
+    kept = {r.doc_id for r in C.decontaminate(corpus, bench, n=5).collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    out = C.stratified_sample(df, "doc_id", "lang", {"en": 50, "zh": 20})
+    rows = out.collect()
+    # exact: even ids (en) with id%100<50 -> 250; odd ids (zh) with id%100<20 -> 100
+    assert sum(r.lang == "en" for r in rows) == 250
+    assert sum(r.lang == "zh" for r in rows) == 100
+    assert out.collect() == rows  # rerun-stable
+
+
+def test_split_assign_buckets(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    counts = {
+        r.split: r.n
+        for r in C.split_assign(df, "k").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"train": 800, "val": 100, "test": 100}
+    # hash_key path still covers every row exactly once
+    hashed = C.split_assign(df, "k", hash_key=True)
+    assert hashed.count() == 1000
+    assert set(r.split for r in hashed.select("split").distinct().collect()) <= {"train", "val", "test"}
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, source="s" + str(i % 3), text=" ".join(["tok"] * n))
+            for i, n in enumerate([300, 200, 120, 100, 90, 80, 60, 40, 30, 10, 5, 1])
+        ]
+    )
+    out = C.pack_sequences(df, budget=256, group_col="source").collect()
+    assert len(out) == 12  # every doc packed exactly once
+    fills: dict[tuple, int] = {}
+    for r in out:
+        if r.oversize:
+            assert r.n_tokens > 256
+        else:
+            fills[(r.source, r.bin_id)] = fills.get((r.source, r.bin_id), 0) + r.n_tokens
+    assert all(v <= 256 for v in fills.values())
+    # oversize doc sits alone in its bin
+    over_bins = {(r.source, r.bin_id) for r in out if r.oversize}
+    assert all(b not in fills for b in over_bins)
+
+
+def test_pack_sequences_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=" ".join(["w"] * (10 + i * 7 % 90))) for i in range(40)]
+    )
+    a = sorted(map(tuple, C.pack_sequences(df, budget=128).collect()))
+    b = sorted(map(tuple, C.pack_sequences(df, budget=128).collect()))
+    assert a == b
+
+
+def test_corpus_stats(corpus):
+    stats = {(r.source, r.lang): r for r in C.corpus_stats(corpus).collect()}
+    a = stats[("a", "en")]
+    assert a.n_docs == 2 and a.n_distinct_texts == 2 and a.dup_ratio == 0.0
+    assert a.total_tokens == 8 + 10
+    b = stats[("b", "de")]
+    assert b.n_docs == 1 and b.total_tokens == 1

@@ -1,0 +1,235 @@
+"""Corpus curation for training-data pipelines: decontamination,
+deterministic sampling/splits, sequence packing, and corpus reporting.
+
+Everything except `pack_sequences` is pure Catalyst (codegen the whole
+way); packing is an inherently sequential per-group fold, so it runs as
+an Arrow-batched `applyInPandas` over the grouping column.
+
+Scale notes (100 TB corpus, KB-to-MB benchmark):
+  * decontaminate broadcasts the benchmark n-gram set -- the corpus is
+    never shuffled, only scanned; contaminated ids (a tiny set) are
+    broadcast back for the anti-join.
+  * sampling/splits are hash-mod deterministic -- no RNG, no driver
+    state, reproducible across reruns and engines.
+  * pack_sequences shuffles once on the group column; each group's
+    greedy fold is independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+from .text import token_count
+
+__all__ = [
+    "decontaminate",
+    "contaminated_ids",
+    "stratified_sample",
+    "split_assign",
+    "pack_sequences",
+    "corpus_stats",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids of corpus documents sharing >= 1 word n-gram with any
+    benchmark document (the standard eval-decontamination test).
+
+    The benchmark side (eval sets -- MBs at most) collapses to its
+    distinct n-gram set and is BROADCAST; the 100 TB corpus side is a
+    single scan -> explode -> broadcast-semi-join, no corpus shuffle.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove documents that leak benchmark content: keep rows whose
+    word n-gram set is disjoint from the benchmark's.
+
+    Two broadcasts, zero corpus shuffles: the contaminated-id set is
+    tiny (bounded by benchmark hit rate), so the final anti-join
+    broadcasts it rather than repartitioning the corpus.
+    """
+    contam = contaminated_ids(docs, benchmark, n, id_col, text_col)
+    return docs.join(F.broadcast(contam), id_col, "left_anti")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    hash_key: bool = False,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row when
+    `key mod 100 < rate_pct[stratum]`.
+
+    Integer-threshold modulo (not `rand()`) makes the sample
+    reproducible across reruns, engines, and partitionings -- the
+    property a training pipeline needs for resumable runs.  With
+    `hash_key=True` the key is xxhash64-mixed first (use when raw keys
+    are not uniformly distributed, e.g. timestamps or block-allocated
+    ids); leave False only for keys already uniform mod 100.
+    """
+    key = _c(key_col)
+    if hash_key:
+        key = F.xxhash64(key)
+    bucket = F.pmod(key, F.lit(100))
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(_c(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    hash_key: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key-mod-100 bucket:
+    [0, train) -> train, [train, train+val) -> val, rest -> test.
+
+    Same reproducibility contract as stratified_sample; membership is a
+    pure function of the key, so late-arriving data lands in a stable
+    split and no reshuffle of history is ever needed.
+    """
+    key = _c(key_col)
+    if hash_key:
+        key = F.xxhash64(key)
+    bucket = F.pmod(key, F.lit(100))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, split)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit-decreasing packing of documents into
+    fixed-token-budget bins, per group -- the "sequence packing" step
+    that turns a ragged corpus into dense training batches.
+
+    Deterministic: within a group, docs are processed by
+    (token_count desc, id asc) and placed in the first open bin with
+    room; docs exceeding the budget get a singleton oversize bin.  The
+    fold is sequential by nature, so it runs as applyInPandas per
+    group: one shuffle on the group column, Arrow both ways, numpy
+    inside.  Groups are independent -- at 100 TB parallelism is the
+    number of groups (shard large groups upstream if needed).
+
+    Output: (group, id, n_tokens, bin_id, oversize).
+    """
+    import pandas as pd
+
+    sized = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        token_count(text_col).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assigned = []
+        oversize = []
+        for t in pdf.itertuples(index=False):
+            if t.n_tokens > budget:
+                bins.append(0)
+                assigned.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for i, room in enumerate(bins):
+                if t.n_tokens <= room:
+                    bins[i] = room - t.n_tokens
+                    assigned.append(i)
+                    break
+            else:
+                bins.append(budget - t.n_tokens)
+                assigned.append(len(bins) - 1)
+            oversize.append(False)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    out = sized.groupBy("grp").applyInPandas(
+        pack, schema="grp string, doc long, n_tokens long, bin_id long, oversize boolean"
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "bin_id",
+        "oversize",
+    )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    group_cols: Iterable[str] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(source, lang) corpus report card: document count, token
+    volume, mean length, and exact-duplicate ratio.
+
+    Single groupBy; the dup ratio rides the same shuffle via
+    count_distinct over md5(text) (16-byte digests move, not bodies).
+    Ratios divide exact longs, so the doubles are bit-identical across
+    engines.
+    """
+    g = list(group_cols)
+    n_docs = F.count(F.lit(1))
+    n_distinct = F.count_distinct(F.md5(_c(text_col)))
+    total_tokens = F.sum(token_count(text_col))
+    total_chars = F.sum(F.length(_c(text_col)).cast("long"))
+    return docs.groupBy(*g).agg(
+        n_docs.alias("n_docs"),
+        total_tokens.alias("total_tokens"),
+        total_chars.alias("total_chars"),
+        (total_chars / n_docs).alias("mean_chars"),
+        n_distinct.alias("n_distinct_texts"),
+        ((n_docs - n_distinct) / n_docs).alias("dup_ratio"),
+    )

@@ -534,4 +534,18 @@ CORE_ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
     """,
+    "q2_min_cost_supplier": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             j AS (
+                 SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal
+                 FROM pairs pr
+                 JOIN part p ON pr.l_partkey = p.p_partkey
+                 JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+                 WHERE p.p_size BETWEEN 10 AND 20
+             )
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+        FROM j
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM j j2
+                           WHERE j2.p_partkey = j.p_partkey)
+    """,
 }

@@ -97,6 +97,57 @@ LLM_ORACLES: dict[str, str] = {
     "llm_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fp FROM documents
     """,
+    # Word 5-grams (docs shorter than 5 words fall back to the full
+    # token string, mirroring llm.dedup.word_shingles); benchmark =
+    # doc_id % 97 == 0; anti-join away any doc sharing a gram.
+    "llm_decontaminate": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), contam AS (
+          SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d ANTI JOIN contam c ON d.doc_id = c.doc_id
+    """,
+    "llm_stratified_sample": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50
+                                       WHEN 'zh' THEN 20
+                                       ELSE 10 END
+    """,
+    "llm_split_assign": """
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 100 < 80 THEN 'train'
+                    WHEN doc_id % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "llm_corpus_stats": r"""
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END) AS total_tokens,
+               sum(length(text)) AS total_chars,
+               sum(length(text)) / count(*) AS mean_chars,
+               count(DISTINCT md5(text)) AS n_distinct_texts,
+               (count(*) - count(DISTINCT md5(text))) / count(*) AS dup_ratio
+        FROM documents GROUP BY source, lang
+    """,
     "llm_cosine_topk": """
         WITH pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -964,6 +964,35 @@ def q22_dormant_wealthy(spark, sf):
     )
 
 
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: per-part minimum-cost supplier (correlated scalar
+    MIN + re-join), with lineitem's distinct (part, supplier) pairs
+    standing in for partsupp and acctbal for supplycost.  The correlated
+    subquery becomes a window MIN over the part key -- one shuffle, no
+    self-join; the min is a selection (not arithmetic) so double
+    equality is exact.  Ties keep every minimum supplier, same set in
+    both engines."""
+    from pyspark.sql import Window
+
+    pairs = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_brand")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    joined = (
+        pairs.join(part, pairs["l_partkey"] == F.col("p_partkey"))
+        .join(supp, pairs["l_suppkey"] == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "p1_contains_ci": p1,
@@ -1041,4 +1070,5 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_variety": q16_supplier_variety,
     "q20_excess_shippers": q20_excess_shippers,
     "q22_dormant_wealthy": q22_dormant_wealthy,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
 }

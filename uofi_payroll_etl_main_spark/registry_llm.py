@@ -147,6 +147,56 @@ def llm_embed_dup_lsh(spark, sf):
     return LS.embed_dup_lsh(_t(spark, sf, "embeddings"), threshold=0.4, num_tables=8, nbits=6)
 
 
+def llm_decontaminate(spark, sf):
+    """Eval-set decontamination: drop corpus docs sharing any word
+    5-gram with the benchmark holdout (docs with doc_id % 97 == 0
+    stand in for an eval set).  Benchmark grams broadcast; the corpus
+    is never shuffled."""
+    from .llm.curation import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5).select("doc_id", "lang", "source", "n_chars")
+
+
+def llm_stratified_sample(spark, sf):
+    """Deterministic per-language downsampling (en 50%, zh 20%, rest
+    10%) by doc_id mod 100 -- reproducible across engines, so it
+    oracle-checks exactly."""
+    from .llm.curation import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 50, "zh": 20}, default_pct=10
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def llm_split_assign(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment by doc_id
+    bucket."""
+    from .llm.curation import split_assign
+
+    docs = _t(spark, sf, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+def llm_pack_sequences(spark, sf):
+    """Greedy FFD sequence packing per source (rows-only: the greedy
+    fold is not SQL-expressible; invariants asserted in
+    tests/test_llm_ops.py)."""
+    from .llm.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), budget=256)
+
+
+def llm_corpus_stats(spark, sf):
+    """Per-(source, lang) corpus report card in one aggregation."""
+    from .llm.curation import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
+
+
 def s8_jsonl_roundtrip(spark, sf):
     """documents -> JSONL sink -> JSONL scan (explicit schema) -> stats.
     The oracle reads the same rows from parquet, so the roundtrip must
@@ -289,6 +339,11 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_ann_ivf": llm_ann_ivf,
     "llm_embed_dup": llm_embed_dup,
     "llm_embed_dup_lsh": llm_embed_dup_lsh,
+    "llm_decontaminate": llm_decontaminate,
+    "llm_stratified_sample": llm_stratified_sample,
+    "llm_split_assign": llm_split_assign,
+    "llm_pack_sequences": llm_pack_sequences,
+    "llm_corpus_stats": llm_corpus_stats,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
     "e17_json_extract": e17_json_extract,
