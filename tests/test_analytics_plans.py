@@ -79,6 +79,14 @@ def test_q2_window_min_single_pass(spark):
         assert fmt.count(t) == 1, fmt
 
 
+def test_q21_no_fact_self_join(spark):
+    # the EXISTS/NOT-EXISTS over sibling lineitems must collapse to a
+    # groupBy + window, never a second scan of the fact table
+    fmt = _formatted(R.q21_waiting_supplier(spark, SF))
+    assert fmt.count("lineitem.parquet") == 1, fmt
+    assert fmt.count("orders.parquet") == 1, fmt
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     # the corpus side must not shuffle: benchmark grams and the
     # contaminated-id set both arrive by broadcast

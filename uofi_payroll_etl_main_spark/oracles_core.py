@@ -534,6 +534,50 @@ CORE_ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
     """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%ol%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "q11_important_stock": """
+        WITH per_part AS (
+          SELECT n_name AS nation, l_partkey AS partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val_dec
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name, l_partkey
+        )
+        SELECT nation, partkey, CAST(val_dec AS DOUBLE) AS value
+        FROM per_part
+        WHERE val_dec * 10000 > (SELECT sum(val_dec) FROM per_part)
+    """,
+    "q21_waiting_supplier": """
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY l_orderkey, l_suppkey
+        ), st AS (
+          SELECT l_suppkey, late,
+                 count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM lo
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM st
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE late = 1 AND n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_3'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 100
+    """,
     "q2_min_cost_supplier": """
         WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
              j AS (

@@ -993,6 +993,108 @@ def q2_min_cost_supplier(spark, sf):
     )
 
 
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape: product-type profit by nation and order year.
+    The test tables carry no partsupp/ps_supplycost, so profit is the
+    revenue side only -- the PLAN shape is the faithful part: p_name
+    substring filter pre-pushed into the part scan, lineitem joined to
+    the filtered part + supplier + orders, fixed nation broadcast,
+    group by (nation, year)."""
+    li = _t(spark, sf, "lineitem")
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").contains("ol"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark, sf):
+    """TPC-H Q11 shape: per-(nation, part) value share with a HAVING
+    against a global scalar.  lineitem extendedprice stands in for
+    partsupp supply value (no partsupp table).  The global total rides
+    a broadcast of one row; the threshold compare cross-multiplies
+    exact decimals (val * 10000 > total) so no float division boundary
+    exists between engines."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    val = (F.col("l_extendedprice").cast("decimal(18,4)"))
+    per_part = (
+        li.join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("val_dec"))
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec") * 10000 > F.col("total_dec"))
+        .select("nation", "partkey", F.col("val_dec").cast("double").alias("value"))
+    )
+
+
+def q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order.  No l_commitdate/l_receiptdate in the test
+    tables, so "late" is l_shipdate > o_orderdate + 60 days; the shape
+    is the faithful part: the EXISTS/NOT-EXISTS pair over sibling
+    lineitems collapses to one groupBy(order, supplier) + one window
+    over the order -- two shuffles total, no fact self-joins.  Top-100
+    with s_name tiebreak keeps the set deterministic."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    ).filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        flagged.join(supp, flagged["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "p1_contains_ci": p1,
@@ -1071,4 +1173,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_excess_shippers": q20_excess_shippers,
     "q22_dormant_wealthy": q22_dormant_wealthy,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q21_waiting_supplier": q21_waiting_supplier,
 }
