@@ -100,6 +100,52 @@ def test_pack_sequences_deterministic(spark):
     assert a == b
 
 
+def test_percentile_filter_exact_half(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", score=float(i)) for i in range(10)]
+    )
+    kept = {r.doc_id for r in C.percentile_filter(df, "score", "lang", 0.5).collect()}
+    # percent_rank < 0.5 over desc order keeps the top half (9..5)
+    assert kept == {9, 8, 7, 6, 5}
+
+
+def test_percentile_filter_tiebreak_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=i, lang="en", score=1.0) for i in range(4)])
+    kept = {r.doc_id for r in C.percentile_filter(df, "score", "lang", 0.5).collect()}
+    assert kept == {0, 1}  # id tiebreak: lowest ids win at equal score
+
+
+def test_cross_dedup_drops_seen_fingerprints(spark):
+    seen = spark.createDataFrame([Row(doc_id=1, text="Hello   World")])
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="hello world"),   # normalized match -> dropped
+            Row(doc_id=11, text="brand new doc"),
+        ]
+    )
+    kept = [r.doc_id for r in C.cross_dedup(corpus, seen).collect()]
+    assert kept == [11]
+    kept_b = [r.doc_id for r in C.cross_dedup(corpus, seen, broadcast_seen=True).collect()]
+    assert kept_b == [11]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jane.doe+x@example.co.uk today"),
+            Row(doc_id=2, text="ssn 123-45-6789 card 4111 1111 1111 1111"),
+            Row(doc_id=3, text="call +1 (555) 123-4567 now"),
+            Row(doc_id=4, text="nothing sensitive here"),
+        ]
+    )
+    out = {r.doc_id: r.red for r in df.select("doc_id", C.redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail me at [EMAIL] today"
+    assert "[SSN]" in out[2] and "[CARD]" in out[2]
+    assert "123-45-6789" not in out[2] and "4111" not in out[2]
+    assert "[PHONE]" in out[3] and "555" not in out[3]
+    assert out[4] == "nothing sensitive here"
+
+
 def test_corpus_stats(corpus):
     stats = {(r.source, r.lang): r for r in C.corpus_stats(corpus).collect()}
     a = stats[("a", "en")]

@@ -32,6 +32,9 @@ __all__ = [
     "split_assign",
     "pack_sequences",
     "corpus_stats",
+    "percentile_filter",
+    "cross_dedup",
+    "redact_pii",
 ]
 
 
@@ -204,6 +207,80 @@ def pack_sequences(
         "bin_id",
         "oversize",
     )
+
+
+def percentile_filter(
+    df: DataFrame,
+    order_col: str | Column,
+    group_col: str,
+    keep_top_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top `keep_top_frac` of each group by EXACT percentile
+    (percent_rank over a totally-ordered window -- id tiebreak makes the
+    cut deterministic, so the kept set is engine-independent).
+
+    One shuffle on the group column.  At 100 TB the exact window sort is
+    the honest cost of an exact cut; when an approximate cut is fine,
+    compute the threshold with approx_quantiles (mergeable sketch, no
+    global sort) and filter against it instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(_c(order_col).desc(), _c(id_col))
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") < keep_top_frac)
+        .drop("__pr")
+    )
+
+
+def cross_dedup(
+    corpus: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """Cross-corpus dedup: drop corpus docs whose normalized fingerprint
+    already occurs in `seen` (e.g. the previous training mix).
+
+    Both sides reduce to 16-byte digests before they meet, so the
+    anti-join shuffles digests, never text.  Set broadcast_seen=True
+    when `seen` is a benchmark-sized table; default is a shuffled
+    anti-join because "what we already trained on" is usually corpus-
+    sized too.
+    """
+    from .text import fingerprint
+
+    seen_fp = seen.select(fingerprint(text_col).alias("__fp")).distinct()
+    if broadcast_seen:
+        seen_fp = F.broadcast(seen_fp)
+    return (
+        corpus.withColumn("__fp", fingerprint(text_col))
+        .join(seen_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
+# Deliberately simple, RE2/Java-compatible patterns: the operator shape
+# (regexp_replace chain at scan speed) is the point; a production
+# deployment swaps in its own pattern pack.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[\w.+-]+@[\w-]+\.[\w.-]+", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b(?:\d[ -]?){13,16}\b", "[CARD]"),
+    (r"\b\+?\d{1,3}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chain of regexp_replace passes over the standard PII classes.
+    Pure codegen -- redaction happens at scan speed, no UDF."""
+    out = _c(col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def corpus_stats(

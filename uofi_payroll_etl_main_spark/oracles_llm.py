@@ -97,6 +97,50 @@ LLM_ORACLES: dict[str, str] = {
     "llm_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fp FROM documents
     """,
+    "llm_quality_filter": r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS score
+          FROM (
+            SELECT doc_id, lang,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS n_uniq
+            FROM documents)
+        )
+        SELECT doc_id, lang, score FROM (
+          SELECT doc_id, lang, score,
+                 percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, doc_id) AS pr
+          FROM t
+        ) WHERE pr < 0.5
+    """,
+    "llm_cross_dedup": r"""
+        WITH seen AS (
+          SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE source IN ('src0', 'src1')
+        ), rest AS (
+          SELECT doc_id, lang, source, n_chars,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE source NOT IN ('src0', 'src1')
+        )
+        SELECT doc_id, lang, source, n_chars FROM rest ANTI JOIN seen USING (fp)
+    """,
+    "llm_redact": r"""
+        WITH r AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[\w.+-]+@[\w-]+\.[\w.-]+', '[EMAIL]', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\b(?:\d[ -]?){13,16}\b', '[CARD]', 'g'),
+                   '\b\+?\d{1,3}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '[PHONE]', 'g') AS red
+          FROM documents
+        )
+        SELECT doc_id, CAST(length(red) AS BIGINT) AS n_chars_redacted,
+               CAST(length(text) - length(red) AS BIGINT) AS n_chars_dropped
+        FROM r
+    """,
     # Word 5-grams (docs shorter than 5 words fall back to the full
     # token string, mirroring llm.dedup.word_shingles); benchmark =
     # doc_id % 97 == 0; anti-join away any doc sharing a gram.

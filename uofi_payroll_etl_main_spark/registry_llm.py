@@ -197,6 +197,48 @@ def llm_corpus_stats(spark, sf):
     return corpus_stats(_t(spark, sf, "documents"))
 
 
+def llm_quality_filter(spark, sf):
+    """Exact top-half-per-language cut by unique-token ratio
+    (percent_rank window, doc_id tiebreak -> deterministic kept set)."""
+    from .llm.curation import percentile_filter
+    from .llm.text import quality_features
+
+    # no rounding: the ratio divides exact longs, so the double is
+    # bit-identical across engines and the rank cut can't drift
+    scored = quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "lang", F.col("q_unique_token_ratio").alias("score")
+    )
+    return percentile_filter(scored, "score", "lang", keep_top_frac=0.5)
+
+
+def llm_cross_dedup(spark, sf):
+    """Cross-corpus dedup: drop docs from later sources whose
+    normalized fingerprint already occurs in the src0/src1 'previous
+    mix'.  Digest-only anti-join -- text never shuffles."""
+    from .llm.curation import cross_dedup
+
+    docs = _t(spark, sf, "documents")
+    seen = docs.filter(F.col("source").isin("src0", "src1"))
+    rest = docs.filter(~F.col("source").isin("src0", "src1"))
+    return cross_dedup(rest, seen).select("doc_id", "lang", "source", "n_chars")
+
+
+def llm_redact(spark, sf):
+    """PII redaction pass: returns per-doc redacted length + how many
+    characters were dropped (0 on this synthetic corpus -- the pytest
+    fixture carries real-shaped PII; the gate checks the transform is
+    lossless where nothing matches)."""
+    from .llm.curation import redact_pii
+
+    d = _t(spark, sf, "documents")
+    red = redact_pii("text")
+    return d.select(
+        "doc_id",
+        F.length(red).cast("long").alias("n_chars_redacted"),
+        (F.length("text") - F.length(red)).cast("long").alias("n_chars_dropped"),
+    )
+
+
 def s8_jsonl_roundtrip(spark, sf):
     """documents -> JSONL sink -> JSONL scan (explicit schema) -> stats.
     The oracle reads the same rows from parquet, so the roundtrip must
@@ -344,6 +386,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_split_assign": llm_split_assign,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
+    "llm_quality_filter": llm_quality_filter,
+    "llm_cross_dedup": llm_cross_dedup,
+    "llm_redact": llm_redact,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
     "e17_json_extract": e17_json_extract,
