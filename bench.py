@@ -23,8 +23,11 @@ HEADLINERS = [
     "q3_shipping_priority",
     "q5_nation_volume",
     "q8_market_share",
+    "q9_product_profit",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "flagship",
+    "llm_decontaminate",
     "d4_keep_first",
     "j7_row_join",
     "llm_exact_dedup",

@@ -22,7 +22,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from .dedup import _ensure_parallelism, word_shingles
 from .text import token_count
 
 __all__ = [
@@ -59,7 +59,9 @@ def contaminated_ids(
     bench_grams = (
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram")).distinct()
     )
-    doc_grams = docs.select(
+    # spread the corpus scan before the compute-bound shingle stage
+    # (single-file local scans are one partition; no-op at scale)
+    doc_grams = _ensure_parallelism(docs).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
     return (
