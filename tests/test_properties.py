@@ -132,3 +132,31 @@ def test_keep_first_matches_pandas_drop_duplicates(spark, rows_in):
     pdf = pd.DataFrame([(d.k, d.payload) for d in data], columns=["k", "payload"])
     expect = sorted(map(tuple, pdf.drop_duplicates(subset="k", keep="first").values))
     assert got == expect
+
+
+def _model_split(k, train=80, val=10):
+    b = k % 100
+    return "train" if b < train else ("val" if b < train + val else "test")
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True))
+def test_split_assign_model(spark, keys):
+    from uofi_payroll_etl_main_spark.llm.curation import split_assign
+
+    df = spark.createDataFrame([Row(k=k) for k in keys], "k long")
+    got = {r.k: r.split for r in split_assign(df, "k").collect()}
+    assert got == {k: _model_split(k) for k in keys}
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    st.integers(min_value=0, max_value=100),
+)
+def test_stratified_sample_is_subset_and_model_exact(spark, keys, pct):
+    from uofi_payroll_etl_main_spark.llm.curation import stratified_sample
+
+    df = spark.createDataFrame([Row(doc_id=k, lang="en") for k in keys], "doc_id long, lang string")
+    kept = {r.doc_id for r in stratified_sample(df, "doc_id", "lang", {"en": pct}).collect()}
+    assert kept == {k for k in keys if k % 100 < pct}

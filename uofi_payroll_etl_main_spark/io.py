@@ -153,6 +153,17 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built into Spark; columnar, predicate-pushdown-capable
+    like parquet -- the interchange format for Hive-era estates)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed ORC sink."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, by: Sequence[str], mode: str = "overwrite"
 ) -> None:

@@ -13,6 +13,10 @@ are first-class engine components (see BASELINE.json north-star scope):
     multimodal  -- opaque-binary media columns with typed metadata;
                    Arrow-batched Pandas-UDF decode/feature plumbing
                    (decoder itself stubbed: no image/audio libs here).
+    curation    -- eval-set decontamination, cross-corpus dedup,
+                   deterministic sampling / train-val-test splits,
+                   exact percentile quality cuts, sequence packing,
+                   PII redaction, corpus report cards.
 
 Everything except the multimodal decode is native Catalyst expressions
 (higher-order array functions), so it scales with whole-stage codegen.

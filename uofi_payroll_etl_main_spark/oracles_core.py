@@ -330,6 +330,15 @@ CORE_ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "a9_cube": """
+        SELECT event_type, CAST(year(ts) AS INTEGER) AS yr,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY CUBE (event_type, year(ts))
+    """,
+    "s11_orc_roundtrip": """
+        SELECT doc_id, lang, n_chars FROM documents
+    """,
     "a8_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

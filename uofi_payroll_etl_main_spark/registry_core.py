@@ -480,6 +480,29 @@ def s7(spark, sf):
     return spark.createDataFrame([(name,)], "file_name string")
 
 
+def s11_orc_roundtrip(spark, sf):
+    """documents -> ORC sink -> ORC scan -> projection; the oracle reads
+    the same rows from parquet, so the roundtrip must be lossless.
+    Write-once marker: a rewrite would invalidate DataFrames returned by
+    earlier invocations of this query."""
+    import hashlib
+    import tempfile
+
+    from .io import read_orc, write_orc
+
+    src = os.path.join(sf, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = src
+    tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_docs_orc_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(_t(spark, sf, "documents").select("doc_id", "lang", "n_chars"), path)
+    return read_orc(spark, path)
+
+
 # --------------------------------------------------------------------------
 # Bench headliners: TPC-H-shaped analytics (pricing summary / shipping
 # priority / nation volume).  Float aggregation via DECIMAL -> exact and
@@ -582,6 +605,19 @@ def a7_rollup(spark, sf):
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.sum(qty).cast("double").alias("sum_qty"),
+             F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+def a9_cube(spark, sf):
+    """CUBE over (event_type, year): the full grouping-set lattice in
+    one pass (rollup's sibling; subtotals along BOTH axes plus the
+    grand total)."""
+    ev = _t(spark, sf, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.cube("event_type", F.year("ts").alias("yr"))
+        .agg(F.sum(val).cast("double").alias("sum_value"),
              F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
 
@@ -1154,6 +1190,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_window_analytics": a6_window_analytics,
     "a7_rollup": a7_rollup,
     "a8_pivot": a8_pivot,
+    "a9_cube": a9_cube,
+    "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "u2_intersect": u2_intersect,
