@@ -220,3 +220,25 @@ def test_jaccard_hot_shingle_guard(docs):
     # cap of 1 removes every shared shingle -> no pairs can meet
     none = D.jaccard_pairs(docs, threshold=0.1, max_shingle_docs=1).collect()
     assert none == []
+
+
+def test_duplicate_clusters_components(spark):
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 5, 9]])
+    # chain 1-2-3 (one component), pair 4-5, singleton 9
+    edges = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=3), Row(doc_a=1, doc_b=2), Row(doc_a=4, doc_b=5)]
+    )
+    got = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from pyspark.sql import Row
+
+    n = 12  # diameter > 1 round: exercises the fixpoint loop
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(n - 1)])
+    got = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}

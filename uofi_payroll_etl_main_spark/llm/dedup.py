@@ -409,3 +409,50 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def duplicate_clusters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation.  Output
+    (doc_id, cluster_id) where cluster_id = min doc id reachable --
+    the keeper-election step that turns a similarity join into an
+    actual dedup decision.
+
+    Driver-controlled loop (the canonical Spark shape for iterative
+    graph algorithms): each round joins labels to the bidirectional
+    edge list, takes the neighborhood min, and stops at fixpoint.
+    Rounds needed = component diameter -- tiny for near-dup clusters
+    (dup groups are dense), so 3-4 rounds in practice.  localCheckpoint
+    truncates lineage each round; per-round state is (node, label)
+    longs, never text.
+    """
+    e = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    bidir = bidir.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            labels.join(bidir, labels["node"] == bidir["a"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

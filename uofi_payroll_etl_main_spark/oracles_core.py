@@ -339,6 +339,10 @@ CORE_ORACLES: dict[str, str] = {
     "s11_orc_roundtrip": """
         SELECT doc_id, lang, n_chars FROM documents
     """,
+    "a10_exact_median": """
+        SELECT event_type, quantile_cont(value, 0.5) AS median_value
+        FROM events GROUP BY event_type
+    """,
     "a8_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

@@ -97,6 +97,44 @@ LLM_ORACLES: dict[str, str] = {
     "llm_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fp FROM documents
     """,
+    # Connected components over the 0.4-Jaccard edge list as a
+    # recursive CTE: cc enumerates every (node, reachable-label) pair
+    # (UNION dedups, so it terminates); min(label) per node is the
+    # component id.  Fine at gate scale; the Spark side is the scalable
+    # min-label-propagation loop.
+    "llm_dup_clusters": rf"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [array_to_string(t, ' ')] END
+                 ) AS shingles
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
+        ), bidir AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ), cc AS (
+          SELECT doc_id AS node, doc_id AS label FROM documents
+          UNION
+          SELECT bd.b, cc.label FROM cc JOIN bidir bd ON cc.node = bd.a
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    """,
     "llm_quality_filter": r"""
         WITH t AS (
           SELECT doc_id, lang,

@@ -622,6 +622,16 @@ def a9_cube(spark, sf):
     )
 
 
+def a10_exact_median(spark, sf):
+    """Exact interpolated median per group (percentile_cont semantics
+    in both engines).  The exact tier costs a per-group sort; at 100 TB
+    use the a5 approx_quantiles sketch unless exactness is required."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value")
+    )
+
+
 def a8_pivot(spark, sf):
     """Pivot event counts per user into one column per event type.
     Values are enumerated explicitly -- an unbounded pivot would need a
@@ -1191,6 +1201,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_rollup": a7_rollup,
     "a8_pivot": a8_pivot,
     "a9_cube": a9_cube,
+    "a10_exact_median": a10_exact_median,
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,

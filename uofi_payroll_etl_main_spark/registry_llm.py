@@ -197,6 +197,16 @@ def llm_corpus_stats(spark, sf):
     return corpus_stats(_t(spark, sf, "documents"))
 
 
+def llm_dup_clusters(spark, sf):
+    """Near-dup pairs resolved into duplicate clusters: connected
+    components via iterative min-label propagation over the exact
+    Jaccard edge list (driver-controlled fixpoint loop, the canonical
+    Spark iterative-graph shape).  Oracle is a DuckDB recursive CTE."""
+    docs = _t(spark, sf, "documents")
+    edges = LD.jaccard_pairs(docs, threshold=0.4, n=3)
+    return LD.duplicate_clusters(docs, edges)
+
+
 def llm_quality_filter(spark, sf):
     """Exact top-half-per-language cut by unique-token ratio
     (percent_rank window, doc_id tiebreak -> deterministic kept set)."""
@@ -386,6 +396,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_split_assign": llm_split_assign,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
+    "llm_dup_clusters": llm_dup_clusters,
     "llm_quality_filter": llm_quality_filter,
     "llm_cross_dedup": llm_cross_dedup,
     "llm_redact": llm_redact,
