@@ -273,3 +273,34 @@ def test_asof_join_null_payload_on_matched_row(spark):
     out = asof_join_backward(left, right, by="k", ts="ts",
                              value_cols=["price"], right_ts_alias="mts").first()
     assert out.mts == 20 and out.price is None
+
+
+def test_write_range_sorted_disjoint_files(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.io import load_table, write_range_sorted
+
+    path = str(tmp_path / "events_ranged")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    write_range_sorted(ev, path, ["event_id"], num_files=4)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    # each file covers a disjoint event_id range (min/max from footer
+    # stats -- exactly what row-group skipping prunes on)
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "event_id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, ranges
+    # and nothing was lost or duplicated in the re-layout
+    assert spark.read.parquet(path).count() == ev.count()

@@ -153,6 +153,34 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    by: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet layout for min/max data
+    skipping: each output file covers a disjoint range of `by`, and
+    rows inside a file are sorted, so row-group statistics prune both
+    files and row groups for range predicates on the layout key --
+    the single-key cousin of Z-ordering, and the first lever for
+    100 TB time-range scans when directory partitioning (S9) would be
+    too fine-grained.
+
+    repartitionByRange samples the key to build balanced boundaries
+    (skew-resistant); sortWithinPartitions is a local sort, no extra
+    shuffle.
+    """
+    cols = [df[c] for c in by]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (built into Spark; columnar, predicate-pushdown-capable
     like parquet -- the interchange format for Hive-era estates)."""
