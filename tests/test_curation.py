@@ -153,3 +153,35 @@ def test_corpus_stats(corpus):
     assert a.total_tokens == 8 + 10
     b = stats[("b", "de")]
     assert b.n_docs == 1 and b.total_tokens == 1
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10)))])
+    out = sorted(
+        C.chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    # starts 1,4,7,10 over 10 tokens
+    assert [r.chunk_start for r in out] == [1, 4, 7, 10]
+    assert out[0].chunk_text == "w0 w1 w2 w3" and out[0].n_tokens == 4
+    assert out[-1].chunk_text == "w9" and out[-1].n_tokens == 1
+
+
+def test_chunk_documents_edge_cases(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="only two"), Row(doc_id=2, text="   ")]
+    )
+    out = C.chunk_documents(df, chunk_tokens=32, stride=24).collect()
+    assert len(out) == 1  # blank doc yields no chunks
+    assert out[0].doc_id == 1 and out[0].chunk_text == "only two"
+
+
+def test_mixture_weights_normalized(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i < 90 else "b") for i in range(100)]
+    )
+    w = {r.source: r for r in C.mixture_weights(df, "source", alpha=0.5).collect()}
+    assert abs(w["a"].weight + w["b"].weight - 1.0) < 1e-12
+    # alpha<1 upweights the small source relative to raw share
+    assert w["b"].weight > 0.10
+    assert w["a"].n_docs == 90 and w["b"].n_docs == 10

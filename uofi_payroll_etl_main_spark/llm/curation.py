@@ -35,6 +35,8 @@ __all__ = [
     "percentile_filter",
     "cross_dedup",
     "redact_pii",
+    "chunk_documents",
+    "mixture_weights",
 ]
 
 
@@ -262,6 +264,60 @@ def cross_dedup(
         corpus.withColumn("__fp", fingerprint(text_col))
         .join(seen_fp, "__fp", "left_anti")
         .drop("__fp")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: overlapping windows of
+    `chunk_tokens` whitespace tokens every `stride` tokens -- the
+    pre-embedding / pre-tokenization split step.
+
+    Pure Catalyst (sequence + slice + explode), narrow (no shuffle):
+    chunking happens at scan speed and the fan-out factor is
+    len/stride.  Output (id, chunk_start, n_tokens, chunk_text) with
+    chunk_start a 1-based token offset.
+    """
+    from .text import normalize_text, tokens
+
+    toks = tokens(normalize_text(text_col))
+    k = F.size(toks)
+    starts = F.when(k > 0, F.sequence(F.lit(1), k, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("chunk_start"),
+            F.least(F.lit(chunk_tokens), k - s + 1).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_start", "c.n_tokens", "c.chunk_text"
+    )
+
+
+def mixture_weights(
+    docs: DataFrame, group_col: str = "source", alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled mixture weights per corpus source:
+    w_g ∝ n_g^alpha, normalized to sum 1 (alpha<1 upweights small
+    sources -- the standard multi-source training-mix heuristic).
+
+    One aggregation plus a single-row broadcast for the normalizer.
+    """
+    per = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = per.withColumn("__p", F.pow(F.col("n_docs").cast("double"), F.lit(alpha)))
+    total = powed.agg(F.sum("__p").alias("__tot"))
+    return (
+        powed.join(F.broadcast(total))
+        .select(group_col, "n_docs", (F.col("__p") / F.col("__tot")).alias("weight"))
     )
 
 

@@ -165,6 +165,30 @@ LLM_ORACLES: dict[str, str] = {
         )
         SELECT doc_id, lang, source, n_chars FROM rest ANTI JOIN seen USING (fp)
     """,
+    "llm_chunk_documents": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s
+          FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+               CAST(least(32, len(t) - s + 1) AS BIGINT) AS n_tokens,
+               array_to_string(t[s:s+31], ' ') AS chunk_text
+        FROM c
+    """,
+    "llm_mixture_weights": """
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 pow(CAST(count(*) AS DOUBLE), 0.7) AS p
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, p / (SELECT sum(p) FROM per) AS weight
+        FROM per
+    """,
     "llm_redact": r"""
         WITH r AS (
           SELECT doc_id, text,

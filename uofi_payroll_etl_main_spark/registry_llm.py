@@ -233,6 +233,21 @@ def llm_cross_dedup(spark, sf):
     return cross_dedup(rest, seen).select("doc_id", "lang", "source", "n_chars")
 
 
+def llm_chunk_documents(spark, sf):
+    """Sliding-window chunking (32-token windows, stride 24) --
+    narrow fan-out at scan speed."""
+    from .llm.curation import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), chunk_tokens=32, stride=24)
+
+
+def llm_mixture_weights(spark, sf):
+    """Temperature-scaled (alpha=0.7) per-source mixture weights."""
+    from .llm.curation import mixture_weights
+
+    return mixture_weights(_t(spark, sf, "documents"), "source", alpha=0.7)
+
+
 def llm_redact(spark, sf):
     """PII redaction pass: returns per-doc redacted length + how many
     characters were dropped (0 on this synthetic corpus -- the pytest
@@ -400,6 +415,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_quality_filter": llm_quality_filter,
     "llm_cross_dedup": llm_cross_dedup,
     "llm_redact": llm_redact,
+    "llm_chunk_documents": llm_chunk_documents,
+    "llm_mixture_weights": llm_mixture_weights,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
     "e17_json_extract": e17_json_extract,
