@@ -242,3 +242,20 @@ def test_duplicate_clusters_long_chain_converges(spark):
     edges = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(n - 1)])
     got = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_minhash_arrow_tier_bit_identical(docs):
+    hof = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    arrow = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5, use_arrow=True).collect()
+    }
+    assert hof == arrow and (1, 2) in arrow
+    sig_h = {
+        r.doc: tuple(r.sig)
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), D.minhash_signature("text").alias("sig")
+        ).collect()
+    }
+    sig_a = {r.doc: tuple(r.sig) for r in D.minhash_signatures_arrow(docs).collect()}
+    assert sig_h == sig_a

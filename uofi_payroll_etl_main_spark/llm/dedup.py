@@ -35,6 +35,8 @@ __all__ = [
     "word_shingles",
     "jaccard_pairs",
     "minhash_signature",
+    "minhash_signatures_arrow",
+    "duplicate_clusters",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "simhash64",
@@ -201,6 +203,52 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3) -> Co
     )
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow tier of the MinHash signature: shingle hashes stay JVM-side
+    (two FLAT array<long> columns -- flat arrays cross Arrow as
+    ndarrays, nested ones degrade to per-row lists), and the
+    permutation minima collapse to one NumPy broadcast-min per doc.
+
+    Bit-identical to `minhash_signature` (same hashes, same mod-prime
+    double-hashing), asserted in tests -- so the tiers are
+    interchangeable: the HOF form keeps everything in Catalyst, this
+    one trades an Arrow hop for vectorized mins and wins when docs
+    carry many shingles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mask = F.lit((1 << 31) - 1).cast("long")
+    sh = word_shingles(text_col, n)
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(mask)).alias("h1"),
+        F.transform(sh, lambda s: F.xxhash64(s, F.lit(42)).bitwiseAND(mask)).alias("h2"),
+    )
+    prime = (1 << 31) - 1
+    idx = np.arange(1, num_hashes + 1, dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            sigs = [
+                np.min(
+                    (np.asarray(h1, dtype=np.int64)[:, None]
+                     + idx * np.asarray(h2, dtype=np.int64)[:, None]) % prime,
+                    axis=0,
+                )
+                for h1, h2 in zip(pdf["h1"], pdf["h2"])
+            ]
+            yield pd.DataFrame({"doc": pdf["doc"], "sig": sigs})
+
+    return base.mapInPandas(compute, schema="doc long, sig array<long>")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 64,
@@ -209,6 +257,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = 4096,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair.  bands=16 x rows=4 over 64 hashes targets the
@@ -218,9 +267,12 @@ def minhash_lsh_candidates(
     (band, bucket) -- never on raw text -- then pair within buckets.
     """
     rows = num_hashes // bands
-    sig = _ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), minhash_signature(text_col, num_hashes, n).alias("sig")
-    )
+    if use_arrow:
+        sig = minhash_signatures_arrow(df, num_hashes, n, id_col, text_col)
+    else:
+        sig = _ensure_parallelism(df).select(
+            F.col(id_col).alias("doc"), minhash_signature(text_col, num_hashes, n).alias("sig")
+        )
     band_keys = F.array(
         *[
             F.struct(
@@ -276,12 +328,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = 4096,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: LSH candidates verified with EXACT
     Jaccard (join back to shingle sets).  Output matches jaccard_pairs
     restricted to candidates -- i.e. classic recall<=1, precision=1
-    near-dup detection, sub-quadratic."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col, max_bucket_size)
+    near-dup detection, sub-quadratic.  use_arrow swaps the signature
+    stage to the NumPy tier (bit-identical output)."""
+    cand = minhash_lsh_candidates(
+        df, num_hashes, bands, n, id_col, text_col, max_bucket_size, use_arrow
+    )
     # Verify with Jaccard over per-doc shingle-HASH arrays: two slim joins
     # on the doc id + array_intersect, instead of exploding both shingle
     # tables and re-joining on raw shingle strings (which re-reads and

@@ -90,6 +90,14 @@ def llm_minhash_lsh(spark, sf):
     return LD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
 
+def llm_minhash_lsh_fast(spark, sf):
+    """Arrow signature tier of MinHash-LSH (bit-identical pairs to
+    llm_minhash_lsh; equality asserted in tests/test_llm_ops.py)."""
+    return LD.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), threshold=0.4, n=3, use_arrow=True
+    )
+
+
 def llm_simhash(spark, sf):
     return LD.simhash_candidates(_t(spark, sf, "documents"), max_hamming=16)
 
@@ -395,6 +403,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_minhash_lsh": llm_minhash_lsh,
+    "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
     "llm_token_stats": llm_token_stats,
     "llm_language_id": llm_language_id,
