@@ -343,6 +343,18 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "v5_skew_report": """
+        WITH counts AS (
+          SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+        ), ranked AS (
+          SELECT l_suppkey, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rank
+          FROM counts
+        )
+        SELECT l_suppkey, n_rows, rank,
+               n_rows / (SELECT sum(n_rows) FROM counts) AS share
+        FROM ranked WHERE rank <= 20
+    """,
     "a8_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

@@ -622,6 +622,13 @@ def a9_cube(spark, sf):
     )
 
 
+def v5_skew_report(spark, sf):
+    """Shuffle-key skew diagnostic over the fact's join key."""
+    from .report import skew_report
+
+    return skew_report(_t(spark, sf, "lineitem"), ["l_suppkey"], top=20)
+
+
 def a10_exact_median(spark, sf):
     """Exact interpolated median per group (percentile_cont semantics
     in both engines).  The exact tier costs a per-group sort; at 100 TB
@@ -1202,6 +1209,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_pivot": a8_pivot,
     "a9_cube": a9_cube,
     "a10_exact_median": a10_exact_median,
+    "v5_skew_report": v5_skew_report,
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,

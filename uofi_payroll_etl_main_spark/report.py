@@ -75,3 +75,31 @@ def table_counts(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame
     rows = [(name, df.count()) for name, df in sorted(tables.items())]
     out = spark.createDataFrame(rows, "table_name string, row_count long")
     return out.orderBy(F.col("table_name"))
+
+
+def skew_report(df: DataFrame, key_cols: list[str], top: int = 20) -> DataFrame:
+    """Shuffle-key skew diagnostic: the `top` heaviest key values with
+    their row counts and share of the table -- the number you need
+    BEFORE choosing salt width / AQE skew thresholds for a join or agg
+    on these keys.
+
+    One aggregation (map-side partial), then orderBy+limit -- which
+    plans as TakeOrderedAndProject (per-partition partial top-k merged
+    on the driver), NOT a global sort, so the distinct-key table never
+    converges on one node.  The rank window runs on the `top` surviving
+    rows only.  (count desc, key asc) ordering keeps the emitted set
+    deterministic; share divides exact longs, so it compares exactly
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__tot"))
+    topk = counts.orderBy(F.col("n_rows").desc(), *keys).limit(top)
+    w = Window.orderBy(F.col("n_rows").desc(), *keys)
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(total))
+        .select(*key_cols, "n_rows", "rank", (F.col("n_rows") / F.col("__tot")).alias("share"))
+    )
