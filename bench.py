@@ -32,7 +32,6 @@ HEADLINERS = [
     "j7_row_join",
     "llm_exact_dedup",
     "llm_minhash_lsh",
-    "llm_minhash_lsh_fast",
     "llm_cosine_topk_fast",
     "llm_embed_dup_lsh",
     "llm_ann_ivf",
