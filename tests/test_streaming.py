@@ -143,3 +143,37 @@ def test_streaming_append_to_parquet_finalizes_closed_windows(spark, event_dir, 
     g = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
     e = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in closed.collect()}
     assert g == e and len(g) > 0
+
+
+def test_streaming_upsert_sink_converges_to_batch_merge(spark, tmp_path):
+    """readStream -> foreachBatch merge_upsert lands the same state a
+    single batch keep-latest would: latest value per user wins across
+    sequentially-applied micro-batches."""
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.streaming.streams import streaming_upsert_sink
+
+    target = str(tmp_path / "target")
+    src = str(tmp_path / "updates")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [Row(user_id=1, ts=0, value=0.0), Row(user_id=2, ts=0, value=0.0)]
+    ).write.parquet(target)
+    # three source files -> maxFilesPerTrigger=1 forces three sequential
+    # micro-batch merges (ts unique per user so keep-latest is total)
+    for i, rows in enumerate(
+        [
+            [Row(user_id=1, ts=10, value=1.0)],
+            [Row(user_id=2, ts=20, value=2.0), Row(user_id=3, ts=20, value=3.0)],
+            [Row(user_id=1, ts=5, value=-1.0)],  # older than ts=10: must lose
+        ]
+    ):
+        spark.createDataFrame(rows).write.parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    streaming_upsert_sink(stream, target, ["user_id"], "ts", ckpt)
+    got = {r.user_id: (r.ts, r.value) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (10, 1.0), 2: (20, 2.0), 3: (20, 3.0)}

@@ -13,6 +13,8 @@ pipeline.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -151,6 +153,40 @@ def run_to_memory(
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def streaming_upsert_sink(
+    sdf: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming CDC apply: foreachBatch folds each micro-batch into
+    the parquet target via merge_upsert (keep-latest per key, updates
+    win ties) -- readStream -> MERGE, the standard change-capture
+    landing pattern.
+
+    foreachBatch gives exactly-once-per-batch semantics against the
+    checkpoint; the merge itself is idempotent (re-applying a batch
+    yields the same keep-latest result), so crash-replay converges.
+    Each micro-batch costs one shuffle on the merge keys.
+    """
+    from ..io import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df.sparkSession, path, batch_df, keys, order_col)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
