@@ -304,3 +304,34 @@ def test_write_range_sorted_disjoint_files(spark, sf_dir, tmp_path):
         assert hi_a < lo_b, ranges
     # and nothing was lost or duplicated in the re-layout
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_profile_table_one_pass(spark):
+    from uofi_payroll_etl_main_spark.report import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b=None), Row(a=2, b="y"), Row(a=None, b="x")]
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["a"].n_rows == 4 and prof["a"].n_nulls == 1
+    assert prof["b"].n_nulls == 1
+    assert prof["a"].min_str == "1" and prof["a"].max_str == "2"
+    # HLL estimate is exact at this tiny cardinality
+    assert prof["a"].n_distinct_est == 2 and prof["b"].n_distinct_est == 2
+    # single aggregation: the plan has exactly one pair of HashAggregates
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2, plan
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from uofi_payroll_etl_main_spark.io import compact
+
+    path = str(tmp_path / "many_files")
+    spark.range(1000).repartition(16).write.parquet(path)
+    assert len(glob.glob(path + "/part-*.parquet")) == 16
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    out = compact(spark, path, 3)
+    assert len(glob.glob(path + "/part-*.parquet")) == 3
+    assert {r.id for r in out.collect()} == before

@@ -258,3 +258,30 @@ def merge_upsert(
     os.rename(tmp, path)
     shutil.rmtree(swap)
     return spark.read.parquet(path)
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> DataFrame:
+    """Small-files compaction: rewrite the parquet dataset at `path`
+    into `target_files` files via an atomic directory swap (same
+    crash-recoverable rename discipline as merge_upsert).
+
+    The operational answer to streaming/CDC sinks accreting thousands
+    of tiny files: scan cost at 100 TB is dominated by file-open
+    overhead once the file count outgrows split planning.  coalesce
+    (no shuffle) when reducing file count; repartition only to grow.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_now = df.rdd.getNumPartitions()
+    out = df.coalesce(target_files) if target_files <= n_now else df.repartition(target_files)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    swap = path.rstrip("/") + ".__compact_old"
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    return spark.read.parquet(path)

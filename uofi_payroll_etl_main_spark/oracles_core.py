@@ -343,6 +343,23 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "v6_profile_table": """
+        SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_str,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+    """,
     "v5_skew_report": """
         WITH counts AS (
           SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey

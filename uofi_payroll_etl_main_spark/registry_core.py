@@ -629,6 +629,19 @@ def v5_skew_report(spark, sf):
     return skew_report(_t(spark, sf, "lineitem"), ["l_suppkey"], top=20)
 
 
+def v6_profile_table(spark, sf):
+    """Column profile over orders (one-pass).  The gate projects the
+    engine-stable facets; the HLL distinct estimate is
+    implementation-specific, so it's asserted with tolerance in pytest
+    instead of hash-compared."""
+    from .report import profile_table
+
+    prof = profile_table(
+        _t(spark, sf, "orders"), ["o_orderstatus", "o_custkey", "o_orderpriority"]
+    )
+    return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
+
+
 def a10_exact_median(spark, sf):
     """Exact interpolated median per group (percentile_cont semantics
     in both engines).  The exact tier costs a per-group sort; at 100 TB
@@ -1210,6 +1223,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_cube": a9_cube,
     "a10_exact_median": a10_exact_median,
     "v5_skew_report": v5_skew_report,
+    "v6_profile_table": v6_profile_table,
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,

@@ -103,3 +103,41 @@ def skew_report(df: DataFrame, key_cols: list[str], top: int = 20) -> DataFrame:
         .join(F.broadcast(total))
         .select(*key_cols, "n_rows", "rank", (F.col("n_rows") / F.col("__tot")).alias("share"))
     )
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Column-level data-quality profile: rows, nulls, approximate
+    distincts, min/max (as strings, type-agnostic) -- one row per
+    column, ONE pass over the table (all aggregates ride a single
+    global aggregation; HLL keeps distinct counting mergeable, no
+    second shuffle per column).
+
+    The blank-vs-null distinction mirrors the engine's is_blankish
+    house rule, so profile numbers predict E11-style defaulting.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(col).alias(f"{c}__distinct_est"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").cast("long").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__distinct_est").cast("long").alias("n_distinct_est"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
