@@ -259,3 +259,46 @@ def test_minhash_arrow_tier_bit_identical(docs):
     }
     sig_a = {r.doc: tuple(r.sig) for r in D.minhash_signatures_arrow(docs).collect()}
     assert sig_h == sig_a
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="  "),  # empty after trim: contributes to N only
+        ]
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.tfidf, r.rank) for r in T.tfidf_topk(d, k=3).collect()}
+    n = 3
+    idf = lambda df_t: math.log((n + 1.0) / (df_t + 1.0)) + 1.0
+    assert out[(1, "apple")] == (2, round(2 * idf(1), 6), 1)
+    assert out[(1, "banana")] == (1, round(1 * idf(2), 6), 2)
+    assert out[(2, "cherry")][0] == 1 and out[(2, "cherry")][2] == 1
+    assert not any(doc == 3 for doc, _ in out)  # empty doc emits no terms
+
+
+def test_tfidf_tiebreak_term_asc(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="zebra apple")])
+    got = [(r.term, r.rank) for r in T.tfidf_topk(d, k=2).orderBy("rank").collect()]
+    assert got == [("apple", 1), ("zebra", 2)]  # equal tfidf: term asc wins
+
+
+def test_top_ngrams_bigram_counts(spark):
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="a B"),  # case-folds to the same bigram
+            Row(doc_id=3, text="solo"),  # shorter than n: no grams
+        ]
+    )
+    got = [(r.ngram, r.cnt) for r in T.top_ngrams(d, n=2, k=10).collect()]
+    assert got == [("a b", 2), ("b c", 1)]
+
+
+def test_top_ngrams_trigram_and_limit(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="x y z w")])
+    got = [(r.ngram, r.cnt) for r in T.top_ngrams(d, n=3, k=1).collect()]
+    assert got == [("x y z", 1)]  # limit honored; gram asc tie-break

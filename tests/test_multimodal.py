@@ -73,3 +73,29 @@ def test_sample_frames_every_n(spark):
     assert set(by_media) == set(meta)  # only video rows sampled
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(0, meta[mid], 2))
+
+
+def test_resize_media_schema_and_determinism(spark):
+    from uofi_payroll_etl_main_spark.llm.multimodal import resize_media
+
+    df = synth_media(spark, 30)
+    out = resize_media(df, width=32, height=16)
+    assert out.columns == ["media_id", "kind", "width", "height", "payload"]
+    rows = out.collect()
+    # only image rows pass through; dims stamped; stub digest is 32 bytes
+    assert rows and all(r.kind == "image" for r in rows)
+    assert all(r.width == 32 and r.height == 16 for r in rows)
+    assert all(len(bytes(r.payload)) == 32 for r in rows)
+    # deterministic and dimension-sensitive
+    again = {r.media_id: bytes(r.payload) for r in resize_media(df, 32, 16).collect()}
+    other = {r.media_id: bytes(r.payload) for r in resize_media(df, 64, 64).collect()}
+    first = {r.media_id: bytes(r.payload) for r in rows}
+    assert first == again
+    assert all(first[k] != other[k] for k in first)
+
+
+def test_resize_media_non_stub_is_gated(spark):
+    from uofi_payroll_etl_main_spark.llm.multimodal import resize_media
+
+    with pytest.raises(Exception, match="no decoder available"):
+        resize_media(synth_media(spark, 3), use_stub=False).collect()

@@ -177,3 +177,32 @@ def test_streaming_upsert_sink_converges_to_batch_merge(spark, tmp_path):
     streaming_upsert_sink(stream, target, ["user_id"], "ts", ckpt)
     got = {r.user_id: (r.ts, r.value) for r in spark.read.parquet(target).collect()}
     assert got == {1: (10, 1.0), 2: (20, 2.0), 3: (20, 3.0)}
+
+
+def test_rolling_agg_trailing_window(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.streaming.windows import rolling_agg
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=7, ts=t0, value=1.0),
+            Row(event_id=2, user_id=7, ts=t0 + dt.timedelta(minutes=30), value=2.0),
+            # exactly 3600s after event 1: still inside the inclusive frame
+            Row(event_id=3, user_id=7, ts=t0 + dt.timedelta(hours=1), value=4.0),
+            # 3601s after event 1: event 1 falls out
+            Row(event_id=4, user_id=7, ts=t0 + dt.timedelta(hours=2), value=8.0),
+            Row(event_id=5, user_id=9, ts=t0, value=16.0),  # other user isolated
+        ]
+    )
+    got = {r.event_id: (r.n_trailing, r.sum_trailing) for r in rolling_agg(ev).collect()}
+    assert got == {
+        1: (1, 1.0),
+        2: (2, 3.0),
+        3: (3, 7.0),
+        4: (2, 12.0),  # events 3+4 (event 2 is 5400s back)
+        5: (1, 16.0),
+    }

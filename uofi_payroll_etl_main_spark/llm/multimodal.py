@@ -29,10 +29,12 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
+    "RESIZE_SCHEMA",
     "synth_media",
     "decode_media",
     "extract_features",
     "sample_frames",
+    "resize_media",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -118,6 +120,55 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, use_stub: bool = True
+) -> DataFrame:
+    """Resize pass for image rows: Arrow-batched mapInPandas, binary in /
+    binary out, target dims carried as typed metadata columns.
+
+    The decode->resample->re-encode kernel is stubbed (no PIL in this
+    container): the stand-in is a deterministic digest of
+    (payload || WxH), so the plumbing -- filter pushdown to the scan,
+    batch shape, fixed output schema, per-item kernel call -- is the real
+    production shape and fully testable.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload)
+                if use_stub:
+                    out.append(
+                        hashlib.sha256(raw + f"|{width}x{height}".encode()).digest()
+                    )
+                else:  # pragma: no cover - needs real codecs
+                    out.append(decode_media(raw, kind))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:

@@ -30,6 +30,8 @@ __all__ = [
     "quality_features",
     "fingerprint",
     "normalize_text",
+    "tfidf_topk",
+    "top_ngrams",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -118,3 +120,74 @@ def fingerprint(col: Column | str) -> Column:
     """Canonical document fingerprint: md5 over normalized text.  Exact
     near-canonical dedup key (whitespace/case-insensitive)."""
     return F.md5(normalize_text(col))
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf: ln((N+1)/(df+1))+1).
+
+    Shuffle plan at 100 TB: tokens explode narrowly at scan speed; term
+    frequency aggregates with map-side combine on (doc, term); document
+    frequency derives FROM the tf aggregate (never re-scans the corpus,
+    and identical subplans share the exchange under AQE reuse); N is a
+    scalar aggregate broadcast via crossJoin.  The tf<->df join shuffles
+    on term -- vocabulary-sized, not corpus-sized -- and AQE handles the
+    stop-word skew.  Deterministic: ties broken by term ascending.
+    """
+    t = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
+    )
+    tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by count (term asc tie-break).
+
+    The gram construction is a pure Catalyst HOF (transform over
+    sequence + slice + array_join) so it runs inside codegen at scan
+    speed; the global top-k is orderBy+limit -> TakeOrderedAndProject
+    (per-partition heaps, no full sort shuffle).
+    """
+    toks = tokens(normalize_text(text_col))
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -254,6 +254,49 @@ LLM_ORACLES: dict[str, str] = {
                (count(*) - count(DISTINCT md5(text))) / count(*) AS dup_ratio
         FROM documents GROUP BY source, lang
     """,
+    "llm_tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents WHERE length({_NORM}) > 0
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+          SELECT doc_id, term, tf, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
+    "llm_top_ngrams": f"""
+        WITH toks AS (
+          SELECT CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS ngram
+          FROM toks WHERE len(t) >= 2
+        )
+        SELECT ngram, count(*) AS cnt FROM g
+        GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20
+    """,
+    "w_rolling": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_trailing,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch(ts) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "llm_cosine_topk": """
         WITH pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -20,7 +20,12 @@ from .io import load_table
 from .llm import dedup as LD
 from .llm import similarity as LS
 from .llm import text as LT
-from .llm.multimodal import extract_features, sample_frames, synth_media
+from .llm.multimodal import (
+    extract_features,
+    resize_media,
+    sample_frames,
+    synth_media,
+)
 from .streaming.streams import (
     read_event_stream,
     run_to_memory,
@@ -124,6 +129,17 @@ def llm_quality(spark, sf):
 def llm_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", LT.fingerprint("text").alias("fp"))
+
+
+def llm_tfidf(spark, sf):
+    """Top-3 TF-IDF terms per document (smoothed idf), term-asc
+    tie-break -> fully deterministic, DuckDB-oracled."""
+    return LT.tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
+def llm_top_ngrams(spark, sf):
+    """Corpus-wide top-20 word bigrams (count desc, gram asc)."""
+    return LT.top_ngrams(_t(spark, sf, "documents"), n=2, k=20)
 
 
 def llm_cosine_topk(spark, sf):
@@ -381,6 +397,18 @@ def st_running_totals(spark, sf):
     )
 
 
+def w_rolling(spark, sf):
+    """Per-event trailing-1h count/sum for the same user (RANGE-frame
+    window over epoch seconds)."""
+    from .streaming.windows import rolling_agg
+
+    return rolling_agg(_t(spark, sf, "events"), trailing_seconds=3600)
+
+
+def mm_resize(spark, sf):
+    return resize_media(synth_media(spark, 64), width=64, height=64)
+
+
 def w_tumbling(spark, sf):
     return tumbling_agg(_t(spark, sf, "events"), "1 hour")
 
@@ -409,6 +437,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_language_id": llm_language_id,
     "llm_quality": llm_quality,
     "llm_fingerprint": llm_fingerprint,
+    "llm_tfidf": llm_tfidf,
+    "llm_top_ngrams": llm_top_ngrams,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_cosine_topk_fast": llm_cosine_topk_fast,
     "llm_ann_lsh": llm_ann_lsh,
@@ -428,6 +458,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_mixture_weights": llm_mixture_weights,
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
     "a4_hll_distinct": a4_hll_distinct,
@@ -435,6 +466,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_tumbling": st_tumbling,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
+    "w_rolling": w_rolling,
     "w_tumbling": w_tumbling,
     "w_sliding": w_sliding,
     "w_session": w_session,

@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "resample_counts_filled"]
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "resample_counts_filled",
+    "rolling_agg",
+]
 
 
 def _metrics():
@@ -73,6 +79,43 @@ def session_agg(events: DataFrame, gap: str = "30 minutes", by: str = "user_id")
             F.col("n_events"),
             F.col("sum_value"),
         )
+    )
+
+
+def rolling_agg(
+    events: DataFrame,
+    trailing_seconds: int = 3600,
+    by: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-event trailing-window features: for every event, count + exact
+    sum of the SAME user's events in [ts - trailing, ts] (inclusive both
+    ends -- RANGE frame over epoch seconds).
+
+    The feature-engineering workhorse (e.g. "events in the last hour" as
+    a model input).  One shuffle on the partition key, then a range-frame
+    sliding aggregate per partition -- no self-join, no window explode.
+    Partitions are per-user so skew follows the user distribution; for a
+    whale-user keyspace, pre-bucket by (user, day) and union the
+    boundary, same shape as the session rollup.
+    """
+    from pyspark.sql import Window
+
+    sec = F.col(ts).cast("long")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(sec)
+        .rangeBetween(-int(trailing_seconds), 0)
+    )
+    return events.select(
+        "event_id",
+        F.col(by),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing"),
     )
 
 
