@@ -135,14 +135,19 @@ def tfidf_topk(
     on term -- vocabulary-sized, not corpus-sized -- and AQE handles the
     stop-word skew.  Deterministic: ties broken by term ascending.
     """
+    from pyspark.sql import Window
+
     t = df.select(
         F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
     )
     tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df(term) as a whole-partition window over the tf aggregate: one
+    # scan + one extra exchange on term, instead of re-deriving the
+    # explode->aggregate lineage for a second branch and joining back
+    dfreq = F.count("*").over(Window.partitionBy("term")).alias("df")
     n = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n))
         .select(
             id_col,
@@ -155,7 +160,6 @@ def tfidf_topk(
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
