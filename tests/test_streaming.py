@@ -206,3 +206,59 @@ def test_rolling_agg_trailing_window(spark):
         4: (2, 12.0),  # events 3+4 (event 2 is 5400s back)
         5: (1, 16.0),
     }
+
+
+def test_funnel_steps_ordering_and_ties(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.streaming.windows import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)
+    ev = spark.createDataFrame(
+        [
+            # user 1: full funnel in order
+            Row(event_id=1, user_id=1, ts=t(0), event_type="view"),
+            Row(event_id=2, user_id=1, ts=t(5), event_type="click"),
+            Row(event_id=3, user_id=1, ts=t(9), event_type="purchase"),
+            # user 2: click BEFORE view never counts; later click does
+            Row(event_id=4, user_id=2, ts=t(0), event_type="click"),
+            Row(event_id=5, user_id=2, ts=t(1), event_type="view"),
+            Row(event_id=6, user_id=2, ts=t(2), event_type="click"),
+            # user 3: tie (click at the same ts as view) must not advance
+            Row(event_id=7, user_id=3, ts=t(0), event_type="view"),
+            Row(event_id=8, user_id=3, ts=t(0), event_type="click"),
+            # user 4: never enters the funnel
+            Row(event_id=9, user_id=4, ts=t(0), event_type="error"),
+        ]
+    )
+    got = {r.user_id: r for r in funnel_steps(ev).collect()}
+    assert got[1].steps_completed == 3 and got[1].step3_ts == t(9)
+    assert got[2].steps_completed == 2 and got[2].step2_ts == t(2)
+    assert got[3].steps_completed == 1 and got[3].step2_ts is None
+    assert got[4].steps_completed == 0 and got[4].step1_ts is None
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.streaming.windows import cohort_retention
+
+    d = lambda day, h: dt.datetime(2024, 1, day, h, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=d(1, 9), event_type="view"),
+            Row(event_id=2, user_id=1, ts=d(1, 23), event_type="click"),  # same day
+            Row(event_id=3, user_id=1, ts=d(3, 1), event_type="view"),  # +2 days
+            Row(event_id=4, user_id=2, ts=d(1, 12), event_type="view"),  # same cohort
+            Row(event_id=5, user_id=3, ts=d(2, 0), event_type="view"),  # next cohort
+        ]
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users for r in cohort_retention(ev).collect()
+    }
+    jan = lambda day: dt.datetime(2024, 1, day)
+    assert got == {(jan(1), 0): 2, (jan(1), 2): 1, (jan(2), 0): 1}

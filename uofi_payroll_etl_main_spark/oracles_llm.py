@@ -288,6 +288,40 @@ LLM_ORACLES: dict[str, str] = {
         SELECT ngram, count(*) AS cnt FROM g
         GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20
     """,
+    "w_funnel": """
+        WITH s1 AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS step1_ts
+          FROM events
+        ), s2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > step1_ts THEN ts END)
+                      OVER (PARTITION BY user_id) AS step2_ts
+          FROM s1
+        ), s3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > step2_ts THEN ts END)
+                      OVER (PARTITION BY user_id) AS step3_ts
+          FROM s2
+        )
+        SELECT user_id, min(step1_ts) AS step1_ts, min(step2_ts) AS step2_ts,
+               min(step3_ts) AS step3_ts,
+               CAST(CASE WHEN min(step3_ts) IS NOT NULL THEN 3
+                         WHEN min(step2_ts) IS NOT NULL THEN 2
+                         WHEN min(step1_ts) IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS steps_completed
+        FROM s3 GROUP BY user_id
+    """,
+    "w_cohort": """
+        WITH f AS (
+          SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+          FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
     "w_rolling": """
         SELECT event_id, user_id,
                count(*) OVER w AS n_trailing,

@@ -409,6 +409,22 @@ def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
 
+def w_funnel(spark, sf):
+    """Ordered view->click->purchase funnel per user (strictly
+    increasing timestamps between steps)."""
+    from .streaming.windows import funnel_steps
+
+    return funnel_steps(_t(spark, sf, "events"))
+
+
+def w_cohort(spark, sf):
+    """First-activity-day cohorts x day offset -> distinct active
+    users (retention matrix)."""
+    from .streaming.windows import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
 def w_tumbling(spark, sf):
     return tumbling_agg(_t(spark, sf, "events"), "1 hour")
 
@@ -467,6 +483,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,
+    "w_funnel": w_funnel,
+    "w_cohort": w_cohort,
     "w_tumbling": w_tumbling,
     "w_sliding": w_sliding,
     "w_session": w_session,

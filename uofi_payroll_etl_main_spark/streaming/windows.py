@@ -22,6 +22,8 @@ __all__ = [
     "session_agg",
     "resample_counts_filled",
     "rolling_agg",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 
@@ -116,6 +118,73 @@ def rolling_agg(
         .over(w)
         .cast("double")
         .alias("sum_trailing"),
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    by: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the first time each step
+    completed STRICTLY AFTER the previous step (ts ties don't advance
+    the funnel), plus how many steps completed.
+
+    Each stage is a whole-partition min window over the same partition
+    key, so Catalyst plans ONE exchange on `by` and stacks the Window
+    operators on it -- no self-joins, no per-step shuffle.  The final
+    per-key collapse aggregates on the already-partitioned key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by)
+    out = events.select(by, "event_type", ts)
+    prev: str | None = None
+    names: list[str] = []
+    for i, step in enumerate(steps, 1):
+        hit = F.col("event_type") == step
+        if prev is not None:
+            hit = hit & (F.col(ts) > F.col(prev))
+        name = f"step{i}_ts"
+        out = out.withColumn(name, F.min(F.when(hit, F.col(ts))).over(w))
+        names.append(name)
+        prev = name
+    completed = F.lit(0).cast("long")
+    for i, name in enumerate(names, 1):
+        completed = F.when(F.col(name).isNotNull(), F.lit(i).cast("long")).otherwise(
+            completed
+        )
+    return (
+        out.groupBy(by)
+        .agg(*[F.min(n).alias(n) for n in names])
+        .select(by, *names, completed.alias("steps_completed"))
+    )
+
+
+def cohort_retention(events: DataFrame, by: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the distinct users active that day.
+
+    First-touch is a per-key aggregate; the join back to the fact is
+    key-co-partitioned with the aggregate's own shuffle (and AQE
+    broadcasts the cohort side when it's small).  The retention matrix
+    is buckets x offsets -- metadata-scale output.
+    """
+    first = events.groupBy(by).agg(
+        F.date_trunc("day", F.min(ts)).alias("cohort_day")
+    )
+    return (
+        events.join(first, by)
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col(ts)), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            F.col(by),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(by).alias("n_users"))
     )
 
 
