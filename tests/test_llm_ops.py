@@ -302,3 +302,32 @@ def test_top_ngrams_trigram_and_limit(spark):
     d = spark.createDataFrame([Row(doc_id=1, text="x y z w")])
     got = [(r.ngram, r.cnt) for r in T.top_ngrams(d, n=3, k=1).collect()]
     assert got == [("x y z", 1)]  # limit honored; gram asc tie-break
+
+
+def test_fuzzy_pairs_blocked_semantics(spark):
+    d = spark.createDataFrame(
+        [
+            # 1 and 2: same 8-char block, small edit inside the head
+            Row(doc_id=1, text="alpha bravo charlie delta echo"),
+            Row(doc_id=2, text="alpha bravo charlie delta echox"),
+            # 3: edit inside the FIRST 8 chars: lands in another block,
+            # never compared (documented blocking trade-off)
+            Row(doc_id=3, text="alphaX bravo charlie delta echo"),
+            # 4: same block as 1/2 but beyond max_dist
+            Row(doc_id=4, text="alpha br" + "z" * 50),
+        ]
+    )
+    got = {(r.doc_a, r.doc_b): r.dist for r in D.fuzzy_pairs_blocked(d).collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1
+
+
+def test_compression_ratio_signal(spark):
+    rep = "spam " * 200  # boilerplate: compresses hard
+    nat = BASE + " " + FAR  # varied text: compresses less
+    d = spark.createDataFrame([Row(doc_id=1, text=rep), Row(doc_id=2, text=nat)])
+    got = {r.doc_id: r for r in D.compression_ratio(d).collect()}
+    assert got[1].n_raw == len(rep.encode()) and got[2].n_raw == len(nat.encode())
+    assert got[1].ratio < 0.1 < got[2].ratio <= 1.2
+    # deterministic across runs and partitionings
+    again = {r.doc_id: r.ratio for r in D.compression_ratio(d.repartition(4)).collect()}
+    assert again == {k: v.ratio for k, v in got.items()}

@@ -254,6 +254,17 @@ LLM_ORACLES: dict[str, str] = {
                (count(*) - count(DISTINCT md5(text))) / count(*) AS dup_ratio
         FROM documents GROUP BY source, lang
     """,
+    "llm_fuzzy_pairs": f"""
+        WITH base AS (
+          SELECT doc_id AS id, substring({_NORM}, 1, 64) AS head,
+                 substring({_NORM}, 1, 8) AS block
+          FROM documents WHERE length(substring({_NORM}, 1, 64)) > 0
+        )
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+        WHERE levenshtein(a.head, b.head) <= 8
+    """,
     "llm_tfidf": f"""
         WITH toks AS (
           SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term

@@ -131,6 +131,18 @@ def llm_fingerprint(spark, sf):
     return d.select("doc_id", LT.fingerprint("text").alias("fp"))
 
 
+def llm_fuzzy_pairs(spark, sf):
+    """Prefix-blocked Levenshtein near-dup pairs over normalized
+    64-char heads (exact given the blocking rule -> DuckDB-oracled)."""
+    return LD.fuzzy_pairs_blocked(_t(spark, sf, "documents"))
+
+
+def llm_compress_ratio(spark, sf):
+    """zlib compression-ratio quality signal (Gopher-style repetition
+    detector); Arrow-batched Python kernel, rows-only gate + pytest."""
+    return LD.compression_ratio(_t(spark, sf, "documents"))
+
+
 def llm_tfidf(spark, sf):
     """Top-3 TF-IDF terms per document (smoothed idf), term-asc
     tie-break -> fully deterministic, DuckDB-oracled."""
@@ -453,6 +465,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_language_id": llm_language_id,
     "llm_quality": llm_quality,
     "llm_fingerprint": llm_fingerprint,
+    "llm_fuzzy_pairs": llm_fuzzy_pairs,
+    "llm_compress_ratio": llm_compress_ratio,
     "llm_tfidf": llm_tfidf,
     "llm_top_ngrams": llm_top_ngrams,
     "llm_cosine_topk": llm_cosine_topk,
