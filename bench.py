@@ -35,8 +35,11 @@ HEADLINERS = [
     "llm_cosine_topk_fast",
     "llm_embed_dup_lsh",
     "llm_ann_ivf",
+    "llm_tfidf",
+    "llm_fuzzy_pairs",
     "w_tumbling",
     "w_session",
+    "w_funnel",
     "st_tumbling",
 ]
 
@@ -51,8 +54,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM/scan path once (not timed)
+    # warm the JVM/scan path and the Python-worker pool once (not
+    # timed): the first Arrow exchange pays worker spin-up, which is
+    # session overhead, not query cost
     qs["a3_count"](spark, sf_dir).collect()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:
