@@ -97,3 +97,43 @@ def test_decontaminate_broadcasts_benchmark(spark):
     semi_anti = [seg for seg in plan.split("BroadcastHashJoin")[1:]]
     assert len(semi_anti) >= 2, plan  # semi (grams) + anti (ids)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_single_corpus_scan(spark):
+    # df(term) must come from a window over the tf aggregate, not a
+    # second explode branch: exactly one documents scan feeds the
+    # shingle lineage (plus the count-only scan for N)
+    from uofi_payroll_etl_main_spark.registry_llm import llm_tfidf
+
+    fmt = _formatted(llm_tfidf(spark, SF))
+    assert fmt.count("documents.parquet") == 2, fmt  # tokens + bare count
+    assert fmt.count("Generate (") == 1, fmt  # one explode only
+
+
+def test_funnel_single_exchange_stacked_windows(spark):
+    # the three per-step mins stack on ONE hashpartitioning exchange
+    from uofi_payroll_etl_main_spark.registry_llm import w_funnel
+
+    # count only the AQE final plan, not the appended initial plan
+    plan = _final_plan(w_funnel(spark, SF)).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 3, plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    # blocking must plan an equi self-join on the block key, never a
+    # cartesian/nested-loop pair space
+    from uofi_payroll_etl_main_spark.registry_llm import llm_fuzzy_pairs
+
+    plan = _final_plan(llm_fuzzy_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_top_ngrams_take_ordered(spark):
+    # global top-k must be TakeOrderedAndProject (per-partition heaps),
+    # not a full sort
+    from uofi_payroll_etl_main_spark.registry_llm import llm_top_ngrams
+
+    plan = _final_plan(llm_top_ngrams(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
