@@ -160,3 +160,71 @@ def test_stratified_sample_is_subset_and_model_exact(spark, keys, pct):
     df = spark.createDataFrame([Row(doc_id=k, lang="en") for k in keys], "doc_id long, lang string")
     kept = {r.doc_id for r in stratified_sample(df, "doc_id", "lang", {"en": pct}).collect()}
     assert kept == {k for k in keys if k % 100 < pct}
+
+
+def _model_norm_tokens(text):
+    if text is None:
+        return []
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    return t.split(" ") if t else []
+
+
+TXT = st.one_of(
+    st.none(),
+    st.sampled_from(["", "  ", "a a a", "the the", "x"]),
+    st.text(alphabet="abc THE.\t\n", max_size=30),
+)
+
+
+@SETTINGS
+@given(st.lists(TXT, min_size=1, max_size=15))
+def test_top_ngrams_matches_python_model(spark, texts):
+    from collections import Counter
+
+    from uofi_payroll_etl_main_spark.llm.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r.ngram, r.cnt) for r in top_ngrams(df, n=2, k=50).collect()]
+    c = Counter()
+    for t in texts:
+        toks = _model_norm_tokens(t)
+        for i in range(len(toks) - 1):
+            c[toks[i] + " " + toks[i + 1]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want, (got, want)
+
+
+@SETTINGS
+@given(st.lists(TXT, min_size=1, max_size=12))
+def test_tfidf_matches_python_model(spark, texts):
+    import math
+    from collections import Counter
+
+    from uofi_payroll_etl_main_spark.llm.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.tfidf, r.rank)
+        for r in tfidf_topk(df, k=2).collect()
+    }
+    n = len(texts)
+    docs = {i: Counter(_model_norm_tokens(t)) for i, t in enumerate(texts)}
+    dfreq = Counter()
+    for c in docs.values():
+        dfreq.update(c.keys())
+    want = {}
+    for i, c in docs.items():
+        scored = sorted(
+            (
+                (term, tf, round(tf * (math.log((n + 1.0) / (dfreq[term] + 1.0)) + 1.0), 6))
+                for term, tf in c.items()
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )[:2]
+        for rank, (term, tf, s) in enumerate(scored, 1):
+            want[(i, term)] = (tf, s, rank)
+    assert got == want, (got, want)
