@@ -262,3 +262,26 @@ def test_cohort_retention_offsets(spark):
     }
     jan = lambda day: dt.datetime(2024, 1, day)
     assert got == {(jan(1), 0): 2, (jan(1), 2): 1, (jan(2), 0): 1}
+
+
+def test_merge_additive_incremental_equals_recompute(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.io import merge_additive
+
+    base = str(tmp_path / "rollup")
+    day1 = spark.createDataFrame(
+        [Row(k="a", n=2, v=10.0), Row(k="b", n=1, v=5.0)]
+    )
+    day1.write.parquet(base)
+    day2 = spark.createDataFrame([Row(k="a", n=3, v=7.0), Row(k="c", n=1, v=1.0)])
+    day3 = spark.createDataFrame([Row(k="b", n=4, v=2.0)])
+
+    merge_additive(spark, base, day2, keys=["k"], sum_cols=["n", "v"])
+    out = merge_additive(spark, base, day3, keys=["k"], sum_cols=["n", "v"])
+    got = {r.k: (r.n, r.v) for r in out.collect()}
+    # folding deltas one at a time == one full recompute
+    assert got == {"a": (5, 17.0), "b": (5, 7.0), "c": (1, 1.0)}
+    # and the result was durably written back
+    again = {r.k: (r.n, r.v) for r in spark.read.parquet(base).collect()}
+    assert again == got

@@ -260,6 +260,47 @@ def merge_upsert(
     return spark.read.parquet(path)
 
 
+def merge_additive(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental materialized-rollup refresh: fold an (optionally
+    pre-aggregated) delta into the rollup at `path` by summing
+    `sum_cols` per `keys`, with the same crash-recoverable atomic-swap
+    rewrite as merge_upsert.
+
+    The incremental-ETL shape: a periodic job aggregates only the new
+    partition of the fact table and folds it in, so refresh cost tracks
+    the DELTA, not the table -- the portable form of an incrementally
+    maintained materialized view.  Summable aggregates only (count/sum;
+    store sum+count to derive avg); min/max fold too, but non-mergeable
+    aggregates (distinct, exact quantiles) need their sketch forms.
+    Applying deltas in any grouping is associative, so two deltas fold
+    to the same rollup as one combined recompute (pytest-asserted).
+    """
+    import os
+    import shutil
+
+    existing = spark.read.parquet(path)
+    merged = (
+        existing.unionByName(delta, allowMissingColumns=True)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+    tmp = path.rstrip("/") + ".__merge_tmp"
+    swap = path.rstrip("/") + ".__merge_old"
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    return spark.read.parquet(path)
+
+
 def compact(spark: SparkSession, path: str, target_files: int) -> DataFrame:
     """Small-files compaction: rewrite the parquet dataset at `path`
     into `target_files` files via an atomic directory swap (same
