@@ -331,3 +331,36 @@ def test_compression_ratio_signal(spark):
     # deterministic across runs and partitionings
     again = {r.doc_id: r.ratio for r in D.compression_ratio(d.repartition(4)).collect()}
     assert again == {k: v.ratio for k, v in got.items()}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="solo"),  # no bigrams: absent from output
+        ]
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in T.bigram_logprob(d).collect()}
+    # corpus: c("a b")=2, c("b c")=1; unigrams: a=2, b=2, c=1, solo=1
+    lp_ab = round(math.log(2 / 2), 9)  # 0.0
+    lp_bc = round(math.log(1 / 2), 9)
+    assert got[1] == (1, round(lp_ab / 1, 6))
+    assert got[2] == (2, round((lp_ab + lp_bc) / 2, 6))
+    assert 3 not in got
+
+
+def test_mean_embedding_hand_computed(spark):
+    from uofi_payroll_etl_main_spark.llm.similarity import mean_embedding
+
+    d = spark.createDataFrame(
+        [
+            Row(vec_id=1, label=0, embedding=[1.0, 2.0]),
+            Row(vec_id=2, label=0, embedding=[3.0, 6.0]),
+            Row(vec_id=3, label=1, embedding=[5.0, 5.0]),
+        ]
+    )
+    got = {r.label: (r.n_vecs, list(r.centroid)) for r in mean_embedding(d).collect()}
+    assert got == {0: (2, [2.0, 4.0]), 1: (1, [5.0, 5.0])}

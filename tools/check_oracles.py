@@ -33,7 +33,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in out.columns:
         s = out[c]
         if s.dtype == object:
-            out[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            out[c] = s.map(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
+            )
     out = out.sort_values(by=list(out.columns), na_position="last").reset_index(drop=True)
     return out
 

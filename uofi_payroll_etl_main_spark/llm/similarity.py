@@ -491,3 +491,28 @@ def cosine_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def mean_embedding(
+    df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group mean-pooled embedding (class centroid): posexplode the
+    vector (narrow, xD fan-out), average per (group, dim), reassemble
+    ordered by dim.
+
+    The standard centroid/pooling primitive (class prototypes, IVF
+    seeding, per-source drift monitoring).  The shuffle key is
+    (group, dim) -- groups x dims cells, metadata-scale output; per-dim
+    means are rounded to 6 digits for cross-engine stability.
+    """
+    ex = df.select(group_col, F.posexplode(vec_col).alias("dim", "v"))
+    per = ex.groupBy(group_col, "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"),
+        F.count("*").alias("cnt"),
+    )
+    return per.groupBy(group_col).agg(
+        F.max("cnt").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))), lambda s: s.mv
+        ).alias("centroid"),
+    )

@@ -32,6 +32,7 @@ __all__ = [
     "normalize_text",
     "tfidf_topk",
     "top_ngrams",
+    "bigram_logprob",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -194,4 +195,54 @@ def top_ngrams(
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(k)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style fluency signal: mean MLE bigram log-probability of
+    each document under the corpus's own bigram model,
+    avg over bigrams (w1 w2) of ln(count(w1 w2) / count(w1)).
+
+    Unusual text (boilerplate, garbled extraction, wrong-language
+    residue) scores low; a production pipeline swaps the corpus model
+    for a pretrained KenLM, but the join/aggregate shape is identical.
+
+    Shuffles are vocabulary-sized (bigram + unigram count joins;
+    stop-word skew is AQE's standard case), and the per-term logprob is
+    rounded to 9 digits and summed as DECIMAL so the cross-engine
+    result is bit-stable (ln may differ in the last ulp between libm
+    implementations).
+    """
+    toks = tokens(normalize_text(text_col))
+    sz = F.size(toks)
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    ex = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_w1"))
+    )
+    bg = ex.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    term = F.round(F.log(F.col("c_bg") / F.col("c_w1")), 9).cast("decimal(20,9)")
+    return (
+        ex.join(bg, "bg")
+        .join(uni, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round((F.sum(term) / F.count("*")).cast("double"), 6).alias(
+                "avg_logprob"
+            ),
+        )
     )

@@ -254,6 +254,43 @@ LLM_ORACLES: dict[str, str] = {
                (count(*) - count(DISTINCT md5(text))) / count(*) AS dup_ratio
         FROM documents GROUP BY source, lang
     """,
+    "llm_bigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, t, unnest(range(1, len(t))) AS i
+          FROM toks WHERE len(t) >= 2
+        ), ex AS (
+          SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg FROM idx
+        ), uni AS (
+          SELECT unnest(t) AS w1 FROM toks
+        ), c_uni AS (
+          SELECT w1, count(*) AS c_w1 FROM uni GROUP BY w1
+        ), c_bg AS (
+          SELECT bg, count(*) AS c_bg FROM ex GROUP BY bg
+        )
+        SELECT ex.doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(round(ln(CAST(c_bg.c_bg AS DOUBLE) / c_uni.c_w1), 9)
+                                   AS DECIMAL(20,9))) / count(*) AS DOUBLE), 6) AS avg_logprob
+        FROM ex JOIN c_bg USING (bg) JOIN c_uni USING (w1)
+        GROUP BY ex.doc_id
+    """,
+    "llm_mean_embedding": """
+        WITH idx AS (
+          SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings
+        ), ex AS (
+          SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v FROM idx
+        ), per AS (
+          SELECT label, dim, round(avg(v), 6) AS mv, count(*) AS cnt
+          FROM ex GROUP BY label, dim
+        )
+        SELECT label, max(cnt) OVER (PARTITION BY label) AS n_vecs, dim, mv
+        FROM per
+    """,
     "llm_fuzzy_pairs": f"""
         WITH base AS (
           SELECT doc_id AS id, substring({_NORM}, 1, 64) AS head,

@@ -154,6 +154,22 @@ def llm_top_ngrams(spark, sf):
     return LT.top_ngrams(_t(spark, sf, "documents"), n=2, k=20)
 
 
+def llm_bigram_logprob(spark, sf):
+    """Mean corpus-bigram log-probability per doc (fluency/quality
+    signal; DECIMAL-summed rounded terms -> cross-engine stable)."""
+    return LT.bigram_logprob(_t(spark, sf, "documents"))
+
+
+def llm_mean_embedding(spark, sf):
+    """Per-label mean-pooled embedding centroid, flattened to
+    (label, n_vecs, dim, mv) rows for the value-hash compare (the
+    engine API returns the assembled array)."""
+    out = LS.mean_embedding(_t(spark, sf, "embeddings"))
+    return out.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("dim", "mv")
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
 def llm_cosine_topk(spark, sf):
     return LS.cosine_topk(_t(spark, sf, "embeddings"), k=5)
 
@@ -469,6 +485,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_compress_ratio": llm_compress_ratio,
     "llm_tfidf": llm_tfidf,
     "llm_top_ngrams": llm_top_ngrams,
+    "llm_bigram_logprob": llm_bigram_logprob,
+    "llm_mean_embedding": llm_mean_embedding,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_cosine_topk_fast": llm_cosine_topk_fast,
     "llm_ann_lsh": llm_ann_lsh,
