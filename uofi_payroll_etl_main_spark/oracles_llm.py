@@ -450,6 +450,38 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "st_sliding": """
+        WITH starts AS (
+          SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+                 event_type, value
+          FROM events
+        )
+        SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM starts GROUP BY 1, 2, 3
+    """,
+    "st_session": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, sid
+    """,
     "st_dedup": """
         SELECT event_id, user_id, event_type FROM events
     """,

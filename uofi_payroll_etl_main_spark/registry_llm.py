@@ -31,6 +31,8 @@ from .streaming.streams import (
     run_to_memory,
     streaming_dedup,
     streaming_running_totals,
+    streaming_session_counts,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
 )
 from .streaming.windows import (
@@ -399,6 +401,26 @@ def st_tumbling(spark, sf):
     return spark.table("st_tumbling_out")
 
 
+def st_sliding(spark, sf):
+    """Streaming sliding windows drained AvailableNow -- same DuckDB
+    oracle as the batch w_sliding (shared agg expressions)."""
+    run_to_memory(
+        streaming_sliding_counts(_event_stream(spark, sf), "2 hours", "1 hour"),
+        "st_sliding_out",
+    )
+    return spark.table("st_sliding_out")
+
+
+def st_session(spark, sf):
+    """Streaming sessionization drained AvailableNow -- same DuckDB
+    oracle as the batch w_session."""
+    run_to_memory(
+        streaming_session_counts(_event_stream(spark, sf), "30 minutes"),
+        "st_session_out",
+    )
+    return spark.table("st_session_out")
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -512,6 +534,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
+    "st_sliding": st_sliding,
+    "st_session": st_session,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,

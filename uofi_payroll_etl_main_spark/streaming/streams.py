@@ -23,6 +23,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
     "streaming_tumbling_counts",
+    "streaming_sliding_counts",
     "streaming_session_counts",
     "streaming_dedup",
     "streaming_running_totals",
@@ -62,6 +63,32 @@ def streaming_tumbling_counts(
         )
         .select(
             F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows with a watermark: each event lands in
+    width/slide windows; state for windows wholly behind the watermark
+    is finalized and dropped, same bound as the tumbling form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
             F.col("event_type"),
             F.col("n_events"),
             F.col("sum_value"),
