@@ -285,3 +285,18 @@ def test_merge_additive_incremental_equals_recompute(spark, tmp_path):
     # and the result was durably written back
     again = {r.k: (r.n, r.v) for r in spark.read.parquet(base).collect()}
     assert again == got
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.io import read_parquet_evolving
+
+    p1 = str(tmp_path / "v1")
+    p2 = str(tmp_path / "v2")
+    spark.createDataFrame([Row(k=1, a="x")]).write.parquet(p1)
+    spark.createDataFrame([Row(k=2, a="y", b=9)]).write.parquet(p2)  # writer added b
+    out = read_parquet_evolving(spark, p1, p2)
+    assert set(out.columns) == {"k", "a", "b"}
+    got = {r.k: (r.a, r.b) for r in out.collect()}
+    assert got == {1: ("x", None), 2: ("y", 9)}

@@ -36,6 +36,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union the file schemas (mergeSchema), so a
+    dataset whose writers added columns over time scans as one frame
+    with nulls for pre-addition files.
+
+    mergeSchema costs a footer read per file at planning time -- fine
+    for a dataset, wasteful as a default (which is why read_parquet
+    doesn't set it); at 100 TB pin the merged schema in a catalog and
+    pass it explicitly instead.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Convenience: one TPC-H-ish testdata table (TESTDATA.md).
 

@@ -29,6 +29,42 @@ _SHINGLES = rf"""
   )
 """
 
+# Connected-component CTE over the 0.4-Jaccard edge list (shared by
+# llm_dup_clusters and llm_near_dedup_corpus): cc enumerates every
+# (node, reachable-label) pair; UNION dedups, so it terminates.
+_CC_CTE = rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN []
+                  ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [array_to_string(t, ' ')] END
+             ) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
+    ), bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), cc AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT bd.b, cc.label FROM cc JOIN bidir bd ON cc.node = bd.a
+    )
+"""
+
 LLM_ORACLES: dict[str, str] = {
     "llm_exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
@@ -102,38 +138,20 @@ LLM_ORACLES: dict[str, str] = {
     # (UNION dedups, so it terminates); min(label) per node is the
     # component id.  Fine at gate scale; the Spark side is the scalable
     # min-label-propagation loop.
-    "llm_dup_clusters": rf"""
-        WITH RECURSIVE toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), sh AS (
-          SELECT doc_id,
-                 list_distinct(
-                   CASE WHEN len(t) >= 3
-                        THEN list_transform(range(1, len(t) - 1),
-                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE [array_to_string(t, ' ')] END
-                 ) AS shingles
-          FROM toks
-        ), ex AS (
-          SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
-        ), pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-          HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
-        ), bidir AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL
-          SELECT doc_b, doc_a FROM pairs
-        ), cc AS (
-          SELECT doc_id AS node, doc_id AS label FROM documents
-          UNION
-          SELECT bd.b, cc.label FROM cc JOIN bidir bd ON cc.node = bd.a
-        )
+    "llm_dup_clusters": _CC_CTE
+    + """
         SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    """,
+    # Same component computation, folded to the cleaned corpus: keep
+    # only docs that are their own component minimum.
+    "llm_near_dedup_corpus": _CC_CTE
+    + """
+        , clusters AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN clusters c
+          ON d.doc_id = c.doc_id AND c.cluster_id = d.doc_id
     """,
     "llm_quality_filter": r"""
         WITH t AS (

@@ -261,6 +261,20 @@ def llm_dup_clusters(spark, sf):
     return LD.duplicate_clusters(docs, edges)
 
 
+def llm_near_dedup_corpus(spark, sf):
+    """End-to-end near-dedup: exact Jaccard edges -> connected-component
+    clusters -> keep the min-id doc per cluster -> cleaned corpus.  The
+    full curation composite, exact at every stage (cluster stage is the
+    iterative min-label loop; oracle replays it as a recursive CTE)."""
+    docs = _t(spark, sf, "documents")
+    edges = LD.jaccard_pairs(docs, threshold=0.4, n=3)
+    clusters = LD.duplicate_clusters(docs, edges)
+    keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def llm_quality_filter(spark, sf):
     """Exact top-half-per-language cut by unique-token ratio
     (percent_rank window, doc_id tiebreak -> deterministic kept set)."""
@@ -521,6 +535,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
     "llm_dup_clusters": llm_dup_clusters,
+    "llm_near_dedup_corpus": llm_near_dedup_corpus,
     "llm_quality_filter": llm_quality_filter,
     "llm_cross_dedup": llm_cross_dedup,
     "llm_redact": llm_redact,
