@@ -335,3 +335,25 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     out = compact(spark, path, 3)
     assert len(glob.glob(path + "/part-*.parquet")) == 3
     assert {r.id for r in out.collect()} == before
+
+
+def test_group_stats_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.aggregates import group_stats
+
+    d = spark.createDataFrame(
+        [
+            Row(g="a", v=1.0),
+            Row(g="a", v=2.0),
+            Row(g="a", v=3.0),
+            Row(g="b", v=7.5),  # singleton: stddev must be null
+        ]
+    )
+    got = {r.g: r for r in group_stats(d, "g", "v").collect()}
+    assert got["a"].n == 3 and got["a"].mean_v == 2.0
+    assert got["a"].stddev_v == round(math.sqrt(1.0), 6)  # var of 1,2,3 = 1
+    assert (got["a"].min_v, got["a"].max_v) == (1.0, 3.0)
+    assert got["b"].n == 1 and got["b"].stddev_v is None and got["b"].mean_v == 7.5

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mode_agg", "min_max", "count_rows"]
+__all__ = ["mode_agg", "min_max", "count_rows", "group_stats"]
 
 
 def mode_agg(
@@ -80,4 +80,40 @@ def approx_quantiles(
             F.percentile_approx(col, p, accuracy).alias(f"p{int(p * 100)}_{col}")
             for p in probs
         ]
+    )
+
+
+def group_stats(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Exact descriptive statistics per group: n, mean, sample stddev,
+    min, max -- the A/B-readout / feature-profiling aggregate.
+
+    Mean and stddev derive from EXACT decimal power sums (sum, sum of
+    squares) rather than F.avg/F.stddev over doubles: double summation
+    is accumulation-order-dependent, so a shuffle-order change (or a
+    different engine) would drift the last bits.  The exact sums are
+    then cast to double and finished with IEEE arithmetic -- identical
+    on any engine -- rather than decimal division, whose scale rules
+    are engine-specific.  One map-side-combined shuffle, same cost as
+    any groupBy.
+    """
+    v = F.col(col).cast("decimal(18,2)")
+    agg = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.min(F.col(col).cast("double")).alias("min_v"),
+        F.max(F.col(col).cast("double")).alias("max_v"),
+    )
+    n = F.col("n")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    # sample variance from power sums: (s2 - s1^2/n) / (n-1); n=1 -> null
+    var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    return agg.select(
+        key,
+        "n",
+        F.round(s1 / n, 6).alias("mean_v"),
+        F.round(F.sqrt(var), 6).alias("stddev_v"),
+        "min_v",
+        "max_v",
     )

@@ -462,6 +462,24 @@ LLM_ORACLES: dict[str, str] = {
           FROM events WHERE event_type = 'purchase'
         ) p ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
+    "a11_group_stats": """
+        WITH agg AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(value AS DECIMAL(18,2))) AS s1,
+                 sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2,
+                 min(CAST(value AS DOUBLE)) AS min_v,
+                 max(CAST(value AS DOUBLE)) AS max_v
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CAST(s1 AS DOUBLE) / n, 6) AS mean_v,
+               round(sqrt(CASE WHEN n > 1
+                               THEN (CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                                    / (n - 1) END), 6) AS stddev_v,
+               min_v, max_v
+        FROM agg
+    """,
     "st_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,

@@ -391,6 +391,14 @@ def j10_asof_backward(spark, sf):
     return out.select("event_id", "user_id", "event_type", "purchase_ts", "purchase_value")
 
 
+def a11_group_stats(spark, sf):
+    """Exact per-type descriptive stats (decimal power sums -> IEEE
+    finish); the A/B-readout aggregate."""
+    from .aggregates import group_stats
+
+    return group_stats(_t(spark, sf, "events"), "event_type", "value")
+
+
 def a4_hll_distinct(spark, sf):
     """HLL distinct users per event type (rows-only: sketch estimates
     differ across engines; tolerance vs exact asserted in pytest)."""
@@ -546,6 +554,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize": mm_resize,
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
+    "a11_group_stats": a11_group_stats,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
