@@ -357,3 +357,49 @@ def test_group_stats_hand_computed(spark):
     assert got["a"].stddev_v == round(math.sqrt(1.0), 6)  # var of 1,2,3 = 1
     assert (got["a"].min_v, got["a"].max_v) == (1.0, 3.0)
     assert got["b"].n == 1 and got["b"].stddev_v is None and got["b"].mean_v == 7.5
+
+
+def test_write_zordered_bounded_boxes(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.io import write_zordered
+
+    # 64x64 grid: every (x, y) combination once
+    grid = (
+        spark.range(64 * 64)
+        .selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y", "id AS payload")
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(grid, path, ["x", "y"], num_files=16)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 16
+
+    def box(f):
+        md = pq.ParquetFile(f).metadata
+        lo = {"x": None, "y": None}
+        hi = {"x": None, "y": None}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in lo:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        return lo, hi
+
+    boxes = [box(f) for f in files]
+    # every file's bounding box must be small in BOTH dims: a z-curve
+    # through a 64x64 grid split into 16 files gives ~16x16 tiles;
+    # allow generous slack for boundary-crossing files
+    global_area = 64 * 64
+    for lo, hi in boxes:
+        area = (hi["x"] - lo["x"] + 1) * (hi["y"] - lo["y"] + 1)
+        assert area <= global_area / 4, (lo, hi)
+    # a small box predicate must prune most files on footer stats alone
+    q = [b for b in boxes if not (b[1]["x"] < 10 or b[0]["x"] > 20 or b[1]["y"] < 10 or b[0]["y"] > 20)]
+    assert len(q) <= len(files) // 2, [b for b in boxes]
+    # lossless re-layout
+    assert spark.read.parquet(path).count() == 64 * 64

@@ -194,6 +194,81 @@ def write_range_sorted(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) key of two already-scaled integer columns in
+    [0, 2^bits): bit-interleave via a Catalyst aggregate over the bit
+    positions -- pure codegen, no UDF.
+
+    Columns must be pre-scaled (see write_zordered); masking keeps the
+    shifts ANSI-safe.
+    """
+    mask = F.lit((1 << bits) - 1).cast("long")
+    xm = x.cast("long").bitwiseAND(mask)
+    ym = y.cast("long").bitwiseAND(mask)
+    # bits is a plan-time constant, so the interleave unrolls to a flat
+    # 2*bits-term sum of shift/mask ops -- one codegen expression
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xm, i).bitwiseAND(one), 2 * i)
+            + F.shiftleft(F.shiftright(ym, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet layout: cluster rows along a Morton curve of
+    two numeric columns so EVERY file covers a small bounding box in
+    BOTH dimensions -- min/max footer stats then prune files for
+    predicates on either column (or a box on both), where a single-key
+    sort only skips on its leading column.
+
+    Scaling is linear min/max -> [0, 2^bits) (two scalar aggregates,
+    broadcast); rank-based scaling resists skew better but costs a
+    global sort -- at 100 TB do the rank pass on a sample.  The write
+    itself is repartitionByRange + local sort on the z key, same
+    shuffle budget as write_range_sorted.
+    """
+    if len(cols) != 2:
+        raise ValueError("write_zordered interleaves exactly 2 columns")
+    cx, cy = cols
+    rng = df.agg(
+        F.min(F.col(cx).cast("double")).alias("__xmin"),
+        F.max(F.col(cx).cast("double")).alias("__xmax"),
+        F.min(F.col(cy).cast("double")).alias("__ymin"),
+        F.max(F.col(cy).cast("double")).alias("__ymax"),
+    )
+    top = F.lit((1 << bits) - 1)
+
+    def scale(c, lo, hi):
+        span = F.when(F.col(hi) > F.col(lo), F.col(hi) - F.col(lo)).otherwise(F.lit(1.0))
+        return F.least(
+            top.cast("double"),
+            F.floor((F.col(c).cast("double") - F.col(lo)) / span * (1 << bits)),
+        ).cast("long")
+
+    keyed = df.crossJoin(F.broadcast(rng)).withColumn(
+        "__z",
+        zorder_key(scale(cx, "__xmin", "__xmax"), scale(cy, "__ymin", "__ymax"), bits),
+    )
+    (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (built into Spark; columnar, predicate-pushdown-capable
     like parquet -- the interchange format for Hive-era estates)."""
