@@ -396,6 +396,30 @@ CORE_ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
     """,
+    "j13_full_outer": """
+        WITH cnt AS (
+          SELECT o_custkey, count(*) AS n_urgent
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+          GROUP BY o_custkey
+        )
+        SELECT COALESCE(c.c_custkey, cnt.o_custkey) AS cust_id,
+               c.c_mktsegment, cnt.n_urgent
+        FROM customer c FULL OUTER JOIN cnt ON c.c_custkey = cnt.o_custkey
+    """,
+    "a12_unpivot": """
+        WITH src AS (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_orderkey % 50 = 0
+        )
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+    """,
     "u2_intersect": """
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT

@@ -579,6 +579,44 @@ def j12_anti_join(spark, sf):
     )
 
 
+def j13_full_outer(spark, sf):
+    """FULL OUTER join: every customer and every per-customer order
+    rollup survive, null-filled where the other side is absent
+    (customers with no orders on dense TPC-H data; orphan orders would
+    surface symmetrically).  Fact-to-aggregate shuffle join; AQE picks
+    the physical strategy."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return (
+        cust.join(cnt, cust["c_custkey"] == cnt["o_custkey"], "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("cust_id"),
+            "c_mktsegment",
+            "n_urgent",
+        )
+    )
+
+
+def a12_unpivot(spark, sf):
+    """Unpivot / melt: wide lineitem metrics to long (row, metric,
+    value) form -- the inverse of a8_pivot; narrow fan-out, no
+    shuffle."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
 def a6_window_analytics(spark, sf):
     """Ranking/lag/cumulative window suite over the order history: the
     shuffle key is the window partition (customer); one exchange total."""
@@ -1227,6 +1265,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
+    "j13_full_outer": j13_full_outer,
+    "a12_unpivot": a12_unpivot,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
     "q14_promo_share": q14_promo_share,
