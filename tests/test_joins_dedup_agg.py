@@ -403,3 +403,27 @@ def test_write_zordered_bounded_boxes(spark, tmp_path):
     assert len(q) <= len(files) // 2, [b for b in boxes]
     # lossless re-layout
     assert spark.read.parquet(path).count() == 64 * 64
+
+
+def test_group_corr_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.aggregates import group_corr
+
+    d = spark.createDataFrame(
+        [
+            # perfectly linear: corr = 1
+            Row(g="up", x=1.0, y=2.0),
+            Row(g="up", x=2.0, y=4.0),
+            Row(g="up", x=3.0, y=6.0),
+            # perfectly inverse: corr = -1
+            Row(g="down", x=1.0, y=3.0),
+            Row(g="down", x=2.0, y=2.0),
+            Row(g="down", x=3.0, y=1.0),
+            # constant y: undefined -> null
+            Row(g="flat", x=1.0, y=5.0),
+            Row(g="flat", x=2.0, y=5.0),
+        ]
+    )
+    got = {r.g: (r.n, r.corr_xy) for r in group_corr(d, "g", "x", "y").collect()}
+    assert got == {"up": (3, 1.0), "down": (3, -1.0), "flat": (2, None)}

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mode_agg", "min_max", "count_rows", "group_stats"]
+__all__ = ["mode_agg", "min_max", "count_rows", "group_stats", "group_corr"]
 
 
 def mode_agg(
@@ -117,3 +117,33 @@ def group_stats(df: DataFrame, key: str, col: str) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+def group_corr(df: DataFrame, key: str, col_x: str, col_y: str) -> DataFrame:
+    """Exact Pearson correlation per group from decimal power sums
+    (sum x, sum y, sum xy, sum x^2, sum y^2), finished in IEEE double --
+    same bit-stability rationale as group_stats; F.corr over doubles is
+    accumulation-order-dependent.  One shuffle; null when either side
+    is constant (zero variance) or n < 2.
+    """
+    x = F.col(col_x).cast("decimal(18,2)")
+    y = F.col(col_y).cast("decimal(18,2)")
+    agg = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    corr = F.when((F.col("n") > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(key, "n", F.round(corr, 6).alias("corr_xy"))

@@ -480,6 +480,28 @@ LLM_ORACLES: dict[str, str] = {
                min_v, max_v
         FROM agg
     """,
+    "a13_group_corr": """
+        WITH src AS (
+          SELECT event_type,
+                 CAST(value AS DECIMAL(18,2)) AS x,
+                 CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,2)) AS y
+          FROM events
+        ), agg AS (
+          SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM src GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CASE WHEN n > 1
+                           AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) > 0
+                           AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) > 0
+                          THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+                               / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                                      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n))
+                     END, 6) AS corr_xy
+        FROM agg
+    """,
     "st_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,

@@ -399,6 +399,15 @@ def a11_group_stats(spark, sf):
     return group_stats(_t(spark, sf, "events"), "event_type", "value")
 
 
+def a13_group_corr(spark, sf):
+    """Exact Pearson corr(value, hour-of-day) per event type (decimal
+    power sums -> IEEE finish)."""
+    from .aggregates import group_corr
+
+    ev = _t(spark, sf, "events").withColumn("hod", F.hour("ts").cast("double"))
+    return group_corr(ev, "event_type", "value", "hod")
+
+
 def a4_hll_distinct(spark, sf):
     """HLL distinct users per event type (rows-only: sketch estimates
     differ across engines; tolerance vs exact asserted in pytest)."""
@@ -555,6 +564,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
     "a11_group_stats": a11_group_stats,
+    "a13_group_corr": a13_group_corr,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
