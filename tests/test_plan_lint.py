@@ -1,0 +1,59 @@
+"""Plan lint: every registry query's physical plan is swept for scale
+anti-patterns.  The headliner plan tests (test_analytics_plans.py) go
+deep on a few queries; this goes wide across the whole driver surface:
+
+  * CartesianProduct        -- never acceptable (unbounded pair space).
+  * BatchEvalPython         -- row-at-a-time Python in the plan; all
+                               Python must be Arrow-batched
+                               (ArrowEvalPython / *InPandas).
+  * BroadcastNestedLoopJoin -- only for a documented allowlist where
+                               one side is a single-row scalar
+                               aggregate, a metadata-scale spine, or an
+                               intentional brute-force baseline tier.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# BNLJ is legitimate where the broadcast side is O(1) rows or the cross
+# space IS the query's contract:
+BNLJ_ALLOWED = {
+    "llm_tfidf",            # single-row corpus-count broadcast
+    "llm_mixture_weights",  # single-row total broadcast
+    "v5_skew_report",       # single-row total broadcast
+    "q11_important_stock",  # scalar threshold subquery (TPC-H shape)
+    "q22_dormant_wealthy",  # scalar avg-balance subquery (TPC-H shape)
+    "w_resample_filled",    # buckets x groups spine (metadata-scale)
+    "llm_cosine_topk",      # brute-force exact baseline BY DESIGN
+    "llm_embed_dup",        # brute-force exact baseline BY DESIGN
+}
+
+# skipped: st_* execute a streaming drain inside the registry call;
+# the two cluster queries run the iterative fixpoint loop eagerly
+SKIP_PREFIXES = ("st_",)
+SKIP = {"llm_dup_clusters", "llm_near_dedup_corpus"}
+
+
+def _all_query_names():
+    import __spark_entry__ as entrymod
+
+    return [
+        n
+        for n in sorted(entrymod.queries())
+        if not n.startswith(SKIP_PREFIXES) and n not in SKIP
+    ]
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_no_scale_antipatterns(spark, name):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_ALLOWED, f"{name}: unexpected BNLJ\n{plan}"
