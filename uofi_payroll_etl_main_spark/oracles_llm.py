@@ -540,6 +540,24 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, sid
     """,
+    "st_enrich": """
+        WITH dim AS (
+          SELECT event_type,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+                   AS type_mean
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, d.type_mean
+        FROM events e LEFT JOIN dim d USING (event_type)
+    """,
+    "st_interval_join": """
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
     "st_dedup": """
         SELECT event_id, user_id, event_type FROM events
     """,

@@ -30,9 +30,11 @@ from .streaming.streams import (
     read_event_stream,
     run_to_memory,
     streaming_dedup,
+    streaming_interval_join,
     streaming_running_totals,
     streaming_session_counts,
     streaming_sliding_counts,
+    streaming_static_enrich,
     streaming_tumbling_counts,
 )
 from .streaming.windows import (
@@ -452,6 +454,42 @@ def st_session(spark, sf):
     return spark.table("st_session_out")
 
 
+def st_enrich(spark, sf):
+    """Stream-static enrichment: the event stream picks up a per-type
+    mean from a BATCH-computed dimension snapshot (broadcast, as in
+    batch); oracle joins the same aggregate in SQL."""
+    dim = (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("type_mean")
+        )
+    )
+    run_to_memory(
+        streaming_static_enrich(_event_stream(spark, sf), dim).select(
+            "event_id", "event_type", "type_mean"
+        ),
+        "st_enrich_out",
+        output_mode="append",
+    )
+    return spark.table("st_enrich_out")
+
+
+def st_interval_join(spark, sf):
+    """Watermarked stream-stream interval join (click -> same-user
+    purchases within 1h); oracle is the plain SQL interval join."""
+    run_to_memory(
+        streaming_interval_join(_event_stream(spark, sf), "1 hour"),
+        "st_interval_out",
+        output_mode="append",
+    )
+    return spark.table("st_interval_out")
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -570,6 +608,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_tumbling": st_tumbling,
     "st_sliding": st_sliding,
     "st_session": st_session,
+    "st_enrich": st_enrich,
+    "st_interval_join": st_interval_join,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,

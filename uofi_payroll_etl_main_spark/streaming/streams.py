@@ -27,6 +27,8 @@ __all__ = [
     "streaming_session_counts",
     "streaming_dedup",
     "streaming_running_totals",
+    "streaming_static_enrich",
+    "streaming_interval_join",
     "run_to_memory",
 ]
 
@@ -169,6 +171,55 @@ def streaming_running_totals(events: DataFrame, watermark: str = "2 hours") -> D
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_static_enrich(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins against the
+    static dimension snapshot -- stateless (no watermark needed on the
+    join itself), and the dim side broadcasts exactly as in batch.  The
+    lookup-table pattern for streams."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def streaming_interval_join(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click pairs with
+    the SAME user's purchases within `horizon` after it.
+
+    Both sides carry watermarks and the join predicate bounds event
+    time in both directions, so the engine can expire buffered state
+    once the watermark passes a row's joinable horizon -- state is
+    bounded by (watermark + horizon), not stream length.  The
+    attribution-join shape.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+    ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
 
 
 def run_to_memory(
