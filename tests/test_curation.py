@@ -185,3 +185,57 @@ def test_mixture_weights_normalized(spark):
     # alpha<1 upweights the small source relative to raw share
     assert w["b"].weight > 0.10
     assert w["a"].n_docs == 90 and w["b"].n_docs == 10
+
+
+def test_dedup_lines_keeps_canonical_first(spark):
+    from uofi_payroll_etl_main_spark.llm.curation import dedup_lines
+
+    rows = [
+        (1, "boiler\nunique one"),
+        (2, "boiler\nunique two"),
+        (3, "boiler\nunique three"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, max_occurrences=2).collect()
+    }
+    # 'boiler' occurs 3 times (> 2): only doc 1 (canonical first) keeps it
+    assert out[1]["text"] == "boiler\nunique one"
+    assert out[2]["text"] == "unique two" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "unique three" and out[3]["n_dropped"] == 1
+    # blank doc passes through with zero lines
+    assert out[4]["text"] == "" and out[4]["n_lines"] == 0
+
+
+def test_dedup_lines_under_threshold_untouched(spark):
+    from uofi_payroll_etl_main_spark.llm.curation import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, max_occurrences=2).collect()}
+    assert out[1]["text"] == "a\nb" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "a\nc" and out[2]["n_dropped"] == 0
+
+
+def test_importance_sample_deterministic_and_monotone(spark):
+    from uofi_payroll_etl_main_spark.llm.curation import importance_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 400).alias("w")
+    )
+    kept1 = importance_sample(df, "k", "w", ppm_per_unit=2000).collect()
+    kept2 = importance_sample(df, "k", "w", ppm_per_unit=2000).collect()
+    assert sorted(r["k"] for r in kept1) == sorted(r["k"] for r in kept2)
+    # weight 0 rows can never be kept; cap-saturated weights always kept
+    assert all(r["w"] > 0 for r in kept1)
+    high = importance_sample(
+        df.filter(F.col("w") >= 350), "k", "w", ppm_per_unit=1_000_000
+    )
+    assert high.count() == df.filter(F.col("w") >= 350).count()
+    # inclusion rate tracks weight: heavier half kept more often
+    heavy = sum(1 for r in kept1 if r["w"] >= 200)
+    light = sum(1 for r in kept1 if r["w"] < 200)
+    assert heavy > light

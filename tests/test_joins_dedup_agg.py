@@ -427,3 +427,59 @@ def test_group_corr_hand_computed(spark):
     )
     got = {r.g: (r.n, r.corr_xy) for r in group_corr(d, "g", "x", "y").collect()}
     assert got == {"up": (3, 1.0), "down": (3, -1.0), "flat": (2, None)}
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Bucketed interval join == naive theta join, for every bucket
+    width (windows spanning 1..many buckets) and never duplicates."""
+    from uofi_payroll_etl_main_spark.joins import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, f"2024-01-01 00:{i:02d}:30") for i in range(50)],
+        "eid long, k long, s string",
+    ).select("eid", "k", F.col("s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            (100, 0, "2024-01-01 00:05:00", "2024-01-01 00:20:00"),
+            (101, 1, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+            (102, 2, "2024-01-01 00:30:00", "2024-01-01 00:49:30"),
+            (103, 0, "2024-01-01 00:10:00", "2024-01-01 00:10:00"),  # empty
+        ],
+        "wid long, k long, a string, b string",
+    ).select(
+        "wid", "k",
+        F.col("a").cast("timestamp").alias("a"),
+        F.col("b").cast("timestamp").alias("b"),
+    )
+    naive = sorted(
+        (r["eid"], r["wid"])
+        for r in ev.join(
+            iv,
+            (ev["k"] == iv["k"]) & (ev["ts"] >= iv["a"]) & (ev["ts"] < iv["b"]),
+        ).collect()
+    )
+    assert naive  # fixture actually matches something
+    for width in (30, 60, 600, 7200):
+        got = sorted(
+            (r["eid"], r["wid"])
+            for r in interval_join(
+                ev, iv, "ts", "a", "b", keys=["k"], bucket_seconds=width
+            ).collect()
+        )
+        assert got == naive, f"width={width}"
+
+
+def test_histogram_invariants(spark):
+    from uofi_payroll_etl_main_spark.aggregates import histogram
+
+    df = spark.range(0, 1000).select((F.col("id") % 97).cast("double").alias("v"))
+    h = histogram(df, "v", nbins=10).orderBy("bin").collect()
+    assert len(h) == 10
+    assert sum(r["n"] for r in h) == 1000
+    assert h[0]["lo_edge"] == 0.0 and h[-1]["hi_edge"] == 96.0
+    for a, b in zip(h, h[1:]):
+        assert a["hi_edge"] == b["lo_edge"]
+    # constant column: everything lands in bin 0
+    c = histogram(spark.range(5).select(F.lit(7.0).alias("v")), "v", nbins=4)
+    rows_c = c.orderBy("bin").collect()
+    assert rows_c[0]["n"] == 5 and sum(r["n"] for r in rows_c) == 5

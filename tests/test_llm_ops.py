@@ -364,3 +364,25 @@ def test_mean_embedding_hand_computed(spark):
     )
     got = {r.label: (r.n_vecs, list(r.centroid)) for r in mean_embedding(d).collect()}
     assert got == {0: (2, [2.0, 4.0]), 1: (1, [5.0, 5.0])}
+
+
+def test_repetition_signals_hand_computed(spark):
+    from uofi_payroll_etl_main_spark.llm.text import repetition_signals
+
+    rows = [
+        (1, "a a a a"),        # all 2-grams 'a a' x3, all 3-grams dup
+        (2, "w x y z"),        # no repeats at all
+        (3, "q"),              # too short for any gram
+        (4, ""),               # blank
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["rep_2gram_frac"] == 1.0
+    assert out[1]["rep_3gram_frac"] == 1.0
+    assert out[2]["rep_2gram_frac"] == 0.0
+    assert out[3]["rep_2gram_frac"] == 0.0 and out[3]["rep_3gram_frac"] == 0.0
+    assert out[4]["rep_2gram_frac"] == 0.0
+    # partial repetition: 'b c' twice out of 4 2-grams (all len 3) -> 6/12
+    df2 = spark.createDataFrame([(9, "b c d b c")], "doc_id long, text string")
+    r = repetition_signals(df2).collect()[0]
+    assert abs(r["rep_2gram_frac"] - 0.5) < 1e-12

@@ -29,12 +29,14 @@ BNLJ_ALLOWED = {
     "w_resample_filled",    # buckets x groups spine (metadata-scale)
     "llm_cosine_topk",      # brute-force exact baseline BY DESIGN
     "llm_embed_dup",        # brute-force exact baseline BY DESIGN
+    "a14_histogram",        # single-row (min,max) stats broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;
 # the two cluster queries run the iterative fixpoint loop eagerly
 SKIP_PREFIXES = ("st_",)
 SKIP = {"llm_dup_clusters", "llm_near_dedup_corpus"}
+
 
 
 def _all_query_names():

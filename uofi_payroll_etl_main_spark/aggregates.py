@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mode_agg", "min_max", "count_rows", "group_stats", "group_corr"]
+__all__ = ["mode_agg", "min_max", "count_rows", "group_stats", "group_corr", "histogram"]
 
 
 def mode_agg(
@@ -147,3 +147,50 @@ def group_corr(df: DataFrame, key: str, col_x: str, col_y: str) -> DataFrame:
     vy = syy - sy * sy / n
     corr = F.when((F.col("n") > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     return agg.select(key, "n", F.round(corr, 6).alias("corr_xy"))
+
+
+def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
+    """Equal-width histogram with gap-filled bins: two passes, both
+    single aggregates.  Pass 1 reduces to one (min, max) row that
+    broadcasts; pass 2 assigns each row its bin with pure arithmetic
+    and reduces with map-side combine, so shuffle volume is `nbins`
+    rows regardless of input size.  Empty bins are synthesized from a
+    `sequence` explode of the 1-row stats frame (no driver loop).
+    Values exactly at the upper edge clamp into the last bin.
+    """
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    x = F.col(col).cast("double")
+    bin_expr = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(((x - F.col("__lo")) * F.lit(nbins)) / (F.col("__hi") - F.col("__lo"))),
+                F.lit(nbins - 1),
+            )
+        )
+        .cast("long")
+    )
+    counts = (
+        df.join(F.broadcast(stats))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    bins = stats.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(nbins - 1).cast("long"))
+        ).alias("bin"),
+        "__lo",
+        "__hi",
+    )
+    return (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.col("__lo") + (F.col("bin") * (F.col("__hi") - F.col("__lo"))) / F.lit(nbins)).alias("lo_edge"),
+            (F.col("__lo") + ((F.col("bin") + 1) * (F.col("__hi") - F.col("__lo"))) / F.lit(nbins)).alias("hi_edge"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )

@@ -32,6 +32,7 @@ __all__ = [
     "salted_left_join",
     "write_bucketed",
     "asof_join_backward",
+    "interval_join",
     "FanOutWarning",
 ]
 
@@ -271,3 +272,47 @@ def asof_join_backward(
     for c in value_cols:
         out = out.withColumn(c, F.col(f"__match.{c}"))
     return out.drop("__side", "__match")
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] | None = None,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Batch range/interval join: match each event row to every interval
+    row with start <= ts < end (plus optional equi-keys), WITHOUT the
+    O(N*M) theta-join Spark would otherwise plan (an un-hinted
+    `ts BETWEEN start AND end` condition degenerates to
+    BroadcastNestedLoopJoin / cartesian at scale).
+
+    Scale shape: time is quantized into `bucket_seconds` buckets; each
+    event carries its single bucket, each interval explodes into the
+    buckets it covers (fan-out = duration / bucket width -- pick a
+    width near the typical interval length).  The join is then a plain
+    equi shuffle join on (bucket, *keys) that AQE can size, followed by
+    the exact range refinement.  Each (event, interval) pair meets in
+    exactly one bucket (the event's own), so no post-join dedup is
+    needed.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+    keys = list(keys or [])
+    ev = events.withColumn(
+        "__bkt", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
+    )
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(w_us)),
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(w_us)),
+            )
+        ),
+    )
+    joined = ev.join(iv, ["__bkt", *keys], "inner").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__bkt")

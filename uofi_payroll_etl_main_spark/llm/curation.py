@@ -37,6 +37,8 @@ __all__ = [
     "redact_pii",
     "chunk_documents",
     "mixture_weights",
+    "dedup_lines",
+    "importance_sample",
 ]
 
 
@@ -368,3 +370,98 @@ def corpus_stats(
         n_distinct.alias("n_distinct_texts"),
         ((n_docs - n_distinct) / n_docs).alias("dup_ratio"),
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    max_occurrences: int = 1,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level corpus dedup: split every document into
+    lines, count each distinct line corpus-wide, and drop every
+    occurrence of a line seen more than `max_occurrences` times EXCEPT
+    its canonical first occurrence (minimum (doc id, line number)).
+    Documents are reassembled from the surviving lines in original
+    order.  This removes cross-document boilerplate (cookie banners,
+    nav bars, license headers) while keeping one copy in the corpus.
+
+    Scale shape: lines explode narrow off the scan; the global line
+    count is ONE keyed aggregate with map-side combine (shuffle volume
+    = distinct lines).  Only lines over the threshold -- the
+    heavy-hitter set, tiny by definition at any threshold worth
+    running -- survive the aggregate, and they join back BROADCAST, so
+    the corpus itself is never shuffled for the verdict.  Reassembly is
+    a second keyed aggregate on doc id.  Blank documents contribute no
+    lines and pass through unchanged.
+    """
+    did, txt = _c(id_col), _c(text_col)
+    lines_arr = F.when(
+        F.length(F.trim(txt)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(txt, sep))
+    base = docs.select(
+        did.alias("_did"), lines_arr.alias("_lines"), F.size(lines_arr).alias("n_lines")
+    )
+    occ = base.select(
+        "_did", F.posexplode("_lines").alias("_lno", "_line")
+    )
+    heavy = (
+        occ.groupBy("_line")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct("_did", "_lno")).alias("_first"),
+        )
+        .filter(F.col("_cnt") > max_occurrences)
+    )
+    kept = occ.join(F.broadcast(heavy), "_line", "left").filter(
+        F.col("_cnt").isNull()
+        | ((F.col("_first._did") == F.col("_did")) & (F.col("_first._lno") == F.col("_lno")))
+    )
+    rebuilt = kept.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_lno", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("_text"),
+        F.count("*").alias("_kept"),
+    )
+    return (
+        base.select("_did", "n_lines")
+        .join(rebuilt, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    ppm_per_unit: int,
+    mix_a: int = 2654435761,
+    mix_b: int = 12345,
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: keep a row
+    iff mix(key) mod 1e6 < min(1e6, weight * ppm_per_unit), i.e. with
+    probability proportional to its weight (capped at 1).  The mixer is
+    an affine congruential scramble in exact int64 arithmetic (key is
+    masked to 31 bits first so the product can never overflow, even
+    under ANSI), so membership is a pure function of the key --
+    reproducible across reruns, partitionings, and engines, the
+    property quality-weighted corpus downsampling needs for resumable
+    100 TB runs.  Narrow (filter only): no shuffle, no RNG, no driver
+    state.
+    """
+    key = _c(key_col).cast("long")
+    u = F.pmod(F.pmod(key, F.lit(2147483648)) * F.lit(mix_a) + F.lit(mix_b), F.lit(1000000))
+    thresh = F.least(F.lit(1000000).cast("long"), _c(weight_col).cast("long") * ppm_per_unit)
+    return df.filter(u < thresh)

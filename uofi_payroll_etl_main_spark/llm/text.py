@@ -33,6 +33,7 @@ __all__ = [
     "tfidf_topk",
     "top_ngrams",
     "bigram_logprob",
+    "repetition_signals",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -246,3 +247,66 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    ngram_sizes: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals: for each document and
+    each n in `ngram_sizes`, the fraction of n-gram characters that
+    belong to grams occurring more than once within the document.
+    Boilerplate, keyword-stuffed, and template text score high; the
+    Gopher rules drop documents above ~0.2 for 2-grams.
+
+    Scale shape: grams are built narrow with Catalyst HOFs (sequence +
+    slice, no Python), then ONE explode feeds a (doc, n, gram) partial
+    aggregate -- Spark's map-side combine collapses repeats before the
+    shuffle, so shuffle volume is bounded by distinct grams per doc,
+    not corpus size.  The per-doc fractions then reduce in a second
+    keyed aggregate on doc id alone.  Both shuffles are
+    scan-proportional; nothing is collected to the driver.
+    """
+    toks = tokens(normalize_text(text_col))
+    sz = F.size(toks)
+    # one frame per n, unioned with n as a plain literal column: struct
+    # field aliases inside HOF lambdas are dropped by Catalyst, so a
+    # (n, gram) struct built inside F.transform cannot be relied on.
+    # the HOF lambda must take exactly ONE parameter: F.transform treats
+    # a second parameter as the element index, so the usual `n=n`
+    # default-arg capture would silently bind n to the index -- use a
+    # closure factory instead.
+    def _gram_builder(nn):
+        return lambda i: F.array_join(F.slice(toks, i, nn), " ")
+
+    ex = None
+    for n in ngram_sizes:
+        grams = F.when(
+            sz >= n,
+            F.transform(F.sequence(F.lit(1), sz - n + 1), _gram_builder(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        part = df.select(
+            F.col(id_col), F.lit(n).alias("n"), F.explode(grams).alias("gram")
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    counted = ex.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    chars = F.col("cnt") * F.length("gram")
+    per_doc_n = counted.groupBy(id_col, "n").agg(
+        F.sum(chars).alias("tot"),
+        F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))).alias("dup"),
+    )
+    frac = (F.col("dup").cast("double") / F.col("tot")).alias("frac")
+    pivoted = (
+        per_doc_n.select(id_col, "n", frac)
+        .groupBy(id_col)
+        .pivot("n", list(ngram_sizes))
+        .agg(F.first("frac"))
+    )
+    out = df.select(id_col).join(pivoted, id_col, "left")
+    for n in ngram_sizes:
+        out = out.withColumn(
+            f"rep_{n}gram_frac", F.coalesce(F.col(str(n)), F.lit(0.0))
+        ).drop(str(n))
+    return out

@@ -8,6 +8,81 @@ count/len/row_number are BIGINT (Spark sides cast to long to match).
 
 CORE_ORACLES: dict[str, str] = {
     "flagship": None,  # filled from registry_core.FLAGSHIP_SQL below
+    "j14_interval_join": """
+        WITH p AS (
+          SELECT event_id AS win_id, user_id, ts AS w_start,
+                 ts + INTERVAL 10 MINUTE AS w_end
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT p.win_id, CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(sum(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND c.ts >= p.w_start AND c.ts < p.w_end
+        GROUP BY p.win_id
+    """,
+    "a14_histogram": """
+        WITH s AS (
+          SELECT CAST(min(value) AS DOUBLE) AS lo,
+                 CAST(max(value) AS DOUBLE) AS hi
+          FROM events
+        ), h AS (
+          SELECT CAST(CASE WHEN hi = lo THEN 0
+                      ELSE least(floor(((value - lo) * 16) / (hi - lo)), 15)
+                 END AS BIGINT) AS bin,
+                 count(*) AS n
+          FROM events CROSS JOIN s GROUP BY 1
+        ), b AS (
+          SELECT unnest(range(0, 16)) AS bin
+        )
+        SELECT CAST(b.bin AS BIGINT) AS bin,
+               lo + (b.bin * (hi - lo)) / 16 AS lo_edge,
+               lo + ((b.bin + 1) * (hi - lo)) / 16 AS hi_edge,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n
+        FROM b CROSS JOIN s LEFT JOIN h ON b.bin = h.bin
+    """,
+    "g1_pagerank": """
+        WITH edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), nn AS (
+          SELECT count(*) AS cnt FROM nodes
+        ), deg AS (
+          SELECT src, count(*) AS od FROM edges GROUP BY src
+        ), r0 AS (
+          SELECT node, CAST(1.0 AS DOUBLE) / cnt AS pr FROM nodes CROSS JOIN nn
+        ), c1 AS (
+          SELECT e.dst AS node, sum(CAST(r.pr / d.od AS DECIMAL(38,18))) AS s
+          FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r1 AS (
+          SELECT n2.node,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt
+                 + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
+          FROM nodes n2 CROSS JOIN nn LEFT JOIN c1 ON n2.node = c1.node
+        ), c2 AS (
+          SELECT e.dst AS node, sum(CAST(r.pr / d.od AS DECIMAL(38,18))) AS s
+          FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r2 AS (
+          SELECT n2.node,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt
+                 + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
+          FROM nodes n2 CROSS JOIN nn LEFT JOIN c2 ON n2.node = c2.node
+        ), c3 AS (
+          SELECT e.dst AS node, sum(CAST(r.pr / d.od AS DECIMAL(38,18))) AS s
+          FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        )
+        SELECT n2.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt
+                 + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
+        FROM nodes n2 CROSS JOIN nn LEFT JOIN c3 ON n2.node = c3.node
+    """,
     "p1_contains_ci": """
         SELECT p_partkey, p_type FROM part
         WHERE lower(p_type) LIKE '%brass%'

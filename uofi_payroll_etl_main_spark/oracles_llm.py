@@ -66,6 +66,69 @@ _CC_CTE = rf"""
 """
 
 LLM_ORACLES: dict[str, str] = {
+    "llm_rep_signals": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, greatest(len(t) - n + 2, 1)),
+                        i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+          FROM toks, (VALUES (2), (3)) ns(n)
+        ), counted AS (
+          SELECT doc_id, n, gram, count(*) AS cnt
+          FROM grams GROUP BY doc_id, n, gram
+        ), per AS (
+          SELECT doc_id, n, sum(cnt * length(gram)) AS tot,
+                 sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup
+          FROM counted GROUP BY doc_id, n
+        )
+        SELECT d.doc_id,
+               coalesce(max(CASE WHEN p.n = 2 THEN CAST(p.dup AS DOUBLE) / p.tot END), 0.0) AS rep_2gram_frac,
+               coalesce(max(CASE WHEN p.n = 3 THEN CAST(p.dup AS DOUBLE) / p.tot END), 0.0) AS rep_3gram_frac
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        GROUP BY d.doc_id
+    """,
+    "llm_line_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), lined AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(t) + 1, 1), 3),
+                        i -> array_to_string(t[i:i+2], ' ')) AS lines
+          FROM toks
+        ), occ AS (
+          SELECT doc_id, unnest(lines) AS line,
+                 unnest(range(1, len(lines) + 1)) AS lno
+          FROM lined
+        ), marked AS (
+          SELECT doc_id, line, lno,
+                 count(*) OVER (PARTITION BY line) AS cnt,
+                 row_number() OVER (PARTITION BY line ORDER BY doc_id, lno) AS rk
+          FROM occ
+        ), kept AS (
+          SELECT * FROM marked WHERE cnt <= 2 OR rk = 1
+        ), reb AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY lno) AS text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT l.doc_id, coalesce(reb.text, '') AS text,
+               CAST(len(l.lines) AS BIGINT) AS n_lines,
+               CAST(len(l.lines) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_dropped
+        FROM lined l LEFT JOIN reb ON l.doc_id = reb.doc_id
+    """,
+    "llm_importance_sample": """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE ((doc_id % 2147483648) * 2654435761 + 12345) % 1000000
+              < least(CAST(1000000 AS BIGINT), CAST(n_chars AS BIGINT) * 1500)
+    """,
     "llm_exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
         FROM documents GROUP BY text

@@ -1199,8 +1199,69 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+def j14_interval_join(spark, sf):
+    """Batch range/interval join via bucketization: click events joined
+    to 10-minute post-purchase windows per user as a plain equi join on
+    (bucket, user) -- never a BroadcastNestedLoop theta-join.  Window
+    aggregates route the double sum through DECIMAL for cross-engine
+    stability."""
+    from .joins import interval_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        clicks, purchases, "ts", "w_start", "w_end",
+        keys=["user_id"], bucket_seconds=300,
+    )
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def a14_histogram(spark, sf):
+    """Equal-width gap-filled histogram (16 bins) over event values:
+    two single-row-broadcast passes, shuffle volume = nbins."""
+    from .aggregates import histogram
+
+    return histogram(_t(spark, sf, "events"), "value", nbins=16)
+
+
+def g1_pagerank(spark, sf):
+    """Fixed-iteration PageRank (3 sync iterations, d=0.85) over the
+    distinct supplier->customer fulfillment graph; per-edge
+    contributions summed as DECIMAL(38,18) so the unrolled-SQL oracle
+    matches bit-for-bit."""
+    from .graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3, damping=0.85).withColumnRenamed(
+        "rank", "pr"
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
+    "j14_interval_join": j14_interval_join,
+    "a14_histogram": a14_histogram,
+    "g1_pagerank": g1_pagerank,
     "p1_contains_ci": p1,
     "p2_rlike_bounded": p2,
     "p3_in_list": p3,

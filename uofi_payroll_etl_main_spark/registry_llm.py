@@ -560,7 +560,48 @@ def w_session(spark, sf):
     return session_agg(_t(spark, sf, "events"), "30 minutes")
 
 
+def llm_rep_signals(spark, sf):
+    """Gopher-style repetition fractions (chars in duplicated 2-/3-
+    grams per doc); exact longs divided once -> cross-engine doubles."""
+    return LT.repetition_signals(_t(spark, sf, "documents"))
+
+
+def llm_line_dedup(spark, sf):
+    """C4-style line-level corpus dedup over synthesized 3-token lines
+    (the corpus text has no newlines, so lines are derived identically
+    in Spark and the oracle): global count > 2 -> keep only the
+    canonical first occurrence, reassemble docs in order."""
+    from .llm.curation import dedup_lines
+
+    d = _t(spark, sf, "documents")
+    toks = LT.tokens(LT.normalize_text("text"))
+    sz = F.size(toks)
+    lines = F.when(
+        sz > 0,
+        F.transform(
+            F.sequence(F.lit(1), sz, F.lit(3)),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return dedup_lines(lined, max_occurrences=2)
+
+
+def llm_importance_sample(spark, sf):
+    """Weight-proportional deterministic Bernoulli sample (weight =
+    n_chars, capped at p=1): exact int64 affine-mix threshold, so the
+    kept set is a pure function of doc_id reproducible in any engine."""
+    from .llm.curation import importance_sample
+
+    return importance_sample(
+        _t(spark, sf, "documents"), "doc_id", "n_chars", ppm_per_unit=1500
+    )
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "llm_rep_signals": llm_rep_signals,
+    "llm_line_dedup": llm_line_dedup,
+    "llm_importance_sample": llm_importance_sample,
     "s8_jsonl_roundtrip": s8_jsonl_roundtrip,
     "llm_exact_dedup": llm_exact_dedup,
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
