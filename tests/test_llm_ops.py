@@ -386,3 +386,22 @@ def test_repetition_signals_hand_computed(spark):
     df2 = spark.createDataFrame([(9, "b c d b c")], "doc_id long, text string")
     r = repetition_signals(df2).collect()[0]
     assert abs(r["rep_2gram_frac"] - 0.5) < 1e-12
+
+
+def test_oov_rate_hand_computed(spark):
+    from uofi_payroll_etl_main_spark.llm.text import oov_rate
+
+    rows = [
+        (1, "a a a b"),   # corpus: a x4 (in-vocab for size 1), b,c,d rarer
+        (2, "a b c"),
+        (3, "d"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in oov_rate(df, vocab_size=1).collect()}
+    # vocab = {'a'} (count 5); doc1: 1 OOV of 4; doc3: all OOV; blank: 0
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert abs(out[1]["oov_frac"] - 0.25) < 1e-12
+    assert out[2]["n_oov"] == 2
+    assert out[3]["oov_frac"] == 1.0
+    assert out[4]["n_tokens"] == 0 and out[4]["oov_frac"] == 0.0

@@ -34,6 +34,7 @@ __all__ = [
     "top_ngrams",
     "bigram_logprob",
     "repetition_signals",
+    "oov_rate",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -310,3 +311,58 @@ def repetition_signals(
             f"rep_{n}gram_frac", F.coalesce(F.col(str(n)), F.lit(0.0))
         ).drop(str(n))
     return out
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage signal: build the corpus top-`vocab_size`
+    token vocabulary (count desc, token asc -- total order, so the
+    boundary is deterministic) and report each document's out-of-vocab
+    token fraction.  High OOV flags wrong-language or garbled text
+    relative to the corpus; with a fixed external vocabulary, swap the
+    derived one in.
+
+    Scale shape: token counts reduce with map-side combine (shuffle =
+    vocabulary size, not corpus size); the top-k is a TakeOrdered over
+    that aggregate (k bounded); the verdict joins the exploded tokens
+    against the BROADCAST vocab, so the corpus is never shuffled for
+    membership -- the only corpus-keyed shuffle is the per-doc
+    aggregate.
+    """
+    toks = tokens(normalize_text(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    vocab = (
+        ex.groupBy("tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    per = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("__oov"),
+        )
+    )
+    n = F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+    oov = F.coalesce(F.col("__oov"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.when(n > 0, oov.cast("double") / n).otherwise(F.lit(0.0)).alias(
+                "oov_frac"
+            ),
+        )
+    )

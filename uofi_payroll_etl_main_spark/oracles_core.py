@@ -8,6 +8,27 @@ count/len/row_number are BIGINT (Spark sides cast to long to match).
 
 CORE_ORACLES: dict[str, str] = {
     "flagship": None,  # filled from registry_core.FLAGSHIP_SQL below
+    "a15_ntile": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                 AS quartile
+        FROM customer
+    """,
+    "w_top_types": """
+        WITH counts AS (
+          SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT w_start, event_type, n,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY w_start
+                                       ORDER BY n DESC, event_type ASC) AS rk
+          FROM counts
+        ) WHERE rk <= 2
+    """,
     "j14_interval_join": """
         WITH p AS (
           SELECT event_id AS win_id, user_id, ts AS w_start,

@@ -123,6 +123,32 @@ LLM_ORACLES: dict[str, str] = {
                CAST(len(l.lines) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_dropped
         FROM lined l LEFT JOIN reb ON l.doc_id = reb.doc_id
     """,
+    "llm_oov_rate": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(t) AS tok FROM toks
+        ), vocab AS (
+          SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM ex GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT 16
+          )
+        ), per AS (
+          SELECT e.doc_id, count(*) AS n,
+                 sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov
+          FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(per.oov, 0) AS BIGINT) AS n_oov,
+               CASE WHEN coalesce(per.n, 0) > 0
+                    THEN CAST(per.oov AS DOUBLE) / per.n ELSE 0.0 END AS oov_frac
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
     "llm_importance_sample": """
         SELECT doc_id, text, lang, source, n_chars
         FROM documents

@@ -1199,6 +1199,51 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+def a15_ntile(spark, sf):
+    """Equal-frequency binning: acctbal quartile per market segment
+    (SQL-standard NTILE, totally ordered by (balance, key) so bucket
+    edges are deterministic).  One shuffle on the segment key; the
+    per-group sort is the cost -- for approximate production binning at
+    100 TB use a5_approx_quantiles cut points instead."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def w_top_types(spark, sf):
+    """Per-window grouped top-k: the 2 busiest event types in every
+    6-hour tumbling window (count desc, type asc -- total order).  The
+    rank window rides the same (window-start) partitioning as the count
+    aggregate's shuffle output; k bounds the result, not the input."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    rk = Window.partitionBy("w_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 2)
+    )
+
+
 def j14_interval_join(spark, sf):
     """Batch range/interval join via bucketization: click events joined
     to 10-minute post-purchase windows per user as a plain equi join on
@@ -1260,6 +1305,8 @@ def g1_pagerank(spark, sf):
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "j14_interval_join": j14_interval_join,
+    "a15_ntile": a15_ntile,
+    "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,
     "p1_contains_ci": p1,

@@ -587,6 +587,12 @@ def llm_line_dedup(spark, sf):
     return dedup_lines(lined, max_occurrences=2)
 
 
+def llm_oov_rate(spark, sf):
+    """Corpus-derived top-16 vocabulary coverage: per-doc OOV token
+    fraction (exact long division -> cross-engine doubles)."""
+    return LT.oov_rate(_t(spark, sf, "documents"), vocab_size=16)
+
+
 def llm_importance_sample(spark, sf):
     """Weight-proportional deterministic Bernoulli sample (weight =
     n_chars, capped at p=1): exact int64 affine-mix threshold, so the
@@ -602,6 +608,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_rep_signals": llm_rep_signals,
     "llm_line_dedup": llm_line_dedup,
     "llm_importance_sample": llm_importance_sample,
+    "llm_oov_rate": llm_oov_rate,
     "s8_jsonl_roundtrip": s8_jsonl_roundtrip,
     "llm_exact_dedup": llm_exact_dedup,
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
