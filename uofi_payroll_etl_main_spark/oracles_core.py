@@ -8,6 +8,25 @@ count/len/row_number are BIGINT (Spark sides cast to long to match).
 
 CORE_ORACLES: dict[str, str] = {
     "flagship": None,  # filled from registry_core.FLAGSHIP_SQL below
+    "a16_group_sample": """
+        SELECT o_orderkey, o_orderpriority, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY ((o_orderkey % 2147483648) * 2654435761 + 12345)
+                            % 1000000007 ASC,
+                            o_orderkey ASC) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+    "w_event_paths": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
     "a15_ntile": """
         SELECT c_custkey, c_mktsegment, c_acctbal,
                CAST(ntile(4) OVER (PARTITION BY c_mktsegment

@@ -1199,6 +1199,60 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+def a16_group_sample(spark, sf):
+    """Deterministic per-key sample: the k=3 orders per priority with
+    the smallest affine-mixed key -- a reservoir-sample stand-in whose
+    membership is a pure function of the key (reproducible across
+    reruns/engines, unlike rand()).  One shuffle; per-group state is
+    bounded by k via the rank window."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    mix = F.pmod(
+        F.pmod(F.col("o_orderkey").cast("long"), F.lit(2147483648))
+        * F.lit(2654435761)
+        + F.lit(12345),
+        F.lit(1000000007),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        mix.asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def w_event_paths(spark, sf):
+    """Ordered per-user-day event paths (sequence-mining primitive):
+    event types concatenated in (ts, event_id) order.  One keyed
+    aggregate; the in-group ordering rides array_sort on a packed
+    struct, not a global sort."""
+    ev = _t(spark, sf, "events")
+    packed = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type")
+    )
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(packed)),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+
+
 def a15_ntile(spark, sf):
     """Equal-frequency binning: acctbal quartile per market segment
     (SQL-standard NTILE, totally ordered by (balance, key) so bucket
@@ -1306,6 +1360,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "j14_interval_join": j14_interval_join,
     "a15_ntile": a15_ntile,
+    "a16_group_sample": a16_group_sample,
+    "w_event_paths": w_event_paths,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,
