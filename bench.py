@@ -41,6 +41,10 @@ HEADLINERS = [
     "w_session",
     "w_funnel",
     "st_tumbling",
+    "j14_interval_join",
+    "llm_line_dedup",
+    "llm_rep_signals",
+    "g1_pagerank",
 ]
 
 

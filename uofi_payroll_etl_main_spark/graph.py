@@ -49,10 +49,13 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .persist()  # read once per iteration; without it the edge
+        # subplan re-expands into every iteration's lineage and the
+        # plan recomputes the edge build O(iterations) times
     )
     n = nodes.count()
     deg = e.groupBy("__src").agg(F.count("*").alias("__od"))
-    weighted = e.join(deg, "__src")  # reused every iteration
+    weighted = e.join(deg, "__src").persist()  # reused every iteration
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
