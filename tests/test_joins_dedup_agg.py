@@ -483,3 +483,36 @@ def test_histogram_invariants(spark):
     c = histogram(spark.range(5).select(F.lit(7.0).alias("v")), "v", nbins=4)
     rows_c = c.orderBy("bin").collect()
     assert rows_c[0]["n"] == 5 and sum(r["n"] for r in rows_c) == 5
+
+
+def test_sketch_merge_distinct_tolerance(spark):
+    """Merged daily sketches estimate whole-range distincts within ~5%
+    of exact, and slice counts are exact."""
+    from uofi_payroll_etl_main_spark.aggregates import sketch_merge_distinct
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 40).alias("slice"),
+        (F.col("id") % 2311).alias("k"),
+    )
+    got = {r["g"]: r for r in sketch_merge_distinct(df, "slice", "g", "k").collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        est = got[g]["distinct_est"]
+        assert abs(est - n) / n < 0.05, (g, est, n)
+        assert got[g]["n_slices"] == 40
+
+
+def test_run_sql_matches_dataframe_twin(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.sql_api import run_sql
+
+    out = run_sql(
+        spark, sf_dir, "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'"
+    ).collect()[0]["n"]
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    exp = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").count()
+    assert out == exp

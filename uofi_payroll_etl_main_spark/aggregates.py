@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mode_agg", "min_max", "count_rows", "group_stats", "group_corr", "histogram"]
+__all__ = ["mode_agg", "min_max", "count_rows", "group_stats", "group_corr", "histogram", "sketch_merge_distinct"]
 
 
 def mode_agg(
@@ -193,4 +193,26 @@ def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
             (F.col("__lo") + ((F.col("bin") + 1) * (F.col("__hi") - F.col("__lo"))) / F.lit(nbins)).alias("hi_edge"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         )
+    )
+
+
+def sketch_merge_distinct(
+    df: DataFrame, part_col: str, group_col: str, key_col: str
+) -> DataFrame:
+    """Mergeable-sketch distinct count: build an HLL sketch per
+    (group, partition slice), then UNION the sketches per group and
+    estimate.  This is the 100 TB shape for incremental distincts --
+    daily sketches persist and merge into weekly/monthly rollups
+    without ever rescanning history, which an exact count-distinct
+    cannot do.  Estimate error ~2%; both aggregation stages get
+    map-side partials and the merge stage moves only sketch bytes.
+    """
+    per_slice = df.groupBy(group_col, part_col).agg(
+        F.hll_sketch_agg(key_col).alias("__sk")
+    )
+    return per_slice.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_slices"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+        .cast("long")
+        .alias("distinct_est"),
     )

@@ -8,6 +8,14 @@ count/len/row_number are BIGINT (Spark sides cast to long to match).
 
 CORE_ORACLES: dict[str, str] = {
     "flagship": None,  # filled from registry_core.FLAGSHIP_SQL below
+    "sql1_priority_revenue": """
+        SELECT o.o_orderpriority,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "a16_group_sample": """
         SELECT o_orderkey, o_orderpriority, CAST(rk AS BIGINT) AS rk
         FROM (

@@ -1199,6 +1199,37 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+def sql1_priority_revenue(spark, sf):
+    """The engine's SQL surface: the same catalog queried through
+    spark.sql text (dbt-style / warehouse-migration entry point).
+    Catalyst plans SQL and DataFrame calls identically, so pushdown /
+    broadcast / AQE behavior matches the DataFrame twin."""
+    from .sql_api import run_sql
+
+    return run_sql(
+        spark,
+        sf,
+        """
+        SELECT o.o_orderpriority,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """,
+    )
+
+
+def a17_sketch_union(spark, sf):
+    """Mergeable HLL rollup: daily per-type user sketches unioned to a
+    whole-range distinct estimate (approximate -> rows-only gate;
+    tolerance vs exact asserted in tests)."""
+    from .aggregates import sketch_merge_distinct
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    return sketch_merge_distinct(ev, "day", "event_type", "user_id")
+
+
 def a16_group_sample(spark, sf):
     """Deterministic per-key sample: the k=3 orders per priority with
     the smallest affine-mixed key -- a reservoir-sample stand-in whose
@@ -1361,6 +1392,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j14_interval_join": j14_interval_join,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
+    "sql1_priority_revenue": sql1_priority_revenue,
+    "a17_sketch_union": a17_sketch_union,
     "w_event_paths": w_event_paths,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
