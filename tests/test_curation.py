@@ -239,3 +239,11 @@ def test_importance_sample_deterministic_and_monotone(spark):
     heavy = sum(1 for r in kept1 if r["w"] >= 200)
     light = sum(1 for r in kept1 if r["w"] < 200)
     assert heavy > light
+
+
+def test_observe_counts_piggybacks_on_action(spark):
+    from uofi_payroll_etl_main_spark.report import observe_counts
+
+    df, obs = observe_counts(spark.range(0, 1234).filter(F.col("id") % 2 == 0))
+    assert df.count() == 617
+    assert obs.get["n_rows"] == 617

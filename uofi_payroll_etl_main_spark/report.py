@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RunReport", "check_schema", "table_counts"]
+__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts"]
 
 
 @dataclass
@@ -141,3 +141,18 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def observe_counts(df: DataFrame, name: str = "metrics"):
+    """V4 at scale: attach row/null-free metrics to the frame itself via
+    `Dataset.observe`, so the counts ride the NEXT action over the plan
+    instead of costing a second full scan (what `record_load`'s eager
+    .count() does -- fine for dims, wrong for a 100 TB fact).
+
+    Returns (df, observation); read `observation.get` AFTER an action
+    has consumed `df`.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
