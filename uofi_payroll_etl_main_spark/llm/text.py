@@ -272,26 +272,30 @@ def repetition_signals(
     """
     toks = tokens(normalize_text(text_col))
     sz = F.size(toks)
-    # one frame per n, unioned with n as a plain literal column: struct
-    # field aliases inside HOF lambdas are dropped by Catalyst, so a
-    # (n, gram) struct built inside F.transform cannot be relied on.
-    # the HOF lambda must take exactly ONE parameter: F.transform treats
-    # a second parameter as the element index, so the usual `n=n`
-    # default-arg capture would silently bind n to the index -- use a
-    # closure factory instead.
-    def _gram_builder(nn):
-        return lambda i: F.array_join(F.slice(toks, i, nn), " ")
 
-    ex = None
-    for n in ngram_sizes:
-        grams = F.when(
+    # ONE corpus scan for every n: per-n (n, gram) struct arrays are
+    # flattened and exploded together (a per-n union would rescan the
+    # text column once per gram size -- n scans of a 100 TB corpus).
+    # The HOF lambda must take exactly ONE parameter: F.transform binds
+    # a second parameter to the element index, so `n=n` default-arg
+    # capture would silently corrupt the slice length -- close over n
+    # with a factory instead.
+    def _gram_builder(nn):
+        return lambda i: F.struct(
+            F.lit(nn).alias("n"),
+            F.array_join(F.slice(toks, i, nn), " ").alias("gram"),
+        )
+
+    per_n = [
+        F.when(
             sz >= n,
             F.transform(F.sequence(F.lit(1), sz - n + 1), _gram_builder(n)),
-        ).otherwise(F.array().cast("array<string>"))
-        part = df.select(
-            F.col(id_col), F.lit(n).alias("n"), F.explode(grams).alias("gram")
-        )
-        ex = part if ex is None else ex.unionByName(part)
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in ngram_sizes
+    ]
+    ex = df.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("g")
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     counted = ex.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
     chars = F.col("cnt") * F.length("gram")
     per_doc_n = counted.groupBy(id_col, "n").agg(
