@@ -414,30 +414,43 @@ def dedup_lines(
         )
         .filter(F.col("_cnt") > max_occurrences)
     )
-    kept = occ.join(F.broadcast(heavy), "_line", "left").filter(
-        F.col("_cnt").isNull()
-        | ((F.col("_first._did") == F.col("_did")) & (F.col("_first._lno") == F.col("_lno")))
+    survives = F.col("_cnt").isNull() | (
+        (F.col("_first._did") == F.col("_did"))
+        & (F.col("_first._lno") == F.col("_lno"))
     )
-    rebuilt = kept.groupBy("_did").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_lno", "_line"))),
-                lambda s: s["_line"],
-            ),
-            sep,
-        ).alias("_text"),
-        F.count("*").alias("_kept"),
+    # verdict + reassembly in ONE aggregate over the occurrence rows:
+    # collect_list skips nulls, so non-surviving lines vanish from the
+    # rebuilt text while still counting toward n_lines -- one corpus
+    # pass instead of a filter->aggregate->join-back second scan.
+    rebuilt = (
+        occ.join(F.broadcast(heavy), "_line", "left")
+        .groupBy("_did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(survives, F.struct("_lno", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("_text"),
+            F.count(F.lit(1)).alias("_n_lines"),
+            F.sum(F.when(survives, 0).otherwise(1)).alias("_dropped"),
+        )
     )
+    # only documents with zero lines (blank text) are absent from the
+    # aggregate; restore them from the id spine
     return (
-        base.select("_did", "n_lines")
+        base.select("_did")
         .join(rebuilt, "_did", "left")
         .select(
             F.col("_did").alias(id_col),
             F.coalesce("_text", F.lit("")).alias(text_col),
-            F.col("n_lines").cast("long").alias("n_lines"),
-            (F.col("n_lines") - F.coalesce("_kept", F.lit(0))).cast("long").alias(
-                "n_dropped"
-            ),
+            F.coalesce("_n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
 
