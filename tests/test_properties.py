@@ -228,3 +228,79 @@ def test_tfidf_matches_python_model(spark, texts):
         for rank, (term, tf, s) in enumerate(scored, 1):
             want[(i, term)] = (tf, s, rank)
     assert got == want, (got, want)
+
+
+# ---- round-2 curation ops vs independent Python models ----------------
+
+WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "x"]), min_size=0, max_size=24
+)
+
+
+def _model_rep_frac(tokens, n):
+    grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    if not grams:
+        return 0.0
+    from collections import Counter
+
+    c = Counter(grams)
+    tot = sum(len(g) * k for g, k in c.items())
+    dup = sum(len(g) * k for g, k in c.items() if k > 1)
+    return dup / tot
+
+
+@SETTINGS
+@given(st.lists(WORDS, min_size=1, max_size=8))
+def test_repetition_signals_model(spark, docs):
+    from uofi_payroll_etl_main_spark.llm.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    for i, ws in enumerate(docs):
+        assert abs(got[i]["rep_2gram_frac"] - _model_rep_frac(ws, 2)) < 1e-12, (i, ws)
+        assert abs(got[i]["rep_3gram_frac"] - _model_rep_frac(ws, 3)) < 1e-12, (i, ws)
+
+
+def _model_dedup_lines(docs, max_occ):
+    """docs: list of line-lists. Returns per-doc (kept_lines, n, dropped)."""
+    from collections import Counter
+
+    c = Counter(line for ls in docs for line in ls)
+    first = {}
+    for d, ls in enumerate(docs):
+        for j, line in enumerate(ls):
+            first.setdefault(line, (d, j))
+    out = []
+    for d, ls in enumerate(docs):
+        kept = [
+            line
+            for j, line in enumerate(ls)
+            if c[line] <= max_occ or first[line] == (d, j)
+        ]
+        out.append(("\n".join(kept), len(ls), len(ls) - len(kept)))
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["l1", "l2", "l3", "u"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_dedup_lines_model(spark, docs, max_occ):
+    from uofi_payroll_etl_main_spark.llm.curation import dedup_lines
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="\n".join(ls)) for i, ls in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(df, max_occurrences=max_occ).collect()}
+    for i, (text, n, dropped) in enumerate(_model_dedup_lines(docs, max_occ)):
+        assert got[i]["text"] == text, (i, docs)
+        assert got[i]["n_lines"] == n and got[i]["n_dropped"] == dropped, (i, docs)
