@@ -75,12 +75,17 @@ def run_cpa(
     # captured per-source BEFORE the union so keep-first dedup later
     # reproduces "BW file rows precede MN file rows" exactly; the second
     # source gets an offset beyond monotonically_increasing_id's range.
-    bw = with_ingest_order(E.clean_headers(cert_bw)).withColumn(
-        INGEST_ORDER_COL, F.struct(F.lit(0).alias("src"), F.col(INGEST_ORDER_COL).alias("row"))
-    )
-    mn = with_ingest_order(E.clean_headers(cert_mn)).withColumn(
-        INGEST_ORDER_COL, F.struct(F.lit(1).alias("src"), F.col(INGEST_ORDER_COL).alias("row"))
-    )
+    def _tagged(frame: DataFrame, src_idx: int) -> DataFrame:
+        # Respect a caller-supplied explicit order column (gate queries
+        # derive one from a data column for cross-engine determinism).
+        base = frame if INGEST_ORDER_COL in frame.columns else with_ingest_order(frame)
+        return base.withColumn(
+            INGEST_ORDER_COL,
+            F.struct(F.lit(src_idx).alias("src"), F.col(INGEST_ORDER_COL).alias("row")),
+        )
+
+    bw = _tagged(E.clean_headers(cert_bw), 0)
+    mn = _tagged(E.clean_headers(cert_mn), 1)
     df = union_by_name(bw, mn)
 
     # E8 coerce parse + P6 fiscal-year filter (ref :438-452).

@@ -86,7 +86,12 @@ def run_pua(
     report: RunReport | None = None,
 ) -> tuple[DataFrame, RunReport]:
     report = report or RunReport()
-    df = E.clean_headers(with_ingest_order(pua))
+    # An input that already carries INGEST_ORDER_COL supplies its own
+    # explicit row order (the gate queries derive one from a data column
+    # so Spark and the DuckDB oracle agree exactly); otherwise capture
+    # physical read order at the source edge.
+    src = pua if INGEST_ORDER_COL in pua.columns else with_ingest_order(pua)
+    df = E.clean_headers(src)
 
     # Derived keys (ref :238-254); F.concat null-propagates like pandas `+`.
     for c in ["TS COA", "TS ORG", "Department Name", "Year", "Pay ID", "Pay #", "Seq #",
