@@ -22,6 +22,7 @@ from uofi_payroll_etl_main_spark.oracles_core import CORE_ORACLES
 from uofi_payroll_etl_main_spark.oracles_llm import LLM_ORACLES
 from uofi_payroll_etl_main_spark.registry_core import CORE_QUERIES, FLAGSHIP_SQL, flagship
 from uofi_payroll_etl_main_spark.registry_llm import LLM_QUERIES
+from uofi_payroll_etl_main_spark.registry_pipelines import PIPE_ORACLES, PIPE_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(CORE_QUERIES)
     out.update(LLM_QUERIES)
+    out.update(PIPE_QUERIES)
     return out
 
 
@@ -41,4 +43,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({k: v for k, v in CORE_ORACLES.items() if v is not None})
     out["flagship"] = FLAGSHIP_SQL
     out.update(LLM_ORACLES)
+    out.update(PIPE_ORACLES)
     return out

@@ -45,6 +45,8 @@ HEADLINERS = [
     "llm_line_dedup",
     "llm_rep_signals",
     "g1_pagerank",
+    "pipe_pua",
+    "pipe_cpa",
 ]
 
 
@@ -66,27 +68,35 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Per-query isolation: one failing headliner must not wipe the run
+    # (r3 lost all 26 numbers to a single AnalysisException).  Errors are
+    # recorded under "errors" and excluded from the total.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINERS:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # full execution; count avoids driver-side collect cost
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        try:
+            df = qs[name](spark, sf_dir)
+            df.count()  # full execution; count avoids driver-side collect cost
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 -- harness must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "loadavg": list(os.getloadavg()),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""S3/S6 stdlib Excel I/O (io.py read_excel_stdlib / write_excel).
+
+The reference reads payroll extracts with pd.read_excel
+(etl_payroll_pipeline.py:84) and writes the final output with to_excel
+(:410-417).  This engine's xlsx path is stdlib zip+XML, so it must
+roundtrip the contract's string-typed frames exactly -- including XML
+special characters, embedded whitespace, nulls and ISO datetimes --
+without openpyxl in the environment.
+"""
+
+from __future__ import annotations
+
+import datetime
+import zipfile
+
+import pytest
+
+from uofi_payroll_etl_main_spark.io import read_excel, read_excel_stdlib, write_excel
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("xlsx") / "out.xlsx")
+    rows = [
+        ("1", "a & b < c > d \"quoted\"", "2025-01-15 10:30:00"),
+        ("2", "  leading and trailing  ", None),
+        ("3", None, "garbage"),
+        ("4", "unicode: aigüe ñ 北京", "1995-07-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "`Pay ID` string, `DESCRIPTION` string, `Calc Date` string")
+    write_excel(df, path)
+    back = read_excel_stdlib(spark, path)
+    return path, rows, df, back
+
+
+def test_write_excel_is_valid_zip_package(roundtrip):
+    path, *_ = roundtrip
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+
+
+def test_roundtrip_values_and_headers(roundtrip):
+    _, rows, df, back = roundtrip
+    assert back.columns == df.columns
+    got = sorted((r["Pay ID"], r["DESCRIPTION"], r["Calc Date"]) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_read_excel_dispatches_without_openpyxl(roundtrip, spark):
+    path, rows, *_ = roundtrip
+    # in this container openpyxl is absent -> read_excel must fall back
+    # to the stdlib parser rather than raising
+    back = read_excel(spark, path)
+    assert back.count() == len(rows)
+
+
+def test_datetime_cells_render_iso(spark, tmp_path):
+    path = str(tmp_path / "dt.xlsx")
+    df = spark.createDataFrame(
+        [(datetime.datetime(2025, 3, 1, 12, 0, 5), datetime.date(2024, 12, 31))],
+        "ts timestamp, d date",
+    )
+    write_excel(df, path)
+    got = read_excel_stdlib(spark, path).collect()[0]
+    assert got["ts"] == "2025-03-01 12:00:05"
+    assert got["d"] == "2024-12-31"
+
+
+def test_shared_strings_reader(spark, tmp_path):
+    """Files written by Excel/openpyxl use sharedStrings + s-type cells;
+    the reader must resolve them (hand-built minimal package)."""
+    path = str(tmp_path / "shared.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        f'<sst xmlns="{ns}" count="3" uniqueCount="3">'
+        "<si><t>colA</t></si><si><t>colB</t></si><si><t>hello</t></si></sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", shared)
+    got = read_excel_stdlib(spark, path)
+    assert got.columns == ["colA", "colB"]
+    row = got.collect()[0]
+    assert row["colA"] == "hello" and row["colB"] == "42"

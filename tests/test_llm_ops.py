@@ -211,6 +211,34 @@ def test_cosine_topk_vectorized_matches_catalyst(embeddings):
     assert a == b
 
 
+def test_cosine_topk_vectorized_slice_and_guard(embeddings):
+    """query_slice keeps the driver-side query batch bounded and yields
+    exactly the full self-mode rows restricted to the sliced query ids;
+    max_query_rows hard-fails before collecting an oversized batch."""
+    from uofi_payroll_etl_main_spark.llm.similarity import (
+        cosine_topk_vectorized,
+        query_hash_slice,
+    )
+    from pyspark.sql import functions as F
+
+    df, _ = embeddings
+    full = cosine_topk_vectorized(df, k=3, id_col="id")
+    sliced = cosine_topk_vectorized(df, k=3, id_col="id", query_slice=(1, 4))
+    slice_ids = {
+        r.id for r in df.select("id").filter(query_hash_slice(F.col("id"), 4) == 1).collect()
+    }
+    assert slice_ids  # the fixture must actually populate slice 1
+    expect = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.similarity)
+        for r in full.collect()
+        if r.query_id in slice_ids
+    )
+    got = sorted((r.query_id, r.rank, r.neighbor_id, r.similarity) for r in sliced.collect())
+    assert got == expect
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_vectorized(df, k=3, id_col="id", max_query_rows=10)
+
+
 def test_jaccard_hot_shingle_guard(docs):
     # guard off: exact pairs; guard on with a huge cap: identical output
     exact = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}

@@ -217,3 +217,43 @@ def test_cpa_schema_check_warns_on_contract(spark, dims, cpa_out):
     assert report.schema_ok.get("cpa_cert") is False
     assert any("cpa_cert" in w for w in report.warnings)
     assert out.columns == CPA_OUTPUT_COLUMNS
+
+
+def test_pua_caller_supplied_ingest_order(spark, dims):
+    """Pass-through contract: a pre-set __ingest_order drives keep-first,
+    independent of physical row order, and string-typed orders are cast
+    to long (lexicographic '10' < '2' must NOT decide the winner)."""
+    ts_org, ts_dept, overtime, te_m = dims
+    rows = [
+        # physical order puts the high-order row FIRST; supplied order
+        # says it is last -> the "2"-order row must win.  String order
+        # would pick "10" < "2" (wrong).
+        Row(**{**_pua_row(**{"Time Entry": "TenthRow"}).asDict(), "__ingest_order": "10"}),
+        Row(**{**_pua_row(**{"Time Entry": "SecondRow"}).asDict(), "__ingest_order": "2"}),
+    ]
+    pua = spark.createDataFrame(rows)
+    out, report = run_pua(pua, ts_org, ts_dept, overtime, te_m)
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0]["Time Entry"] == "SecondRow"
+    assert any("caller-supplied __ingest_order" in w for w in report.warnings)
+
+
+def test_cpa_caller_supplied_ingest_order(spark, dims):
+    """Both cert sources carry explicit orders; within a source the
+    numeric (not lexicographic) order picks the keep-first winner, and
+    BW still beats MN for the same key."""
+    ts_org, ts_dept, overtime, te_m = dims
+    def cert(order, college):
+        return Row(**{**_cert_row().asDict(), "COLLEGE": college, "__ingest_order": order})
+    schema = CERT_SCHEMA + ", `__ingest_order` string"
+    bw = spark.createDataFrame([cert("10", "KV-Late"), cert("2", "KV-Early")], schema)
+    mn = spark.createDataFrame([cert("1", "KV-MnFirst")], schema)
+    out, report = run_cpa(bw, mn, ts_org, ts_dept, overtime, te_m, fy_end_year=2025)
+    got = out.collect()
+    assert len(got) == 1
+    # winner is the bw source (src 0) row with NUMERIC order 2 (string
+    # order would pick '10' < '2'); mn (src 1) loses despite order 1
+    assert got[0]["Pay ID"] == "BW"
+    assert got[0]["College Name"] == "Early"
+    assert any("caller-supplied __ingest_order" in w for w in report.warnings)

@@ -52,6 +52,8 @@ __all__ = [
     "output_contract",
     "finalize_output",
     "ws_trim",
+    "epoch_micros",
+    "epoch_seconds",
 ]
 
 _STRINGY = (T.StringType, T.VarcharType, T.CharType)
@@ -71,6 +73,28 @@ _WS = (
 def ws_trim(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.btrim(c, F.lit(_WS))
+
+
+def epoch_micros(col: Column | str) -> Column:
+    """Microseconds since the epoch, robust to the column's timestamp
+    flavor.  Parquet written without a UTC flag surfaces as
+    TIMESTAMP_NTZ in Spark 4, where ``F.unix_micros`` and a direct
+    numeric cast are both analysis errors; a ``cast("timestamp")``
+    first reinterprets the wall-clock value under the session zone
+    (UTC everywhere in this engine) so the epoch value is identical for
+    either flavor.  Every event-time operator MUST go through this (or
+    `epoch_seconds`) instead of touching `unix_micros`/`cast("long")`
+    directly -- the r3 j14/w_rolling regressions were exactly that.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Whole seconds since the epoch (see `epoch_micros` for why the
+    intermediate timestamp cast is load-bearing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
 
 
 def clean_headers(df: DataFrame) -> DataFrame:

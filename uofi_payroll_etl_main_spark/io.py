@@ -27,6 +27,7 @@ __all__ = [
     "write_csv",
     "write_csv_single",
     "read_excel",
+    "read_excel_stdlib",
     "write_excel",
     "load_table",
 ]
@@ -114,40 +115,190 @@ def write_csv_single(df: DataFrame, path: str) -> str:
     return path
 
 
-def _require_openpyxl():
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel I/O needs openpyxl, which is not installed in this "
-            "environment. The engine's Excel path is a driver-edge pandas "
-            "bridge (reference-scale extracts are KB-sized); install "
-            "openpyxl to enable it."
-        ) from exc
+# --------------------------------------------------------------------------
+# Excel I/O (S3/S6).  xlsx is a zip of XML parts, so the stdlib
+# (zipfile + xml.etree) covers the reference contract -- pd.read_excel of
+# a small extract (ref :84) and to_excel of the final output (ref
+# :410-417) -- with no third-party engine.  When openpyxl IS present,
+# pandas' richer reader is preferred for scans (styles, multi-sheet
+# numerics); the writer always uses the stdlib path (deterministic
+# output, inline strings, ISO datetimes).
+#
+# Driver-edge by design: reference Excel files are KB-sized extracts.
+# Large-scale Excel ingest should be converted to parquet at landing --
+# the engine will not fan xlsx parsing out to executors.
+# --------------------------------------------------------------------------
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index -> A1-style letters."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(65 + r) + out
+    return out
+
+
+def _col_index(ref: str) -> int:
+    """A1-style cell ref -> 0-based column index."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _xlsx_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def read_excel_stdlib(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
+    """S3 -- xlsx scan with zipfile + xml.etree only.  First row =
+    header; supports inline strings, shared strings, and numeric cells
+    (numbers surface as their literal text, which is what the string-
+    typed pipeline contract wants).  Returns all-string columns."""
+    import io as _io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.parse(_io.BytesIO(zf.read("xl/sharedStrings.xml"))).getroot()
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheet_names = sorted(
+            n for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        root = ET.parse(_io.BytesIO(zf.read(sheet_names[sheet]))).getroot()
+        rows: list[list[str | None]] = []
+        for row_el in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str | None] = {}
+            for c in row_el.findall(f"{_XLSX_NS}c"):
+                ci = _col_index(c.get("r", ""))
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{_XLSX_NS}is")
+                    v = "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t")) if is_el is not None else None
+                else:
+                    v_el = c.find(f"{_XLSX_NS}v")
+                    v = v_el.text if v_el is not None else None
+                    if ctype == "s" and v is not None:
+                        v = shared[int(v)]
+                cells[ci] = v
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [h if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    data = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(data, schema)
 
 
 def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
-    """S3 -- Excel scan via driver-side pandas (ref pd.read_excel :84).
-
-    Driver-edge by design: reference Excel inputs are single small files.
-    Large-scale Excel ingest should be converted to parquet at landing.
-    """
-    _require_openpyxl()
-    import pandas as pd
-
+    """S3 -- Excel scan (ref pd.read_excel :84).  pandas+openpyxl when
+    installed (richer typed reads); stdlib zip+XML parser otherwise."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError:
+        return read_excel_stdlib(
+            spark, path, sheet=sheet_name if isinstance(sheet_name, int) else 0
+        )
     pdf = pd.read_excel(path, sheet_name=sheet_name)
     pdf = pdf.where(pd.notna(pdf), None)
     return spark.createDataFrame(pdf.astype(object))
 
 
 def write_excel(df: DataFrame, path: str) -> str:
-    """S6 -- Excel sink via driver-side pandas (ref to_excel :410-417).
-    Small outputs only; raises if the frame is suspiciously large."""
-    _require_openpyxl()
+    """S6 -- Excel sink (ref to_excel :410-417): a minimal valid xlsx
+    written with the stdlib.  Every value is an inline string (nulls ->
+    empty cell); timestamps/dates render ISO ('YYYY-MM-DD HH:MM:SS'),
+    matching the CSV sink's textual form so the two sinks are
+    equivalence-checkable.  Small outputs only (driver-edge)."""
+    import datetime as _dt
+    import zipfile
+
     n = df.count()
     if n > 1_000_000:
         raise ValueError(f"refusing driver-side Excel write of {n} rows")
-    df.toPandas().to_excel(path, index=False)
+
+    def cell_text(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        if isinstance(v, _dt.date):
+            return v.strftime("%Y-%m-%d")
+        return str(v)
+
+    header = df.columns
+    body_rows = df.collect()
+
+    def row_xml(ri: int, values) -> str:
+        cells = []
+        for ci, v in enumerate(values):
+            t = cell_text(v)
+            if t is None:
+                continue
+            cells.append(
+                f'<c r="{_col_letter(ci)}{ri}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{_xlsx_escape(t)}</t></is></c>"
+            )
+        return f'<row r="{ri}">' + "".join(cells) + "</row>"
+
+    rows_xml = [row_xml(1, header)]
+    rows_xml += [row_xml(i + 2, tuple(r)) for i, r in enumerate(body_rows)]
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
     return path
 
 

@@ -24,6 +24,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from uofi_payroll_etl_main_spark import expressions as E
 
 __all__ = [
     "broadcast_left_join",
@@ -301,14 +302,14 @@ def interval_join(
     w_us = int(bucket_seconds) * 1_000_000
     keys = list(keys or [])
     ev = events.withColumn(
-        "__bkt", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
+        "__bkt", F.floor(E.epoch_micros(ts_col) / F.lit(w_us))
     )
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / F.lit(w_us)),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(w_us)),
+                F.floor(E.epoch_micros(start_col) / F.lit(w_us)),
+                F.floor((E.epoch_micros(end_col) - 1) / F.lit(w_us)),
             )
         ),
     )

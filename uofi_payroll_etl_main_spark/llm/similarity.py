@@ -426,12 +426,25 @@ def ivf_topk(
     )
 
 
+def query_hash_slice(col, n_slices: int):
+    """Deterministic DuckDB-replicable slice id in [0, n_slices): Knuth
+    multiplicative hash over the id (same recipe as a16_group_sample).
+    Oracle-side SQL: ``((id % 2147483648) * 2654435761 + 12345)
+    % 1000000007 % n``."""
+    h = (F.pmod(col.cast("long"), F.lit(2147483648)) * F.lit(2654435761) + F.lit(12345)) % F.lit(
+        1000000007
+    )
+    return F.pmod(h, F.lit(n_slices))
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     k: int = 5,
     queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_slice: tuple[int, int] | None = None,
+    max_query_rows: int = 200_000,
 ) -> DataFrame:
     """Exact cosine top-k on the Arrow fast path: the (small) query
     matrix ships to executors in the UDF closure; each corpus batch is
@@ -440,22 +453,46 @@ def cosine_topk_vectorized(
 
     Same contract and ranking rule as cosine_topk (similarity rounded to
     ROUND_DIGITS, ties by neighbor_id) -- this is the throughput tier,
-    cosine_topk the pure-Catalyst reference.  queries=None uses the
-    corpus as the query batch (validation use; a 100 TB corpus needs a
-    bounded query batch, never corpus x corpus).
+    cosine_topk the pure-Catalyst reference.
+
+    Scale contract: the QUERY side is collected to the driver, so it
+    must be bounded.  Two guards enforce that:
+      * `query_slice=(i, n)` restricts the query batch to deterministic
+        hash slice i of n (queries=None slices the corpus itself) --
+        the corpus-vs-corpus path at scale is n bounded jobs, one per
+        slice, never one unbounded collect;
+      * `max_query_rows` hard-fails BEFORE the collect when the query
+        batch is still too large -- a loud error instead of a silent
+        driver OOM at 100x data.
+    The corpus side streams through mapInPandas and is never collected.
     """
     import pandas as pd
 
-    q_rows = (queries or corpus).select(id_col, vec_col).collect()
+    qdf = (queries if queries is not None else corpus).select(id_col, vec_col)
+    if query_slice is not None:
+        i, n = query_slice
+        if not (0 <= i < n):
+            raise ValueError(f"query_slice index {i} outside [0, {n})")
+        qdf = qdf.filter(query_hash_slice(F.col(id_col), n) == i)
+    n_q = qdf.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_vectorized query batch has {n_q} rows > max_query_rows="
+            f"{max_query_rows}; pass query_slice=(i, n) or a bounded `queries` frame"
+        )
+    q_rows = qdf.collect()
+    from pyspark.sql import types as T
+
+    int_id = isinstance(
+        corpus.schema[id_col].dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    id_t = "long" if int_id else "string"
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, similarity double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema + ", rank long")
     q_ids = np.array([r[id_col] for r in q_rows])
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-
-    out_schema = (
-        "query_id long, neighbor_id long, similarity double"
-        if isinstance(q_ids[0], (int, np.integer))
-        else "query_id string, neighbor_id string, similarity double"
-    )
 
     self_mode = queries is None  # corpus-vs-corpus: exclude the self-match
 

@@ -402,6 +402,12 @@ CORE_ORACLES: dict[str, str] = {
         FROM glob('/root/testdata/sf0.01/*.parquet')
         ORDER BY file_name
     """,
+    "s3_excel_roundtrip": """
+        SELECT CAST(n_nationkey AS STRING) AS nationkey,
+               n_name AS name,
+               CAST(n_regionkey AS STRING) AS regionkey
+        FROM nation
+    """,
     "s4_csv_scan": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
     """,

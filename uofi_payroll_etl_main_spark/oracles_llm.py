@@ -522,6 +522,28 @@ LLM_ORACLES: dict[str, str] = {
           FROM pairs
         ) WHERE rank <= 5
     """,
+    "llm_cosine_topk_sliced": """
+        WITH q AS (
+          SELECT * FROM embeddings
+          WHERE ((vec_id % 2147483648) * 2654435761 + 12345) % 1000000007 % 4 = 0
+        ),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                   6) AS similarity
+          FROM q CROSS JOIN embeddings c
+          WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, rank FROM (
+          SELECT query_id, neighbor_id, similarity,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 5
+    """,
     "s8_jsonl_roundtrip": """
         SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents
     """,

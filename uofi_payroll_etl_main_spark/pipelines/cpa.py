@@ -78,7 +78,14 @@ def run_cpa(
     def _tagged(frame: DataFrame, src_idx: int) -> DataFrame:
         # Respect a caller-supplied explicit order column (gate queries
         # derive one from a data column for cross-engine determinism).
-        base = frame if INGEST_ORDER_COL in frame.columns else with_ingest_order(frame)
+        # Cast to long so (a) keep-first never orders lexicographically
+        # on a string-typed order column and (b) both union sides build
+        # the same struct<src:int,row:long> type regardless of source.
+        if INGEST_ORDER_COL in frame.columns:
+            report.warn("run_cpa: using caller-supplied __ingest_order as dedup order")
+            base = frame.withColumn(INGEST_ORDER_COL, F.col(INGEST_ORDER_COL).cast("long"))
+        else:
+            base = with_ingest_order(frame)
         return base.withColumn(
             INGEST_ORDER_COL,
             F.struct(F.lit(src_idx).alias("src"), F.col(INGEST_ORDER_COL).alias("row")),

@@ -89,8 +89,14 @@ def run_pua(
     # An input that already carries INGEST_ORDER_COL supplies its own
     # explicit row order (the gate queries derive one from a data column
     # so Spark and the DuckDB oracle agree exactly); otherwise capture
-    # physical read order at the source edge.
-    src = pua if INGEST_ORDER_COL in pua.columns else with_ingest_order(pua)
+    # physical read order at the source edge.  The supplied column is
+    # cast to long: a string-typed order would sort lexicographically
+    # ('10' < '2') and silently flip keep-first winners.
+    if INGEST_ORDER_COL in pua.columns:
+        report.warn("run_pua: using caller-supplied __ingest_order as dedup order")
+        src = pua.withColumn(INGEST_ORDER_COL, F.col(INGEST_ORDER_COL).cast("long"))
+    else:
+        src = with_ingest_order(pua)
     df = E.clean_headers(src)
 
     # Derived keys (ref :238-254); F.concat null-propagates like pandas `+`.

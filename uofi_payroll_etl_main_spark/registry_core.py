@@ -473,6 +473,35 @@ def s5(spark, sf):
     return read_csv(spark, path, schema="c_custkey bigint, c_name string")
 
 
+def s3_excel_roundtrip(spark, sf):
+    """S3/S6 -- nation projection -> stdlib xlsx sink -> stdlib xlsx
+    scan.  The oracle reads the same projection from parquet (all cast
+    to string, the xlsx contract type), so the roundtrip must be
+    lossless including the null-region comment and special characters.
+    Write-once marker as s11: rewrites would invalidate earlier frames."""
+    import hashlib
+
+    from .io import read_excel_stdlib, write_excel
+
+    src = os.path.join(sf, "nation.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = src
+    tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, f"nation_{tag}.xlsx")
+    if not os.path.exists(path):
+        frame = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("string").alias("nationkey"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").cast("string").alias("regionkey"),
+        )
+        write_excel(frame, path)
+    return read_excel_stdlib(spark, path)
+
+
 def s7(spark, sf):
     from datetime import datetime
 
@@ -1446,6 +1475,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v3_tolerant_warnings": v3,
     "v4_table_counts": v4,
     "s2_catalog": s2,
+    "s3_excel_roundtrip": s3_excel_roundtrip,
     "s4_csv_scan": s4,
     "s5_csv_sink": s5,
     "s7_stamped_name": s7,

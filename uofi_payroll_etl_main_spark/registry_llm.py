@@ -179,7 +179,16 @@ def llm_cosine_topk(spark, sf):
 
 
 def llm_cosine_topk_fast(spark, sf):
+    # self-mode full-corpus queries: valid ONLY under the row-count
+    # guard (gate scale); the 100 TB path is llm_cosine_topk_sliced
     return LS.cosine_topk_vectorized(_t(spark, sf, "embeddings"), k=5)
+
+
+def llm_cosine_topk_sliced(spark, sf):
+    """Scale path for corpus-vs-corpus exact top-k: the query batch is
+    deterministic hash slice 0 of 4, so the driver only ever holds a
+    bounded query matrix; full coverage = 4 such jobs."""
+    return LS.cosine_topk_vectorized(_t(spark, sf, "embeddings"), k=5, query_slice=(0, 4))
 
 
 def llm_ann_lsh(spark, sf):
@@ -628,6 +637,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_mean_embedding": llm_mean_embedding,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_cosine_topk_fast": llm_cosine_topk_fast,
+    "llm_cosine_topk_sliced": llm_cosine_topk_sliced,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
     "llm_embed_dup": llm_embed_dup,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from uofi_payroll_etl_main_spark import expressions as E
 
 __all__ = [
     "tumbling_agg",
@@ -104,7 +105,7 @@ def rolling_agg(
     """
     from pyspark.sql import Window
 
-    sec = F.col(ts).cast("long")
+    sec = E.epoch_seconds(ts)
     w = (
         Window.partitionBy(by)
         .orderBy(sec)
