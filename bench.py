@@ -47,6 +47,8 @@ HEADLINERS = [
     "g1_pagerank",
     "pipe_pua",
     "pipe_cpa",
+    "j15_skew_plain",
+    "j15_skew_salted",
 ]
 
 

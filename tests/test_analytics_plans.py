@@ -137,3 +137,38 @@ def test_top_ngrams_take_ordered(spark):
 
     plan = _final_plan(llm_top_ngrams(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_salted_join_splits_hot_key(spark):
+    """j15: with broadcast disabled (the scale scenario: dim too big to
+    broadcast), the salted plan must shuffle on (skew_key, __salt) --
+    splitting the 80%-hot key over `salt` reduce partitions -- while the
+    plain plan shuffles on skew_key alone (one partition owns the hot
+    key)."""
+    from uofi_payroll_etl_main_spark.joins import salted_left_join
+
+    fact, dim = R._skew_fact_dim(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_left_join(fact, dim, "skew_key", salt=8)
+        plan = _final_plan(salted)
+        assert "__salt" in plan, plan  # join/exchange keys carry the salt
+        plain = fact.join(dim, "skew_key", "left")
+        assert "__salt" not in _final_plan(plain)
+        # salt really spreads the hot key: the per-(key,salt) group count
+        # for HOT is the salt fan-out, not 1
+        import pyspark.sql.functions as F
+
+        f = fact.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8))
+        )
+        hot = (
+            f.filter(F.col("skew_key") == "HOT")
+            .select("__salt")
+            .distinct()
+            .count()
+        )
+        assert hot == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

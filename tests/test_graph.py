@@ -35,3 +35,43 @@ def test_pagerank_mass_leaks_only_via_dangling(spark):
     rows = pagerank(e, iterations=3).collect()
     assert all(r["rank"] > 0 for r in rows)
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """a->b->c with c dangling: default leaks c's damped mass, the
+    redistribution option conserves total rank = 1 every iteration."""
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    leaky = sum(r["rank"] for r in pagerank(e, iterations=5).collect())
+    assert leaky < 1.0 - 1e-6  # documents the simplified formulation
+    full = pagerank(e, iterations=5, redistribute_dangling=True).collect()
+    assert abs(sum(r["rank"] for r in full) - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in full)
+
+
+def test_pagerank_dangling_hand_computed_one_iteration(spark):
+    """a->b, b dangling, d=0.5, N=2.  rank_0 = .5 each.
+    pre-redistribution: b = (1-d)/2 + d*.5 = .5, a = .25;
+    dangling mass (b, rank_0=.5) spreads d*.5/2 = .125 to both."""
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            e, iterations=1, damping=0.5, redistribute_dangling=True
+        ).collect()
+    }
+    assert abs(out["a"] - (0.25 + 0.125)) < 1e-12
+    assert abs(out["b"] - (0.5 + 0.125)) < 1e-12
+
+
+def test_pagerank_tol_stops_early_and_matches_long_run(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    converged = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=100, tol=1e-9).collect()
+    }
+    long_run = {r["node"]: r["rank"] for r in pagerank(e, iterations=60).collect()}
+    for k in long_run:
+        assert abs(converged[k] - long_run[k]) < 1e-6

@@ -516,3 +516,31 @@ def test_run_sql_matches_dataframe_twin(spark, sf_dir):
 
     exp = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").count()
     assert out == exp
+
+
+def test_sketch_union_within_hll_tolerance(spark):
+    """a17: the merged-HLL estimate must sit within +/- 2*rsd of the
+    exact distinct count per group (Spark hll_sketch_agg default
+    lgConfigK=12 -> rsd ~ 1.04/sqrt(4096) ~ 1.6%)."""
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.aggregates import sketch_merge_distinct
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in sketch_merge_distinct(ev, "day", "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    rsd = 1.04 / (2**12) ** 0.5
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 2 * rsd * n), (k, est[k], n)

@@ -1,16 +1,25 @@
-"""Multimodal plumbing: typed binary columns + Arrow-batched feature
-extraction + frame sampling.  The decode kernel is stubbed by design (no
-codec libs in this environment); what's asserted here is the REAL part
--- schema, determinism, batch shape, and the gate on the stub."""
+"""Multimodal plumbing + REAL stdlib decode kernels (PPM/BMP/WAV).
+
+Asserted here: schema, determinism, batch-shape independence, and --
+new in round 4 -- that features and resizes are computed from actual
+pixels/samples: known payloads must produce independently recomputed
+stats, and undecodable codecs must keep raising through the strict
+path."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from uofi_payroll_etl_main_spark.llm.multimodal import (
     FEATURE_DIM,
     decode_media,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
     extract_features,
+    resize_media,
+    resize_nearest,
     sample_frames,
     synth_media,
 )
@@ -27,22 +36,57 @@ def test_synth_media_schema_and_determinism(spark):
     }
     a = sorted((r.media_id, bytes(r.payload)) for r in df.collect())
     b = sorted((r.media_id, bytes(r.payload)) for r in synth_media(spark, 30).collect())
-    assert a == b  # sha2-derived payloads: identical across invocations
+    assert a == b  # deterministic across invocations
     kinds = {r.kind for r in df.collect()}
     assert kinds == {"image", "audio", "video"}
 
 
-def test_extract_features_shape_and_determinism(spark):
+def test_ppm_roundtrip_and_known_decode():
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = encode_ppm(px)
+    assert payload.startswith(b"P6\n3 2\n255\n")
+    got = decode_media(payload, "image")
+    assert got["width"] == 3 and got["height"] == 2
+    assert np.array_equal(got["pixels"], px)
+
+
+def test_bmp_roundtrip_matches_ppm_decode():
+    px = (np.arange(4 * 5 * 3, dtype=np.int64) * 17 % 256).astype(np.uint8).reshape(4, 5, 3)
+    got = decode_media(encode_bmp(px), "image")
+    assert got["width"] == 5 and got["height"] == 4
+    assert np.array_equal(got["pixels"], px)
+
+
+def test_wav_roundtrip():
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    got = decode_media(encode_wav(samples, rate=16000), "audio")
+    assert got["rate"] == 16000
+    assert np.array_equal(got["samples"], samples)
+
+
+def test_extract_features_real_pixel_stats(spark):
+    """Known payload -> independently recomputed feature values."""
     df = synth_media(spark, 24)
-    out = extract_features(df)
-    rows = out.collect()
-    assert len(rows) == 24
-    for r in rows:
-        assert len(r.feature) == FEATURE_DIM
-        assert all(0.0 <= x < 1.0 for x in r.feature)
-        assert r.n_bytes == 32  # sha2-256 payload
-    again = {r.media_id: r.feature for r in extract_features(df).collect()}
-    assert all(again[r.media_id] == r.feature for r in rows)
+    feats = {r.media_id: r.feature for r in extract_features(df).collect()}
+    rows = {r.media_id: (r.kind, bytes(r.payload)) for r in df.collect()}
+    assert len(feats) == 24
+    for mid, (kind, payload) in rows.items():
+        f = feats[mid]
+        assert len(f) == FEATURE_DIM
+        if kind == "image":
+            d = decode_media(payload, kind)
+            px = d["pixels"].astype(np.float64) / 255.0
+            assert f[0] == d["width"] and f[1] == d["height"] and f[2] == 3.0
+            assert f[3] == pytest.approx(px[:, :, 0].mean(), abs=1e-6)
+            assert f[6] == pytest.approx(px.std(), abs=1e-6)
+        elif kind == "audio":
+            d = decode_media(payload, kind)
+            s = d["samples"].astype(np.float64) / 32768.0
+            assert f[0] == 8000.0 and f[1] == len(s) and f[2] == 1.0
+            assert f[3] == pytest.approx(s.mean(), abs=1e-6)
+            assert f[5] == pytest.approx(s.min(), abs=1e-6)
+        else:  # video: opaque -> crc32 fallback in [0, 1)
+            assert all(0.0 <= x < 1.0 for x in f)
 
 
 def test_extract_features_partitioned_batches(spark):
@@ -53,13 +97,18 @@ def test_extract_features_partitioned_batches(spark):
     assert one == many
 
 
-def test_decode_media_is_gated(spark):
+def test_strict_mode_raises_on_undecodable(spark):
     with pytest.raises(NotImplementedError, match="no decoder available"):
-        decode_media(b"\x00", "image")
-    # and the non-stub path surfaces the gate through the Spark plan
-    df = synth_media(spark, 3)
+        decode_media(b"\x89PNG\r\n", "image")
+    # video payloads are opaque -> strict mode surfaces the gate
+    df = synth_media(spark, 6)
     with pytest.raises(Exception, match="no decoder available"):
         extract_features(df, use_stub=False).collect()
+    # opaque legacy payloads in auto mode fall back to the stub
+    legacy = synth_media(spark, 6, real_codecs=False)
+    out = extract_features(legacy).collect()
+    assert len(out) == 6
+    assert all(0.0 <= x < 1.0 for r in out for x in r.feature)
 
 
 def test_sample_frames_every_n(spark):
@@ -75,27 +124,27 @@ def test_sample_frames_every_n(spark):
         assert sorted(idxs) == list(range(0, meta[mid], 2))
 
 
-def test_resize_media_schema_and_determinism(spark):
-    from uofi_payroll_etl_main_spark.llm.multimodal import resize_media
-
+def test_resize_media_real_nearest_neighbor(spark):
     df = synth_media(spark, 30)
-    out = resize_media(df, width=32, height=16)
+    out = resize_media(df, width=4, height=3)
     assert out.columns == ["media_id", "kind", "width", "height", "payload"]
     rows = out.collect()
-    # only image rows pass through; dims stamped; stub digest is 32 bytes
     assert rows and all(r.kind == "image" for r in rows)
-    assert all(r.width == 32 and r.height == 16 for r in rows)
-    assert all(len(bytes(r.payload)) == 32 for r in rows)
-    # deterministic and dimension-sensitive
-    again = {r.media_id: bytes(r.payload) for r in resize_media(df, 32, 16).collect()}
-    other = {r.media_id: bytes(r.payload) for r in resize_media(df, 64, 64).collect()}
-    first = {r.media_id: bytes(r.payload) for r in rows}
+    src = {r.media_id: bytes(r.payload) for r in df.filter("kind = 'image'").collect()}
+    for r in rows:
+        # output is a real 4x3 PPM whose pixels equal an independent
+        # nearest-neighbor resample of the decoded source
+        d = decode_media(bytes(r.payload), "image")
+        assert (d["width"], d["height"]) == (4, 3)
+        expect = resize_nearest(decode_media(src[r.media_id], "image")["pixels"], 4, 3)
+        assert np.array_equal(d["pixels"], expect)
+
+
+def test_resize_media_stub_mode_stays_deterministic(spark):
+    df = synth_media(spark, 30)
+    first = {r.media_id: bytes(r.payload) for r in resize_media(df, 32, 16, use_stub=True).collect()}
+    again = {r.media_id: bytes(r.payload) for r in resize_media(df, 32, 16, use_stub=True).collect()}
+    other = {r.media_id: bytes(r.payload) for r in resize_media(df, 64, 64, use_stub=True).collect()}
     assert first == again
+    assert all(len(v) == 32 for v in first.values())
     assert all(first[k] != other[k] for k in first)
-
-
-def test_resize_media_non_stub_is_gated(spark):
-    from uofi_payroll_etl_main_spark.llm.multimodal import resize_media
-
-    with pytest.raises(Exception, match="no decoder available"):
-        resize_media(synth_media(spark, 3), use_stub=False).collect()

@@ -37,12 +37,27 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    redistribute_dangling: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list.
+    """PageRank over a directed edge list.
 
     Returns (node, rank) for every node appearing as source or
     destination.  rank_0 = 1/N; rank_{i+1}(v) = (1-d)/N +
     d * sum_{(u,v) in E} rank_i(u) / outdeg(u).
+
+    redistribute_dangling=True adds the full formulation's correction:
+    mass parked on nodes with no out-edges is spread uniformly
+    (d * dangling_mass / N added to every node), so total rank stays 1
+    instead of leaking.  The dangling sum is a ONE-ROW aggregate joined
+    back by broadcast -- it never leaves the engine, no extra driver
+    action.
+
+    tol (epsilon termination): stop before `iterations` when
+    max |rank_{i+1} - rank_i| < tol.  Costs one scalar action per
+    iteration (the convergence test is inherently a global reduce) and
+    persists each iterate so the delta check doesn't recompute the
+    chain; iterates are unpersisted as soon as superseded.
     """
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     nodes = (
@@ -68,7 +83,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        new = nodes.join(contribs, "node", "left").select(
             "node",
             (
                 F.lit(base)
@@ -76,4 +91,38 @@ def pagerank(
                 * F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+        if redistribute_dangling:
+            dangling = (
+                ranks.join(deg, ranks["node"] == deg["__src"], "left_anti")
+                .agg(F.sum(F.col("rank").cast("decimal(38,18)")).alias("__dm"))
+            )
+            new = new.crossJoin(F.broadcast(dangling)).select(
+                "node",
+                (
+                    F.col("rank")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__dm").cast("double"), F.lit(0.0))
+                    / F.lit(float(n))
+                ).alias("rank"),
+            )
+        if tol is not None:
+            # localCheckpoint TRUNCATES LINEAGE, not just caches: with
+            # plain persist the logical plan still nests one level per
+            # iteration and Catalyst analysis OOMs the driver near ~100
+            # iterations.  (Production note: prefer reliable
+            # checkpoint() on a real cluster -- localCheckpoint dies
+            # with an executor.)
+            new = new.localCheckpoint(eager=True)
+            delta_row = (
+                new.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("__delta"))
+                .collect()
+            )
+            ranks = new
+            delta = delta_row[0]["__delta"]
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new
     return ranks

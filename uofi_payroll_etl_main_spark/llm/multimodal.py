@@ -7,19 +7,28 @@ resize / frame-sampling run as Arrow-batched Pandas UDFs via
 ``mapInPandas``: batches of payload bytes cross to Python once, columnar,
 never row-at-a-time.
 
-The actual decoders (PIL / torchaudio / ffmpeg) are NOT installed in
-this container, so the decode kernel is STUBBED: `decode_media` raises
-NotImplementedError where a real decoder would run, and
-`extract_features` substitutes a deterministic fake (crc32-seeded
-vector) so the Spark-side plumbing -- schema, batching, partitioning,
-UDF signature -- is real and testable end-to-end.
+Decode kernels: the stdlib-decodable codecs are REAL -- PPM (P6) and
+uncompressed 24-bit BMP images via pure byte parsing, WAV audio via the
+stdlib ``wave`` module -- so features and resizes compute from actual
+pixels/samples.  Codecs that need third-party libs (JPEG/PNG/MP3/video)
+raise NotImplementedError at the kernel; the surrounding Spark plumbing
+is identical either way, so swapping in PIL/soundfile/av at deployment
+touches only `decode_media`.
+
+The synthetic media table (`synth_media`) emits real PPM/WAV payloads by
+default, making the whole path -- synth -> decode -> feature/resize --
+verifiable end-to-end against independently computed pixel/sample stats.
 """
 
 from __future__ import annotations
 
+import io as _io
+import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +39,9 @@ __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
     "RESIZE_SCHEMA",
+    "encode_ppm",
+    "encode_bmp",
+    "encode_wav",
     "synth_media",
     "decode_media",
     "extract_features",
@@ -57,48 +69,251 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (payload = sha2-derived bytes)
-    for exercising the plumbing without real codecs."""
-    kinds = ["image", "audio", "video"]
-    df = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(F.array(*[F.lit(k) for k in kinds]), (F.col("id") % 3 + 1).cast("int")).alias(
-            "kind"
-        ),
-        F.unhex(F.sha2(F.col("id").cast("string"), 256)).alias("payload"),
-        F.create_map(
-            F.lit("frames"), ((F.col("id") % 7) + 1).cast("string"),
-            F.lit("codec"), F.lit("synthetic"),
-        ).alias("meta"),
+# --------------------------------------------------------------------------
+# Stdlib codecs.  Encoders produce deterministic synthetic content (used
+# by synth_media and the tests); decoders parse any conforming file.
+# --------------------------------------------------------------------------
+
+def _synth_pixels(width: int, height: int, seed: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 gradient-ish pattern."""
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((seed * 31 + y * 7 + x * 13 + c * 101) % 256).astype(np.uint8)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse P6 PPM: ASCII header tokens (with # comments), then raw RGB."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            return token()
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise ValueError(f"not a P6 PPM (magic={magic!r})")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (bottom-up rows,
+    4-byte padded, BGR order)."""
+    h, w, _ = pixels.shape
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
     )
-    return df
+    bgr = pixels[:, :, ::-1]
+    rows = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return header + bytes(rows)
 
 
-def decode_media(payload: bytes, kind: str):
-    """The real decode kernel would live here (PIL.Image.open /
-    soundfile.read / av.open).  Decoders are not available in this
-    environment."""
+def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, comp={compression})")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_len = (w * 3 + 3) & ~3
+    rows = []
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        off = data_off + y * row_len
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    return w, h, np.stack(rows)
+
+
+def _synth_samples(n: int, seed: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * 7 + i * 13) % 4096 - 2048) * 15).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave writer)."""
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    with wave.open(_io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+    if width != 2:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    samples = np.frombuffer(raw, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return rate, samples
+
+
+def decode_media(payload: bytes, kind: str) -> dict:
+    """Decode a payload by magic number.  Returns a dict:
+      image -> {"width", "height", "pixels": (h, w, 3) uint8}
+      audio -> {"rate", "samples": int16 array}
+    Unknown codecs (JPEG/PNG/MP3/any video) raise NotImplementedError --
+    swap in PIL / soundfile / av here at deployment; everything around
+    this kernel (batching, schema, partitioning) is codec-agnostic."""
+    if payload[:2] == b"P6":
+        w, h, px = _decode_ppm(payload)
+        return {"width": w, "height": h, "pixels": px}
+    if payload[:2] == b"BM":
+        w, h, px = _decode_bmp(payload)
+        return {"width": w, "height": h, "pixels": px}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, samples = _decode_wav(payload)
+        return {"rate": rate, "samples": samples}
     raise NotImplementedError(
-        f"no decoder available for kind={kind!r}: install pillow/soundfile/av "
-        "and replace this stub; the surrounding Spark plumbing is complete."
+        f"no decoder available for kind={kind!r} (magic={payload[:4]!r}): stdlib "
+        "codecs cover PPM/BMP/WAV; install pillow/soundfile/av for the rest."
     )
+
+
+def synth_media(spark: SparkSession, n: int = 64, real_codecs: bool = True) -> DataFrame:
+    """Deterministic synthetic media table.  real_codecs=True (default)
+    emits decodable payloads -- PPM images, WAV audio -- so the decode
+    kernels run for real; video rows stay opaque bytes (no stdlib video
+    codec) with a frames count in meta for the sampling path.
+    real_codecs=False keeps the legacy sha2-derived opaque payloads
+    (plumbing-only tests).
+
+    Generation is a mapInPandas over spark.range -- distributed, so a
+    large synthetic corpus is produced cluster-side, never on the
+    driver."""
+    kinds = ["image", "audio", "video"]
+
+    if not real_codecs:
+        return spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.element_at(
+                F.array(*[F.lit(k) for k in kinds]), (F.col("id") % 3 + 1).cast("int")
+            ).alias("kind"),
+            F.unhex(F.sha2(F.col("id").cast("string"), 256)).alias("payload"),
+            F.create_map(
+                F.lit("frames"), ((F.col("id") % 7) + 1).cast("string"),
+                F.lit("codec"), F.lit("synthetic"),
+            ).alias("meta"),
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = kinds[mid % 3]
+                if kind == "image":
+                    w, h = 8 + mid % 9, 6 + mid % 5
+                    payload = encode_ppm(_synth_pixels(w, h, mid))
+                    meta = {"codec": "ppm", "width": str(w), "height": str(h)}
+                elif kind == "audio":
+                    n_s = 64 + mid % 97
+                    payload = encode_wav(_synth_samples(n_s, mid), rate=8000)
+                    meta = {"codec": "wav", "rate": "8000", "n_samples": str(n_s)}
+                else:
+                    payload = hashlib.sha256(str(mid).encode()).digest()
+                    meta = {"codec": "synthetic", "frames": str(mid % 7 + 1)}
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic decode stand-in: crc32 of (payload || j), scaled to
-    [0, 1).  Replace with a real embedding model at deployment."""
+    """Opaque-payload stand-in: crc32 of (payload || j), scaled to
+    [0, 1).  Used for codecs the kernel can't decode when the caller
+    allows fallback."""
     return [
         zlib.crc32(payload + bytes([j])) / 2**32 for j in range(dim)
     ]
 
 
-def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
+def _real_feature(decoded: dict) -> list[float]:
+    """FEATURE_DIM stats from decoded pixels/samples (rounded for
+    cross-run stability).
+      image: [w, h, 3, mean_r, mean_g, mean_b, std, max]   (stats /255)
+      audio: [rate, n, 1, mean, std, min, max, zero_cross] (stats /2^15)
+    """
+    if "pixels" in decoded:
+        px = decoded["pixels"].astype(np.float64) / 255.0
+        return [
+            float(decoded["width"]),
+            float(decoded["height"]),
+            3.0,
+            round(float(px[:, :, 0].mean()), 6),
+            round(float(px[:, :, 1].mean()), 6),
+            round(float(px[:, :, 2].mean()), 6),
+            round(float(px.std()), 6),
+            round(float(px.max()), 6),
+        ]
+    s = decoded["samples"].astype(np.float64) / 32768.0
+    zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0.0
+    return [
+        float(decoded["rate"]),
+        float(len(s)),
+        1.0,
+        round(float(s.mean()), 6),
+        round(float(s.std()), 6),
+        round(float(s.min()), 6),
+        round(float(s.max()), 6),
+        round(zc, 6),
+    ]
+
+
+def extract_features(df: DataFrame, use_stub: bool | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     mapInPandas: each Python worker receives columnar batches; the loop
     below is per-batch, and only the decode kernel itself is per-item
     (unavoidable for codec work).  Output schema is fixed and typed.
+
+    use_stub: None (default) decodes payloads with a known magic and
+    falls back to the crc32 stand-in for opaque ones (video here);
+    True forces the stand-in everywhere; False forces decode and raises
+    on any undecodable payload (strict production mode).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,10 +321,15 @@ def extract_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
             feats = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
-                if use_stub:
+                if use_stub is True:
                     feats.append(_fake_feature(raw))
-                else:  # pragma: no cover - needs real codecs
-                    feats.append(decode_media(raw, kind))
+                    continue
+                try:
+                    feats.append(_real_feature(decode_media(raw, kind)))
+                except NotImplementedError:
+                    if use_stub is False:
+                        raise
+                    feats.append(_fake_feature(raw))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -133,18 +353,24 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of (h, w, 3) to (height, width, 3)."""
+    h, w, _ = pixels.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[yi][:, xi]
+
+
 def resize_media(
-    df: DataFrame, width: int = 64, height: int = 64, use_stub: bool = True
+    df: DataFrame, width: int = 64, height: int = 64, use_stub: bool | None = None
 ) -> DataFrame:
     """Resize pass for image rows: Arrow-batched mapInPandas, binary in /
     binary out, target dims carried as typed metadata columns.
 
-    The decode->resample->re-encode kernel is stubbed (no PIL in this
-    container): the stand-in is a deterministic digest of
-    (payload || WxH), so the plumbing -- filter pushdown to the scan,
-    batch shape, fixed output schema, per-item kernel call -- is the real
-    production shape and fully testable.
-    """
+    PPM/BMP payloads decode, nearest-neighbor resample, and re-encode as
+    PPM for real.  use_stub as in extract_features: None falls back to a
+    deterministic digest for undecodable payloads, True forces the
+    digest, False raises on undecodable."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,12 +378,16 @@ def resize_media(
             out = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
-                if use_stub:
-                    out.append(
-                        hashlib.sha256(raw + f"|{width}x{height}".encode()).digest()
-                    )
-                else:  # pragma: no cover - needs real codecs
-                    out.append(decode_media(raw, kind))
+                if use_stub is True:
+                    out.append(hashlib.sha256(raw + f"|{width}x{height}".encode()).digest())
+                    continue
+                try:
+                    decoded = decode_media(raw, kind)
+                    out.append(encode_ppm(resize_nearest(decoded["pixels"], width, height)))
+                except NotImplementedError:
+                    if use_stub is False:
+                        raise
+                    out.append(hashlib.sha256(raw + f"|{width}x{height}".encode()).digest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -56,6 +56,44 @@ CORE_ORACLES: dict[str, str] = {
           FROM counts
         ) WHERE rk <= 2
     """,
+    "j15_skew_salted": """
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'
+                      ELSE 'K' || CAST(l_orderkey % 1000 AS STRING) END AS skew_key,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          FROM lineitem
+        ),
+        dim AS (
+          SELECT 'K' || CAST(range AS STRING) AS skew_key,
+                 'P' || CAST(range AS STRING) AS payload
+          FROM range(1000)
+        )
+        SELECT f.skew_key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(d.payload) AS BIGINT) AS n_matched,
+               CAST(sum(f.qty) AS DOUBLE) AS sum_qty
+        FROM fact f LEFT JOIN dim d ON f.skew_key = d.skew_key
+        GROUP BY f.skew_key
+    """,
+    "j15_skew_plain": """
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'
+                      ELSE 'K' || CAST(l_orderkey % 1000 AS STRING) END AS skew_key,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          FROM lineitem
+        ),
+        dim AS (
+          SELECT 'K' || CAST(range AS STRING) AS skew_key,
+                 'P' || CAST(range AS STRING) AS payload
+          FROM range(1000)
+        )
+        SELECT f.skew_key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(d.payload) AS BIGINT) AS n_matched,
+               CAST(sum(f.qty) AS DOUBLE) AS sum_qty
+        FROM fact f LEFT JOIN dim d ON f.skew_key = d.skew_key
+        GROUP BY f.skew_key
+    """,
     "j14_interval_join": """
         WITH p AS (
           SELECT event_id AS win_id, user_id, ts AS w_start,

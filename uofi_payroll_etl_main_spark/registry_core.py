@@ -1386,6 +1386,53 @@ def j14_interval_join(spark, sf):
     )
 
 
+def _skew_fact_dim(spark, sf):
+    """Synthetic hot-key workload: 80% of lineitem rows land on ONE join
+    key ('HOT'); the rest spread over 1000 keys matching a 1000-row dim.
+    The dim also deliberately lacks 'HOT' so unmatched-left rows are
+    exercised."""
+    li = _t(spark, sf, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("K"), (F.col("l_orderkey") % 1000).cast("string")))
+        .alias("skew_key"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    dim = spark.range(1000).select(
+        F.concat(F.lit("K"), F.col("id").cast("string")).alias("skew_key"),
+        F.concat(F.lit("P"), F.col("id").cast("string")).alias("payload"),
+    )
+    return fact, dim
+
+
+def _skew_rollup(joined):
+    return joined.groupBy("skew_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("payload").cast("long").alias("n_matched"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+    )
+
+
+def j15_skew_salted(spark, sf):
+    """Hot-key left join through salted_left_join: the fact side gets a
+    random salt in [0,8), the dim is replicated 8x, so the 80%-hot key
+    spreads over 8 reduce partitions instead of one straggler.  The
+    rollup output is salt-invariant, hence exactly DuckDB-oracled
+    (same SQL as the unsalted j15_skew_plain A/B twin)."""
+    from .joins import salted_left_join
+
+    fact, dim = _skew_fact_dim(spark, sf)
+    return _skew_rollup(salted_left_join(fact, dim, "skew_key", salt=8))
+
+
+def j15_skew_plain(spark, sf):
+    """A/B baseline for j15_skew_salted: identical workload, plain left
+    join (one reduce partition owns the hot key when the dim doesn't
+    broadcast)."""
+    fact, dim = _skew_fact_dim(spark, sf)
+    return _skew_rollup(fact.join(dim, "skew_key", "left"))
+
+
 def a14_histogram(spark, sf):
     """Equal-width gap-filled histogram (16 bins) over event values:
     two single-row-broadcast passes, shuffle volume = nbins."""
@@ -1419,6 +1466,8 @@ def g1_pagerank(spark, sf):
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "j14_interval_join": j14_interval_join,
+    "j15_skew_salted": j15_skew_salted,
+    "j15_skew_plain": j15_skew_plain,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
