@@ -73,15 +73,29 @@ def main() -> None:
     # Per-query isolation: one failing headliner must not wipe the run
     # (r3 lost all 26 numbers to a single AnalysisException).  Errors are
     # recorded under "errors" and excluded from the total.
+    #
+    # Best-of-N per query (default 2): this host's throughput swings
+    # 2-6x between back-to-back identical runs (measured: the same
+    # warm query at 1.3s and 8.0s consecutively), so a single sample
+    # mostly benchmarks the neighbors, not the plan.  The min is the
+    # standard noise-floor estimator; reps are sequential so a run is
+    # still one session, one JVM.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINERS:
-        t0 = time.time()
+        best: float | None = None
         try:
-            df = qs[name](spark, sf_dir)
-            df.count()  # full execution; count avoids driver-side collect cost
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(reps):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.count()  # full execution; count avoids driver-side collect cost
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            timings[name] = best
         except Exception as exc:  # noqa: BLE001 -- harness must survive any query
+            if best is not None:  # a completed rep still counts
+                timings[name] = best
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -94,6 +108,8 @@ def main() -> None:
         "sf": sf,
         "n_ok": len(timings),
         "n_err": len(errors),
+        "reps": reps,
+        "agg": "min",
         "loadavg": list(os.getloadavg()),
     }
     if errors:

@@ -75,3 +75,129 @@ def test_pagerank_tol_stops_early_and_matches_long_run(spark):
     long_run = {r["node"]: r["rank"] for r in pagerank(e, iterations=60).collect()}
     for k in long_run:
         assert abs(converged[k] - long_run[k]) < 1e-6
+
+
+# ---------------------------------------------------------------- CC
+
+
+def _uf_components(edges, nodes):
+    """Independent oracle: pure-Python union-find."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _cc_spark(spark, edges):
+    from uofi_payroll_etl_main_spark.graph import connected_components
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(e).collect()
+    }
+
+
+def test_cc_two_chains_and_isolate(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (5, 5)]
+    nodes = {1, 2, 3, 10, 11, 5}
+    assert _cc_spark(spark, edges) == _uf_components(edges, nodes)
+
+
+def test_cc_long_path_exceeds_propagation_depth(spark):
+    """A 40-node path has diameter 39: star contraction must still
+    resolve it in O(log n) rounds (well under max_iterations=50,
+    where per-round label propagation would need 39)."""
+    edges = [(i, i + 1) for i in range(40)]
+    nodes = set(range(41))
+    out = _cc_spark(spark, edges)
+    assert out == _uf_components(edges, nodes)
+    assert set(out.values()) == {0}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50 + trial * 20)
+        ]
+        nodes = {x for e in edges for x in e}
+        assert _cc_spark(spark, edges) == _uf_components(edges, nodes), edges
+
+
+# ------------------------------------------------------- triangles
+
+
+def _tri_brute(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = 0
+    for i, a in enumerate(nodes):
+        for b in (x for x in adj[a] if x > a):
+            cnt += sum(1 for c in (adj[a] & adj[b]) if c > b)
+    return cnt
+
+
+def test_triangle_count_k4(spark):
+    from uofi_payroll_etl_main_spark.graph import triangle_count
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(e).collect()[0]["triangles"] == 4
+
+
+def test_triangle_count_random_matches_brute_force(spark):
+    import random
+
+    from uofi_payroll_etl_main_spark.graph import triangle_count
+
+    rng = random.Random(11)
+    for _ in range(3):
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = triangle_count(e).collect()[0]["triangles"]
+        assert got == _tri_brute(edges)
+
+
+def test_triangle_count_duplicate_and_reversed_edges_ignored(spark):
+    from uofi_payroll_etl_main_spark.graph import triangle_count
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(e).collect()[0]["triangles"] == 1
+
+
+def test_degree_stats_hand_checked(spark):
+    from uofi_payroll_etl_main_spark.graph import degree_stats
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r["node"]: (r["out_degree"], r["in_degree"], r["degree"]) for r in degree_stats(e).collect()}
+    assert out == {"a": (2, 1, 3), "b": (1, 1, 2), "c": (1, 2, 3)}

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats"]
 
 
 def pagerank(
@@ -126,3 +126,183 @@ def pagerank(
         else:
             ranks = new
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014).  Returns (node, component) with component = the
+    minimum node id in each component.
+
+    Why not plain min-label propagation (`llm.dedup.duplicate_clusters`)?
+    Propagation needs O(diameter) rounds -- fine for dense near-dup
+    clusters, hopeless for a 100 TB web/citation graph whose diameter
+    can be thousands.  Star contraction converges in O(log n) rounds on
+    any topology, each round two (groupBy + join) shuffles over the
+    current edge set, which strictly shrinks toward one star per
+    component.  Nothing but a per-round scalar count ever reaches the
+    driver; localCheckpoint truncates the per-round lineage.
+
+    Node ids must be orderable (the component id is the min); ids of
+    any single orderable Spark type work.
+
+      large-star: for every node u, hang u's LARGER neighbors off
+                  m = min(N(u) + {u})   (keeps edges to smaller nodes)
+      small-star: hang u's smaller-or-equal neighbors AND u off m
+
+    Both preserve connectivity; their fixpoint is a forest of depth-1
+    stars rooted at component minima.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    # isolated sources/dests never appear in e0 (self-loops dropped);
+    # they are their own components and are re-attached at the end
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(ed: DataFrame, large: bool) -> DataFrame:
+        # neighborhood relation: (u, v) for every undirected edge
+        nbrs = ed.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = nbrs.join(m, "u")
+        if large:
+            # (v, m) for neighbors strictly larger than u
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            # (v, m) for neighbors <= u, plus (u, m) itself
+            out = (
+                j.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            )
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    e = e0.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        e2 = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        # fixpoint test: the edge SETS are equal (both canonical a<b,
+        # distinct).  Two exceptAll counts would be two shuffles; one
+        # symmetric-difference count via full outer join is one.
+        diff = (
+            e.withColumn("__l", F.lit(1))
+            .join(e2.withColumn("__r", F.lit(1)), ["a", "b"], "full_outer")
+            .filter(F.col("__l").isNull() | F.col("__r").isNull())
+            .count()
+        )
+        e = e2
+        if diff == 0:
+            break
+    # at fixpoint e is depth-1 stars in canonical (a < b) form, so the
+    # component root is always the `a` side
+    membership = e.select(F.col("a").alias("node"), F.col("a").alias("component")).union(
+        e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    ).groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        all_nodes.join(membership, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count over the undirected simple graph.
+
+    Degree-ordered orientation (the standard distributed-triangle
+    trick): orient every undirected edge from the lower-(degree, id)
+    endpoint to the higher, so each triangle is counted exactly once
+    AND the join fan-out is bounded -- a hub of degree d contributes
+    only its edges to HIGHER-degree nodes as wedge pivots, capping
+    per-key work at O(sqrt(|E|)) oriented out-degree instead of d^2.
+    Plan: two shuffles (wedge build on the pivot, closure check as a
+    semi-equi-join on the wedge endpoints); no cartesian anywhere.
+
+    Returns a single row (triangles BIGINT).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n")).union(und.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient low-(degree,id) -> high-(degree,id)
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges pivoted at the LOW end: (x<y) both out-neighbors of lo
+    o1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
+    wedges = o1.join(o2, "p").filter(F.col("x") < F.col("y"))
+    # a wedge closes iff (x,y) is an edge in EITHER orientation; the
+    # closing edge joins on its unordered form
+    closing = oriented.select(
+        F.least("lo", "hi").alias("x"), F.greatest("lo", "hi").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node in/out/total degree over the directed multigraph --
+    the quick skew probe run before choosing a join/partition strategy
+    (one groupBy per direction, map-side combined)."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias(
+                "degree"
+            ),
+        )
+    )

@@ -128,6 +128,58 @@ CORE_ORACLES: dict[str, str] = {
                CAST(coalesce(h.n, 0) AS BIGINT) AS n
         FROM b CROSS JOIN s LEFT JOIN h ON b.bin = h.bin
     """,
+    # Independent reachability closure: component id = min node id
+    # reachable over the undirected edge set.  The recursive UNION
+    # dedups (node, label) pairs so it terminates; feasible because the
+    # gate runs at sf0.01.
+    "g2_connected_components": """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_quantity > 48
+        ), bidir AS (
+          SELECT src AS a, dst AS b FROM edges
+          UNION ALL
+          SELECT dst, src FROM edges
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), cc AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT bidir.b AS node, cc.label
+          FROM cc JOIN bidir ON cc.node = bidir.a
+        )
+        SELECT node, min(label) AS component FROM cc GROUP BY node
+    """,
+    "g3_triangle_count": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey AS pk, l_suppkey AS s
+          FROM lineitem WHERE l_quantity > 45
+        ), e AS (
+          SELECT DISTINCT a.s AS x, b.s AS y
+          FROM pairs a JOIN pairs b ON a.pk = b.pk AND a.s < b.s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS triangles
+        FROM e ab JOIN e bc ON ab.y = bc.x JOIN e ac
+          ON ac.x = ab.x AND ac.y = bc.y
+    """,
+    "g4_degree_stats": """
+        WITH edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), od AS (
+          SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src
+        ), idg AS (
+          SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst
+        )
+        SELECT coalesce(od.node, idg.node) AS node,
+               CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+               CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+               CAST(coalesce(out_degree, 0) + coalesce(in_degree, 0) AS BIGINT) AS degree
+        FROM od FULL OUTER JOIN idg ON od.node = idg.node
+    """,
     "g1_pagerank": """
         WITH edges AS (
           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -1463,8 +1463,73 @@ def g1_pagerank(spark, sf):
     )
 
 
+def g2_connected_components(spark, sf):
+    """Connected components (alternating large-star/small-star,
+    O(log n) rounds) over the sparse high-quantity fulfillment graph.
+    The oracle is an independent recursive-CTE reachability closure."""
+    from .graph import connected_components
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges)
+
+
+def g3_triangle_count(spark, sf):
+    """Global triangle count on the co-supplier graph (suppliers
+    sharing a part on high-quantity lineitems).  Spark side runs the
+    degree-ordered orientation (bounded wedge fan-out); the oracle is
+    the canonical a<b<c three-way self-join, which is only feasible
+    because the oracle runs at sf0.01."""
+    from .graph import triangle_count
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "pk")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def g4_degree_stats(spark, sf):
+    """Per-node in/out/total degree of the directed distinct
+    supplier->customer fulfillment graph (the skew probe you run
+    before choosing a partitioning strategy)."""
+    from .graph import degree_stats
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_stats(edges)
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
+    "g2_connected_components": g2_connected_components,
+    "g3_triangle_count": g3_triangle_count,
+    "g4_degree_stats": g4_degree_stats,
     "j14_interval_join": j14_interval_join,
     "j15_skew_salted": j15_skew_salted,
     "j15_skew_plain": j15_skew_plain,
