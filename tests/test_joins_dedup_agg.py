@@ -544,3 +544,61 @@ def test_sketch_union_within_hll_tolerance(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(2, 2 * rsd * n), (k, est[k], n)
+
+
+def test_asof_join_forward_semantics(spark):
+    from uofi_payroll_etl_main_spark.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [Row(k="u", ts=5, eid="before-any"),
+         Row(k="u", ts=10, eid="at-tie"),
+         Row(k="u", ts=17, eid="after-all"),
+         Row(k="v", ts=100, eid="other-group")],
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", ts=10, price=1.0),
+         Row(k="u", ts=15, price=2.0),
+         Row(k="w", ts=1, price=9.0)],
+    )
+    out = asof_join_forward(left, right, by="k", ts="ts",
+                            value_cols=["price"], right_ts_alias="mts")
+    got = {r.eid: (r.mts, r.price) for r in out.collect()}
+    assert got["before-any"] == (10, 1.0)      # earliest at-or-after
+    assert got["at-tie"] == (10, 1.0)          # ties match (>=)
+    assert got["after-all"] == (None, None)    # nothing later
+    assert got["other-group"] == (None, None)  # group isolation
+
+
+def test_asof_join_nearest_semantics(spark):
+    from uofi_payroll_etl_main_spark.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [Row(k="u", ts=6, eid="closer-prior"),
+         Row(k="u", ts=13, eid="closer-next"),
+         Row(k="u", ts=10, eid="equidistant"),
+         Row(k="u", ts=2, eid="only-next-exists"),
+         Row(k="v", ts=50, eid="no-rights")],
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", ts=5, price=1.0),
+         Row(k="u", ts=15, price=2.0)],
+    )
+    out = asof_join_nearest(left, right, by="k", ts="ts",
+                            value_cols=["price"], right_ts_alias="mts")
+    got = {r.eid: (r.mts, r.price) for r in out.collect()}
+    assert got["closer-prior"] == (5, 1.0)       # |6-5| < |15-6|
+    assert got["closer-next"] == (15, 2.0)       # |13-5| > |15-13|
+    assert got["equidistant"] == (5, 1.0)        # tie -> prior
+    assert got["only-next-exists"] == (5, 1.0)   # 2 < 5: prior absent? no -- 5 is next
+    assert got["no-rights"] == (None, None)
+
+
+def test_asof_join_nearest_prior_absent_takes_next(spark):
+    from uofi_payroll_etl_main_spark.joins import asof_join_nearest
+
+    left = spark.createDataFrame([Row(k="u", ts=1, eid="early")])
+    right = spark.createDataFrame([Row(k="u", ts=100, price=3.0)])
+    out = asof_join_nearest(left, right, by="k", ts="ts",
+                            value_cols=["price"], right_ts_alias="mts")
+    r = out.collect()[0]
+    assert (r.mts, r.price) == (100, 3.0)

@@ -33,6 +33,8 @@ __all__ = [
     "salted_left_join",
     "write_bucketed",
     "asof_join_backward",
+    "asof_join_forward",
+    "asof_join_nearest",
     "interval_join",
     "FanOutWarning",
 ]
@@ -273,6 +275,109 @@ def asof_join_backward(
     for c in value_cols:
         out = out.withColumn(c, F.col(f"__match.{c}"))
     return out.drop("__side", "__match")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: Sequence[str],
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """As-of join (forward): for each left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` within the same `by` group -- the
+    "next event" lookup (next price tick, next scheduled job).
+
+    Mirror of `asof_join_backward`: one union + one window pass per
+    group ordered by ts DESC (right rows first at equal ts so ties
+    match the >= contract), running-last struct fill.  Single shuffle
+    on the group key; no range join.
+    """
+    from pyspark.sql import Window
+
+    lt = left.withColumn("__side", F.lit(1))
+    rt = (
+        right.select(F.col(by), F.col(ts), *[F.col(c) for c in value_cols])
+        .withColumn("__side", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # ts DESC: the running last right row seen at-or-after the current
+    # left row is the one with the SMALLEST ts >= left.ts; right rows
+    # sort before left rows at equal ts so simultaneous rows match
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = F.struct(F.col(ts).alias("__ts"), *[F.col(c).alias(c) for c in value_cols])
+    filled = unioned.withColumn(
+        "__match",
+        F.last(F.when(F.col("__side") == 0, packed), ignorenulls=True).over(w),
+    )
+    out = filled.filter(F.col("__side") == 1).withColumn(
+        right_ts_alias, F.col("__match.__ts")
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.drop("__side", "__match")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: Sequence[str],
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """As-of join (nearest): the right row closest in time in EITHER
+    direction; ties (equidistant prior and next) resolve to the PRIOR
+    row, matching the common "nearest, prefer past" convention.
+
+    One union, ONE shuffle: both directional fills are windows over the
+    same partition key, so Catalyst plans a single exchange with two
+    sorts.  The winner is chosen per row from the two packed structs by
+    comparing epoch-microsecond distances (TIMESTAMP_NTZ-safe via the
+    shared normalizing helper).
+    """
+    from pyspark.sql import Window
+
+    lt = left.withColumn("__side", F.lit(1))
+    rt = (
+        right.select(F.col(by), F.col(ts), *[F.col(c) for c in value_cols])
+        .withColumn("__side", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    packed = F.struct(F.col(ts).alias("__ts"), *[F.col(c).alias(c) for c in value_cols])
+    right_only = F.when(F.col("__side") == 0, packed)
+    wb = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "__bwd", F.last(right_only, ignorenulls=True).over(wb)
+    ).withColumn("__fwd", F.last(right_only, ignorenulls=True).over(wf))
+    here = E.epoch_micros(F.col(ts))
+    d_bwd = here - E.epoch_micros(F.col("__bwd.__ts"))
+    d_fwd = E.epoch_micros(F.col("__fwd.__ts")) - here
+    take_bwd = F.col("__bwd").isNotNull() & (
+        F.col("__fwd").isNull() | (d_bwd <= d_fwd)
+    )
+    out = (
+        filled.filter(F.col("__side") == 1)
+        .withColumn("__match", F.when(take_bwd, F.col("__bwd")).otherwise(F.col("__fwd")))
+        .withColumn(right_ts_alias, F.col("__match.__ts"))
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.drop("__side", "__bwd", "__fwd", "__match")
 
 
 def interval_join(

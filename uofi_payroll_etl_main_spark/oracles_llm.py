@@ -573,6 +573,34 @@ LLM_ORACLES: dict[str, str] = {
           FROM events WHERE event_type = 'purchase'
         ) p ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
+    "j10b_asof_forward": """
+        SELECT e.event_id, e.user_id, e.event_type,
+               p.ts AS purchase_ts, p.purchase_value
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    # nearest = closest of (prior, next); equidistant ties take the
+    # prior row -- same rule as the Spark operator
+    "j10c_asof_nearest": """
+        WITH p AS (
+          SELECT user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id, e.event_type,
+               CASE WHEN b.ts IS NOT NULL
+                         AND (f.ts IS NULL OR (e.ts - b.ts) <= (f.ts - e.ts))
+                    THEN b.ts ELSE f.ts END AS purchase_ts,
+               CASE WHEN b.ts IS NOT NULL
+                         AND (f.ts IS NULL OR (e.ts - b.ts) <= (f.ts - e.ts))
+                    THEN b.purchase_value ELSE f.purchase_value END
+                 AS purchase_value
+        FROM events e
+        ASOF LEFT JOIN p b ON e.user_id = b.user_id AND e.ts >= b.ts
+        ASOF LEFT JOIN p f ON e.user_id = f.user_id AND e.ts <= f.ts
+    """,
     "a11_group_stats": """
         WITH agg AS (
           SELECT event_type, count(*) AS n,

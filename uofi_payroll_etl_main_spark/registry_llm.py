@@ -402,6 +402,44 @@ def j10_asof_backward(spark, sf):
     return out.select("event_id", "user_id", "event_type", "purchase_ts", "purchase_value")
 
 
+def j10b_asof_forward(spark, sf):
+    """Forward as-of join: each event picks up the user's NEXT (or
+    simultaneous) purchase value.  Oracle is DuckDB ASOF with the
+    inequality reversed."""
+    from .joins import asof_join_forward
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof_join_forward(
+        ev, purchases, by="user_id", ts="ts",
+        value_cols=["purchase_value"], right_ts_alias="purchase_ts",
+    )
+    return out.select("event_id", "user_id", "event_type", "purchase_ts", "purchase_value")
+
+
+def j10c_asof_nearest(spark, sf):
+    """Nearest as-of join (tie -> prior): closest purchase in either
+    direction per user.  Oracle combines DuckDB's backward and forward
+    ASOF joins with the same tie rule."""
+    from .joins import asof_join_nearest
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof_join_nearest(
+        ev, purchases, by="user_id", ts="ts",
+        value_cols=["purchase_value"], right_ts_alias="purchase_ts",
+    )
+    return out.select("event_id", "user_id", "event_type", "purchase_ts", "purchase_value")
+
+
 def a11_group_stats(spark, sf):
     """Exact per-type descriptive stats (decimal power sums -> IEEE
     finish); the A/B-readout aggregate."""
@@ -659,6 +697,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize": mm_resize,
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
+    "j10b_asof_forward": j10b_asof_forward,
+    "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,
     "a13_group_corr": a13_group_corr,
     "a4_hll_distinct": a4_hll_distinct,
