@@ -49,6 +49,8 @@ HEADLINERS = [
     "pipe_cpa",
     "j15_skew_plain",
     "j15_skew_salted",
+    "g3_triangle_count",
+    "j10c_asof_nearest",
 ]
 
 

@@ -202,21 +202,29 @@ def connected_components(
             .distinct()
         )
 
+    def _signature(ed: DataFrame) -> tuple:
+        # Order-independent set signature: (count, sum of 64-bit edge
+        # hashes).  Both edge sets are canonical (a<b) and distinct, so
+        # equal signatures mean equal sets up to a 2^-64 collision --
+        # one cheap aggregate per round instead of a full-outer
+        # symmetric-difference join (which re-shuffles both edge sets).
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows under
+            # the driver's ANSI session
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = e0.localCheckpoint(eager=True)
+    sig = _signature(e)
     for _ in range(max_iterations):
         e2 = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
-        # fixpoint test: the edge SETS are equal (both canonical a<b,
-        # distinct).  Two exceptAll counts would be two shuffles; one
-        # symmetric-difference count via full outer join is one.
-        diff = (
-            e.withColumn("__l", F.lit(1))
-            .join(e2.withColumn("__r", F.lit(1)), ["a", "b"], "full_outer")
-            .filter(F.col("__l").isNull() | F.col("__r").isNull())
-            .count()
-        )
+        sig2 = _signature(e2)
         e = e2
-        if diff == 0:
+        if sig2 == sig:
             break
+        sig = sig2
     # at fixpoint e is depth-1 stars in canonical (a < b) form, so the
     # component root is always the `a` side
     membership = e.select(F.col("a").alias("node"), F.col("a").alias("component")).union(
