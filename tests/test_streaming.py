@@ -300,3 +300,39 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     assert set(out.columns) == {"k", "a", "b"}
     got = {r.k: (r.a, r.b) for r in out.collect()}
     assert got == {1: ("x", None), 2: ("y", 9)}
+
+
+def test_zscore_anomalies_semantics(spark):
+    """n<2 predecessors -> null score; constant history -> null score
+    (zero variance); a genuine outlier after stable history flags."""
+    from uofi_payroll_etl_main_spark.streaming.windows import zscore_anomalies
+
+    rows = [
+        # event_id, ts, key, value: 6 stable values then an outlier
+        (0, "2024-01-01 00:00:00", "a", 10.0),
+        (1, "2024-01-01 00:01:00", "a", 12.0),
+        (2, "2024-01-01 00:02:00", "a", 11.0),
+        (3, "2024-01-01 00:03:00", "a", 10.5),
+        (4, "2024-01-01 00:04:00", "a", 11.5),
+        (5, "2024-01-01 00:05:00", "a", 100.0),
+        # constant-history key: variance 0 -> null scores throughout
+        (6, "2024-01-01 00:00:00", "b", 5.0),
+        (7, "2024-01-01 00:01:00", "b", 5.0),
+        (8, "2024-01-01 00:02:00", "b", 5.0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: r for r in zscore_anomalies(df, window_rows=50, by="event_type").collect()}
+    assert out[0].zscore is None and not out[0].is_anomaly   # no predecessors
+    assert out[1].zscore is None                             # single predecessor
+    assert out[2].zscore is not None                         # two predecessors
+    assert out[5].is_anomaly and out[5].zscore > 3           # the outlier
+    assert all(out[i].zscore is None for i in (6, 7, 8))     # zero variance
+
+    # independent recompute of the outlier's score
+    import statistics
+    hist = [10.0, 12.0, 11.0, 10.5, 11.5]
+    expect = (100.0 - statistics.mean(hist)) / statistics.stdev(hist)
+    assert abs(out[5].zscore - round(expect, 6)) < 1e-6

@@ -519,6 +519,19 @@ CORE_ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q3_shipping_priority": """
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
                CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -486,6 +486,31 @@ LLM_ORACLES: dict[str, str] = {
                      ORDER BY CAST(epoch(ts) AS BIGINT)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
+    # same decimal power-sum moments as the Spark operator; strictly
+    # preceding 50-row frame, n<2 or zero variance -> null score
+    "w_zscore": """
+        WITH m AS (
+          SELECT event_id, event_type, value,
+                 count(*) OVER w AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))
+                          * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+          FROM events
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+        ), sc AS (
+          SELECT event_id, event_type, value,
+                 CASE WHEN n > 1 AND (s2 - s1*s1/n) / (n-1) > 0
+                      THEN (value - s1/n) / sqrt((s2 - s1*s1/n) / (n-1))
+                 END AS z
+          FROM m
+        )
+        SELECT event_id, event_type, value,
+               round(z, 6) AS zscore,
+               coalesce(abs(z), 0.0) > 3.0 AS is_anomaly
+        FROM sc
+    """,
     "llm_cosine_topk": """
         WITH pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

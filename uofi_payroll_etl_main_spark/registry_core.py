@@ -582,6 +582,29 @@ def q3_shipping_priority(spark, sf):
     )
 
 
+def q4_order_priority(spark, sf):
+    """TPC-H Q4: order-priority checking -- quarterly orders with at
+    least one LATE lineitem, counted per priority.  The test tables
+    carry no l_commitdate/l_receiptdate, so "late" is l_shipdate more
+    than 30 days after o_orderdate; the shape is the faithful part: an
+    EXISTS as a left-semi join whose condition mixes the equi key with
+    a cross-side inequality (hash on the key, residual filter)."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def j11_semi_join(spark, sf):
     """Left SEMI join (TPC-H Q4 shape): orders having at least one
     late-shipped lineitem.  The probe side streams; only the key set of
@@ -1595,6 +1618,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_stamped_name": s7,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q5_nation_volume": q5_nation_volume,
     "a6_window_analytics": a6_window_analytics,
     "a7_rollup": a7_rollup,

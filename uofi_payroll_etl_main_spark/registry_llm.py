@@ -571,6 +571,14 @@ def w_rolling(spark, sf):
     return rolling_agg(_t(spark, sf, "events"), trailing_seconds=3600)
 
 
+def w_zscore(spark, sf):
+    """Rolling z-score anomaly flags per event type: each value scored
+    against the preceding 50 same-type events (exact decimal moments)."""
+    from .streaming.windows import zscore_anomalies
+
+    return zscore_anomalies(_t(spark, sf, "events"), window_rows=50, threshold=3.0)
+
+
 def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
@@ -711,6 +719,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,
+    "w_zscore": w_zscore,
     "w_funnel": w_funnel,
     "w_cohort": w_cohort,
     "w_tumbling": w_tumbling,

@@ -222,3 +222,45 @@ def resample_counts_filled(
             F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def zscore_anomalies(
+    events: DataFrame,
+    window_rows: int = 50,
+    threshold: float = 3.0,
+    by: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against the
+    mean/stddev of the PRECEDING `window_rows` events of the same key
+    (strictly preceding -- scoring a point against a window containing
+    itself dilutes the signal and leaks label into feature).
+
+    Moments come from exact decimal power sums finished in IEEE double,
+    so the score is order-independent and engine-reproducible (same
+    recipe as group_stats).  One shuffle on the key; rows with fewer
+    than 2 predecessors get a null score, never a spurious flag.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(E.epoch_micros(ts), F.col("event_id"))
+        .rowsBetween(-int(window_rows), -1)
+    )
+    v = F.col(value).cast("decimal(18,2)")
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    mean = s1 / n
+    var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col(value) - mean) / std)
+    return events.select(
+        "event_id",
+        F.col(by),
+        F.col(value),
+        F.round(z, 6).alias("zscore"),
+        (F.coalesce(F.abs(z), F.lit(0.0)) > threshold).alias("is_anomaly"),
+    )
