@@ -336,3 +336,24 @@ def test_zscore_anomalies_semantics(spark):
     hist = [10.0, 12.0, 11.0, 10.5, 11.5]
     expect = (100.0 - statistics.mean(hist)) / statistics.stdev(hist)
     assert abs(out[5].zscore - round(expect, 6)) < 1e-6
+
+
+def test_ewma_matches_pandas_adjust_form(spark):
+    """With the frame longer than the history, the bounded-frame EWMA
+    equals pandas' infinite-history ewm(adjust=True) (decay a = 0.9 is
+    pandas alpha = 0.1)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from uofi_payroll_etl_main_spark.streaming.windows import ewma
+
+    vals = [10.0, 12.0, 11.0, 30.0, 8.0, 15.0]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", "a", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r.ewma for r in ewma(df, alpha=0.9, window_rows=20).collect()}
+    expect = pd.Series(vals).ewm(alpha=0.1, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - round(expect[i], 6)) < 1e-6, (i, got[i], expect[i])

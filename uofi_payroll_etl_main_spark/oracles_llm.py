@@ -511,6 +511,25 @@ LLM_ORACLES: dict[str, str] = {
                coalesce(abs(z), 0.0) > 3.0 AS is_anomaly
         FROM sc
     """,
+    # bounded-frame EWMA, adjust-form; DuckDB list lambdas are 1-based
+    # (newest element i = len -> weight a^0), matching the Spark fold's
+    # 0-based a^(n-1-i)
+    "w_ewma": """
+        WITH t AS (
+          SELECT event_id, event_type, value,
+                 list(CAST(value AS DOUBLE)) OVER w AS vals
+          FROM events
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, value,
+               round(
+                 list_sum(list_transform(vals, (x, i) -> x * pow(0.9, len(vals) - i)))
+                 / list_sum(list_transform(vals, (x, i) -> pow(0.9, len(vals) - i))),
+                 6) AS ewma
+        FROM t
+    """,
     "llm_cosine_topk": """
         WITH pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

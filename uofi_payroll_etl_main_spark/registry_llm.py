@@ -579,6 +579,14 @@ def w_zscore(spark, sf):
     return zscore_anomalies(_t(spark, sf, "events"), window_rows=50, threshold=3.0)
 
 
+def w_ewma(spark, sf):
+    """Bounded-frame exponentially weighted moving average per event
+    type (adjust-form normalization; pure Catalyst window + array fold)."""
+    from .streaming.windows import ewma
+
+    return ewma(_t(spark, sf, "events"), alpha=0.9, window_rows=20)
+
+
 def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
@@ -720,6 +728,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,
     "w_zscore": w_zscore,
+    "w_ewma": w_ewma,
     "w_funnel": w_funnel,
     "w_cohort": w_cohort,
     "w_tumbling": w_tumbling,
