@@ -562,6 +562,13 @@ CORE_ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "a18_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """,
     "a9_cube": """
         SELECT event_type, CAST(year(ts) AS INTEGER) AS yr,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -699,6 +699,22 @@ def a7_rollup(spark, sf):
     )
 
 
+def a18_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS -- the general form rollup/cube are sugar
+    for: exactly the (flag,status), (flag), and (status) groupings in
+    one pass, no grand total (which neither rollup nor cube can express
+    without emitting extra sets and filtering)."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """)
+
+
 def a9_cube(spark, sf):
     """CUBE over (event_type, year): the full grouping-set lattice in
     one pass (rollup's sibling; subtotals along BOTH axes plus the
@@ -1624,6 +1640,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_rollup": a7_rollup,
     "a8_pivot": a8_pivot,
     "a9_cube": a9_cube,
+    "a18_grouping_sets": a18_grouping_sets,
     "a10_exact_median": a10_exact_median,
     "v5_skew_report": v5_skew_report,
     "v6_profile_table": v6_profile_table,
