@@ -602,3 +602,63 @@ def test_asof_join_nearest_prior_absent_takes_next(spark):
                             value_cols=["price"], right_ts_alias="mts")
     r = out.collect()[0]
     assert (r.mts, r.price) == (100, 3.0)
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_semi_join_exact_matches_plain_semi(spark):
+    from uofi_payroll_etl_main_spark.joins import bloom_semi_join
+
+    fact = spark.range(5000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 5000, 7).withColumnRenamed("id", "kk")
+    got = sorted(r.k for r in bloom_semi_join(
+        fact, keys, {"k": "kk"}, num_bits=1 << 14).collect())
+    want = sorted(range(0, 5000, 7))
+    assert got == want
+
+
+def test_bloom_prune_has_no_false_negatives(spark):
+    """Even a badly undersized bloom (high fpp) must keep every true
+    match -- prune mode can only overshoot, never drop."""
+    from uofi_payroll_etl_main_spark.joins import bloom_semi_join
+
+    fact = spark.range(2000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 2000, 13).withColumnRenamed("id", "kk")
+    pruned = set(r.k for r in bloom_semi_join(
+        fact, keys, {"k": "kk"}, num_bits=256, num_hashes=3, exact=False).collect())
+    assert set(range(0, 2000, 13)) <= pruned
+
+
+def test_bloom_prune_fpp_is_small_when_sized(spark):
+    """A filter sized ~16 bits/key keeps the overshoot low (< 5%)."""
+    from uofi_payroll_etl_main_spark.joins import bloom_semi_join
+
+    fact = spark.range(20000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 20000, 10).withColumnRenamed("id", "kk")  # 2000 keys
+    n = bloom_semi_join(
+        fact, keys, {"k": "kk"}, num_bits=1 << 15, num_hashes=5, exact=False
+    ).count()
+    assert 2000 <= n <= 2000 + int(0.05 * 18000)
+
+
+def test_bloom_empty_key_set_yields_empty_result(spark):
+    from uofi_payroll_etl_main_spark.joins import bloom_semi_join
+
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    keys = spark.range(0).withColumnRenamed("id", "kk")
+    assert bloom_semi_join(fact, keys, {"k": "kk"}, num_bits=1 << 10).count() == 0
+    assert bloom_semi_join(
+        fact, keys, {"k": "kk"}, num_bits=1 << 10, exact=False).count() == 0
+
+
+def test_bloom_probe_stays_jvm_side(spark):
+    from uofi_payroll_etl_main_spark.joins import bloom_semi_join
+
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    keys = spark.range(50).withColumnRenamed("id", "kk")
+    plan = (
+        bloom_semi_join(fact, keys, {"k": "kk"}, num_bits=1 << 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

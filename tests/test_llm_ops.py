@@ -433,3 +433,50 @@ def test_oov_rate_hand_computed(spark):
     assert out[2]["n_oov"] == 2
     assert out[3]["oov_frac"] == 1.0
     assert out[4]["n_tokens"] == 0 and out[4]["oov_frac"] == 0.0
+
+
+def test_containment_pairs_catches_embedded_doc(spark):
+    """A short doc fully inside a long one: containment 1.0 even though
+    Jaccard is far below any near-dup threshold."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    short_words = " ".join(f"w{i}" for i in range(10, 18))  # inside long
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_words),
+            Row(doc_id=2, text=short_words),
+            Row(doc_id=3, text="totally unrelated content over here now"),
+        ]
+    )
+    pairs = {(r.doc_a, r.doc_b): r for r in D.containment_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.containment == 1.0 and r.cont_b == 1.0 and r.cont_a < 0.2
+    jac = {(p.doc_a, p.doc_b) for p in D.jaccard_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) not in jac  # the case Jaccard misses
+    assert not any(3 in p for p in pairs)
+
+
+def test_shuffle_index_is_permutation_and_matches_naive(spark):
+    from uofi_payroll_etl_main_spark.llm.curation import shuffle_index
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = shuffle_index(df, "doc_id").collect()
+    pos = sorted(r.shuffle_pos for r in out)
+    assert pos == list(range(500))  # exact 0..n-1 permutation
+    # matches the naive single-window definition
+    naive = {
+        r.doc_id: i
+        for i, r in enumerate(
+            df.select(
+                "doc_id",
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("0"))).alias("ok"),
+            )
+            .orderBy("ok", "doc_id")
+            .collect()
+        )
+    }
+    got = {r.doc_id: r.shuffle_pos for r in out}
+    assert got == naive
+    # different seed -> different permutation (overwhelmingly)
+    other = {r.doc_id: r.shuffle_pos for r in shuffle_index(df, "doc_id", seed="1").collect()}
+    assert other != got

@@ -36,6 +36,9 @@ __all__ = [
     "asof_join_forward",
     "asof_join_nearest",
     "interval_join",
+    "bloom_filter_build",
+    "bloom_probe",
+    "bloom_semi_join",
     "FanOutWarning",
 ]
 
@@ -422,3 +425,132 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__bkt")
+
+
+def _bloom_positions(key: F.Column, num_bits: int, num_hashes: int) -> F.Column:
+    """array<long> of `num_hashes` bit positions for one key.
+
+    Kirsch-Mitzenmacher double hashing (h1 + i*h2, same construction as
+    the MinHash permutations in llm/dedup.py): two xxhash64 calls total,
+    masked to 31 bits so the combined arithmetic stays far from long
+    overflow under the driver's ANSI session.
+    """
+    mask = F.lit((1 << 31) - 1).cast("long")
+    h1 = F.xxhash64(key).bitwiseAND(mask)
+    h2 = F.xxhash64(key, F.lit(7)).bitwiseAND(mask)
+    return F.array(
+        *[F.pmod(h1 + F.lit(i + 1).cast("long") * h2, F.lit(num_bits).cast("long"))
+          for i in range(num_hashes)]
+    )
+
+
+# Single-bit masks for positions 0..63 as SIGNED longs (bit 63 is the
+# sign bit: -2^63).  A 64-element array literal sidesteps PySpark's
+# shiftleft/shiftright, which only accept Python-int shift amounts.
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _bit_mask(pos: F.Column) -> F.Column:
+    """Mask long with only bit `pos % 64` set (codegen array lookup)."""
+    return F.element_at(
+        F.lit(_BIT_MASKS).cast("array<long>"), F.pmod(pos, F.lit(64)).cast("int") + F.lit(1)
+    )
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Distributed Bloom filter over `keys[key_col]` as a SINGLE-ROW
+    DataFrame `{__bloom: array<long>}` of `num_bits/64` words.
+
+    Spark keeps `bloom_filter_agg` internal (not SQL-registered), so the
+    filter is built from first principles with pure DataFrame ops:
+    position explode -> per-word `bit_or` (map-side partial agg, the
+    shuffle carries at most num_bits/64 rows) -> one map_from_entries /
+    sequence projection that materializes the dense word array.  The
+    result is ~num_bits/8 bytes regardless of key count -- broadcastable
+    when the key SET itself is far too large to broadcast, which is the
+    whole point at 100 TB.
+    """
+    nwords = (int(num_bits) + 63) // 64
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), num_bits, num_hashes)).alias("__p")
+    )
+    words = (
+        pos.select(
+            F.floor(F.col("__p") / F.lit(64)).alias("__w"),
+            _bit_mask(F.col("__p")).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__word"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        words.groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("__w", "__word"))).alias("__m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(nwords - 1).cast("long")),
+                lambda i: F.coalesce(F.element_at("__m", i), zero),
+            ).alias("__bloom")
+        )
+    )
+
+
+def bloom_probe(key: F.Column, num_bits: int, num_hashes: int) -> F.Column:
+    """Boolean membership test of `key` against an attached `__bloom`
+    column (see bloom_semi_join).  Pure codegen: k word lookups + bit
+    tests, no Python."""
+    checks = []
+    for i in range(num_hashes):
+        p = F.element_at(_bloom_positions(key, num_bits, num_hashes), i + 1)
+        m = _bit_mask(p)
+        word = F.element_at("__bloom", F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+        checks.append(word.bitwiseAND(m) == m)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    on: str | Mapping[str, str],
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """J16 -- semi join of a huge fact against a large key set, with a
+    Bloom-filter pre-shuffle prune.
+
+    `fact SEMI JOIN keys` where the key set is too big to broadcast
+    normally costs a full shuffle of BOTH sides.  Here the key set is
+    compressed into a ~num_bits/8-byte bitmap (no false negatives),
+    broadcast as one row, and applied to the fact BEFORE its shuffle --
+    so the exchange carries ~|matches| + fpp*|fact| rows instead of
+    |fact|.  With `exact=True` (default) a real left-semi join then
+    removes the false positives, making the result EXACTLY equal to the
+    plain semi join (bloom never drops a true match); `exact=False`
+    keeps the ~fpp overshoot for pure-prune pipelines (e.g. feeding a
+    downstream aggregate that tolerates it).
+
+    `on`: "key" (same name both sides) or {fact_col: keys_col}.
+    """
+    if isinstance(on, str):
+        fact_key, keys_key = on, on
+    else:
+        (fact_key, keys_key), = on.items()
+    bloom = bloom_filter_build(keys, keys_key, num_bits, num_hashes)
+    pruned = (
+        fact.join(F.broadcast(bloom))
+        .filter(bloom_probe(F.col(fact_key), num_bits, num_hashes))
+        .drop("__bloom")
+    )
+    if not exact:
+        return pruned
+    kd = keys.select(F.col(keys_key).alias("__k")).dropDuplicates()
+    return pruned.join(kd, F.col(fact_key) == F.col("__k"), "left_semi")

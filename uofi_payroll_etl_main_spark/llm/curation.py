@@ -39,6 +39,7 @@ __all__ = [
     "mixture_weights",
     "dedup_lines",
     "importance_sample",
+    "shuffle_index",
 ]
 
 
@@ -478,3 +479,42 @@ def importance_sample(
     u = F.pmod(F.pmod(key, F.lit(2147483648)) * F.lit(mix_a) + F.lit(mix_b), F.lit(1000000))
     thresh = F.least(F.lit(1000000).cast("long"), _c(weight_col).cast("long") * ppm_per_unit)
     return df.filter(u < thresh)
+
+
+def shuffle_index(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "0",
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign each row its
+    0-based position in a pseudorandom-but-reproducible permutation of
+    the corpus (the "shuffle the data before training" step, made
+    engine-independent and resumable).
+
+    Order key = md5(key || '|' || seed) -- a keyed pseudorandom total
+    order both Spark and DuckDB can compute, so the assignment is
+    exactly oracle-checkable.  The global index is computed WITHOUT a
+    single-partition window: the first 2 hex chars of the digest form
+    256 order-preserving range buckets; per-bucket counts (256 rows)
+    become cumulative offsets via a tiny window, broadcast back, and
+    position = bucket_offset + row_number within the bucket.  Shuffle
+    cost: one exchange on the bucket column (the in-bucket sort rides
+    it) + a 256-row side frame -- the classic scalable zipWithIndex.
+    """
+    from pyspark.sql.window import Window
+
+    ok = F.md5(F.concat_ws("|", _c(key_col).cast("string"), F.lit(seed)))
+    bkt = F.conv(F.substring(ok, 1, 2), 16, 10).cast("int")
+    base = df.withColumn("__ok", ok).withColumn("__b", bkt)
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__ok", _c(key_col))
+    return (
+        base.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, (F.col("__off") + F.row_number().over(w_in) - F.lit(1)).cast("long"))
+        .drop("__ok", "__b", "__off")
+    )

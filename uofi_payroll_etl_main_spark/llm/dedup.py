@@ -34,6 +34,7 @@ __all__ = [
     "fingerprint_dedup",
     "word_shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signature",
     "minhash_signatures_arrow",
     "duplicate_clusters",
@@ -615,3 +616,62 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT join: pairs (a<b) where the smaller
+    shingle set is mostly inside the other -- |A ∩ B| / min(|A|,|B|)
+    >= threshold.
+
+    Jaccard is symmetric and misses the quote/boilerplate case: a short
+    doc wholly embedded in a long one has tiny Jaccard but containment
+    ~1.  This is the partial-duplicate detector from the dedup
+    literature (containment a la Broder's resemblance/containment
+    pair), and the exact baseline for MinHash-containment tiers.
+
+    Same scale shape as jaccard_pairs: shingle-explode equi self-join
+    (only co-shingled pairs materialize), group to intersection counts,
+    pure arithmetic after.  Emits both directional containments so the
+    caller can tell "A in B" from "B in A".
+    """
+    s = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_docs is not None:
+        hot = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_docs)
+            .select("shingle")
+        )
+        s = s.join(F.broadcast(hot), "shingle", "left_anti")
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("inter") / F.col("n_a")).alias("cont_a"),
+            (F.col("inter") / F.col("n_b")).alias("cont_b"),
+            "containment",
+        )
+    )

@@ -94,6 +94,12 @@ CORE_ORACLES: dict[str, str] = {
         FROM fact f LEFT JOIN dim d ON f.skew_key = d.skew_key
         GROUP BY f.skew_key
     """,
+    "j16_bloom_semi": """
+        SELECT l_orderkey, l_partkey, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+    """,
     "j14_interval_join": """
         WITH p AS (
           SELECT event_id AS win_id, user_id, ts AS w_start,

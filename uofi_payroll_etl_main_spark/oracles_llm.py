@@ -171,6 +171,16 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
     """,
+    "llm_containment_pairs": _SHINGLES
+    + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+               count(*) / any_value(a.n_sh) AS cont_a,
+               count(*) / any_value(b.n_sh) AS cont_b,
+               count(*) / least(any_value(a.n_sh), any_value(b.n_sh)) AS containment
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) / least(any_value(a.n_sh), any_value(b.n_sh)) >= 0.6
+    """,
     "llm_token_stats": r"""
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
@@ -348,6 +358,13 @@ LLM_ORACLES: dict[str, str] = {
                CASE WHEN doc_id % 100 < 80 THEN 'train'
                     WHEN doc_id % 100 < 90 THEN 'val'
                     ELSE 'test' END AS split
+        FROM documents
+    """,
+    "llm_corpus_shuffle": """
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '0'), doc_id
+               ) - 1 AS BIGINT) AS shuffle_pos
         FROM documents
     """,
     "llm_corpus_stats": r"""

@@ -1472,6 +1472,27 @@ def j15_skew_plain(spark, sf):
     return _skew_rollup(fact.join(dim, "skew_key", "left"))
 
 
+def j16_bloom_semi(spark, sf):
+    """Bloom-pruned semi join: lineitem rows whose order is URGENT.
+
+    The URGENT key set is compressed into a 2^20-bit bitmap (one row,
+    ~128 KiB) built with pure DataFrame ops (explode -> bit_or words),
+    broadcast, and applied to the fact BEFORE its shuffle; the exact
+    left-semi join then removes bloom false positives, so the result is
+    EXACTLY `l_orderkey IN (urgent orders)` -- which is the DuckDB
+    oracle.  At 100 TB this is the shape for fact-vs-large-key-set
+    filters where the key set cannot broadcast but its bitmap can."""
+    from .joins import bloom_semi_join
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_extendedprice")
+    urgent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return bloom_semi_join(li, urgent, {"l_orderkey": "o_orderkey"}, num_bits=1 << 20)
+
+
 def a14_histogram(spark, sf):
     """Equal-width gap-filled histogram (16 bins) over event values:
     two single-row-broadcast passes, shuffle volume = nbins."""
@@ -1572,6 +1593,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j14_interval_join": j14_interval_join,
     "j15_skew_salted": j15_skew_salted,
     "j15_skew_plain": j15_skew_plain,
+    "j16_bloom_semi": j16_bloom_semi,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,

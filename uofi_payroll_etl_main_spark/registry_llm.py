@@ -95,6 +95,13 @@ def llm_jaccard_pairs(spark, sf):
     return LD.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
 
+def llm_containment_pairs(spark, sf):
+    """Asymmetric partial-duplicate detection: shingle containment
+    |A∩B| / min(|A|,|B|) >= 0.6 -- catches short docs embedded in long
+    ones that Jaccard misses."""
+    return LD.containment_pairs(_t(spark, sf, "documents"), threshold=0.6, n=3)
+
+
 def llm_minhash_lsh(spark, sf):
     return LD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
@@ -244,6 +251,16 @@ def llm_split_assign(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return split_assign(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+def llm_corpus_shuffle(spark, sf):
+    """Deterministic global training-order shuffle: every doc gets its
+    0-based position in the md5-keyed permutation, computed with the
+    scalable bucket-offset scheme (no single-partition window)."""
+    from .llm.curation import shuffle_index
+
+    docs = _t(spark, sf, "documents")
+    return shuffle_index(docs, "doc_id").select("doc_id", "lang", "shuffle_pos")
 
 
 def llm_pack_sequences(spark, sf):
@@ -676,6 +693,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_exact_dedup": llm_exact_dedup,
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
     "llm_jaccard_pairs": llm_jaccard_pairs,
+    "llm_containment_pairs": llm_containment_pairs,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
@@ -699,6 +717,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_decontaminate": llm_decontaminate,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_split_assign": llm_split_assign,
+    "llm_corpus_shuffle": llm_corpus_shuffle,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
     "llm_dup_clusters": llm_dup_clusters,
