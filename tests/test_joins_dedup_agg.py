@@ -662,3 +662,26 @@ def test_bloom_probe_stays_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_training_shards_balanced_deterministic(spark, tmp_path):
+    import glob
+
+    from uofi_payroll_etl_main_spark.io import write_training_shards
+    from uofi_payroll_etl_main_spark.llm.curation import shuffle_index
+
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+    assert len(glob.glob(out + "/shard=*")) == 4
+    back = spark.read.parquet(out)
+    # exact balance: round-robin over a 0..n-1 permutation
+    sizes = {r.shard: r.n for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {0: 100, 1: 100, 2: 100, 3: 100}
+    # shard membership is the permutation position mod n_shards
+    pos = {r.doc_id: r.shuffle_pos for r in shuffle_index(df, "doc_id").collect()}
+    for r in back.collect():
+        assert r.shard == pos[r.doc_id] % 4
+        assert r.shuffle_pos == pos[r.doc_id]
+    # all rows survive exactly once
+    assert sorted(r.doc_id for r in back.collect()) == list(range(400))

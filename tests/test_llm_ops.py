@@ -480,3 +480,41 @@ def test_shuffle_index_is_permutation_and_matches_naive(spark):
     # different seed -> different permutation (overwhelmingly)
     other = {r.doc_id: r.shuffle_pos for r in shuffle_index(df, "doc_id", seed="1").collect()}
     assert other != got
+
+
+def test_quantize_embeddings_error_bound_and_zero_vector(spark):
+    from uofi_payroll_etl_main_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        ]
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    assert max(abs(q) for q in r1.qvec) == 127  # max component hits full range
+    for v, q in zip([0.5, -1.0, 0.25, 0.0], r1.qvec):
+        assert abs(v - q * r1.qscale) <= r1.qscale / 2 + 1e-12
+    assert list(rows[2].qvec) == [0, 0, 0, 0] and rows[2].qscale == 1.0
+
+
+def test_cosine_topk_quantized_recall_vs_exact(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.io import load_table
+    from uofi_payroll_etl_main_spark.llm.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    exact = cosine_topk(emb, k=5).collect()
+    quant = cosine_topk_quantized(emb, k=5).collect()
+    want = {}
+    got = {}
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.9  # int8 rounding barely moves cosine ranks

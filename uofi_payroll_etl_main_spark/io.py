@@ -30,6 +30,7 @@ __all__ = [
     "read_excel_stdlib",
     "write_excel",
     "load_table",
+    "write_training_shards",
 ]
 
 
@@ -571,3 +572,36 @@ def compact(spark: SparkSession, path: str, target_files: int) -> DataFrame:
     os.rename(tmp, path)
     shutil.rmtree(swap)
     return spark.read.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "0",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus as `n_shards` equal-size, deterministically
+    shuffled training shards (`path/shard=K/`), each internally ordered
+    by the same md5-keyed permutation.
+
+    Composition of shuffle_index (scalable global position, no
+    single-partition stage) + round-robin shard = pos % n_shards: every
+    shard gets an interleaved, unbiased 1/n sample of the shuffled
+    order -- the layout a data-parallel training job reads (worker K
+    scans only shard=K, no skip/seek).  repartition on the shard column
+    gives one task per shard; sortWithinPartitions preserves the
+    within-shard read order on disk.
+    """
+    from .llm.curation import shuffle_index
+
+    out = shuffle_index(df, key_col=key_col, seed=seed)
+    out = out.withColumn("shard", (F.col("shuffle_pos") % F.lit(n_shards)).cast("int"))
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shuffle_pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -35,6 +35,8 @@ __all__ = [
     "embed_dup_lsh",
     "ivf_topk",
     "cosine_topk_vectorized",
+    "quantize_embeddings",
+    "cosine_topk_quantized",
 ]
 
 ROUND_DIGITS = 6
@@ -552,4 +554,71 @@ def mean_embedding(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "mv"))), lambda s: s.mv
         ).alias("centroid"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) in [-127, 127], stored as array<tinyint>.
+
+    4x smaller than float32 across scan, shuffle, and broadcast -- the
+    standard memory/bandwidth lever for embedding workloads at 100 TB
+    (the IVF/LSH plans above move vectors through exchanges; int8 cuts
+    that volume 4x at ~no recall cost for cosine ranking, since the
+    per-vector scale cancels out of cosine entirely).
+
+    Reconstruction error is bounded by scale/2 per component
+    (round-to-nearest), asserted in tests.  Zero vectors quantize to
+    zeros with scale 1.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    out = df.withColumn(scale_col, scale)
+    return out.withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("tinyint")),
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: identical
+    plan shape to the exact `cosine_topk`, but every pair computation
+    runs on array<tinyint> (4x less data through the join).
+
+    Cosine is scale-invariant, so the per-vector quantization scale
+    drops out -- the only error is the rounding itself.  Recall@k vs
+    the exact tier is asserted in tests (rows-only at the gate: the
+    rounding error makes exact SQL equality meaningless).
+    """
+    cq = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__cv")
+    )
+    qq = quantize_embeddings(queries or corpus, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qv")
+    )
+    pairs = qq.crossJoin(cq).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        ROUND_DIGITS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
     )

@@ -191,6 +191,13 @@ def llm_cosine_topk_fast(spark, sf):
     return LS.cosine_topk_vectorized(_t(spark, sf, "embeddings"), k=5)
 
 
+def llm_cosine_topk_q(spark, sf):
+    """Int8-quantized cosine top-k (4x less vector data through the
+    pair join; rows-only -- rounding error vs the exact tier is
+    asserted as recall in tests/test_llm_ops.py)."""
+    return LS.cosine_topk_quantized(_t(spark, sf, "embeddings"), k=5)
+
+
 def llm_cosine_topk_sliced(spark, sf):
     """Scale path for corpus-vs-corpus exact top-k: the query batch is
     deterministic hash slice 0 of 4, so the driver only ever holds a
@@ -708,6 +715,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_bigram_logprob": llm_bigram_logprob,
     "llm_mean_embedding": llm_mean_embedding,
     "llm_cosine_topk": llm_cosine_topk,
+    "llm_cosine_topk_q": llm_cosine_topk_q,
     "llm_cosine_topk_fast": llm_cosine_topk_fast,
     "llm_cosine_topk_sliced": llm_cosine_topk_sliced,
     "llm_ann_lsh": llm_ann_lsh,
