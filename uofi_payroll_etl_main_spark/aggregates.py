@@ -17,7 +17,18 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mode_agg", "min_max", "count_rows", "group_stats", "group_corr", "histogram", "sketch_merge_distinct"]
+__all__ = [
+    "mode_agg",
+    "min_max",
+    "count_rows",
+    "group_stats",
+    "group_corr",
+    "histogram",
+    "sketch_merge_distinct",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+]
 
 
 def mode_agg(
@@ -215,4 +226,81 @@ def sketch_merge_distinct(
         F.hll_sketch_estimate(F.hll_union_agg("__sk"))
         .cast("long")
         .alias("distinct_est"),
+    )
+
+
+def _cms_positions(item, width: int, depth: int):
+    """One (row, col) struct per hash row for a string item."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(item, F.lit(d)), F.lit(width)).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of the frequency of `col` values, materialized
+    as a sparse count table DataFrame (d, w, cnt) with at most
+    depth*width rows.
+
+    The sketch is a pure groupBy-count over hashed cells, so it gets
+    map-side partial aggregation and shuffles at most depth*width rows
+    no matter how large the input -- and two sketches MERGE by adding
+    cells (`cms_merge`), which is what a 100 TB pipeline needs for
+    incremental / per-partition frequency state (daily sketches fold
+    into monthly ones without rescanning history; an exact per-value
+    count table grows with cardinality, this never does).
+
+    Estimates (`cms_estimate`) are upper bounds: est >= true count
+    always; est <= true + eps*N w.h.p. with eps = e/width.  All hashing
+    is fixed-seed xxhash64, so sketches are deterministic and
+    mergeable across runs and engines.
+    """
+    item = F.col(col).cast("string")
+    cells = df.select(F.explode(_cms_positions(item, width, depth)).alias("__c"))
+    return (
+        cells.groupBy(F.col("__c.d").alias("d"), F.col("__c.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (width, depth):
+    cell-wise sum.  Associative and commutative -- fold daily sketches
+    into any rollup."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-query the sketch for every row of `items[col]`: estimate =
+    min over the depth cells the item hashes to (absent cell = 0).
+
+    The sketch is bounded (depth*width cells) so it broadcasts; the
+    probe is a broadcast left join + groupBy-min -- items never
+    shuffle against each other, only against their own depth cells.
+    """
+    item = F.col(col).cast("string")
+    probes = items.select(
+        F.col(col), F.explode(_cms_positions(item, width, depth)).alias("__c")
+    ).select(col, F.col("__c.d").alias("d"), F.col("__c.w").alias("w"))
+    return (
+        probes.join(F.broadcast(cms), ["d", "w"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col))
     )

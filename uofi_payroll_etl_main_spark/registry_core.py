@@ -1493,6 +1493,20 @@ def j16_bloom_semi(spark, sf):
     return bloom_semi_join(li, urgent, {"l_orderkey": "o_orderkey"}, num_bits=1 << 20)
 
 
+def a19_cms_counts(spark, sf):
+    """Count-min sketch frequency estimation: per-user event counts
+    estimated from a bounded (4 x 8192)-cell sketch instead of an exact
+    per-key count table (rows-only: the sketch is approximate by
+    design; the est >= exact upper-bound property and merge law are
+    asserted in tests/test_joins_dedup_agg.py)."""
+    from .aggregates import cms_build, cms_estimate
+
+    ev = load_table(spark, sf, "events")
+    cms = cms_build(ev, "user_id", width=8192, depth=4)
+    users = ev.select("user_id").dropDuplicates()
+    return cms_estimate(cms, users, "user_id", width=8192, depth=4)
+
+
 def a14_histogram(spark, sf):
     """Equal-width gap-filled histogram (16 bins) over event values:
     two single-row-broadcast passes, shuffle volume = nbins."""
@@ -1594,6 +1608,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j15_skew_salted": j15_skew_salted,
     "j15_skew_plain": j15_skew_plain,
     "j16_bloom_semi": j16_bloom_semi,
+    "a19_cms_counts": a19_cms_counts,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
