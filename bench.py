@@ -51,6 +51,9 @@ HEADLINERS = [
     "j15_skew_salted",
     "g3_triangle_count",
     "j10c_asof_nearest",
+    "j16_bloom_semi",
+    "llm_containment_pairs",
+    "llm_corpus_shuffle",
 ]
 
 

@@ -652,7 +652,7 @@ def test_bloom_empty_key_set_yields_empty_result(spark):
         fact, keys, {"k": "kk"}, num_bits=1 << 10, exact=False).count() == 0
 
 
-def test_bloom_probe_stays_jvm_side(spark):
+def test_bloom_probe_stays_jvm_side_and_prunes_before_join(spark):
     from uofi_payroll_etl_main_spark.joins import bloom_semi_join
 
     fact = spark.range(100).withColumnRenamed("id", "k")
@@ -662,6 +662,11 @@ def test_bloom_probe_stays_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bitmap is a literal predicate on the scan, not a join Catalyst
+    # could float above the exact semi join (un-pruning the shuffle)
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_at = plan.index("Join")
+    assert "element_at" in plan[join_at:], "probe filter must sit below the join"
 
 
 def test_write_training_shards_balanced_deterministic(spark, tmp_path):

@@ -31,7 +31,6 @@ BNLJ_ALLOWED = {
     "llm_cosine_topk_q",    # brute-force on int8 arrays (same baseline)
     "llm_embed_dup",        # brute-force exact baseline BY DESIGN
     "a14_histogram",        # single-row (min,max) stats broadcast
-    "j16_bloom_semi",       # single-row bloom-bitmap broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

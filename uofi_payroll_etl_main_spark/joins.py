@@ -500,15 +500,17 @@ def bloom_filter_build(
     )
 
 
-def bloom_probe(key: F.Column, num_bits: int, num_hashes: int) -> F.Column:
-    """Boolean membership test of `key` against an attached `__bloom`
-    column (see bloom_semi_join).  Pure codegen: k word lookups + bit
-    tests, no Python."""
+def bloom_probe(
+    key: F.Column, bitmap: F.Column, num_bits: int, num_hashes: int
+) -> F.Column:
+    """Boolean membership test of `key` against `bitmap` (an array<long>
+    column or literal -- see bloom_semi_join).  Pure codegen: k word
+    lookups + bit tests, no Python."""
     checks = []
     for i in range(num_hashes):
         p = F.element_at(_bloom_positions(key, num_bits, num_hashes), i + 1)
         m = _bit_mask(p)
-        word = F.element_at("__bloom", F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+        word = F.element_at(bitmap, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
         checks.append(word.bitwiseAND(m) == m)
     out = checks[0]
     for c in checks[1:]:
@@ -525,18 +527,25 @@ def bloom_semi_join(
     exact: bool = True,
 ) -> DataFrame:
     """J16 -- semi join of a huge fact against a large key set, with a
-    Bloom-filter pre-shuffle prune.
+    Bloom-filter prune BEFORE the fact's shuffle.
 
     `fact SEMI JOIN keys` where the key set is too big to broadcast
     normally costs a full shuffle of BOTH sides.  Here the key set is
-    compressed into a ~num_bits/8-byte bitmap (no false negatives),
-    broadcast as one row, and applied to the fact BEFORE its shuffle --
-    so the exchange carries ~|matches| + fpp*|fact| rows instead of
-    |fact|.  With `exact=True` (default) a real left-semi join then
-    removes the false positives, making the result EXACTLY equal to the
-    plain semi join (bloom never drops a true match); `exact=False`
-    keeps the ~fpp overshoot for pure-prune pipelines (e.g. feeding a
-    downstream aggregate that tolerates it).
+    compressed into a ~num_bits/8-byte bitmap (no false negatives) and
+    inlined as an ARRAY LITERAL predicate on the fact scan -- so the
+    exchange carries ~|matches| + fpp*|fact| rows instead of |fact|.
+    The literal form is deliberate: attaching the bitmap as a
+    broadcast single-row join lets Catalyst's join reordering float the
+    probe ABOVE the exact semi join (observed), silently un-pruning the
+    shuffle; a filter on the scan cannot be reordered away.  The build
+    runs one bounded pre-pass job (collects exactly num_bits/64 longs,
+    ~num_bits/8 bytes -- same driver-side contract as the IVF centroid
+    collect).
+
+    With `exact=True` (default) a real left-semi join then removes the
+    false positives, making the result EXACTLY equal to the plain semi
+    join (bloom never drops a true match); `exact=False` keeps the
+    ~fpp overshoot for pure-prune pipelines.
 
     `on`: "key" (same name both sides) or {fact_col: keys_col}.
     """
@@ -544,12 +553,9 @@ def bloom_semi_join(
         fact_key, keys_key = on, on
     else:
         (fact_key, keys_key), = on.items()
-    bloom = bloom_filter_build(keys, keys_key, num_bits, num_hashes)
-    pruned = (
-        fact.join(F.broadcast(bloom))
-        .filter(bloom_probe(F.col(fact_key), num_bits, num_hashes))
-        .drop("__bloom")
-    )
+    words = bloom_filter_build(keys, keys_key, num_bits, num_hashes).first()[0]
+    bitmap = F.lit(list(words)).cast("array<long>")
+    pruned = fact.filter(bloom_probe(F.col(fact_key), bitmap, num_bits, num_hashes))
     if not exact:
         return pruned
     kd = keys.select(F.col(keys_key).alias("__k")).dropDuplicates()
