@@ -53,6 +53,8 @@ HEADLINERS = [
     "j10c_asof_nearest",
     "j16_bloom_semi",
     "llm_containment_pairs",
+    "llm_jaccard_pairs",
+    "llm_jaccard_prefix",
     "llm_corpus_shuffle",
 ]
 

@@ -518,3 +518,32 @@ def test_cosine_topk_quantized_recall_vs_exact(spark, sf_dir):
     hits = sum(len(want[q] & got.get(q, set())) for q in want)
     total = sum(len(v) for v in want.values())
     assert hits / total >= 0.9  # int8 rounding barely moves cosine ranks
+
+
+def test_jaccard_prefix_equals_naive_join(spark, sf_dir):
+    """Prefix filtering is lossless: identical pair set, intersections
+    and scores to the exhaustive shingle join, on real documents."""
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = {
+        (r.doc_a, r.doc_b): (r.inter, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): (r.inter, round(r.jaccard, 9))
+        for r in D.jaccard_pairs_prefix(docs, threshold=0.4).collect()
+    }
+    assert pref == naive and len(naive) > 0
+
+
+def test_jaccard_prefix_integral_threshold_boundary(spark):
+    """t*|x| exactly integral is the float-hazard case: the epsilon
+    nudge must keep the pair (ceil can only err toward a LARGER
+    prefix)."""
+    # two docs of 5 shingles sharing exactly 4 -> J = 4/6 = 0.667
+    a = " ".join(f"w{i}" for i in range(7))        # 5 3-gram shingles
+    b = " ".join(f"w{i}" for i in range(1, 8))     # shares 4 of them
+    docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    got = D.jaccard_pairs_prefix(docs, threshold=0.6).collect()
+    assert len(got) == 1 and abs(got[0].jaccard - 4 / 6) < 1e-9

@@ -35,6 +35,7 @@ __all__ = [
     "word_shingles",
     "jaccard_pairs",
     "containment_pairs",
+    "jaccard_pairs_prefix",
     "minhash_signature",
     "minhash_signatures_arrow",
     "duplicate_clusters",
@@ -675,3 +676,74 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard join via PREFIX FILTERING (the SSJoin /
+    PPJoin family): provably the same pairs as `jaccard_pairs`, with a
+    far smaller candidate space.
+
+    Prefix principle: order every doc's shingles by a global canonical
+    order (ascending document frequency, ties by shingle text -- rarest
+    first).  If J(A,B) >= t, the prefixes of length
+    |x| - ceil(t*|x|) + 1 MUST share a shingle, so only prefix-shingle
+    collisions become candidates.  The naive join explodes on EVERY
+    shingle -- its worst key is the most common shingle; this joins
+    only on each doc's RAREST shingles, so candidate volume drops
+    superlinearly with threshold and the join's hottest keys are
+    structurally its coldest shingles.  Verification then computes the
+    true Jaccard from the full shingle arrays (array_intersect) -- no
+    false positives survive, no true pair is lost (the ceil is nudged
+    by -1e-9 so float error can only ENLARGE a prefix, never shrink
+    it).
+
+    Plan: shingle df count (one groupBy) -> per-doc rank window
+    (partitioned by doc: bounded state) -> prefix equi join -> distinct
+    pairs -> verify against the two full arrays.  Oracle-checked with
+    the SAME DuckDB SQL as the naive tier: exactness is the contract.
+    """
+    from pyspark.sql import Window
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh")
+    )
+    s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
+    dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = s.join(dfreq, "shingle")
+    w = Window.partitionBy("doc").orderBy("__df", "shingle")
+    plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)) + 1)
+    prefix = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= plen)
+        .select("doc", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    arrs = base.select(F.col("doc"), F.col("__sh"))
+    va = arrs.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sha"))
+    vb = arrs.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__shb"))
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("__sha", "__shb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("__sha") + F.size("__shb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "inter", "jaccard")

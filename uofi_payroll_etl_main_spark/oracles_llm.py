@@ -171,6 +171,14 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
     """,
+    "llm_jaccard_prefix": _SHINGLES
+    + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+               count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
+    """,
     "llm_containment_pairs": _SHINGLES
     + """
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,

@@ -95,6 +95,14 @@ def llm_jaccard_pairs(spark, sf):
     return LD.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
 
+def llm_jaccard_prefix(spark, sf):
+    """Prefix-filtered exact Jaccard join (PPJoin-style): same result
+    contract as llm_jaccard_pairs -- and the same DuckDB oracle, which
+    is the proof the optimization is lossless -- but candidates come
+    only from each doc's rarest shingles."""
+    return LD.jaccard_pairs_prefix(_t(spark, sf, "documents"), threshold=0.4, n=3)
+
+
 def llm_containment_pairs(spark, sf):
     """Asymmetric partial-duplicate detection: shingle containment
     |A∩B| / min(|A|,|B|) >= 0.6 -- catches short docs embedded in long
@@ -701,6 +709,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_containment_pairs": llm_containment_pairs,
+    "llm_jaccard_prefix": llm_jaccard_prefix,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
