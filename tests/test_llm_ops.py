@@ -547,3 +547,36 @@ def test_jaccard_prefix_integral_threshold_boundary(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
     got = D.jaccard_pairs_prefix(docs, threshold=0.6).collect()
     assert len(got) == 1 and abs(got[0].jaccard - 4 / 6) < 1e-9
+
+
+def test_substring_search_matches_plain_contains(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(r.doc_id for r in T.substring_search(docs, "fast merge").collect())
+    want = sorted(
+        r.doc_id for r in docs.filter(F.col("text").contains("fast merge")).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_substring_search_trigram_scatter_is_filtered(spark):
+    """Doc holding all pattern trigrams non-contiguously must be
+    candidate-listed but verified OUT."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="xxabcdexx"),        # contains 'abcde'
+            Row(doc_id=2, text="abc bcd cde"),      # all trigrams, scattered
+            Row(doc_id=3, text="nothing here"),
+        ]
+    )
+    got = sorted(r.doc_id for r in T.substring_search(docs, "abcde").collect())
+    assert got == [1]
+
+
+def test_substring_search_short_pattern_falls_back(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="ab cd"), Row(doc_id=2, text="zz")]
+    )
+    got = sorted(r.doc_id for r in T.substring_search(docs, "ab").collect())
+    assert got == [1]

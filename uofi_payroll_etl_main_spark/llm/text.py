@@ -35,6 +35,8 @@ __all__ = [
     "bigram_logprob",
     "repetition_signals",
     "oov_rate",
+    "build_trigram_index",
+    "substring_search",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -370,3 +372,57 @@ def oov_rate(
             ),
         )
     )
+
+
+def build_trigram_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram posting table (trigram, doc_id): the WRITE-side
+    index for substring search over a corpus.
+
+    Built once (persist it partitioned by trigram), amortized over every
+    later pattern query -- the index scan for a query touches only the
+    pattern's own trigrams, not the corpus text.  Distinct per doc, so
+    the posting list for a trigram is at most one row per document.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: t.substr(i, F.lit(3)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("trigram"))
+
+
+def substring_search(
+    df: DataFrame,
+    pattern: str,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT substring search (`contains`) with a trigram prefilter.
+
+    Every occurrence of `pattern` implies every one of its character
+    trigrams appears in the doc -- so docs missing any pattern trigram
+    are excluded with NO false negatives, and only candidates holding
+    all trigrams are verified with the real `contains`.  At 100 TB the
+    naive plan reads every text byte per query; this reads the posting
+    lists of len(pattern)-2 trigrams plus the candidates' text.
+    Patterns shorter than 3 chars fall back to the plain scan.
+    """
+    if len(pattern) < 3:
+        return df.filter(F.col(text_col).contains(pattern))
+    grams = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    if index is None:
+        index = build_trigram_index(df, id_col, text_col)
+    cand = (
+        index.filter(F.col("trigram").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count_distinct("trigram").alias("__m"))
+        .filter(F.col("__m") == len(grams))
+        .select(id_col)
+    )
+    return df.join(cand, id_col, "left_semi").filter(F.col(text_col).contains(pattern))

@@ -171,6 +171,10 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.4
     """,
+    "llm_substring_search": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE contains(text, 'fast merge')
+    """,
     "llm_jaccard_prefix": _SHINGLES
     + """
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,

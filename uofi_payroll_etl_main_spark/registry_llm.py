@@ -95,6 +95,15 @@ def llm_jaccard_pairs(spark, sf):
     return LD.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
 
+def llm_substring_search(spark, sf):
+    """Trigram-prefiltered exact substring search: docs containing
+    'fast merge', candidates narrowed to docs holding every pattern
+    trigram before the contains verify.  Oracle is the plain
+    contains scan -- exactness is the contract."""
+    docs = _t(spark, sf, "documents")
+    return LT.substring_search(docs, "fast merge").select("doc_id", "lang", "source", "n_chars")
+
+
 def llm_jaccard_prefix(spark, sf):
     """Prefix-filtered exact Jaccard join (PPJoin-style): same result
     contract as llm_jaccard_pairs -- and the same DuckDB oracle, which
@@ -710,6 +719,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_containment_pairs": llm_containment_pairs,
     "llm_jaccard_prefix": llm_jaccard_prefix,
+    "llm_substring_search": llm_substring_search,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
