@@ -580,3 +580,31 @@ def test_substring_search_short_pattern_falls_back(spark):
     )
     got = sorted(r.doc_id for r in T.substring_search(docs, "ab").collect())
     assert got == [1]
+
+
+def test_containment_prefix_equals_naive(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = {
+        (r.doc_a, r.doc_b): (r.inter, round(r.containment, 9))
+        for r in D.containment_pairs(docs, threshold=0.6).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): (r.inter, round(r.containment, 9))
+        for r in D.containment_pairs_prefix(docs, threshold=0.6).collect()
+    }
+    assert pref == naive and len(naive) > 0
+
+
+def test_containment_prefix_finds_embedded_short_doc(spark):
+    """The asymmetric case prefix-Jaccard would miss: embedded short
+    doc, low Jaccard, containment 1.0 -- the smaller doc's prefix must
+    reach the long doc's full posting list."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    short_words = " ".join(f"w{i}" for i in range(10, 18))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=long_words), Row(doc_id=2, text=short_words)]
+    )
+    got = D.containment_pairs_prefix(docs, threshold=0.9).collect()
+    assert len(got) == 1 and got[0].containment == 1.0

@@ -36,6 +36,7 @@ __all__ = [
     "jaccard_pairs",
     "containment_pairs",
     "jaccard_pairs_prefix",
+    "containment_pairs_prefix",
     "minhash_signature",
     "minhash_signatures_arrow",
     "duplicate_clusters",
@@ -747,3 +748,73 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "inter", "jaccard")
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT containment join via ASYMMETRIC prefix filtering: same
+    result contract as `containment_pairs`, with a one-sided candidate
+    space.
+
+    For C(A,B) = inter / min(|A|,|B|) >= t, let x be the smaller set:
+    inter >= ceil(t*|x|), so if the |x| - ceil(t*|x|) + 1 rarest
+    shingles of x all miss B, the remaining suffix is too short to
+    reach the required overlap -- contradiction.  Hence joining every
+    doc's PREFIX against every doc's FULL posting table (one side
+    pruned, the other intact; the larger doc's side cannot be pruned
+    because the overlap may be a tiny fraction of it) loses no pair.
+    Verification on the full arrays then removes false positives.
+
+    Candidate volume: |prefix| x posting-list instead of posting-list
+    squared -- the naive containment join's quadratic hot-shingle cost
+    keeps only one factor.
+    """
+    from pyspark.sql import Window
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh")
+    )
+    s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
+    dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = s.join(dfreq, "shingle")
+    w = Window.partitionBy("doc").orderBy("__df", "shingle")
+    plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)) + 1)
+    prefix = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= plen)
+        .select(F.col("doc").alias("pdoc"), "shingle")
+    )
+    full = s.select(F.col("doc").alias("fdoc"), "shingle")
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(F.col("pdoc") != F.col("fdoc"))
+        .select(
+            F.least("pdoc", "fdoc").alias("doc_a"),
+            F.greatest("pdoc", "fdoc").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    va = base.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sha"))
+    vb = base.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__shb"))
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("__sha", "__shb")).cast("long"))
+        .withColumn("n_a", F.size("__sha"))
+        .withColumn("n_b", F.size("__shb"))
+        .withColumn("containment", F.col("inter") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        (F.col("inter") / F.col("n_a")).alias("cont_a"),
+        (F.col("inter") / F.col("n_b")).alias("cont_b"),
+        "containment",
+    )

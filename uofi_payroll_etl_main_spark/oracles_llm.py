@@ -193,6 +193,16 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) / least(any_value(a.n_sh), any_value(b.n_sh)) >= 0.6
     """,
+    "llm_containment_prefix": _SHINGLES
+    + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+               count(*) / any_value(a.n_sh) AS cont_a,
+               count(*) / any_value(b.n_sh) AS cont_b,
+               count(*) / least(any_value(a.n_sh), any_value(b.n_sh)) AS containment
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) / least(any_value(a.n_sh), any_value(b.n_sh)) >= 0.6
+    """,
     "llm_token_stats": r"""
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0

@@ -119,6 +119,14 @@ def llm_containment_pairs(spark, sf):
     return LD.containment_pairs(_t(spark, sf, "documents"), threshold=0.6, n=3)
 
 
+def llm_containment_prefix(spark, sf):
+    """Asymmetric-prefix containment join: same result and SAME oracle
+    as llm_containment_pairs (losslessness is the contract), candidates
+    from each doc's rarest-shingle prefix against the full posting
+    table."""
+    return LD.containment_pairs_prefix(_t(spark, sf, "documents"), threshold=0.6, n=3)
+
+
 def llm_minhash_lsh(spark, sf):
     return LD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
@@ -720,6 +728,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_containment_pairs": llm_containment_pairs,
     "llm_jaccard_prefix": llm_jaccard_prefix,
     "llm_substring_search": llm_substring_search,
+    "llm_containment_prefix": llm_containment_prefix,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
