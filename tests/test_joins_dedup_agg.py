@@ -722,3 +722,29 @@ def test_cms_merge_equals_sketch_of_union(spark):
     whole = {(r.d, r.w): r.cnt for r in cms_build(
         a.unionByName(b), "k", width=256, depth=3).collect()}
     assert merged == whole
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from uofi_payroll_etl_main_spark.aggregates import winsorize
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(101)] + [Row(g="b", v=1000.0)]
+    )
+    out = {(r.g, r.v): r.v_wins for r in winsorize(df, "g", "v", 0.05, 0.95, "v_wins").collect()}
+    assert out[("a", 0.0)] == 5.0 and out[("a", 100.0)] == 95.0
+    assert out[("a", 50.0)] == 50.0
+    assert out[("b", 1000.0)] == 1000.0  # single-value group: clip is identity
+
+
+def test_robust_zscore_hand_computed_and_outlier_resistant(spark):
+    from uofi_payroll_etl_main_spark.aggregates import robust_zscore
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 1000.0]  # median 3.5, MAD 1.5
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    out = {r.v: r.robust_z for r in robust_zscore(df, "g", "v").collect()}
+    assert abs(out[3.0] - (3.0 - 3.5) / (1.4826 * 1.5)) < 1e-12
+    assert out[1000.0] > 100  # the outlier is flagged hard...
+    assert abs(out[2.0]) < 1.0  # ...while inliers stay small
+    # constant group -> MAD 0 -> defined zero
+    cst = spark.createDataFrame([Row(g="c", v=7.0)] * 4)
+    assert all(r.robust_z == 0.0 for r in robust_zscore(cst, "g", "v").collect())

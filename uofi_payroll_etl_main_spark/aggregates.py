@@ -28,6 +28,8 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_estimate",
+    "winsorize",
+    "robust_zscore",
 ]
 
 
@@ -303,4 +305,69 @@ def cms_estimate(
         probes.join(F.broadcast(cms), ["d", "w"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col))
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    key: str,
+    col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip `col` to its exact interpolated
+    [p_lo, p_hi] group percentiles (percentile_cont semantics, matching
+    DuckDB quantile_cont exactly).
+
+    One per-group percentile aggregate (state bounded by group count)
+    broadcast back onto the fact -- the fact itself never shuffles.
+    The exact percentile costs a per-group sort in the aggregate; for
+    a 100 TB hot path swap in approx_quantiles and accept the sketch
+    tolerance.
+    """
+    out_col = out_col or f"{col}_wins"
+    q = df.groupBy(key).agg(
+        F.percentile(col, F.lit(p_lo)).alias("__qlo"),
+        F.percentile(col, F.lit(p_hi)).alias("__qhi"),
+    )
+    return (
+        df.join(F.broadcast(q), key)
+        .withColumn(out_col, F.least(F.greatest(F.col(col), F.col("__qlo")), F.col("__qhi")))
+        .drop("__qlo", "__qhi")
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    key: str,
+    col: str,
+    out_col: str = "robust_z",
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Median/MAD z-score per group: (x - median) / (scale * MAD) with
+    MAD = median(|x - median|) -- the outlier-robust standardization
+    (mean/stddev moments are themselves dragged by the outliers they
+    are supposed to flag; the median/MAD pair is not).
+
+    Two bounded per-group aggregates (median, then MAD over the
+    residuals), each broadcast back; the fact is scanned twice and
+    shuffled never.  Zero-MAD groups (over half the values identical)
+    emit 0.0 rather than dividing by zero.
+    """
+    med = df.groupBy(key).agg(F.percentile(col, F.lit(0.5)).alias("__med"))
+    j = df.join(F.broadcast(med), key)
+    mad = j.groupBy(key).agg(
+        F.percentile(F.abs(F.col(col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+    )
+    return (
+        j.join(F.broadcast(mad), key)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__mad") > 0,
+                (F.col(col) - F.col("__med")) / (F.lit(scale) * F.col("__mad")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__med", "__mad")
     )

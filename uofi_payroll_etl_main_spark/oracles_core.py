@@ -588,6 +588,31 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "a20_winsorize": """
+        WITH q AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS qlo,
+                 quantile_cont(value, 0.95) AS qhi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               least(greatest(e.value, q.qlo), q.qhi) AS value_wins
+        FROM events e JOIN q USING (event_type)
+    """,
+    "a21_robust_zscore": """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM events GROUP BY event_type
+        ), mad AS (
+          SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS md
+          FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN mad.md > 0
+                    THEN (e.value - med.m) / (1.4826 * mad.md)
+                    ELSE 0.0 END AS robust_z
+        FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
     "v6_profile_table": """
         SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -1507,6 +1507,28 @@ def a19_cms_counts(spark, sf):
     return cms_estimate(cms, users, "user_id", width=8192, depth=4)
 
 
+def a20_winsorize(spark, sf):
+    """Per-event-type winsorization of event values to the exact
+    [5%, 95%] group percentiles (quantile_cont parity with DuckDB)."""
+    from .aggregates import winsorize
+
+    ev = _t(spark, sf, "events")
+    return winsorize(ev, "event_type", "value").select(
+        "event_id", "event_type", "value", "value_wins"
+    )
+
+
+def a21_robust_zscore(spark, sf):
+    """Median/MAD robust z-score per event type -- outlier-resistant
+    standardization with exact medians in both engines."""
+    from .aggregates import robust_zscore
+
+    ev = _t(spark, sf, "events")
+    return robust_zscore(ev, "event_type", "value").select(
+        "event_id", "event_type", "value", "robust_z"
+    )
+
+
 def a14_histogram(spark, sf):
     """Equal-width gap-filled histogram (16 bins) over event values:
     two single-row-broadcast passes, shuffle volume = nbins."""
@@ -1609,6 +1631,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j15_skew_plain": j15_skew_plain,
     "j16_bloom_semi": j16_bloom_semi,
     "a19_cms_counts": a19_cms_counts,
+    "a20_winsorize": a20_winsorize,
+    "a21_robust_zscore": a21_robust_zscore,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
