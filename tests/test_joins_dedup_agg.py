@@ -748,3 +748,20 @@ def test_robust_zscore_hand_computed_and_outlier_resistant(spark):
     # constant group -> MAD 0 -> defined zero
     cst = spark.createDataFrame([Row(g="c", v=7.0)] * 4)
     assert all(r.robust_z == 0.0 for r in robust_zscore(cst, "g", "v").collect())
+
+
+def test_group_spearman_hand_computed(spark):
+    from uofi_payroll_etl_main_spark.aggregates import group_spearman
+
+    # perfect inverse monotone -> -1 regardless of scale
+    inv = spark.createDataFrame(
+        [Row(g="a", x=1.0, y=100.0), Row(g="a", x=2.0, y=9.0), Row(g="a", x=3.0, y=-5.0)]
+    )
+    got = group_spearman(inv, "g", "x", "y").collect()[0]
+    assert got.spearman_xy == -1.0
+    # mid-rank ties: rx=[1.5,1.5,3], ry=[1,2,3] -> 1.5/sqrt(1.5*2)
+    ties = spark.createDataFrame(
+        [Row(g="t", x=1.0, y=1.0), Row(g="t", x=1.0, y=2.0), Row(g="t", x=2.0, y=3.0)]
+    )
+    got = group_spearman(ties, "g", "x", "y").collect()[0]
+    assert abs(got.spearman_xy - 0.866025) < 1e-6

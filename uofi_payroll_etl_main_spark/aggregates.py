@@ -30,6 +30,7 @@ __all__ = [
     "cms_estimate",
     "winsorize",
     "robust_zscore",
+    "group_spearman",
 ]
 
 
@@ -371,3 +372,30 @@ def robust_zscore(
         )
         .drop("__med", "__mad")
     )
+
+
+def group_spearman(
+    df: DataFrame, key: str, col_x: str, col_y: str, out_col: str = "spearman_xy"
+) -> DataFrame:
+    """Exact Spearman rank correlation per group: Pearson over average
+    ranks (ties get the mean of their rank range -- the standard
+    mid-rank convention), finished with the same decimal power-sum
+    machinery as group_corr for bit-stable results.
+
+    Rank plumbing is shuffle-frugal: both the rank and the tie count
+    ride ONE exchange per rank column (the tie count is a window count
+    over the RANGE frame of peers, same partitioning as the rank), and
+    mid-ranks in .5 steps stay exact in decimal(18,2).
+    """
+    from pyspark.sql import Window
+
+    def avg_rank(c: str):
+        w = Window.partitionBy(key).orderBy(F.col(c))
+        peers = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
+        return F.rank().over(w).cast("double") + (peers.cast("double") - 1) / 2
+
+    ranked = df.select(
+        F.col(key), avg_rank(col_x).alias("__rx"), avg_rank(col_y).alias("__ry")
+    )
+    out = group_corr(ranked, key, "__rx", "__ry")
+    return out.select(key, "n", F.col("corr_xy").alias(out_col))

@@ -702,6 +702,35 @@ LLM_ORACLES: dict[str, str] = {
                min_v, max_v
         FROM agg
     """,
+    "a22_spearman": """
+        WITH src AS (
+          SELECT event_type, value AS x, CAST(hour(ts) AS DOUBLE) AS y
+          FROM events
+        ), ranked AS (
+          SELECT event_type,
+                 CAST(CAST(rank() OVER (PARTITION BY event_type ORDER BY x) AS DOUBLE)
+                      + (CAST(count(*) OVER (PARTITION BY event_type, x) AS DOUBLE) - 1) / 2
+                      AS DECIMAL(18,2)) AS rx,
+                 CAST(CAST(rank() OVER (PARTITION BY event_type ORDER BY y) AS DOUBLE)
+                      + (CAST(count(*) OVER (PARTITION BY event_type, y) AS DOUBLE) - 1) / 2
+                      AS DECIMAL(18,2)) AS ry
+          FROM src
+        ), agg AS (
+          SELECT event_type, count(*) AS n,
+                 sum(rx) AS sx, sum(ry) AS sy, sum(rx*ry) AS sxy,
+                 sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+          FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CASE WHEN n > 1
+                           AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) > 0
+                           AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) > 0
+                          THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+                               / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                                      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n))
+                     END, 6) AS spearman_xy
+        FROM agg
+    """,
     "a13_group_corr": """
         WITH src AS (
           SELECT event_type,

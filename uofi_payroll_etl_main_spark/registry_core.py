@@ -1507,6 +1507,17 @@ def a19_cms_counts(spark, sf):
     return cms_estimate(cms, users, "user_id", width=8192, depth=4)
 
 
+def a22_spearman(spark, sf):
+    """Exact Spearman rank correlation per event type (value vs hour of
+    day): mid-rank ties, decimal power sums, IEEE finish."""
+    from .aggregates import group_spearman
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("value"), F.hour("ts").cast("double").alias("hod")
+    )
+    return group_spearman(ev, "event_type", "value", "hod")
+
+
 def a20_winsorize(spark, sf):
     """Per-event-type winsorization of event values to the exact
     [5%, 95%] group percentiles (quantile_cont parity with DuckDB)."""
@@ -1633,6 +1644,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a19_cms_counts": a19_cms_counts,
     "a20_winsorize": a20_winsorize,
     "a21_robust_zscore": a21_robust_zscore,
+    "a22_spearman": a22_spearman,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
