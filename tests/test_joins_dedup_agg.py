@@ -765,3 +765,44 @@ def test_group_spearman_hand_computed(spark):
     )
     got = group_spearman(ties, "g", "x", "y").collect()[0]
     assert abs(got.spearman_xy - 0.866025) < 1e-6
+
+
+def test_check_expectations_detects_each_violation(spark):
+    from uofi_payroll_etl_main_spark.report import check_expectations
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, cat="a"),
+            Row(k=1, v=-5.0, cat="b"),      # dup key, out of range
+            Row(k=2, v=None, cat="weird"),  # null v tolerated below, bad cat
+        ]
+    )
+    rep = {r.rule: r for r in check_expectations(
+        df,
+        [
+            {"kind": "unique", "col": "k"},
+            {"kind": "not_null", "col": "v", "max_null_frac": 0.5},
+            {"kind": "in_range", "col": "v", "lo": 0, "hi": 100},
+            {"kind": "in_set", "col": "cat", "values": ["a", "b"]},
+            {"kind": "min_rows", "n": 10},
+        ],
+    ).collect()}
+    assert not rep["unique"].passed and abs(rep["unique"].metric - 2 / 3) < 1e-12
+    assert rep["not_null"].passed          # 1/3 nulls <= 0.5 budget
+    assert not rep["in_range"].passed and rep["in_range"].metric == 1.0
+    assert not rep["in_set"].passed and rep["in_set"].metric == 1.0
+    assert not rep["min_rows"].passed and rep["min_rows"].metric == 3.0
+
+
+def test_check_expectations_single_scan(spark):
+    """All rules fold into ONE aggregate: exactly one Aggregate chain,
+    no unions of per-rule scans."""
+    from uofi_payroll_etl_main_spark.report import check_expectations
+
+    df = spark.range(100).selectExpr("id as k", "cast(id as double) v")
+    rep = check_expectations(
+        df, [{"kind": "unique", "col": "k"}, {"kind": "min_rows", "n": 1}]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # range source appears once per stage, never per rule
+    assert rep.filter(~F.col("passed")).count() == 0

@@ -588,6 +588,35 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "v7_expectations": """
+        WITH m AS (
+          SELECT count(*) AS n,
+                 count(DISTINCT o_orderkey) AS uniq,
+                 sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+                 sum(CASE WHEN o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                          THEN 1 ELSE 0 END) AS oor,
+                 sum(CASE WHEN o_orderpriority IS NOT NULL
+                           AND o_orderpriority NOT IN
+                               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                          THEN 1 ELSE 0 END) AS oos
+          FROM orders
+        )
+        SELECT 'unique' AS rule, 'o_orderkey' AS "column",
+               CAST(uniq AS DOUBLE) / n AS metric, 1.0 AS threshold,
+               uniq = n AS passed FROM m
+        UNION ALL
+        SELECT 'not_null', 'o_custkey', CAST(nulls AS DOUBLE) / n, 0.0,
+               nulls = 0 FROM m
+        UNION ALL
+        SELECT 'in_range', 'o_totalprice', CAST(oor AS DOUBLE), 0.0,
+               oor = 0 FROM m
+        UNION ALL
+        SELECT 'in_set', 'o_orderpriority', CAST(oos AS DOUBLE), 0.0,
+               oos = 0 FROM m
+        UNION ALL
+        SELECT 'min_rows', '*', CAST(n AS DOUBLE), 100.0, n >= 100 FROM m
+    """,
     "a20_winsorize": """
         WITH q AS (
           SELECT event_type,

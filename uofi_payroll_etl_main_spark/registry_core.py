@@ -748,6 +748,28 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def v7_expectations(spark, sf):
+    """Declarative data-quality contract over orders, all rules folded
+    into one aggregate scan: key uniqueness, null budget, value range,
+    category membership, minimum volume."""
+    from .report import check_expectations
+
+    return check_expectations(
+        _t(spark, sf, "orders"),
+        [
+            {"kind": "unique", "col": "o_orderkey"},
+            {"kind": "not_null", "col": "o_custkey", "max_null_frac": 0.0},
+            {"kind": "in_range", "col": "o_totalprice", "lo": 0, "hi": 1000000},
+            {
+                "kind": "in_set",
+                "col": "o_orderpriority",
+                "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            },
+            {"kind": "min_rows", "n": 100},
+        ],
+    )
+
+
 def a10_exact_median(spark, sf):
     """Exact interpolated median per group (percentile_cont semantics
     in both engines).  The exact tier costs a per-group sort; at 100 TB
@@ -1717,6 +1739,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_exact_median": a10_exact_median,
     "v5_skew_report": v5_skew_report,
     "v6_profile_table": v6_profile_table,
+    "v7_expectations": v7_expectations,
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,

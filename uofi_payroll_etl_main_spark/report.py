@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts"]
+__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations"]
 
 
 @dataclass
@@ -156,3 +156,77 @@ def observe_counts(df: DataFrame, name: str = "metrics"):
 
     obs = Observation(name)
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
+
+
+def check_expectations(df: DataFrame, expectations: Sequence[dict]) -> DataFrame:
+    """Declarative data-quality expectations (the V-family at contract
+    level, deequ-shape): evaluate a list of rules in ONE aggregate pass
+    over the frame and return a (rule, column, metric, threshold,
+    passed) report DataFrame.
+
+    Supported rule kinds:
+      {"kind": "not_null",  "col": c, "max_null_frac": f}
+      {"kind": "unique",    "col": c}                     # distinct == rows
+      {"kind": "in_range",  "col": c, "lo": x, "hi": y}   # all non-null in [lo, hi]
+      {"kind": "in_set",    "col": c, "values": [...]}    # all non-null members
+      {"kind": "min_rows",  "n": k}
+
+    Everything folds into a single wide agg (map-side partials, one
+    scan, no per-rule jobs), then unpivots to the report -- on a
+    100 TB fact the scan IS the cost, so rules must share it.
+    `unique` uses exact count_distinct: it shares the same shuffle
+    stage; swap approx_count_distinct in if a tolerance is acceptable.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, e in enumerate(expectations):
+        k = e["kind"]
+        if k == "not_null":
+            aggs.append(
+                F.sum(F.when(F.col(e["col"]).isNull(), 1).otherwise(0)).alias(f"__m{i}")
+            )
+        elif k == "unique":
+            aggs.append(F.count_distinct(F.col(e["col"])).alias(f"__m{i}"))
+        elif k == "in_range":
+            bad = F.col(e["col"]).isNotNull() & (
+                (F.col(e["col"]) < e["lo"]) | (F.col(e["col"]) > e["hi"])
+            )
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__m{i}"))
+        elif k == "in_set":
+            bad = F.col(e["col"]).isNotNull() & ~F.col(e["col"]).isin(list(e["values"]))
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__m{i}"))
+        elif k == "min_rows":
+            aggs.append(F.count(F.lit(1)).alias(f"__m{i}"))
+        else:
+            raise ValueError(f"unknown expectation kind: {k!r}")
+    wide = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+    rows = []
+    for i, e in enumerate(expectations):
+        k = e["kind"]
+        m = F.coalesce(F.col(f"__m{i}").cast("double"), F.lit(0.0))
+        if k == "not_null":
+            thr = float(e.get("max_null_frac", 0.0))
+            metric = F.when(n > 0, m / n).otherwise(F.lit(0.0))
+            passed = metric <= thr
+        elif k == "unique":
+            thr = 1.0
+            metric = F.when(n > 0, m / n).otherwise(F.lit(1.0))
+            passed = metric >= thr
+        elif k in ("in_range", "in_set"):
+            thr = 0.0
+            metric = m
+            passed = m <= 0
+        else:  # min_rows
+            thr = float(e["n"])
+            metric = m
+            passed = m >= thr
+        rows.append(
+            F.struct(
+                F.lit(k).alias("rule"),
+                F.lit(e.get("col", "*")).alias("column"),
+                metric.cast("double").alias("metric"),
+                F.lit(thr).cast("double").alias("threshold"),
+                passed.alias("passed"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
