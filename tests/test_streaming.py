@@ -357,3 +357,39 @@ def test_ewma_matches_pandas_adjust_form(spark):
     expect = pd.Series(vals).ewm(alpha=0.1, adjust=True).mean()
     for i in range(len(vals)):
         assert abs(got[i] - round(expect[i], 6)) < 1e-6, (i, got[i], expect[i])
+
+
+def test_attribution_lookback_window(spark):
+    """Purchase attributes to latest click within 30 min; older clicks
+    leave it unattributed; clicks after the purchase never match."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, typ, mins, uid=1):
+        return Row(
+            event_id=i, user_id=uid, event_type=typ,
+            ts=t0 + dt.timedelta(minutes=mins), value=float(i),
+        )
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "click", 0),       # 25 min before purchase -> attributed
+            ev(2, "click", -120),    # stale click for user 2's purchase
+            ev(3, "purchase", 25),
+            ev(4, "purchase", 25, uid=2),
+            ev(5, "click", 30, uid=2),  # after the purchase: never matches
+        ]
+    )
+    import uofi_payroll_etl_main_spark.registry_llm as RL
+
+    orig = RL._t
+    RL._t = lambda spark_, sf_, name: events
+    try:
+        out = {r.event_id: r for r in RL.w_attribution(spark, "unused").collect()}
+    finally:
+        RL._t = orig
+    assert out[3].attributed_click_id == 1
+    assert out[4].attributed_click_id is None and out[4].attributed_click_ts is None

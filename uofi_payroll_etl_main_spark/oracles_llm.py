@@ -647,6 +647,29 @@ LLM_ORACLES: dict[str, str] = {
     "e17_json_extract": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events
     """,
+    "w_attribution": """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), j AS (
+          SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+                 c.click_id, c.ts AS click_ts
+          FROM purchases p
+          ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        )
+        SELECT event_id, user_id, ts, purchase_value,
+               CASE WHEN click_ts IS NOT NULL
+                     AND ts - click_ts <= INTERVAL 30 MINUTE
+                    THEN click_id END AS attributed_click_id,
+               CASE WHEN click_ts IS NOT NULL
+                     AND ts - click_ts <= INTERVAL 30 MINUTE
+                    THEN click_ts END AS attributed_click_ts
+        FROM j
+    """,
     "j10_asof_backward": """
         SELECT e.event_id, e.user_id, e.event_type,
                p.ts AS purchase_ts, p.purchase_value

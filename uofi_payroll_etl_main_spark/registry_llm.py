@@ -433,6 +433,43 @@ def e17_json_extract(spark, sf):
     )
 
 
+def w_attribution(spark, sf):
+    """Last-touch attribution with a lookback window, composed from the
+    as-of join: each purchase is attributed to the user's latest click
+    at most 30 minutes before it; older or absent clicks leave the
+    purchase unattributed (nulls).  The tolerance filter is applied
+    AFTER the single-shuffle as-of match -- never a range join."""
+    from . import expressions as E
+    from .joins import asof_join_backward
+
+    purchases = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    clicks = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    j = asof_join_backward(
+        purchases, clicks, by="user_id", ts="ts",
+        value_cols=["click_id"], right_ts_alias="click_ts",
+    )
+    age_ok = (
+        E.epoch_micros(F.col("ts")) - E.epoch_micros(F.col("click_ts"))
+    ) <= 30 * 60 * 1_000_000
+    keep = F.col("click_ts").isNotNull() & age_ok
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.when(keep, F.col("click_id")).alias("attributed_click_id"),
+        F.when(keep, F.col("click_ts")).alias("attributed_click_ts"),
+    )
+
+
 def j10_asof_backward(spark, sf):
     """As-of join: each event picks up the user's latest prior (or
     simultaneous) purchase value.  Oracle is DuckDB's native ASOF JOIN."""
@@ -768,6 +805,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize": mm_resize,
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
+    "w_attribution": w_attribution,
     "j10b_asof_forward": j10b_asof_forward,
     "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,
