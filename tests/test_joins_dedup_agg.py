@@ -806,3 +806,21 @@ def test_check_expectations_single_scan(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # range source appears once per stage, never per rule
     assert rep.filter(~F.col("passed")).count() == 0
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    from uofi_payroll_etl_main_spark.io import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v=None)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="CHANGED"), Row(k=4, v="new"), Row(k=5, v=None)]
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged (absent), k=2 changed, k=3 removed, k=4/5 added
+    assert got == {2: "changed", 3: "removed", 4: "added", 5: "added"}
+    # null-safe: null == null counts as unchanged
+    old2 = spark.createDataFrame([Row(k=9, v=None)], "k long, v string")
+    new2 = spark.createDataFrame([Row(k=9, v=None)], "k long, v string")
+    assert snapshot_diff(old2, new2, ["k"]).count() == 0

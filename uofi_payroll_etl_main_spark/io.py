@@ -31,6 +31,7 @@ __all__ = [
     "write_excel",
     "load_table",
     "write_training_shards",
+    "snapshot_diff",
 ]
 
 
@@ -605,3 +606,55 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same table: emits one row
+    per key that was ADDED (in new only), REMOVED (in old only), or
+    CHANGED (present in both with any compare column null-safe
+    different).  Unchanged rows are dropped -- the output is the CDC
+    delta that `merge_upsert` applies, so diff + apply round-trips.
+
+    One full-outer shuffle join on the keys; the change test is a
+    codegen chain of null-safe equalities.  For very wide tables at
+    100 TB, pre-hash the compare columns (xxhash64) on each scan side
+    so the join carries one long instead of the full row.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    # explicit aliases: old/new often derive from the SAME source frame
+    # (snapshot-vs-snapshot of one table), and unqualified refs would be
+    # ambiguous under Spark's self-join analysis
+    o = old.select(*keys, *compare_cols).alias("__snap_old")
+    n = new.select(*keys, *compare_cols).alias("__snap_new")
+
+    def oc(c):
+        return F.col(f"__snap_old.{c}")
+
+    def nc(c):
+        return F.col(f"__snap_new.{c}")
+
+    cond = None
+    for k in keys:
+        clause = oc(k).eqNullSafe(nc(k))
+        cond = clause if cond is None else (cond & clause)
+    j = o.join(n, cond, "full_outer")
+    in_old = oc(keys[0]).isNotNull()
+    in_new = nc(keys[0]).isNotNull()
+    same = None
+    for c in compare_cols:
+        clause = oc(c).eqNullSafe(nc(c))
+        same = clause if same is None else (same & clause)
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    out = j.withColumn("change_type", change).filter(F.col("change_type").isNotNull())
+    sel = [F.coalesce(nc(k), oc(k)).alias(k) for k in keys]
+    return out.select(*sel, "change_type")

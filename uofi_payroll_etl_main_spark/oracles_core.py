@@ -588,6 +588,29 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "d5_snapshot_diff": """
+        WITH old AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 5 != 0
+        ), new AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        )
+        SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                      OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                    THEN 'changed' END AS change_type
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                   WHEN new.o_orderkey IS NULL THEN 'removed'
+                   WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                     OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                   THEN 'changed' END IS NOT NULL
+    """,
     "v7_expectations": """
         WITH m AS (
           SELECT count(*) AS n,

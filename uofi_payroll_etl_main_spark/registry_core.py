@@ -748,6 +748,24 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def d5_snapshot_diff(spark, sf):
+    """Row-level snapshot diff (CDC delta extraction): 'old' drops every
+    5th order and perturbs every 7th price; diff vs the current table
+    yields added/removed/changed keys -- exactly the delta merge_upsert
+    would re-apply."""
+    from .io import snapshot_diff
+
+    orders = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    old = orders.filter(ok % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 7 == 0, F.col("o_totalprice") + 10).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, orders, ["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+
+
 def v7_expectations(spark, sf):
     """Declarative data-quality contract over orders, all rules folded
     into one aggregate scan: key uniqueness, null budget, value range,
@@ -1740,6 +1758,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v5_skew_report": v5_skew_report,
     "v6_profile_table": v6_profile_table,
     "v7_expectations": v7_expectations,
+    "d5_snapshot_diff": d5_snapshot_diff,
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
