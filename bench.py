@@ -58,6 +58,7 @@ HEADLINERS = [
     "llm_containment_pairs",
     "llm_containment_prefix",
     "llm_corpus_shuffle",
+    "llm_curation_pipeline",
 ]
 
 

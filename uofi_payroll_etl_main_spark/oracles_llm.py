@@ -389,6 +389,54 @@ LLM_ORACLES: dict[str, str] = {
                ) - 1 AS BIGINT) AS shuffle_pos
         FROM documents
     """,
+    "llm_curation_pipeline": f"""
+        WITH q AS (
+          SELECT * FROM documents WHERE n_chars >= 100
+        ), qtoks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM q
+        ), qg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM qtoks
+        ), btoks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents WHERE doc_id % 97 = 0
+        ), bench AS (
+          SELECT DISTINCT unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM btoks
+        ), contam AS (
+          SELECT DISTINCT qg.doc_id FROM qg JOIN bench USING (gram)
+        ), d AS (
+          SELECT q.* FROM q ANTI JOIN contam c ON q.doc_id = c.doc_id
+        ), keep AS (
+          SELECT min(doc_id) AS doc_id FROM d GROUP BY md5({_NORM.replace('text', 'd.text')})
+        ), kept AS (
+          SELECT d.* FROM d SEMI JOIN keep USING (doc_id)
+        )
+        SELECT doc_id, lang, source,
+               CASE WHEN doc_id % 100 < 80 THEN 'train'
+                    WHEN doc_id % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '0'), doc_id
+               ) - 1 AS BIGINT) AS shuffle_pos
+        FROM kept
+    """,
     "llm_corpus_stats": r"""
         SELECT source, lang,
                count(*) AS n_docs,

@@ -295,6 +295,25 @@ def llm_corpus_shuffle(spark, sf):
     return shuffle_index(docs, "doc_id").select("doc_id", "lang", "shuffle_pos")
 
 
+def llm_curation_pipeline(spark, sf):
+    """END-TO-END curation chain in one gate entry: quality cut ->
+    eval-set decontamination -> fingerprint dedup (keep lowest id) ->
+    split assignment -> deterministic shuffle order.  Certifies the
+    COMPOSED dataflow (like pipe_pua does for the reference pipelines)
+    against one DuckDB oracle that chains the same steps."""
+    from .llm.curation import decontaminate, shuffle_index, split_assign
+    from .llm.dedup import fingerprint_dedup
+
+    docs = _t(spark, sf, "documents")
+    q = docs.filter(F.col("n_chars") >= 100)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    d = decontaminate(q, bench, n=5)
+    keepers = fingerprint_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    out = shuffle_index(split_assign(kept, "doc_id"), "doc_id")
+    return out.select("doc_id", "lang", "source", "split", "shuffle_pos")
+
+
 def llm_pack_sequences(spark, sf):
     """Greedy FFD sequence packing per source (rows-only: the greedy
     fold is not SQL-expressible; invariants asserted in
@@ -791,6 +810,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_stratified_sample": llm_stratified_sample,
     "llm_split_assign": llm_split_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,
+    "llm_curation_pipeline": llm_curation_pipeline,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
     "llm_dup_clusters": llm_dup_clusters,
