@@ -476,27 +476,45 @@ def bloom_filter_build(
     whole point at 100 TB.
     """
     nwords = (int(num_bits) + 63) // 64
+    words = _bloom_words(keys, key_col, num_bits, num_hashes)
+    # Dense assembly via zero-fill union + sort_array -- NOT a
+    # map_from_entries/element_at transform: Catalyst map lookup is a
+    # linear scan, so the map form is O(nwords^2) inside one row
+    # (measured ~20s for 2^20 bits); this is O(nwords log nwords).
+    spark = keys.sparkSession
+    zeros = spark.range(nwords).select(
+        F.col("id").alias("__w"), F.lit(0).cast("long").alias("__word")
+    )
+    return (
+        words.unionByName(zeros)
+        .groupBy("__w")
+        .agg(F.bit_or("__word").alias("__word"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__w", "__word"))),
+                lambda s: s["__word"],
+            ).alias("__bloom")
+        )
+    )
+
+
+def _bloom_words(
+    keys: DataFrame, key_col: str, num_bits: int, num_hashes: int
+) -> DataFrame:
+    """Sparse (word-index, word) rows of the bloom bitmap: explode bit
+    positions, fold per 64-bit word with bit_or (map-side partials; the
+    shuffle carries at most num_bits/64 rows)."""
     pos = keys.select(
         F.explode(_bloom_positions(F.col(key_col), num_bits, num_hashes)).alias("__p")
     )
-    words = (
+    return (
         pos.select(
             F.floor(F.col("__p") / F.lit(64)).alias("__w"),
             _bit_mask(F.col("__p")).alias("__b"),
         )
         .groupBy("__w")
         .agg(F.bit_or("__b").alias("__word"))
-    )
-    zero = F.lit(0).cast("long")
-    return (
-        words.groupBy()
-        .agg(F.map_from_entries(F.collect_list(F.struct("__w", "__word"))).alias("__m"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(nwords - 1).cast("long")),
-                lambda i: F.coalesce(F.element_at("__m", i), zero),
-            ).alias("__bloom")
-        )
     )
 
 
@@ -505,17 +523,24 @@ def bloom_probe(
 ) -> F.Column:
     """Boolean membership test of `key` against `bitmap` (an array<long>
     column or literal -- see bloom_semi_join).  Pure codegen: k word
-    lookups + bit tests, no Python."""
-    checks = []
-    for i in range(num_hashes):
-        p = F.element_at(_bloom_positions(key, num_bits, num_hashes), i + 1)
-        m = _bit_mask(p)
-        word = F.element_at(bitmap, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
-        checks.append(word.bitwiseAND(m) == m)
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
-    return out
+    lookups + bit tests, no Python.
+
+    The bitmap is referenced exactly ONCE, inside a `forall` lambda:
+    an unrolled k-way AND embeds the (possibly 100-KiB) literal once
+    per check, and constraint inference then copies those into every
+    join side -- measured as a multi-MB plan whose OPTIMIZATION time
+    dwarfed the query.  One reference keeps the plan small; the HOF
+    interprets only k elements per row.
+    """
+    pos = _bloom_positions(key, num_bits, num_hashes)
+    return F.forall(
+        pos,
+        lambda p: (
+            F.element_at(bitmap, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+            .bitwiseAND(_bit_mask(p))
+            == _bit_mask(p)
+        ),
+    )
 
 
 def bloom_semi_join(
@@ -553,8 +578,17 @@ def bloom_semi_join(
         fact_key, keys_key = on, on
     else:
         (fact_key, keys_key), = on.items()
-    words = bloom_filter_build(keys, keys_key, num_bits, num_hashes).first()[0]
-    bitmap = F.lit(list(words)).cast("array<long>")
+    nwords = (int(num_bits) + 63) // 64
+    # collect the SPARSE words (<= nwords rows) and densify driver-side
+    # -- cheaper than any single-row dense assembly in the engine
+    arr = [0] * nwords
+    for r in _bloom_words(keys, keys_key, num_bits, num_hashes).collect():
+        arr[int(r["__w"])] = int(r["__word"])
+    import numpy as np
+
+    # ndarray literal: a single Literal(ArrayData) plan node; a Python
+    # list would lower to CreateArray with nwords children
+    bitmap = F.lit(np.array(arr, dtype=np.int64))
     pruned = fact.filter(bloom_probe(F.col(fact_key), bitmap, num_bits, num_hashes))
     if not exact:
         return pruned

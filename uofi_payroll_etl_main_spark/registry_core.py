@@ -1530,7 +1530,7 @@ def j16_bloom_semi(spark, sf):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    return bloom_semi_join(li, urgent, {"l_orderkey": "o_orderkey"}, num_bits=1 << 20)
+    return bloom_semi_join(li, urgent, {"l_orderkey": "o_orderkey"}, num_bits=1 << 18)
 
 
 def a19_cms_counts(spark, sf):
