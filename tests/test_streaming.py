@@ -393,3 +393,32 @@ def test_attribution_lookback_window(spark):
         RL._t = orig
     assert out[3].attributed_click_id == 1
     assert out[4].attributed_click_id is None and out[4].attributed_click_ts is None
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.streaming.windows import interval_coverage
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(uid, s_min, e_min):
+        return Row(
+            user_id=uid,
+            iv_start=t0 + dt.timedelta(minutes=s_min),
+            iv_end=t0 + dt.timedelta(minutes=e_min),
+        )
+
+    df = spark.createDataFrame(
+        [
+            iv(1, 0, 10), iv(1, 5, 15),    # overlap -> 15 min
+            iv(1, 20, 30),                 # disjoint -> +10
+            iv(2, 0, 10), iv(2, 0, 10),    # identical -> 10
+            iv(3, 0, 30), iv(3, 5, 10),    # contained -> 30
+        ]
+    )
+    got = {r.user_id: r.covered_seconds for r in
+           interval_coverage(df, "user_id", "iv_start", "iv_end").collect()}
+    assert got == {1: 25 * 60.0, 2: 10 * 60.0, 3: 30 * 60.0}

@@ -695,6 +695,23 @@ LLM_ORACLES: dict[str, str] = {
     "e17_json_extract": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events
     """,
+    "w_coverage": """
+        WITH iv AS (
+          SELECT user_id,
+                 epoch_us(ts) AS s,
+                 epoch_us(ts + INTERVAL 10 MINUTE) AS e
+          FROM events
+        ), clipped AS (
+          SELECT user_id,
+                 greatest(e - greatest(s, coalesce(max(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), s)), 0) AS c
+          FROM iv
+        )
+        SELECT user_id, sum(c) / 1000000.0 AS covered_seconds
+        FROM clipped GROUP BY user_id
+    """,
     "w_attribution": """
         WITH purchases AS (
           SELECT event_id, user_id, ts, value AS purchase_value

@@ -452,6 +452,20 @@ def e17_json_extract(spark, sf):
     )
 
 
+def w_coverage(spark, sf):
+    """Per-user active-time coverage: union length of 10-minute event
+    intervals via the single-pass running-max sweep (no interval
+    explosion, no self-join)."""
+    from .streaming.windows import interval_coverage
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("iv_end"),
+    )
+    return interval_coverage(ev, "user_id", "iv_start", "iv_end")
+
+
 def w_attribution(spark, sf):
     """Last-touch attribution with a lookback window, composed from the
     as-of join: each purchase is attributed to the user's latest click
@@ -826,6 +840,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
     "w_attribution": w_attribution,
+    "w_coverage": w_coverage,
     "j10b_asof_forward": j10b_asof_forward,
     "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,

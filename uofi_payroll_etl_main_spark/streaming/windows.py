@@ -25,6 +25,7 @@ __all__ = [
     "rolling_agg",
     "funnel_steps",
     "cohort_retention",
+    "interval_coverage",
 ]
 
 
@@ -307,4 +308,41 @@ def ewma(
         F.col(by),
         F.col(value),
         F.round(fold(weighted) / fold(weights), 6).alias("ewma"),
+    )
+
+
+def interval_coverage(
+    df,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+):
+    """Union-length of (possibly overlapping) intervals per key: total
+    time covered by at least one interval -- the sweep-line classic
+    (machine uptime, user active time, SLA coverage) as ONE window pass.
+
+    Overlap is removed with the running-max trick: each interval's
+    effective start is clipped to the max end seen among all EARLIER
+    intervals (ordered by start), so overlapped spans contribute zero
+    and the per-key sum is exactly the union length.  One shuffle on
+    the key; per-row state is a single running max -- no interval
+    explosion, no self-join.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .. import expressions as E
+
+    s_us = E.epoch_micros(F.col(start_col))
+    e_us = E.epoch_micros(F.col(end_col))
+    w = Window.partitionBy(key_col).orderBy(s_us, e_us).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_max_end = F.max(e_us).over(w)
+    eff_start = F.greatest(s_us, F.coalesce(prev_max_end, s_us))
+    contrib = F.greatest(e_us - eff_start, F.lit(0).cast("long"))
+    return (
+        df.select(F.col(key_col), contrib.alias("__c"))
+        .groupBy(key_col)
+        .agg((F.sum("__c") / F.lit(1000000.0)).alias("covered_seconds"))
     )
