@@ -422,3 +422,28 @@ def test_interval_coverage_merges_overlaps(spark):
     got = {r.user_id: r.covered_seconds for r in
            interval_coverage(df, "user_id", "iv_start", "iv_end").collect()}
     assert got == {1: 25 * 60.0, 2: 10 * 60.0, 3: 30 * 60.0}
+
+
+def test_sessionize_row_level_ids(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.streaming.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, mins):
+        return Row(event_id=i, user_id=uid, ts=t0 + dt.timedelta(minutes=mins))
+
+    df = spark.createDataFrame(
+        [
+            ev(1, 1, 0), ev(2, 1, 10),     # session 1 (10 < 30 gap)
+            ev(3, 1, 50),                  # session 2 (40-min gap)
+            ev(4, 1, 55),                  # still session 2
+            ev(5, 2, 0),                   # user 2, session 1
+        ]
+    )
+    got = {r.event_id: r.session_id for r in
+           sessionize(df, "user_id", "ts", 1800, order_cols=["event_id"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

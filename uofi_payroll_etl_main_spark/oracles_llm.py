@@ -695,6 +695,23 @@ LLM_ORACLES: dict[str, str] = {
     "e17_json_extract": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events
     """,
+    "w_sessionize": """
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS prev_us
+          FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                              OR epoch_us(ts) - prev_us > 1800 * 1000000
+                             THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM e
+    """,
     "w_coverage": """
         WITH iv AS (
           SELECT user_id,

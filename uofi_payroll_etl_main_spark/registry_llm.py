@@ -452,6 +452,16 @@ def e17_json_extract(spark, sf):
     )
 
 
+def w_sessionize(spark, sf):
+    """Row-level session ids per user (30-min inactivity gap), the
+    primitive behind session-scoped features -- one window pass,
+    event_id tiebreak for determinism."""
+    from .streaming.windows import sessionize
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", 1800, order_cols=["event_id"])
+
+
 def w_coverage(spark, sf):
     """Per-user active-time coverage: union length of 10-minute event
     intervals via the single-pass running-max sweep (no interval
@@ -841,6 +851,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j10_asof_backward": j10_asof_backward,
     "w_attribution": w_attribution,
     "w_coverage": w_coverage,
+    "w_sessionize": w_sessionize,
     "j10b_asof_forward": j10b_asof_forward,
     "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,

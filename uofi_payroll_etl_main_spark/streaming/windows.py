@@ -26,6 +26,7 @@ __all__ = [
     "funnel_steps",
     "cohort_retention",
     "interval_coverage",
+    "sessionize",
 ]
 
 
@@ -346,3 +347,35 @@ def interval_coverage(
         .groupBy(key_col)
         .agg((F.sum("__c") / F.lit(1000000.0)).alias("covered_seconds"))
     )
+
+
+def sessionize(
+    df,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols=None,
+    out_col: str = "session_id",
+):
+    """Row-level sessionization: assign each row its 1-based session
+    number within `key_col`, where a gap of more than `gap_seconds`
+    since the previous row opens a new session.
+
+    The aggregate form (session_agg / native session_window) loses the
+    row; this keeps it -- the primitive behind per-event session
+    features, funnel joins, and session-scoped dedup.  One window pass:
+    lag to detect boundaries, running sum of boundary flags for the id.
+    Deterministic under timestamp ties via `order_cols` tiebreakers.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .. import expressions as E
+
+    us = E.epoch_micros(F.col(ts_col))
+    order = [us] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    boundary = (prev.isNull() | ((us - prev) > int(gap_seconds) * 1_000_000)).cast("long")
+    sid = F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(out_col, sid)
