@@ -703,6 +703,15 @@ CORE_ORACLES: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
         FROM events GROUP BY user_id
     """,
+    "a23_pivot_dynamic": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
     "j11_semi_join": """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         FROM orders o

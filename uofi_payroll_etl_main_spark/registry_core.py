@@ -1558,6 +1558,23 @@ def a22_spearman(spark, sf):
     return group_spearman(ev, "event_type", "value", "hod")
 
 
+def a23_pivot_dynamic(spark, sf):
+    """Dynamic pivot: column set discovered from the data (Spark's
+    two-pass pivot -- a bounded distinct-scan planning pass, capped by
+    spark.sql.pivotMaxValues, then the enumerated pivot).  Columns are
+    re-projected in sorted order with null->0 so the output schema is
+    deterministic regardless of discovery order."""
+    ev = _t(spark, sf, "events")
+    out = ev.groupBy("user_id").pivot("event_type").agg(
+        F.count(F.lit(1)).cast("long")
+    )
+    types = sorted(c for c in out.columns if c != "user_id")
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(f"`{t}`"), F.lit(0).cast("long")).alias(f"n_{t}") for t in types],
+    )
+
+
 def a20_winsorize(spark, sf):
     """Per-event-type winsorization of event values to the exact
     [5%, 95%] group percentiles (quantile_cont parity with DuckDB)."""
@@ -1685,6 +1702,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a20_winsorize": a20_winsorize,
     "a21_robust_zscore": a21_robust_zscore,
     "a22_spearman": a22_spearman,
+    "a23_pivot_dynamic": a23_pivot_dynamic,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
