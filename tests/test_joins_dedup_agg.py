@@ -824,3 +824,19 @@ def test_snapshot_diff_classifies_and_roundtrips(spark):
     old2 = spark.createDataFrame([Row(k=9, v=None)], "k long, v string")
     new2 = spark.createDataFrame([Row(k=9, v=None)], "k long, v string")
     assert snapshot_diff(old2, new2, ["k"]).count() == 0
+
+
+def test_bloom_filter_build_dense_array_matches_probe(spark):
+    """The DataFrame-form builder (zero-fill union + sort assembly)
+    yields a dense word array equivalent to the driver-side densify:
+    every inserted key probes positive against it."""
+    from uofi_payroll_etl_main_spark.joins import bloom_filter_build, bloom_probe
+
+    keys = spark.range(0, 500, 3).withColumnRenamed("id", "kk")
+    row = bloom_filter_build(keys, "kk", num_bits=1 << 12, num_hashes=4).first()
+    arr = list(row[0])
+    assert len(arr) == (1 << 12) // 64
+    probe = spark.range(0, 500, 3).withColumnRenamed("id", "kk").filter(
+        bloom_probe(F.col("kk"), F.lit(arr), 1 << 12, 4)
+    )
+    assert probe.count() == len(range(0, 500, 3))  # no false negatives
