@@ -608,3 +608,21 @@ def test_containment_prefix_finds_embedded_short_doc(spark):
     )
     got = D.containment_pairs_prefix(docs, threshold=0.9).collect()
     assert len(got) == 1 and got[0].containment == 1.0
+
+
+def test_weighted_sample_topk_deterministic_and_weight_biased(spark):
+    from uofi_payroll_etl_main_spark.llm.curation import weighted_sample_topk
+
+    # one group: 50 light rows (w=1) + 50 heavy rows (w=100)
+    rows = [Row(g="a", k=i, w=1.0) for i in range(50)] + [
+        Row(g="a", k=100 + i, w=100.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    out1 = sorted(r.k for r in weighted_sample_topk(df, "g", "k", "w", k=20).collect())
+    out2 = sorted(r.k for r in weighted_sample_topk(df, "g", "k", "w", k=20).collect())
+    assert out1 == out2 and len(out1) == 20      # deterministic, exactly k
+    heavy = sum(1 for k in out1 if k >= 100)
+    assert heavy >= 15                            # weight-100 rows dominate
+    # zero/negative weights are excluded entirely
+    z = spark.createDataFrame([Row(g="z", k=1, w=0.0), Row(g="z", k=2, w=-3.0)])
+    assert weighted_sample_topk(z, "g", "k", "w", k=5).count() == 0

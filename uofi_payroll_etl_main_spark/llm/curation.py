@@ -40,6 +40,7 @@ __all__ = [
     "dedup_lines",
     "importance_sample",
     "shuffle_index",
+    "weighted_sample_topk",
 ]
 
 
@@ -517,4 +518,41 @@ def shuffle_index(
         base.join(F.broadcast(offsets), "__b")
         .withColumn(out_col, (F.col("__off") + F.row_number().over(w_in) - F.lit(1)).cast("long"))
         .drop("__ok", "__b", "__off")
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: per group,
+    the k rows with the highest Efraimidis-Spirakis priority u^(1/w),
+    where u is a keyed md5-derived uniform -- inclusion probability is
+    proportional to weight, membership is a pure function of
+    (key, seed), and no RNG or driver state exists anywhere.
+
+    Both engines can compute the identical priority (md5 -> 52-bit
+    uniform -> pow), so unlike classical weighted reservoirs this is
+    exactly oracle-checkable and resumable: re-running on a grown
+    corpus re-selects consistently rather than reshuffling history.
+    One window pass per group; rows with non-positive weight are
+    excluded (their priority is undefined).
+    """
+    from pyspark.sql import Window
+
+    ok = F.md5(F.concat_ws("|", _c(key_col).cast("string"), F.lit(seed)))
+    v = F.conv(F.substring(ok, 1, 13), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 52))
+    pr = F.pow(u, F.lit(1.0) / _c(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("__pr"), _c(key_col))
+    return (
+        df.filter(_c(weight_col) > 0)
+        .withColumn("__pr", pr)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__pr", "__rk")
     )

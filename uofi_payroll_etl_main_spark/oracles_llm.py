@@ -389,6 +389,20 @@ LLM_ORACLES: dict[str, str] = {
                ) - 1 AS BIGINT) AS shuffle_pos
         FROM documents
     """,
+    "llm_weighted_sample": """
+        WITH pri AS (
+          SELECT doc_id, source || '/' || lang AS grp, n_chars,
+                 pow((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '0'),
+                                               1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                     / 4503599627370496.0,
+                     1.0 / n_chars) AS pr
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, grp, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY grp ORDER BY pr DESC, doc_id) AS rk
+          FROM pri
+        ) WHERE rk <= 5
+    """,
     "llm_curation_pipeline": f"""
         WITH q AS (
           SELECT * FROM documents WHERE n_chars >= 100

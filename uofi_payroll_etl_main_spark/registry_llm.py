@@ -295,6 +295,19 @@ def llm_corpus_shuffle(spark, sf):
     return shuffle_index(docs, "doc_id").select("doc_id", "lang", "shuffle_pos")
 
 
+def llm_weighted_sample(spark, sf):
+    """Weighted sampling without replacement: per (source, lang) group,
+    the 5 docs with highest u^(1/n_chars) priority -- deterministic,
+    exactly reproducible in DuckDB."""
+    from .llm.curation import weighted_sample_topk
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "grp", F.concat_ws("/", "source", "lang")
+    )
+    out = weighted_sample_topk(docs, "grp", "doc_id", "n_chars", k=5)
+    return out.select("doc_id", "grp", "n_chars")
+
+
 def llm_curation_pipeline(spark, sf):
     """END-TO-END curation chain in one gate entry: quality cut ->
     eval-set decontamination -> fingerprint dedup (keep lowest id) ->
@@ -835,6 +848,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_split_assign": llm_split_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,
     "llm_curation_pipeline": llm_curation_pipeline,
+    "llm_weighted_sample": llm_weighted_sample,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
     "llm_dup_clusters": llm_dup_clusters,
