@@ -840,3 +840,23 @@ def test_bloom_filter_build_dense_array_matches_probe(spark):
         bloom_probe(F.col("kk"), F.lit(arr), 1 << 12, 4)
     )
     assert probe.count() == len(range(0, 500, 3))  # no false negatives
+
+
+def test_band_join_matches_theta_and_boundary(spark):
+    from uofi_payroll_etl_main_spark.joins import band_join
+
+    a = spark.createDataFrame([Row(id=i, v=float(i) * 0.25) for i in range(40)])
+    b = a.withColumnRenamed("id", "rid")
+    got = sorted(
+        (r.id, r.rid)
+        for r in band_join(a, b, "v", 0.5).filter(F.col("id") != F.col("rid")).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i in range(40)
+        for j in range(40)
+        if i != j and abs(i * 0.25 - j * 0.25) <= 0.5
+    )
+    assert got == want  # inclusive boundary pairs (diff == eps) survive
+    # each pair appears exactly once (no bucket-replication duplicates)
+    assert len(got) == len(set(got))

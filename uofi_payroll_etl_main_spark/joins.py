@@ -39,6 +39,7 @@ __all__ = [
     "bloom_filter_build",
     "bloom_probe",
     "bloom_semi_join",
+    "band_join",
     "FanOutWarning",
 ]
 
@@ -594,3 +595,41 @@ def bloom_semi_join(
         return pruned
     kd = keys.select(F.col(keys_key).alias("__k")).dropDuplicates()
     return pruned.join(kd, F.col(fact_key) == F.col("__k"), "left_semi")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    eps: float,
+    keys: Sequence[str] | None = None,
+    right_value_alias: str = "r_value",
+) -> DataFrame:
+    """J17 -- numeric band join: pairs with |left.v - right.v| <= eps
+    (plus optional equi-keys), WITHOUT the quadratic theta join Spark
+    would otherwise plan.
+
+    Values quantize into buckets of width 2*eps; the right side
+    replicates into its bucket +-1, the left keeps its single bucket,
+    and the band condition refines after a plain equi shuffle join.
+    Width 2*eps (not eps) leaves floating-point headroom: a true pair's
+    bucket indices can then differ by at most 1 even at the exact
+    boundary, so no pair is lost, and each surviving pair meets exactly
+    once (at the left row's own bucket) -- no post-join dedup.
+    """
+    w = 2.0 * float(eps)
+    keys = list(keys or [])
+    lv = F.col(value_col)
+    l2 = left.withColumn("__bkt", F.floor(lv / F.lit(w)))
+    r2 = (
+        right.withColumnRenamed(value_col, right_value_alias)
+        .withColumn("__b0", F.floor(F.col(right_value_alias) / F.lit(w)))
+        .withColumn(
+            "__bkt", F.explode(F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1))
+        )
+        .drop("__b0")
+    )
+    joined = l2.join(r2, ["__bkt", *keys], "inner").filter(
+        F.abs(F.col(value_col) - F.col(right_value_alias)) <= F.lit(float(eps))
+    )
+    return joined.drop("__bkt")

@@ -94,6 +94,14 @@ CORE_ORACLES: dict[str, str] = {
         FROM fact f LEFT JOIN dim d ON f.skew_key = d.skew_key
         GROUP BY f.skew_key
     """,
+    "j17_band_join": """
+        SELECT a.event_id, b.event_id AS r_event_id, a.user_id,
+               a.value, b.value AS r_value
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(a.value - b.value) <= 0.01
+    """,
     "j16_bloom_semi": """
         SELECT l_orderkey, l_partkey, l_extendedprice
         FROM lineitem

@@ -1533,6 +1533,21 @@ def j16_bloom_semi(spark, sf):
     return bloom_semi_join(li, urgent, {"l_orderkey": "o_orderkey"}, num_bits=1 << 18)
 
 
+def j17_band_join(spark, sf):
+    """Numeric band self-join: same-user event pairs with values within
+    0.01 of each other -- bucket-quantized equi join + refine, never a
+    theta join."""
+    from .joins import band_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    left = ev
+    right = ev.withColumnRenamed("event_id", "r_event_id")
+    out = band_join(left, right, "value", 0.01, keys=["user_id"]).filter(
+        F.col("event_id") < F.col("r_event_id")
+    )
+    return out.select("event_id", "r_event_id", "user_id", "value", "r_value")
+
+
 def a19_cms_counts(spark, sf):
     """Count-min sketch frequency estimation: per-user event counts
     estimated from a bounded (4 x 8192)-cell sketch instead of an exact
@@ -1698,6 +1713,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j15_skew_salted": j15_skew_salted,
     "j15_skew_plain": j15_skew_plain,
     "j16_bloom_semi": j16_bloom_semi,
+    "j17_band_join": j17_band_join,
     "a19_cms_counts": a19_cms_counts,
     "a20_winsorize": a20_winsorize,
     "a21_robust_zscore": a21_robust_zscore,
