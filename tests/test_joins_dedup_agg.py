@@ -860,3 +860,51 @@ def test_band_join_matches_theta_and_boundary(spark):
     assert got == want  # inclusive boundary pairs (diff == eps) survive
     # each pair appears exactly once (no bucket-replication duplicates)
     assert len(got) == len(set(got))
+
+
+def test_quantile_sketch_merge_within_bin_width(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.aggregates import quantile_sketch_merge
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    est = {
+        (r[0], r.q): r.est
+        for r in quantile_sketch_merge(ev, "event_type", "day", "value").collect()
+    }
+    bounds = ev.agg(F.min("value"), F.max("value")).first()
+    bin_w = (bounds[1] - bounds[0]) / 256
+    # The sketch is rank-accurate, value-accurate only to the bin width:
+    # near sparse-tail gaps the VALUE distance to the exact interpolated
+    # percentile can be the gap itself, so the sound bound is "within
+    # bin_w of the exact percentiles one rank-step either side".
+    counts = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    for (etype, q), v in est.items():
+        n = counts[etype]
+        dq = 1.5 / n
+        lo_q, hi_q = max(q - dq, 0.0), min(q + dq, 1.0)
+        lo, hi = (
+            ev.filter(F.col("event_type") == etype)
+            .agg(
+                F.percentile("value", F.lit(lo_q)),
+                F.percentile("value", F.lit(hi_q)),
+            )
+            .first()
+        )
+        assert lo - bin_w - 1e-9 <= v <= hi + bin_w + 1e-9, (etype, q, v, lo, hi)
+
+
+def test_quantile_sketch_merge_equals_unpartitioned(spark):
+    """Merging per-slice sketches must equal sketching the whole frame:
+    the merge is exact (cell sums), only the quantile read is approx."""
+    from uofi_payroll_etl_main_spark.aggregates import quantile_sketch_merge
+
+    rows = [Row(g="x", p=i % 3, v=float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    split = {(r[0], r.q): r.est for r in quantile_sketch_merge(df, "g", "p", "v").collect()}
+    whole = {
+        (r[0], r.q): r.est
+        for r in quantile_sketch_merge(df.withColumn("p", F.lit(0)), "g", "p", "v").collect()
+    }
+    assert split == whole

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "llm_cosine_topk_q",    # brute-force on int8 arrays (same baseline)
     "llm_embed_dup",        # brute-force exact baseline BY DESIGN
     "a14_histogram",        # single-row (min,max) stats broadcast
+    "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

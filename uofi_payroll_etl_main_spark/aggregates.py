@@ -31,6 +31,7 @@ __all__ = [
     "winsorize",
     "robust_zscore",
     "group_spearman",
+    "quantile_sketch_merge",
 ]
 
 
@@ -399,3 +400,76 @@ def group_spearman(
     )
     out = group_corr(ranked, key, "__rx", "__ry")
     return out.select(key, "n", F.col("corr_xy").alias(out_col))
+
+
+def quantile_sketch_merge(
+    df: DataFrame,
+    group_col: str,
+    part_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.95),
+    nbins: int = 256,
+) -> DataFrame:
+    """Mergeable quantile estimation (the quantile analog of
+    sketch_merge_distinct): per (group, partition-slice) fixed-bin
+    histogram sketches that MERGE BY ADDITION, folded to per-group
+    quantile estimates with linear interpolation inside the hit bin.
+
+    The 100 TB contract: per-day sketches (nbins longs each) persist
+    and fold into weekly/monthly rollups without rescanning history --
+    exact quantiles cannot do that, and percentile_approx's internal
+    sketch is not exposed for external merging.  Error is bounded by
+    one bin width, (max-min)/nbins over the GLOBAL value range
+    (single-row broadcast, the a14 histogram pattern); pytest asserts
+    the bound against exact percentiles.
+    """
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+    v = F.col(value_col).cast("double")
+    rel = F.when(
+        F.col("__hi") > F.col("__lo"),
+        (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+    ).otherwise(F.lit(0.0))
+    bin_ = F.least(F.floor(rel * nbins), F.lit(nbins - 1)).cast("int")
+    sketches = (
+        df.join(F.broadcast(bounds))
+        .select(F.col(group_col), F.col(part_col), bin_.alias("__bin"))
+        .groupBy(group_col, part_col, "__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # merge = cell-wise sum; then one bounded per-group pass (<= nbins
+    # rows per group) builds the cumulative counts
+    merged = sketches.groupBy(group_col, "__bin").agg(F.sum("__n").alias("__n"))
+    w = Window.partitionBy(group_col).orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("__cum", F.sum("__n").over(w)).withColumn(
+        "__tot", F.sum("__n").over(Window.partitionBy(group_col))
+    )
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("__tot")
+        hit = (
+            cum.filter(F.col("__cum") >= target)
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy(group_col).orderBy("__bin")
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+        )
+        frac = F.when(
+            F.col("__n") > 0,
+            (target - (F.col("__cum") - F.col("__n"))) / F.col("__n"),
+        ).otherwise(F.lit(0.0))
+        est_rel = (F.col("__bin").cast("double") + frac) / F.lit(float(nbins))
+        one = hit.join(F.broadcast(bounds)).select(
+            F.col(group_col),
+            F.lit(float(q)).alias("q"),
+            (F.col("__lo") + est_rel * (F.col("__hi") - F.col("__lo"))).alias("est"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

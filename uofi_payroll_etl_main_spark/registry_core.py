@@ -1548,6 +1548,18 @@ def j17_band_join(spark, sf):
     return out.select("event_id", "r_event_id", "user_id", "value", "r_value")
 
 
+def a24_quantile_sketch(spark, sf):
+    """Mergeable quantile rollup: per-(event_type, day) histogram
+    sketches folded to per-type p50/p95 estimates (rows-only: bin-width
+    error bound asserted vs exact percentiles in pytest)."""
+    from .aggregates import quantile_sketch_merge
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    return quantile_sketch_merge(ev, "event_type", "day", "value", qs=(0.5, 0.95))
+
+
 def a19_cms_counts(spark, sf):
     """Count-min sketch frequency estimation: per-user event counts
     estimated from a bounded (4 x 8192)-cell sketch instead of an exact
@@ -1719,6 +1731,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a21_robust_zscore": a21_robust_zscore,
     "a22_spearman": a22_spearman,
     "a23_pivot_dynamic": a23_pivot_dynamic,
+    "a24_quantile_sketch": a24_quantile_sketch,
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
