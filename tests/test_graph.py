@@ -201,3 +201,25 @@ def test_degree_stats_hand_checked(spark):
     )
     out = {r["node"]: (r["out_degree"], r["in_degree"], r["degree"]) for r in degree_stats(e).collect()}
     assert out == {"a": (2, 1, 3), "b": (1, 1, 2), "c": (1, 2, 3)}
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two tight triangles joined by one bridge edge: after two sync
+    rounds each triangle converges to its own min label."""
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            Row(src="a1", dst="a2"), Row(src="a2", dst="a3"), Row(src="a1", dst="a3"),
+            Row(src="b1", dst="b2"), Row(src="b2", dst="b3"), Row(src="b1", dst="b3"),
+            Row(src="a3", dst="b1"),
+        ]
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=2).collect()}
+    assert got["a1"] == got["a2"] == "a1"
+    assert got["b2"] == got["b3"]
+    # deterministic across reruns
+    again = {r.node: r.label for r in label_propagation(edges, iterations=2).collect()}
+    assert got == again

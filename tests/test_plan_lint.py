@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "llm_embed_dup",        # brute-force exact baseline BY DESIGN
     "a14_histogram",        # single-row (min,max) stats broadcast
     "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
+    "w_decayed_counts",     # single-row max-ts reference broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

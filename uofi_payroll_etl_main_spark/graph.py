@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation"]
 
 
 def pagerank(
@@ -314,3 +314,51 @@ def degree_stats(
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties broken by MIN label -- fully
+    deterministic (async LPA's visit-order dependence is exactly what
+    an oracle cannot check), so a fixed-iteration run is value-compared
+    against an unrolled SQL oracle, like the g1 PageRank gate.
+
+    Per round: one groupBy over the neighbor-label join (map-side
+    partial counts), one rank window bounded by each node's distinct
+    neighbor labels.  The edge frame is persisted once and reused every
+    round; isolated nodes keep their own label.
+    """
+    from pyspark.sql import Window
+
+    bidir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates()
+        .persist()
+    )
+    nodes = bidir.select(F.col("a").alias("node")).dropDuplicates()
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(int(iterations)):
+        counts = (
+            bidir.join(labels, bidir["b"] == labels["node"])
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("a").alias("node"), F.col("label").alias("__new"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .withColumn("label", F.coalesce(F.col("__new"), F.col("node")))
+            .drop("__new")
+        )
+    return labels

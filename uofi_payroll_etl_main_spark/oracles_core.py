@@ -166,6 +166,49 @@ CORE_ORACLES: dict[str, str] = {
         )
         SELECT node, min(label) AS component FROM cc GROUP BY node
     """,
+    "g5_label_propagation": """
+        WITH edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_quantity > 48
+        ), bidir AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges
+          )
+        ), nodes AS (
+          SELECT DISTINCT a AS node FROM bidir
+        ), l0 AS (
+          SELECT node, node AS label FROM nodes
+        ), c1 AS (
+          SELECT bd.a, l.label, count(*) AS c
+          FROM bidir bd JOIN l0 l ON bd.b = l.node
+          GROUP BY bd.a, l.label
+        ), l1 AS (
+          SELECT n.node,
+                 coalesce(b.label, n.node) AS label
+          FROM nodes n LEFT JOIN (
+            SELECT a, label FROM (
+              SELECT a, label,
+                     row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+              FROM c1
+            ) WHERE rk = 1
+          ) b ON n.node = b.a
+        ), c2 AS (
+          SELECT bd.a, l.label, count(*) AS c
+          FROM bidir bd JOIN l1 l ON bd.b = l.node
+          GROUP BY bd.a, l.label
+        )
+        SELECT n.node, coalesce(b.label, n.node) AS label
+        FROM nodes n LEFT JOIN (
+          SELECT a, label FROM (
+            SELECT a, label,
+                   row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+            FROM c2
+          ) WHERE rk = 1
+        ) b ON n.node = b.a
+    """,
     "g3_triangle_count": """
         WITH pairs AS (
           SELECT DISTINCT l_partkey AS pk, l_suppkey AS s

@@ -709,6 +709,16 @@ LLM_ORACLES: dict[str, str] = {
     "e17_json_extract": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events
     """,
+    "w_decayed_counts": """
+        WITH ref AS (SELECT max(ts) AS r FROM events)
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(exp(-((epoch_us(ref.r) - epoch_us(ts)) / 1000000.0)
+                                       / 604800.0), 9) AS DECIMAL(18,9))) AS DOUBLE)
+                 AS decayed_count
+        FROM events CROSS JOIN ref
+        GROUP BY user_id, event_type
+    """,
     "w_sessionize": """
         WITH e AS (
           SELECT event_id, user_id, ts,

@@ -1675,6 +1675,27 @@ def g2_connected_components(spark, sf):
     return connected_components(edges)
 
 
+def g5_label_propagation(spark, sf):
+    """Two-round synchronous label propagation (deterministic min-label
+    ties) over the same high-quantity fulfillment graph as g2; oracle
+    unrolls both rounds in SQL."""
+    from .graph import label_propagation
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, iterations=2)
+
+
 def g3_triangle_count(spark, sf):
     """Global triangle count on the co-supplier graph (suppliers
     sharing a part on high-quantity lineitems).  Spark side runs the
@@ -1719,6 +1740,7 @@ def g4_degree_stats(spark, sf):
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "g2_connected_components": g2_connected_components,
+    "g5_label_propagation": g5_label_propagation,
     "g3_triangle_count": g3_triangle_count,
     "g4_degree_stats": g4_degree_stats,
     "j14_interval_join": j14_interval_join,

@@ -465,6 +465,30 @@ def e17_json_extract(spark, sf):
     )
 
 
+def w_decayed_counts(spark, sf):
+    """Exponentially time-decayed event counts per (user, type): each
+    event contributes exp(-age/tau) relative to the corpus max ts --
+    the recency-weighted engagement score, computed in one aggregate
+    (decimal-rounded terms so the sum is order-independent)."""
+    from . import expressions as E
+
+    ev = _t(spark, sf, "events")
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    tau_s = 7 * 86400.0
+    age_s = (
+        E.epoch_micros(F.col("__ref")) - E.epoch_micros(F.col("ts"))
+    ).cast("double") / F.lit(1_000_000.0)
+    term = F.round(F.exp(-age_s / F.lit(tau_s)), 9).cast("decimal(18,9)")
+    return (
+        ev.join(F.broadcast(ref))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(term).cast("double").alias("decayed_count"),
+        )
+    )
+
+
 def w_sessionize(spark, sf):
     """Row-level session ids per user (30-min inactivity gap), the
     primitive behind session-scoped features -- one window pass,
@@ -866,6 +890,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_attribution": w_attribution,
     "w_coverage": w_coverage,
     "w_sessionize": w_sessionize,
+    "w_decayed_counts": w_decayed_counts,
     "j10b_asof_forward": j10b_asof_forward,
     "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,
