@@ -709,6 +709,22 @@ LLM_ORACLES: dict[str, str] = {
     "e17_json_extract": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events
     """,
+    "w_period_over_period": """
+        WITH m AS (
+          SELECT date_trunc('day', ts) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n,
+               CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS delta,
+               CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY day) > 0
+                    THEN CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                              AS DOUBLE)
+                         / lag(n) OVER (PARTITION BY event_type ORDER BY day)
+               END AS pct_change
+        FROM m
+    """,
     "w_decayed_counts": """
         WITH ref AS (SELECT max(ts) AS r FROM events)
         SELECT user_id, event_type,

@@ -465,6 +465,28 @@ def e17_json_extract(spark, sf):
     )
 
 
+def w_period_over_period(spark, sf):
+    """Day-over-day event volume per type with absolute and percent
+    change (lag window over the daily rollup -- the rollup is tiny, so
+    the window state is days x types)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("n") - prev).cast("long").alias("delta"),
+        F.when(prev > 0, (F.col("n") - prev) / prev).alias("pct_change"),
+    )
+
+
 def w_decayed_counts(spark, sf):
     """Exponentially time-decayed event counts per (user, type): each
     event contributes exp(-age/tau) relative to the corpus max ts --
@@ -891,6 +913,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_coverage": w_coverage,
     "w_sessionize": w_sessionize,
     "w_decayed_counts": w_decayed_counts,
+    "w_period_over_period": w_period_over_period,
     "j10b_asof_forward": j10b_asof_forward,
     "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,
