@@ -447,3 +447,26 @@ def test_sessionize_row_level_ids(spark):
     got = {r.event_id: r.session_id for r in
            sessionize(df, "user_id", "ts", 1800, order_cols=["event_id"]).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_streaming_interval_join_outer_contains_inner(spark, sf_dir):
+    """LEFT OUTER drain: matched rows equal the inner join's output;
+    outer rows carry nulls and only for clicks whose horizon the final
+    watermark passed."""
+    import uofi_payroll_etl_main_spark.registry_llm as RL
+
+    inner = {
+        (r.click_id, r.purchase_ts): r.purchase_value
+        for r in RL.st_interval_join(spark, sf_dir).collect()
+    }
+    outer_rows = RL.st_interval_join_outer(spark, sf_dir).collect()
+    matched = {
+        (r.click_id, r.purchase_ts): r.purchase_value
+        for r in outer_rows
+        if r.purchase_ts is not None
+    }
+    assert matched == inner              # outer's matched half == inner join
+    n_null = sum(1 for r in outer_rows if r.purchase_ts is None)
+    assert n_null > 0                    # unconverted clicks actually emit
+    null_ids = {r.click_id for r in outer_rows if r.purchase_ts is None}
+    assert null_ids.isdisjoint({cid for cid, _ in inner})  # never both

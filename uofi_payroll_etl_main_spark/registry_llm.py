@@ -725,6 +725,21 @@ def st_interval_join(spark, sf):
     return spark.table("st_interval_out")
 
 
+def st_interval_join_outer(spark, sf):
+    """LEFT OUTER watermarked stream-stream interval join (rows-only:
+    end-of-stream rows whose horizon the final watermark never passes
+    are withheld by design, so no batch SQL reproduces the emitted set;
+    containment vs the inner tier is asserted in pytest)."""
+    from .streaming.streams import streaming_interval_join_outer
+
+    run_to_memory(
+        streaming_interval_join_outer(_event_stream(spark, sf), "1 hour"),
+        "st_interval_outer_out",
+        output_mode="append",
+    )
+    return spark.table("st_interval_outer_out")
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -925,6 +940,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_session": st_session,
     "st_enrich": st_enrich,
     "st_interval_join": st_interval_join,
+    "st_interval_join_outer": st_interval_join_outer,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,

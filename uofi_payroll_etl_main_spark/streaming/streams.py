@@ -29,6 +29,7 @@ __all__ = [
     "streaming_running_totals",
     "streaming_static_enrich",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "run_to_memory",
 ]
 
@@ -179,6 +180,50 @@ def streaming_static_enrich(events: DataFrame, dim: DataFrame, on: str = "event_
     join itself), and the dim side broadcasts exactly as in batch.  The
     lookup-table pattern for streams."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def streaming_interval_join_outer(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: clicks keep
+    a row even when no same-user purchase follows within `horizon` --
+    the "unconverted clicks" side the inner join drops.
+
+    Outer rows can only emit once the watermark proves no match can
+    still arrive, so state stays bounded exactly like the inner form;
+    the cost is emission latency (a row near end-of-stream whose
+    horizon the final watermark never passes is withheld -- which is
+    why the gate records this rows-only: the batch-SQL left join has no
+    notion of a final watermark).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
 
 
 def streaming_interval_join(
