@@ -10,6 +10,7 @@ import re
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_spark import expressions as E
 
@@ -304,3 +305,77 @@ def test_dedup_lines_model(spark, docs, max_occ):
     for i, (text, n, dropped) in enumerate(_model_dedup_lines(docs, max_occ)):
         assert got[i]["text"] == text, (i, docs)
         assert got[i]["n_lines"] == n and got[i]["n_dropped"] == dropped, (i, docs)
+
+
+HEAVY = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@HEAVY
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+                unique=True))
+def test_shuffle_index_model(spark, keys):
+    """shuffle_index == the single-window md5 model, for arbitrary key
+    sets (permutation 0..n-1, engine-independent order)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.llm.curation import shuffle_index
+
+    df = spark.createDataFrame([Row(doc_id=k) for k in keys], "doc_id long")
+    got = {r.doc_id: r.shuffle_pos for r in shuffle_index(df, "doc_id").collect()}
+    order = sorted(keys, key=lambda k: (hashlib.md5(f"{k}|0".encode()).hexdigest(), k))
+    assert got == {k: i for i, k in enumerate(order)}
+
+
+@HEAVY
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60))
+def test_cms_never_undercounts(spark, vals):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.aggregates import cms_build, cms_estimate
+
+    df = spark.createDataFrame([Row(k=str(v)) for v in vals], "k string")
+    cms = cms_build(df, "k", width=128, depth=3)
+    est = {r.k: r.est for r in cms_estimate(
+        cms, df.dropDuplicates(), "k", width=128, depth=3).collect()}
+    from collections import Counter
+
+    for k, n in Counter(str(v) for v in vals).items():
+        assert est[k] >= n
+
+
+@HEAVY
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30,
+                unique=True))
+def test_bloom_never_drops_a_true_key(spark, keys):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.joins import bloom_semi_join
+
+    kdf = spark.createDataFrame([Row(kk=k) for k in keys], "kk long")
+    fact = spark.createDataFrame([Row(k=k) for k in keys], "k long")
+    got = sorted(r.k for r in bloom_semi_join(
+        fact, kdf, {"k": "kk"}, num_bits=512, num_hashes=3).collect())
+    assert got == sorted(keys)
+
+
+@HEAVY
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+                min_size=2, max_size=40))
+def test_winsorize_idempotent_and_bounded(spark, vals):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.aggregates import winsorize
+
+    df = spark.createDataFrame([Row(g="a", v=float(v)) for v in vals], "g string, v double")
+    once = winsorize(df, "g", "v", 0.1, 0.9, "w1")
+    lo, hi = min(r.w1 for r in once.collect()), max(r.w1 for r in once.collect())
+    # clipped values never exceed the clip bounds themselves
+    twice = winsorize(once.select("g", F.col("w1").alias("v")), "g", "v", 0.0, 1.0, "w2")
+    for r in twice.collect():
+        assert lo - 1e-9 <= r.w2 <= hi + 1e-9
