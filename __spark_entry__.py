@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from uofi_payroll_etl_main_spark.oracles_core import CORE_ORACLES
 from uofi_payroll_etl_main_spark.oracles_llm import LLM_ORACLES
-from uofi_payroll_etl_main_spark.registry_core import CORE_QUERIES, FLAGSHIP_SQL, flagship
+from uofi_payroll_etl_main_spark.registry_core import (
+    CORE_QUERIES,
+    FLAGSHIP_SQL,
+    SQL2_TEXT,
+    flagship,
+)
 from uofi_payroll_etl_main_spark.registry_llm import LLM_QUERIES
 from uofi_payroll_etl_main_spark.registry_pipelines import PIPE_ORACLES, PIPE_QUERIES
 
@@ -42,6 +47,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update({k: v for k, v in CORE_ORACLES.items() if v is not None})
     out["flagship"] = FLAGSHIP_SQL
+    out["sql2_window_rank"] = SQL2_TEXT
     out.update(LLM_ORACLES)
     out.update(PIPE_ORACLES)
     return out

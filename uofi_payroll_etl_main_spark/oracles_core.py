@@ -16,6 +16,7 @@ CORE_ORACLES: dict[str, str] = {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
     """,
+    "sql2_window_rank": None,  # filled from registry_core.SQL2_TEXT below
     "a16_group_sample": """
         SELECT o_orderkey, o_orderpriority, CAST(rk AS BIGINT) AS rk
         FROM (

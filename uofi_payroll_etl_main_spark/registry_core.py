@@ -1307,6 +1307,32 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+SQL2_TEXT = """
+    SELECT c_mktsegment, c_custkey, c_acctbal, seg_rank, running_bal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+               AS seg_rank,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_bal
+      FROM customer
+    ) WHERE seg_rank <= 10
+"""
+
+
+def sql2_window_rank(spark, sf):
+    """SQL surface, window-function shape: per-segment top-10 customers
+    by balance with an exact decimal running sum -- the IDENTICAL SQL
+    text runs on both engines."""
+    from .sql_api import run_sql
+
+    return run_sql(spark, sf, SQL2_TEXT)
+
+
 def sql1_priority_revenue(spark, sf):
     """The engine's SQL surface: the same catalog queried through
     spark.sql text (dbt-style / warehouse-migration entry point).
@@ -1757,6 +1783,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a15_ntile": a15_ntile,
     "a16_group_sample": a16_group_sample,
     "sql1_priority_revenue": sql1_priority_revenue,
+    "sql2_window_rank": sql2_window_rank,
     "a17_sketch_union": a17_sketch_union,
     "w_event_paths": w_event_paths,
     "w_top_types": w_top_types,
