@@ -368,6 +368,35 @@ LLM_ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d ANTI JOIN contam c ON d.doc_id = c.doc_id
     """,
+    "llm_contamination_rate": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), contam AS (
+          SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contaminated,
+               sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) AS contamination_rate
+        FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+        GROUP BY d.source
+    """,
     "llm_stratified_sample": """
         SELECT doc_id, lang, source, n_chars
         FROM documents

@@ -263,6 +263,29 @@ def llm_decontaminate(spark, sf):
     return decontaminate(docs, bench, n=5).select("doc_id", "lang", "source", "n_chars")
 
 
+def llm_contamination_rate(spark, sf):
+    """Per-source eval-leak report: fraction of docs sharing any 5-gram
+    with the benchmark holdout -- the scoring view of decontamination
+    (run it BEFORE deciding to filter; a high rate means the source
+    itself is suspect)."""
+    from .llm.curation import contaminated_ids
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    contam = contaminated_ids(docs, bench, n=5).withColumn("__c", F.lit(1))
+    return (
+        docs.join(F.broadcast(contam), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_contaminated"),
+            (F.sum(F.coalesce(F.col("__c"), F.lit(0))) / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
 def llm_stratified_sample(spark, sf):
     """Deterministic per-language downsampling (en 50%, zh 20%, rest
     10%) by doc_id mod 100 -- reproducible across engines, so it
@@ -910,6 +933,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_corpus_shuffle": llm_corpus_shuffle,
     "llm_curation_pipeline": llm_curation_pipeline,
     "llm_weighted_sample": llm_weighted_sample,
+    "llm_contamination_rate": llm_contamination_rate,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
     "llm_dup_clusters": llm_dup_clusters,
