@@ -38,7 +38,7 @@ BNLJ_ALLOWED = {
 # skipped: st_* execute a streaming drain inside the registry call;
 # the two cluster queries run the iterative fixpoint loop eagerly
 SKIP_PREFIXES = ("st_",)
-SKIP = {"llm_dup_clusters", "llm_near_dedup_corpus"}
+SKIP = {"llm_dup_clusters", "llm_near_dedup_corpus", "llm_near_dedup_keep_best"}
 
 
 

@@ -274,6 +274,21 @@ LLM_ORACLES: dict[str, str] = {
         FROM documents d JOIN clusters c
           ON d.doc_id = c.doc_id AND c.cluster_id = d.doc_id
     """,
+    "llm_near_dedup_keep_best": _CC_CTE
+    + """
+        , clusters AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+        ), keep AS (
+          SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+            FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+          ) WHERE rk = 1
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d SEMI JOIN keep k ON d.doc_id = k.doc_id
+    """,
     "llm_quality_filter": r"""
         WITH t AS (
           SELECT doc_id, lang,

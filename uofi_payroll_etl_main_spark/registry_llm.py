@@ -390,6 +390,29 @@ def llm_near_dedup_corpus(spark, sf):
     )
 
 
+def llm_near_dedup_keep_best(spark, sf):
+    """Near-dedup resolution keeping the BEST duplicate (longest doc,
+    id tiebreak) per cluster instead of the lowest id -- production
+    dedup keeps the highest-quality copy, not the first-seen one.
+    Cluster stage identical to llm_near_dedup_corpus; only the keeper
+    rule changes (one bounded rank window per cluster)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    edges = LD.jaccard_pairs(docs, threshold=0.4, n=3)
+    clusters = LD.duplicate_clusters(docs, edges)
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    keepers = (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def llm_quality_filter(spark, sf):
     """Exact top-half-per-language cut by unique-token ratio
     (percent_rank window, doc_id tiebreak -> deterministic kept set)."""
@@ -934,6 +957,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_curation_pipeline": llm_curation_pipeline,
     "llm_weighted_sample": llm_weighted_sample,
     "llm_contamination_rate": llm_contamination_rate,
+    "llm_near_dedup_keep_best": llm_near_dedup_keep_best,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_stats": llm_corpus_stats,
     "llm_dup_clusters": llm_dup_clusters,
