@@ -55,7 +55,6 @@ HEADLINERS = [
     "llm_containment_pairs",
     "llm_jaccard_pairs",
     "llm_jaccard_prefix",
-    "llm_containment_pairs",
     "llm_containment_prefix",
     "llm_corpus_shuffle",
     "llm_curation_pipeline",

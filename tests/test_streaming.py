@@ -470,3 +470,32 @@ def test_streaming_interval_join_outer_contains_inner(spark, sf_dir):
     assert n_null > 0                    # unconverted clicks actually emit
     null_ids = {r.click_id for r in outer_rows if r.purchase_ts is None}
     assert null_ids.isdisjoint({cid for cid, _ in inner})  # never both
+
+
+def test_resample_linear_interpolates_interior_gaps(spark):
+    """Known 4-hour series with one empty interior bucket: the gap gets
+    the straight-line value, edges stay null, observed flags are exact."""
+    import datetime as dt
+
+    from uofi_payroll_etl_main_spark.streaming.windows import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows_in = [
+        # hour 00: total 10.0 ; hour 01: empty ; hour 02: total 40.0
+        (1, t0, "a", 4.0),
+        (2, t0 + dt.timedelta(minutes=10), "a", 6.0),
+        (3, t0 + dt.timedelta(hours=2), "a", 40.0),
+        # group b exists only in hour 01 -> leading/trailing nulls for b
+        (4, t0 + dt.timedelta(hours=1), "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows_in, "event_id long, ts timestamp, event_type string, value double")
+    out = {
+        (r["window_start"].hour, r["event_type"]): (r["v_interp"], r["observed"])
+        for r in resample_linear(df, "1 hour").collect()
+    }
+    assert out[(0, "a")] == (10.0, True)
+    assert out[(1, "a")] == (25.0, False)  # midpoint of 10 -> 40
+    assert out[(2, "a")] == (40.0, True)
+    assert out[(0, "b")] == (None, False)  # leading gap: no left neighbour
+    assert out[(1, "b")] == (7.0, True)
+    assert out[(2, "b")] == (None, False)  # trailing gap

@@ -1004,6 +1004,44 @@ LLM_ORACLES: dict[str, str] = {
     "st_running_totals": """
         SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
     """,
+    "w_gap_linear": """
+        WITH obs AS (
+          SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_obs
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start FROM rng
+        ), groups AS (SELECT DISTINCT event_type FROM events),
+        grid AS (
+          SELECT s.window_start, g.event_type FROM spine s CROSS JOIN groups g
+        ), j AS (
+          SELECT grid.window_start, grid.event_type, o.v_obs,
+                 CAST(epoch(grid.window_start) AS BIGINT) AS t
+          FROM grid LEFT JOIN obs o
+            ON o.window_start = grid.window_start AND o.event_type = grid.event_type
+        ), w AS (
+          SELECT window_start, event_type, v_obs, t,
+                 last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v_obs IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+                 first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v_obs IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+          FROM j
+          WINDOW wp AS (PARTITION BY event_type ORDER BY window_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY event_type ORDER BY window_start
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT window_start, event_type,
+               CASE WHEN v_obs IS NOT NULL THEN v_obs
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                    ELSE NULL END AS v_interp,
+               (v_obs IS NOT NULL) AS observed
+        FROM w
+    """,
     "w_resample_filled": """
         WITH rng AS (
           SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi

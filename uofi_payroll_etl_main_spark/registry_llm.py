@@ -868,6 +868,16 @@ def w_resample_filled(spark, sf):
     return resample_counts_filled(_t(spark, sf, "events"), "1 hour")
 
 
+def w_gap_linear(spark, sf):
+    """Dense hourly grid per event_type with exact decimal bucket
+    totals; interior gaps linearly interpolated between the nearest
+    observed buckets (fixed-order double arithmetic shared with the
+    oracle), leading/trailing gaps left null."""
+    from .streaming.windows import resample_linear
+
+    return resample_linear(_t(spark, sf, "events"), "1 hour")
+
+
 def w_session(spark, sf):
     return session_agg(_t(spark, sf, "events"), "30 minutes")
 
@@ -1000,4 +1010,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_sliding": w_sliding,
     "w_session": w_session,
     "w_resample_filled": w_resample_filled,
+    "w_gap_linear": w_gap_linear,
 }

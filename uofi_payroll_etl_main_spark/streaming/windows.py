@@ -22,6 +22,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "resample_counts_filled",
+    "resample_linear",
     "rolling_agg",
     "funnel_steps",
     "cohort_retention",
@@ -379,3 +380,75 @@ def sessionize(
     boundary = (prev.isNull() | ((us - prev) > int(gap_seconds) * 1_000_000)).cast("long")
     sid = F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn(out_col, sid)
+
+
+def resample_linear(
+    events: DataFrame,
+    width: str = "1 hour",
+    by: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Gap-filled resample with LINEAR interpolation: per-bucket exact
+    value totals on a dense (group x bucket) grid, with empty interior
+    buckets filled by the straight line between their nearest observed
+    neighbours (leading/trailing gaps stay null; `observed` marks real
+    buckets).
+
+    The time-series regularization shape (pandas `resample().sum().
+    interpolate()` / timescale `interpolate()`): model features and
+    charts need a dense grid, and zero-fill lies for quantities that
+    accumulate between ticks.
+
+    Scale: the grid is buckets x groups (metadata-sized, never
+    fact-scale), built exactly like `resample_counts_filled`; the fill
+    is two ignore-nulls running windows (prev/next observed struct) per
+    group -- one shuffle on the group key, no self-join, no UDF.  The
+    interpolation arithmetic is a fixed-order double expression so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.window("ts", width).getField("start").alias("window_start")
+    obs = events.groupBy(bucket, F.col(by)).agg(
+        F.sum(F.col(value).cast("decimal(18,2)")).cast("double").alias("v_obs")
+    )
+    rng = events.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    rng = rng.select(F.window("mn", width).getField("start").alias("lo"), "mx")
+    rng = rng.select("lo", F.window("mx", width).getField("start").alias("hi"))
+    spine_times = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {width}"))).alias(
+            "window_start"
+        )
+    )
+    groups = events.select(F.col(by)).distinct()
+    grid = spine_times.crossJoin(F.broadcast(groups))
+    j = grid.join(obs, ["window_start", by], "left").withColumn(
+        "__t", E.epoch_seconds("window_start")
+    )
+    w_prev = (
+        Window.partitionBy(by)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(by)
+        .orderBy("window_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    has = F.col("v_obs").isNotNull()
+    pv = F.last(F.when(has, F.col("v_obs")), ignorenulls=True).over(w_prev)
+    pt = F.last(F.when(has, F.col("__t")), ignorenulls=True).over(w_prev)
+    nv = F.first(F.when(has, F.col("v_obs")), ignorenulls=True).over(w_next)
+    nt = F.first(F.when(has, F.col("__t")), ignorenulls=True).over(w_next)
+    frac = (F.col("__t") - pt).cast("double") / (nt - pt).cast("double")
+    interp = (
+        F.when(has, F.col("v_obs"))
+        .when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return j.select(
+        "window_start",
+        F.col(by),
+        interp.alias("v_interp"),
+        has.alias("observed"),
+    )
