@@ -24,6 +24,7 @@ from uofi_payroll_etl_main_spark.registry_core import (
     CORE_QUERIES,
     FLAGSHIP_SQL,
     SQL2_TEXT,
+    SQL3_TEXT,
     flagship,
 )
 from uofi_payroll_etl_main_spark.registry_llm import LLM_QUERIES
@@ -48,6 +49,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({k: v for k, v in CORE_ORACLES.items() if v is not None})
     out["flagship"] = FLAGSHIP_SQL
     out["sql2_window_rank"] = SQL2_TEXT
+    out["sql3_exists_cte"] = SQL3_TEXT
     out.update(LLM_ORACLES)
     out.update(PIPE_ORACLES)
     return out

@@ -1307,6 +1307,52 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+def s12_zorder_profile(spark, sf):
+    """Z-order layout locality profile: Morton-interleave
+    (l_partkey, l_suppkey), split the occupied key range
+    into 64 contiguous curve segments (~ output files) and report each
+    segment's count + min/max of BOTH dimensions -- the min/max
+    tightness that makes parquet row-group pruning work on two columns
+    at once.  The interleave expression text is shared verbatim with
+    the oracle."""
+    from .layout import zbucket_profile
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return zbucket_profile(li, "l_partkey", "l_suppkey", bits=16, n_buckets=64)
+
+
+SQL3_TEXT = """
+    WITH bulky AS (
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_quantity >= 45)
+    )
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(n_bulky AS BIGINT) AS n_bulky
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n_bulky
+      FROM bulky
+    ) WHERE rn = 1
+"""
+
+
+def sql3_exists_cte(spark, sf):
+    """SQL surface, subquery shape: CTE + correlated EXISTS (planned as
+    a left-semi join) + two window functions -- the IDENTICAL SQL text
+    runs on both engines.  Each customer's single priciest order among
+    orders containing a bulk line (qty >= 45)."""
+    from .sql_api import run_sql
+
+    return run_sql(spark, sf, SQL3_TEXT)
+
+
 SQL2_TEXT = """
     SELECT c_mktsegment, c_custkey, c_acctbal, seg_rank, running_bal
     FROM (
@@ -1880,4 +1926,6 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_product_profit": q9_product_profit,
     "q11_important_stock": q11_important_stock,
     "q21_waiting_supplier": q21_waiting_supplier,
+    "sql3_exists_cte": sql3_exists_cte,
+    "s12_zorder_profile": s12_zorder_profile,
 }
