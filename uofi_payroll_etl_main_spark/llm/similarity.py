@@ -622,3 +622,151 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 10,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic Lloyd's k-means over an embedding column: returns
+    (assignments DataFrame(id, cluster), centroids ndarray (k, dim)).
+
+    The workhorse behind corpus bucketing (topic mixing, SemDeDup-style
+    semantic dedup, IVF training).  Fully distributed per iteration:
+
+      * assign -- one `mapInPandas` matmul per Arrow batch against the
+        broadcast (k, dim) centroid block (squared-euclid argmin; ties
+        to the lowest cluster id via argmin-first);
+      * update -- posexplode to (cluster, dim, val), one
+        (cluster, dim) groupBy; ONLY k*dim (sum, count) cells reach the
+        driver, never vectors.
+
+    Init is the k lowest-id corpus vectors (reproducible, no RNG).
+    Empty clusters keep their previous centroid.  The projected corpus
+    is persisted once and reused by all iterations.
+    """
+    import pandas as pd
+
+    id_t = _id_sql_type(corpus, id_col)
+    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    ids.persist()
+    try:
+        init_rows = ids.orderBy("vid").limit(k).collect()
+        cents = np.array(_centroid_array(init_rows, "vec"), dtype=np.float64)
+        dim = cents.shape[1]
+        assigned = None
+        for _ in range(max(1, int(n_iter))):
+            cb = cents  # closure-captured; k*dim doubles, task-broadcast
+
+            def assign_fn(batches, cb=cb):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.array(list(pdf["vec"]), dtype=np.float64)
+                    # ||x-c||^2 argmin == (-2xc + ||c||^2) argmin
+                    d = -2.0 * (m @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+                    yield pd.DataFrame(
+                        {"vid": pdf["vid"], "cluster": d.argmin(axis=1).astype("int32")}
+                    )
+
+            assigned = ids.mapInPandas(assign_fn, schema=f"vid {id_t}, cluster int")
+            cells = (
+                ids.join(assigned, "vid")
+                .select("cluster", F.posexplode("vec").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(F.col("val").cast("double")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            nxt = cents.copy()
+            acc = np.zeros((k, dim)), np.zeros((k, dim))
+            for r in cells:
+                acc[0][r["cluster"], r["pos"]] = r["s"]
+                acc[1][r["cluster"], r["pos"]] = r["n"]
+            live = acc[1][:, 0] > 0
+            nxt[live] = acc[0][live] / acc[1][live]
+            cents = nxt
+        out = assigned.select(
+            F.col("vid").alias(id_col), F.col("cluster").cast("int").alias("cluster")
+        )
+        return out, cents
+    finally:
+        ids.unpersist()
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 10,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings with k-means,
+    then inside each cluster greedily keep one representative per
+    semantic-duplicate group (cosine >= threshold), preferring vectors
+    closest to the cluster centroid (id tiebreak).
+
+    Returns every row tagged (id, cluster, keep, exemplar_id): dropped
+    rows point at the kept member that shadowed them.
+
+    Scale: pairwise work happens ONLY within a cluster (one
+    applyInPandas group per cluster; k controls the block size, the
+    knob the SemDeDup paper tunes).  Nothing quadratic crosses a
+    shuffle; vectors move once, keyed by cluster id.  Greedy order
+    (centroid distance, then id) is a pure function of the block, so
+    reruns and the pytest NumPy replica agree exactly.
+    """
+    import pandas as pd
+
+    assigned, cents = kmeans_assign(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    id_t = _id_sql_type(corpus, id_col)
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).join(assigned.withColumnRenamed(id_col, "vid"), "vid")
+
+    def dedup_cluster(key, pdf):
+        cid = int(key[0])
+        m = np.array(list(pdf["vec"]), dtype=np.float64)
+        ids_arr = pdf["vid"].to_numpy()
+        c = cents[cid]
+        d2 = ((m - c[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids_arr, np.round(d2, ROUND_DIGITS)))
+        mn = _norm_rows(m)
+        kept: list[int] = []
+        exemplar = {}
+        for i in order:
+            shadow = -1
+            if kept:
+                sims = np.round(mn[kept] @ mn[i], ROUND_DIGITS)
+                hits = np.nonzero(sims >= threshold)[0]
+                if len(hits):
+                    shadow = kept[int(hits[0])]
+            if shadow < 0:
+                kept.append(i)
+                exemplar[i] = i
+            else:
+                exemplar[i] = shadow
+        return pd.DataFrame(
+            {
+                "vid": ids_arr,
+                "cluster": np.full(len(pdf), cid, dtype="int32"),
+                "keep": [exemplar[i] == i for i in range(len(pdf))],
+                "exemplar_id": ids_arr[[exemplar[i] for i in range(len(pdf))]],
+            }
+        )
+
+    out = tagged.groupBy("cluster").applyInPandas(
+        dedup_cluster,
+        schema=f"vid {id_t}, cluster int, keep boolean, exemplar_id {id_t}",
+    )
+    return out.select(
+        F.col("vid").alias(id_col), "cluster", "keep", "exemplar_id"
+    )

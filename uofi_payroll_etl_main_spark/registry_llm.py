@@ -864,6 +864,49 @@ def w_sliding(spark, sf):
     return sliding_agg(_t(spark, sf, "events"), "2 hours", "1 hour")
 
 
+def llm_kmeans(spark, sf):
+    """Deterministic Lloyd k-means over the embeddings table (k=10,
+    matching the generator's label count): per-cluster size plus the
+    majority generator label and its count -- the cluster/label
+    confusion summary.  Approximate-free but rows-only: float sum order
+    differs across engines, and DuckDB has no iterative kmeans."""
+    from .llm.similarity import kmeans_assign
+
+    emb = _t(spark, sf, "embeddings")
+    assigned, _ = kmeans_assign(emb, k=10, n_iter=3)
+    lab = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    per = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = per.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    sizes = lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        sizes.join(
+            top.select("cluster", F.col("label").alias("top_label"), F.col("n").alias("n_top_label")),
+            "cluster",
+        )
+        .select("cluster", "n_points", "top_label", "n_top_label")
+    )
+
+
+def llm_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
+    cosine shadowing): per-cluster kept/dropped counts.  The synthetic
+    embeddings are near-isotropic (same-label mean cosine ~ 0), so the
+    threshold sits at the distribution's upper tail (0.3) where real
+    shadowing occurs.  Rows-only; the exact greedy contract is
+    pytest-verified against a NumPy replica."""
+    from .llm.similarity import semantic_dedup
+
+    out = semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.3, k=10, n_iter=3)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
 def w_resample_filled(spark, sf):
     return resample_counts_filled(_t(spark, sf, "events"), "1 hour")
 
@@ -1011,4 +1054,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_session": w_session,
     "w_resample_filled": w_resample_filled,
     "w_gap_linear": w_gap_linear,
+    "llm_kmeans": llm_kmeans,
+    "llm_semantic_dedup": llm_semantic_dedup,
 }
