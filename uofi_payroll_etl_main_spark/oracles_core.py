@@ -6,7 +6,22 @@ nulls -- never use it where pandas `+` semantics are asserted);
 count/len/row_number are BIGINT (Spark sides cast to long to match).
 """
 
+from .layout import zorder_key_sql
+
+_Z = zorder_key_sql("l_partkey", "l_suppkey", 16)
+
 CORE_ORACLES: dict[str, str] = {
+    "s12_zorder_profile": f"""
+        WITH z AS (
+          SELECT {_Z} AS zkey, l_partkey, l_suppkey FROM lineitem
+        ), m AS (SELECT min(zkey) AS lo, max(zkey) AS hi FROM z)
+        SELECT CAST(floor((zkey - lo) * 64.0 / (hi - lo + 1)) AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+               min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+        FROM z, m
+        GROUP BY 1
+    """,
     "flagship": None,  # filled from registry_core.FLAGSHIP_SQL below
     "sql1_priority_revenue": """
         SELECT o.o_orderpriority,
