@@ -108,11 +108,31 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded table + per-doc shingle counts."""
+    """(id, shingle) exploded table + per-doc shingle counts.
+
+    The gram-array projection sits BEHIND a repartition exchange on
+    purpose: downstream both `size` and `explode` reference it, and
+    CollapseProject would otherwise inline the whole
+    normalize->tokenize->transform expression into each reference
+    (and into BOTH branches of a self-join), multiplying the dominant
+    compute 2-4x -- measured 8-11s vs ~3s at sf0.1.  The exchange
+    materializes each doc's array exactly once, pre-explode (compact:
+    1x rows, not shingle-x rows), and identical branches of a
+    self-join collapse into one ReusedExchange.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
     sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
-    )
-    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    ).repartition(target)
+    # explode_OUTER, deliberately: word_shingles never returns an empty
+    # array (short docs fall back to the whole-doc token string), but a
+    # plain explode lets InferFiltersFromGenerate derive `size(sh) > 0`
+    # and push THE ENTIRE gram expression below both exchanges onto the
+    # (often single-partition) scan, where it runs serially -- measured
+    # 8-11s of the 10s query at sf0.1.  Outer generate infers no such
+    # filter; a hypothetical empty array would yield one null-shingle
+    # row, which no equi-join can match anyway.
+    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -711,10 +731,16 @@ def jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
+    # Same materialization discipline as _shingle_table: the gram array
+    # goes behind one repartition exchange (computed once, in parallel)
+    # and every branch below -- exploded table, verify sides -- reads it
+    # back as a ReusedExchange; explode_OUTER keeps
+    # InferFiltersFromGenerate from pushing the whole expression onto
+    # the serial scan (measured 8s of the 13s query at sf0.1).
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh")
-    )
-    s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("shingle"))
     dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = s.join(dfreq, "shingle")
     w = Window.partitionBy("doc").orderBy("__df", "shingle")
@@ -776,10 +802,16 @@ def containment_pairs_prefix(
     """
     from pyspark.sql import Window
 
+    # Same materialization discipline as _shingle_table: the gram array
+    # goes behind one repartition exchange (computed once, in parallel)
+    # and every branch below -- exploded table, verify sides -- reads it
+    # back as a ReusedExchange; explode_OUTER keeps
+    # InferFiltersFromGenerate from pushing the whole expression onto
+    # the serial scan (measured 8s of the 13s query at sf0.1).
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh")
-    )
-    s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("shingle"))
     dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = s.join(dfreq, "shingle")
     w = Window.partitionBy("doc").orderBy("__df", "shingle")
