@@ -67,8 +67,11 @@ def contaminated_ids(
     )
     # spread the corpus scan before the compute-bound shingle stage
     # (single-file local scans are one partition; no-op at scale)
+    # explode_outer: dodges InferFiltersFromGenerate pushing the whole
+    # gram expression onto the serial scan (see llm/text.explode_nonempty);
+    # a null gram row can never pass the semi join below.
     doc_grams = _ensure_parallelism(docs).select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+        F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("gram")
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")

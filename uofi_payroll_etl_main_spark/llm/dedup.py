@@ -53,19 +53,7 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across the cluster before a compute-bound
-    stage (signatures cost ~ms/doc; a single-file parquet scan is one
-    partition, serializing the whole corpus onto one core).
-
-    Only repartitions UP: at 100 TB the scan already has thousands of
-    splits and this is a no-op; locally it shuffles a few MB of raw text
-    once, which is noise next to the signature compute it unblocks.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .text import ensure_parallelism as _ensure_parallelism  # shared seam
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

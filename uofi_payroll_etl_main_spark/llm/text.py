@@ -44,6 +44,35 @@ EN_MARKERS = r"(?i)\b(the|and|of|to|a|in|is|it|that|for)\b"
 _PUNCT = r"[^\w\s]"
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before a compute-bound
+    expression stage: a single-file local parquet scan is ONE partition,
+    which serializes tokenize/gram transforms onto one core.  Only
+    repartitions UP -- a no-op at scale where the scan already has
+    thousands of splits.  (Shared by the dedup/curation modules.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def explode_nonempty(df: DataFrame, keep: list, arr: Column, alias: str) -> DataFrame:
+    """explode an array column WITHOUT letting the optimizer clone the
+    array expression into a pushed-down filter.
+
+    A plain `explode` lets InferFiltersFromGenerate derive
+    `size(arr) > 0` and push the ENTIRE array expression (tokenize /
+    gram transforms -- the dominant compute of these operators) below
+    every exchange onto the scan, where it re-runs serially on a
+    single-partition local file.  explode_outer infers nothing; the
+    `isnotnull` filter on the GENERATED column restores the exact
+    inner-explode semantics (empty arrays contribute no rows) and can
+    never be pushed below the generate that creates the column.
+    """
+    out = ensure_parallelism(df).select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -142,8 +171,8 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    t = df.select(
-        F.col(id_col), F.explode(tokens(normalize_text(text_col))).alias("term")
+    t = explode_nonempty(
+        df, [F.col(id_col)], tokens(normalize_text(text_col)), "term"
     )
     tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # df(term) as a whole-partition window over the tf aggregate: one
@@ -194,7 +223,7 @@ def top_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        explode_nonempty(df, [], grams, "ngram")
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
@@ -229,11 +258,11 @@ def bigram_logprob(
             lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
-    ex = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+    ex = explode_nonempty(df, [F.col(id_col)], pairs, "p").select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")
     )
     uni = (
-        df.select(F.explode(toks).alias("w1"))
+        explode_nonempty(df, [], toks, "w1")
         .groupBy("w1")
         .agg(F.count("*").alias("c_w1"))
     )
@@ -295,8 +324,8 @@ def repetition_signals(
         ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
         for n in ngram_sizes
     ]
-    ex = df.select(
-        F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("g")
+    ex = explode_nonempty(
+        df, [F.col(id_col)], F.flatten(F.array(*per_n)), "g"
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     counted = ex.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
     chars = F.col("cnt") * F.length("gram")
@@ -340,7 +369,7 @@ def oov_rate(
     aggregate.
     """
     toks = tokens(normalize_text(text_col))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    ex = explode_nonempty(df, [F.col(id_col)], toks, "tok")
     vocab = (
         ex.groupBy("tok")
         .agg(F.count("*").alias("__c"))
@@ -393,7 +422,7 @@ def build_trigram_index(
             lambda i: t.substr(i, F.lit(3)),
         )
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("trigram"))
+    return explode_nonempty(df, [F.col(id_col)], grams, "trigram")
 
 
 def substring_search(
