@@ -58,6 +58,13 @@ HEADLINERS = [
     "llm_containment_prefix",
     "llm_corpus_shuffle",
     "llm_curation_pipeline",
+    "w_gap_linear",
+    "sql3_exists_cte",
+    "s12_zorder_profile",
+    "llm_kmeans",
+    "llm_semantic_dedup",
+    "llm_top_ngrams",
+    "llm_bigram_logprob",
 ]
 
 
