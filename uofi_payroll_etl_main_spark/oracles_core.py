@@ -651,6 +651,48 @@ CORE_ORACLES: dict[str, str] = {
     "s11_orc_roundtrip": """
         SELECT doc_id, lang, n_chars FROM documents
     """,
+    "s13_partition_prune": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               min(event_id) AS min_event_id,
+               max(event_id) AS max_event_id
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    """,
+    "s14_compact": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents GROUP BY lang
+    """,
+    "d6_merge_upsert": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(1 AS BIGINT) AS version, 0 AS src
+          FROM orders WHERE o_orderkey % 3 <> 0
+        ), upd AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 CAST(2 AS BIGINT) AS version, 1 AS src
+          FROM orders WHERE o_orderkey % 2 = 0
+        ), u AS (
+          SELECT * FROM base UNION ALL SELECT * FROM upd
+        ), r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY version DESC, src DESC) AS rn
+          FROM u
+        )
+        SELECT o_orderkey, o_orderstatus, version FROM r WHERE rn = 1
+    """,
+    "d7_merge_additive": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(user_id) AS BIGINT) AS user_id_sum
+        FROM events GROUP BY event_type
+    """,
     "a10_exact_median": """
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type

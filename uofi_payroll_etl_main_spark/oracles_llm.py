@@ -433,6 +433,21 @@ LLM_ORACLES: dict[str, str] = {
                ) - 1 AS BIGINT) AS shuffle_pos
         FROM documents
     """,
+    "llm_shard_layout": """
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '0'), doc_id
+                 ) - 1 AS BIGINT) AS pos
+          FROM documents
+        )
+        SELECT CAST(pos % 4 AS INTEGER) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(pos) AS min_pos,
+               max(pos) AS max_pos,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+        FROM p GROUP BY 1
+    """,
     "llm_weighted_sample": """
         WITH pri AS (
           SELECT doc_id, source || '/' || lang AS grp, n_chars,

@@ -532,6 +532,151 @@ def s11_orc_roundtrip(spark, sf):
     return read_orc(spark, path)
 
 
+def _tagged_dir(sf: str, table: str, kind: str) -> str:
+    """Write-once scratch dir keyed on the source parquet's identity
+    (path + mtime + size), same discipline as s11_orc_roundtrip: a
+    test-data regeneration yields a fresh tag, while repeat invocations
+    within one data generation reuse the materialized dir and keep
+    DataFrames returned by earlier invocations valid."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = src
+    tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{tag}")
+
+
+def s13_partition_prune(spark, sf):
+    """S-family -- Hive-layout partitioned sink (io.write_partitioned)
+    + partition-pruned scan.  events is written once partitioned by
+    event_type (`path/event_type=click/...`); the read filters on the
+    partition column, so planning keeps only the two matching
+    directories (PartitionFilters in the scan -- asserted by
+    tests/test_joins_dedup_agg.py::test_write_partitioned_prunes) and
+    the pruned values cost zero I/O.  Exact long aggregates keep the
+    oracle hash float-free."""
+    from .io import write_partitioned
+
+    path = _tagged_dir(sf, "events", "events_part")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned(_t(spark, sf, "events"), path, ["event_type"])
+    ev = spark.read.parquet(path).filter(F.col("event_type").isin("click", "purchase"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def s14_compact(spark, sf):
+    """S-family -- small-files compaction (io.compact).  The write-once
+    base materializes a 48-file fragmented copy of a documents
+    projection (the shape a streaming/CDC sink accretes); compact
+    rewrites it to 4 files behind the crash-recoverable atomic swap.
+    A sidecar marker makes the compaction once-per-data-generation:
+    re-compacting would mint new file names and invalidate DataFrames
+    returned by earlier invocations (lazy scans resolve files at
+    execution).  The oracle checks the rewrite lost nothing."""
+    from .io import compact
+
+    path = _tagged_dir(sf, "documents", "docs_compact")
+    marker = path + ".__compacted"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            _t(spark, sf, "documents")
+            .select("doc_id", "lang")
+            .repartition(48)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    if not os.path.exists(marker):
+        out = compact(spark, path, 4)
+        with open(marker, "w"):
+            pass
+    else:
+        out = spark.read.parquet(path)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def d6_merge_upsert(spark, sf):
+    """D-family -- CDC upsert fold (io.merge_upsert): base = orders with
+    o_orderkey % 3 != 0 at version 1; updates = all even orderkeys at
+    version 2 with status 'U'.  The merge must apply updates over
+    matching keys, insert update-only keys (multiples of 6, absent from
+    the base), and pass untouched rows through.  A
+    FRESH scratch dir per invocation keeps the fold deterministic (the
+    additive/upsert rewrite mutates its input dir); the handful of
+    leaked sf0.01 temp dirs is bounded by gate runs.  o_totalprice is
+    dropped from the output so the oracle hash stays float-free."""
+    import tempfile
+    import uuid
+
+    from .io import merge_upsert
+
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_upsert_{uuid.uuid4().hex[:16]}"
+    )
+    orders = _t(spark, sf, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).cast("long").alias("version"),
+    )
+    base.write.mode("overwrite").parquet(base_dir)
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(2).cast("long").alias("version"),
+    )
+    merged = merge_upsert(spark, base_dir, updates, keys=["o_orderkey"], order_col="version")
+    return merged.select("o_orderkey", "o_orderstatus", "version")
+
+
+def d7_merge_additive(spark, sf):
+    """D-family -- incremental materialized-rollup refresh
+    (io.merge_additive): the base rollup aggregates only even-user
+    events, the delta only odd-user events; folding the delta in must
+    reproduce the full-corpus rollup exactly (associativity of sum) --
+    which is precisely what the oracle computes from scratch.  Fresh
+    scratch dir per invocation: the fold rewrites its input, so a
+    shared dir would double-count on re-invocation."""
+    import tempfile
+    import uuid
+
+    from .io import merge_additive
+
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_additive_{uuid.uuid4().hex[:16]}"
+    )
+    ev = _t(spark, sf, "events")
+    counts = lambda d: d.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("user_id")).cast("long").alias("user_id_sum"),
+    )
+    counts(ev.filter(F.col("user_id") % 2 == 0)).write.mode("overwrite").parquet(base_dir)
+    delta = counts(ev.filter(F.col("user_id") % 2 == 1))
+    merged = merge_additive(
+        spark, base_dir, delta, keys=["event_type"], sum_cols=["n", "user_id_sum"]
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("user_id_sum").cast("long").alias("user_id_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Bench headliners: TPC-H-shaped analytics (pricing summary / shipping
 # priority / nation volume).  Float aggregation via DECIMAL -> exact and
@@ -1901,7 +2046,11 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v6_profile_table": v6_profile_table,
     "v7_expectations": v7_expectations,
     "d5_snapshot_diff": d5_snapshot_diff,
+    "d6_merge_upsert": d6_merge_upsert,
+    "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
+    "s13_partition_prune": s13_partition_prune,
+    "s14_compact": s14_compact,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

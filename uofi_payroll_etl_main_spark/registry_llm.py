@@ -318,6 +318,44 @@ def llm_corpus_shuffle(spark, sf):
     return shuffle_index(docs, "doc_id").select("doc_id", "lang", "shuffle_pos")
 
 
+def llm_shard_layout(spark, sf):
+    """Training-shard materialization (io.write_training_shards): the
+    corpus lands as 4 equal, deterministically shuffled
+    `path/shard=K/` partitions -- the layout a data-parallel trainer
+    reads (worker K scans only shard=K).  Write-once dir keyed on the
+    source parquet identity; the query reads the LAYOUT back and
+    summarizes each shard, and the oracle recomputes the same
+    md5-permutation + round-robin assignment from scratch in DuckDB --
+    so the on-disk placement itself is what gets certified."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .io import write_training_shards
+
+    src = os.path.join(sf, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = src
+    tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_shards_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_training_shards(
+            _t(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+            path,
+            n_shards=4,
+        )
+    shards = spark.read.parquet(path)
+    return shards.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("shuffle_pos").alias("min_pos"),
+        F.max("shuffle_pos").alias("max_pos"),
+        F.count_distinct("doc_id").cast("long").alias("n_distinct_docs"),
+    )
+
+
 def llm_weighted_sample(spark, sf):
     """Weighted sampling without replacement: per (source, lang) group,
     the 5 docs with highest u^(1/n_chars) priority -- deterministic,
@@ -1007,6 +1045,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_stratified_sample": llm_stratified_sample,
     "llm_split_assign": llm_split_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,
+    "llm_shard_layout": llm_shard_layout,
     "llm_curation_pipeline": llm_curation_pipeline,
     "llm_weighted_sample": llm_weighted_sample,
     "llm_contamination_rate": llm_contamination_rate,
