@@ -908,3 +908,41 @@ def test_quantile_sketch_merge_equals_unpartitioned(spark):
         for r in quantile_sketch_merge(df.withColumn("p", F.lit(0)), "g", "p", "v").collect()
     }
     assert split == whole
+
+
+@pytest.mark.parametrize("flavor", ["micros_utc", "micros_ntz", "nanos"])
+def test_load_table_normalizes_every_ts_flavor(spark, tmp_path, flavor):
+    """The driver has regenerated events.parquet with three different ts
+    physical types across rounds (micros+UTC -> TIMESTAMP, micros w/o
+    the UTC flag -> TIMESTAMP_NTZ, nanos -> rejected outright).  One of
+    those regens broke two green queries (round 3); load_table must
+    absorb ALL flavors into a plain session-TZ TIMESTAMP so downstream
+    operators never see the difference."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from uofi_payroll_etl_main_spark.io import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    if flavor == "micros_utc":
+        arr = pa.array(micros, pa.timestamp("us", tz="UTC"))
+    elif flavor == "micros_ntz":
+        arr = pa.array(micros, pa.timestamp("us"))
+    else:
+        arr = pa.array([m * 1000 + 999 for m in micros], pa.timestamp("ns"))
+    table = pa.table({"event_id": pa.array([1, 2], pa.int64()), "ts": arr})
+    sf_dir = tmp_path / "sfx"
+    sf_dir.mkdir()
+    pq.write_table(table, sf_dir / "events.parquet", store_schema=False)
+
+    df = load_table(spark, str(sf_dir), "events")
+    (ts_type,) = [f.dataType for f in df.schema.fields if f.name == "ts"]
+    assert isinstance(ts_type, T.TimestampType), (flavor, ts_type)
+    got = sorted(
+        r.us for r in df.select(F.unix_micros("ts").alias("us")).collect()
+    )
+    # nanos truncate toward zero (DuckDB/Arrow behavior), never round up
+    assert got == micros, (flavor, got)

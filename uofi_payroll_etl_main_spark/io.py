@@ -61,9 +61,14 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Convenience: one TPC-H-ish testdata table (TESTDATA.md).
 
-    The events table stores ts as parquet TIMESTAMP(NANOS), which Spark
-    rejects outright; read nanos as long (legacy conf) and convert to a
-    microsecond timestamp (truncating like DuckDB/Arrow do).
+    The events table's ts physical type has changed across test-data
+    generations (TIMESTAMP(NANOS); micros without isAdjustedToUTC,
+    which Spark 4 surfaces as TIMESTAMP_NTZ and rejects in unix_micros
+    / long casts; plain micros).  Normalize ALL flavors to a session-TZ
+    TIMESTAMP here, at the load edge, so no downstream operator ever
+    sees the difference: nanos are read as long (legacy conf) and
+    truncated to micros like DuckDB/Arrow do; NTZ is reinterpreted in
+    the session TZ (UTC in tests/gates -- identical instants).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -74,6 +79,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div, NOT /1000-and-floor: the double rounds at ~1e18 ns
             # and can land one microsecond high.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_field is not None and isinstance(ts_field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
