@@ -730,7 +730,13 @@ def jaccard_pairs_prefix(
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("shingle"))
     dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = s.join(dfreq, "shingle")
+    # shuffle-hash, never broadcast: dfreq is the DISTINCT-SHINGLE table
+    # and grows with the corpus (2.7M rows at a 100x scale-up, measured)
+    # -- AQE's runtime broadcast of it builds a multi-hundred-MB hash
+    # relation that can fail the exchange under memory pressure, and at
+    # real scale it cannot fit at all.  Both sides already shuffle on
+    # the shingle key, which is the plan that survives.
+    ranked = s.join(dfreq.hint("shuffle_hash"), "shingle")
     w = Window.partitionBy("doc").orderBy("__df", "shingle")
     plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)) + 1)
     prefix = (
@@ -801,7 +807,13 @@ def containment_pairs_prefix(
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     s = base.select("doc", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("shingle"))
     dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = s.join(dfreq, "shingle")
+    # shuffle-hash, never broadcast: dfreq is the DISTINCT-SHINGLE table
+    # and grows with the corpus (2.7M rows at a 100x scale-up, measured)
+    # -- AQE's runtime broadcast of it builds a multi-hundred-MB hash
+    # relation that can fail the exchange under memory pressure, and at
+    # real scale it cannot fit at all.  Both sides already shuffle on
+    # the shingle key, which is the plan that survives.
+    ranked = s.join(dfreq.hint("shuffle_hash"), "shingle")
     w = Window.partitionBy("doc").orderBy("__df", "shingle")
     plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)) + 1)
     prefix = (

@@ -33,6 +33,10 @@ def get_spark(app_name: str = "uofi-payroll-etl-spark", master: str | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # a broadcast build racing heavy stages can exceed the 300s
+        # default under load; waiting longer is strictly better than
+        # failing the exchange (observed in a 100x scale experiment)
+        .config("spark.sql.broadcastTimeout", "600")
         .config("spark.sql.shuffle.partitions", cpus)
         # Arrow for the few driver-edge pandas bridges (Excel sink) and for
         # the Pandas-UDF multimodal path.
