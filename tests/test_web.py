@@ -1,0 +1,156 @@
+"""Web-curation operators (llm/web.py): HTML stripping, URL
+canonicalization / dedup, domain stats, hashed-feature quality scoring.
+
+Known-value checks against hand-computed expectations plus an
+independent pure-Python model for the classifier (md5 hashing chain
+recomputed outside Spark)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_spark.llm.web import (
+    HASH_BUCKETS,
+    domain_stats,
+    normalize_url,
+    quality_classify,
+    strip_html,
+    synth_url,
+    url_dedup,
+)
+
+from tests.conftest import rows
+
+
+def _one(spark, value, expr):
+    return (
+        spark.createDataFrame([(value,)], "x string").select(expr.alias("y")).head()[0]
+    )
+
+
+class TestStripHtml:
+    def test_tags_and_entities(self, spark):
+        html = (
+            '<html><head><script src="a.js">if (1 < 2) { x(); }</script>'
+            "<style>.c { font-weight: bold; }</style></head>"
+            "<!-- note --><body><h1>Title</h1><p>A &amp; B &lt;tag&gt; "
+            "&quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"
+        )
+        got = _one(spark, html, strip_html(F.col("x")))
+        assert got == "Title A & B <tag> \"q\" 's' end"
+
+    def test_amp_decodes_once(self, spark):
+        # literal '&amp;lt;' is a single-escaped '&lt;' -- one decode pass
+        got = _one(spark, "a &amp;lt; b", strip_html(F.col("x")))
+        assert got == "a &lt; b"
+
+    def test_whitespace_collapse(self, spark):
+        got = _one(spark, "<p>a</p>\n\n  <p>b</p>", strip_html(F.col("x")))
+        assert got == "a b"
+
+    def test_plain_text_unchanged(self, spark):
+        got = _one(spark, "no markup here", strip_html(F.col("x")))
+        assert got == "no markup here"
+
+
+class TestNormalizeUrl:
+    CASES = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.COM:443/A/1/", "https://example.com/A/1"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        ("https://example.com/p?utm_source=a&id=3", "https://example.com/p?id=3"),
+        ("https://example.com/p?id=3&utm_medium=m", "https://example.com/p?id=3"),
+        ("https://example.com/p?utm_source=a", "https://example.com/p"),
+        ("https://example.com/p#frag", "https://example.com/p"),
+        ("https://example.com/p/?ref=tw&a=1&gclid=z", "https://example.com/p?a=1"),
+        ("https://sub.example.com/CaseKept", "https://sub.example.com/CaseKept"),
+        ("https://example.com", "https://example.com"),
+    ]
+
+    def test_known_cases(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "x string")
+        got = [r[0] for r in df.select(normalize_url(F.col("x"))).collect()]
+        assert got == [want for _, want in self.CASES]
+
+
+class TestUrlDedup:
+    def test_collisions_and_keeper(self, spark):
+        data = [
+            (1, "https://A.com/p?utm_source=x&id=1"),
+            (2, "HTTP://a.com:80/p/?id=1#f"),  # same canonical as 1 (but http)
+            (3, "https://a.com/p?id=1"),  # same as 1
+            (4, "https://b.com/q"),
+        ]
+        df = spark.createDataFrame(data, "doc_id long, url string")
+        got = rows(url_dedup(df))
+        assert got == [
+            ("http://a.com/p?id=1", 2, 1),
+            ("https://a.com/p?id=1", 1, 2),
+            ("https://b.com/q", 4, 1),
+        ]
+
+    def test_synth_has_real_collisions(self, spark, sf_dir):
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("url", synth_url())
+        )
+        out = url_dedup(d)
+        n_docs = d.count()
+        agg = out.agg(
+            F.sum("n_dups").alias("s"), F.max("n_dups").alias("m")
+        ).head()
+        assert agg["s"] == n_docs  # partition of the corpus
+        assert agg["m"] >= 2  # the gate actually exercises merging
+
+    def test_domain_stats_blocklist(self, spark, sf_dir):
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("url", synth_url())
+        )
+        out = domain_stats(d, blocklist=["src0.com", "src7.com"]).collect()
+        domains = {r["domain"] for r in out}
+        assert "src0.com" not in domains and "src7.com" not in domains
+        assert len(domains) == 18  # 20 sources minus 2 blocked
+        for r in out:
+            assert r["n_docs"] >= r["n_urls"] >= 1
+
+
+def _py_margin(text: str) -> tuple[int, float]:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    acc = 0.0
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        acc += (h % HASH_BUCKETS) % 997 / 997.0 - 0.5
+    return len(toks), (acc / len(toks) if toks else 0.0)
+
+
+class TestQualityClassifier:
+    def test_matches_python_model(self, spark):
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "spark spark spark spark",
+            "",
+            "Mixed CASE tokens, with punctuation!  And  numbers 42.",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in quality_classify(df).collect()}
+        for i, t in enumerate(texts):
+            n, margin = _py_margin(t)
+            assert got[i]["n_tokens"] == n
+            assert math.isclose(got[i]["margin"], margin, rel_tol=0, abs_tol=1e-12)
+            want_score = round(1.0 / (1.0 + math.exp(-4.0 * margin)), 6)
+            assert math.isclose(got[i]["score"], want_score, abs_tol=1e-6)
+            assert got[i]["keep"] == (margin >= 0)
+
+    def test_pure_catalyst(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = quality_classify(d)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # one narrow projection, no shuffle

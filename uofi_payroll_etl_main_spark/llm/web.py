@@ -1,0 +1,254 @@
+r"""Web-corpus curation: HTML stripping, URL normalization / dedup,
+per-domain statistics, and a hashed-feature quality classifier.
+
+These are the front half of a web-scale training-data pipeline
+(CCNet / C4 / RefinedWeb shape): raw crawl records carry markup and
+messy URLs; before any near-dedup or quality cut the corpus is
+cleaned (strip tags), canonicalized (one URL spelling per resource),
+URL-deduplicated (the cheapest dedup tier -- no text compare at all),
+and scored by a linear classifier over hashed token features.
+
+Beyond-reference extension (the reference, a payroll ETL at
+/root/reference/etl_payroll_pipeline.py, has no web stage); the shapes
+follow the public CCNet/C4 pipeline descriptions.
+
+Scale design (100 TB):
+  * Every expression here is pure Catalyst (regexp / array / higher-
+    order functions) -- whole-stage-codegen'd, zero Python in the hot
+    path, so strip/normalize/score run at parquet scan speed.
+  * url_dedup and domain_stats shuffle ONLY the normalized-URL /
+    domain key plus counters -- never document text.
+  * The classifier needs no model file: feature hashing (md5 -> bucket)
+    and a deterministic weight per bucket keep executors stateless.
+    Swapping in trained weights is a broadcast of a D-row map.
+
+Regex dialect note: every pattern used here is RE2-safe (no
+backreferences, no lookaround) and replacement strings are empty or
+literal, so the SAME pattern text runs identically on Spark (Java
+regex) and the DuckDB oracle (RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "strip_html",
+    "synth_url",
+    "normalize_url",
+    "url_parts",
+    "url_dedup",
+    "domain_stats",
+    "quality_classify",
+    "TRACKING_PARAMS_RE",
+    "HASH_BUCKETS",
+]
+
+# Tracking query parameters dropped during URL canonicalization; the
+# alternation is anchored to the param position by the callers.
+TRACKING_PARAMS_RE = r"(utm_[a-z]+|gclid|fbclid|ref)"
+
+# Feature-hash dimensionality for the quality classifier.
+HASH_BUCKETS = 4096
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping
+# ---------------------------------------------------------------------------
+
+def strip_html(col: str | Column) -> Column:
+    """Markup -> text: drop <script>/<style> blocks and comments whole,
+    strip remaining tags, decode the six ubiquitous entities, collapse
+    whitespace.  One projection, fully codegen'd.
+
+    Entity order matters: named/numeric entities first, `&amp;` LAST so
+    a literal `&amp;lt;` decodes once (to `&lt;`), not twice.
+    """
+    x = _c(col)
+    x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    x = F.regexp_replace(x, r"&nbsp;", " ")
+    x = F.regexp_replace(x, r"&lt;", "<")
+    x = F.regexp_replace(x, r"&gt;", ">")
+    x = F.regexp_replace(x, r"&quot;", '"')
+    x = F.regexp_replace(x, r"&#39;", "'")
+    x = F.regexp_replace(x, r"&amp;", "&")
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def synth_url(id_col: str | Column = "doc_id", src_col: str | Column = "source") -> Column:
+    """Deterministic messy URL for gate/test inputs (the corpus tables
+    carry no URL column): mixed-case scheme+host, default port, www
+    prefix, trailing slash, tracking params, fragment -- every wrinkle
+    normalize_url must erase, derived only from (doc_id, source)."""
+    i = _c(id_col)
+    s = _c(src_col)
+    base = F.concat(
+        F.lit("HTTPS://WWW.m"),
+        (i % 2).cast("string"),
+        F.lit("."),
+        s,
+        F.lit(".COM:443/A/"),
+        (i % 10).cast("string"),
+        F.lit("/"),
+    )
+    q = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=news&id="),
+                (i % 20).cast("string"),
+                F.lit("&utm_medium=m"),
+            ),
+        )
+        .when(i % 3 == 1, F.concat(F.lit("?id="), (i % 20).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 5 == 0, F.lit("#Sec2")).otherwise(F.lit(""))
+    return F.concat(base, q, frag)
+
+
+def url_parts(col: str | Column) -> dict[str, Column]:
+    """Decompose a URL with anchored regexps (shared by normalize_url
+    and the oracle SQL): scheme, host (lowercased, www./default-port
+    stripped), path (no trailing slash), query (tracking params
+    removed).  Returns named Column pieces."""
+    u = _c(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(F.regexp_replace(auth, r"^www\.", ""), r":(443|80)$", "")
+    # everything after the authority, fragment dropped
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    # drop tracking params, then tidy separators left behind
+    query = F.regexp_replace(query, r"(?i)" + TRACKING_PARAMS_RE + r"=[^&#]*", "")
+    query = F.regexp_replace(query, r"\?&+", "?")
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"[?&]+$", "")
+    root = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return {"scheme": scheme, "host": host, "path": path, "query": query, "root_domain": root}
+
+
+def normalize_url(col: str | Column) -> Column:
+    """Canonical URL spelling: lowercase scheme+host, no www., no
+    default port, no fragment, no tracking params, no trailing slash.
+    Path case is preserved (case-significant on real servers)."""
+    p = url_parts(col)
+    return F.concat(p["scheme"], F.lit("://"), p["host"], p["path"], p["query"])
+
+
+def url_dedup(
+    df: DataFrame, url_col: str | Column = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cheapest dedup tier: one canonical document per normalized URL
+    (keeper = min id).  Shuffles only (norm_url, id) -- no text moves.
+    Returns (norm_url, keeper_id, n_dups)."""
+    return (
+        df.select(normalize_url(url_col).alias("norm_url"), F.col(id_col))
+        .groupBy("norm_url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str | Column = "url",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Per-registered-domain corpus profile after canonicalization:
+    document count, distinct canonical URLs, total characters.  An
+    optional domain blocklist is applied with an `isin` prune (a
+    broadcast anti-join once the list outgrows a literal IN).
+
+    Partial aggregation makes this one narrow shuffle of
+    (domain, counters); the distinct-URL count piggybacks on the same
+    exchange because norm_url is grouped with its own domain.
+    """
+    p = url_parts(url_col)
+    base = df.select(
+        p["root_domain"].alias("domain"),
+        normalize_url(url_col).alias("norm_url"),
+        F.col(id_col),
+        F.col(chars_col),
+    )
+    if blocklist:
+        base = base.filter(~F.col("domain").isin(list(blocklist)))
+    per_url = base.groupBy("domain", "norm_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).alias("chars"),
+    )
+    return per_url.groupBy("domain").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+def _bucket(tok: Column) -> Column:
+    """Stable feature hash: first 15 hex chars of md5 (60 bits, fits a
+    signed long) -> bucket in [0, HASH_BUCKETS)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % HASH_BUCKETS
+
+
+def _weight(bucket: Column) -> Column:
+    """Deterministic pseudo-weight in [-0.5, 0.5): stands in for a
+    trained vector so the classifier is runnable with zero model
+    artifacts; replace with a broadcast lookup to deploy real weights."""
+    return (bucket % 997).cast("double") / F.lit(997.0) - F.lit(0.5)
+
+
+def quality_classify(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """fastText-style linear scorer: mean hashed-token weight as the
+    margin, sigmoid for a probability, threshold at 0.  The whole chain
+    (tokenize -> hash -> weight -> fold) is higher-order array algebra
+    inside one projection: no explode, no shuffle, no Python.
+
+    `margin` is exact IEEE arithmetic in token order (aggregate = left
+    fold), so it is bit-identical across engines; `score` is rounded to
+    6 digits because exp() may differ in the last ulp between libm
+    implementations.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) > 0,
+    )
+    wsum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + _weight(_bucket(t)),
+    )
+    n = F.size(toks)
+    margin = F.when(n > 0, wsum / n.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        margin.alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * margin)), 6).alias("score"),
+        (margin >= 0).alias("keep"),
+    )

@@ -1113,4 +1113,152 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, sid
     """,
+    # Web-curation suite (llm/web.py).  Same RE2-safe pattern text as
+    # the Spark side; DuckDB needs the explicit 'g' flag where a
+    # pattern must replace every occurrence (Spark is always-global).
+    "llm_html_strip": r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+                 || '<style>p { color: red; }</style></head><!-- crawl '
+                 || CAST(doc_id % 7 AS VARCHAR)
+                 || ' --><body class="doc"><h1>Doc &amp; '
+                 || CAST(doc_id % 13 AS VARCHAR)
+                 || '</h1><p>' || text || '&nbsp;&lt;end&gt;</p></body></html>' AS h
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(h,
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                     '<[^>]+>', ' ', 'g'),
+                     '&nbsp;', ' ', 'g'),
+                     '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                     '&quot;', '"', 'g'),
+                     '&#39;', '''', 'g'),
+                     '&amp;', '&', 'g'),
+                     '\s+', ' ', 'g')) AS clean_text
+          FROM wrapped
+        )
+        SELECT doc_id, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+        FROM stripped
+    """,
+    "llm_url_dedup": r"""
+        WITH u AS (
+          SELECT doc_id,
+                 'HTTPS://WWW.m' || CAST(doc_id % 2 AS VARCHAR) || '.' || source
+                 || '.COM:443/A/' || CAST(doc_id % 10 AS VARCHAR) || '/'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
+                              || '&utm_medium=m'
+                         WHEN doc_id % 3 = 1
+                         THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#Sec2' ELSE '' END AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^www\.', ''), ':(443|80)$', '') AS host,
+                 regexp_replace(
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '#.*$', '') AS rest
+          FROM u
+        ), np AS (
+          SELECT doc_id, scheme, host,
+                 regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
+                     '(?i)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                   '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS query
+          FROM parts
+        )
+        SELECT scheme || '://' || host || path || query AS norm_url,
+               min(doc_id) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM np GROUP BY 1
+    """,
+    "llm_domain_stats": r"""
+        WITH u AS (
+          SELECT doc_id, n_chars,
+                 'HTTPS://WWW.m' || CAST(doc_id % 2 AS VARCHAR) || '.' || source
+                 || '.COM:443/A/' || CAST(doc_id % 10 AS VARCHAR) || '/'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
+                              || '&utm_medium=m'
+                         WHEN doc_id % 3 = 1
+                         THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#Sec2' ELSE '' END AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, n_chars,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^www\.', ''), ':(443|80)$', '') AS host,
+                 regexp_replace(
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '#.*$', '') AS rest
+          FROM u
+        ), np AS (
+          SELECT doc_id, n_chars, scheme, host,
+                 regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                 regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
+                     '(?i)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                   '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS query
+          FROM parts
+        ), per_url AS (
+          SELECT domain, scheme || '://' || host || path || query AS norm_url,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM np
+          WHERE domain NOT IN ('src0.com', 'src7.com')
+          GROUP BY 1, 2
+        )
+        SELECT domain,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(chars) AS BIGINT) AS total_chars
+        FROM per_url GROUP BY domain
+    """,
+    "llm_quality_classifier": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> length(t) > 0) AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+                 CASE WHEN len(tk) > 0 THEN
+                   list_reduce(
+                     list_prepend(0.0, list_transform(tk, t ->
+                       CAST((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 4096)
+                            % 997 AS DOUBLE) / 997.0 - 0.5)),
+                     (a, b) -> a + b) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END AS margin
+          FROM toks
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, margin,
+               round(1.0 / (1.0 + exp(-4.0 * margin)), 6) AS score,
+               margin >= 0 AS keep
+        FROM scored
+    """,
 }

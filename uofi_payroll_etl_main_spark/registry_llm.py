@@ -1007,6 +1007,58 @@ def llm_importance_sample(spark, sf):
     )
 
 
+def llm_html_strip(spark, sf):
+    """Markup removal (web-corpus ingest edge): documents.text is
+    wrapped in deterministic HTML (tags, script block, comment,
+    entities) and stripped back -- strip_html(wrap(text)) must recover
+    the clean text, and the gate certifies the recovered corpus."""
+    from .llm.web import strip_html
+
+    d = _t(spark, sf, "documents")
+    wrapped = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<style>p { color: red; }</style></head><!-- crawl "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(' --><body class="doc"><h1>Doc &amp; '),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("&nbsp;&lt;end&gt;</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        strip_html(wrapped).alias("clean_text"),
+        F.length(strip_html(wrapped)).cast("long").alias("n_clean_chars"),
+    )
+
+
+def llm_url_dedup(spark, sf):
+    """URL-level dedup: synthetic messy URLs (mixed case, default port,
+    www, tracking params, fragments -- 20 host x 500 path spellings per
+    source) canonicalize onto collision groups; keeper = min doc_id."""
+    from .llm.web import synth_url, url_dedup
+
+    d = _t(spark, sf, "documents").withColumn("url", synth_url())
+    return url_dedup(d)
+
+
+def llm_domain_stats(spark, sf):
+    """Per-registered-domain corpus profile over canonical URLs, with a
+    domain blocklist prune (broadcast-style isin)."""
+    from .llm.web import domain_stats, synth_url
+
+    d = _t(spark, sf, "documents").withColumn("url", synth_url())
+    return domain_stats(d, blocklist=["src0.com", "src7.com"])
+
+
+def llm_quality_classifier(spark, sf):
+    """Hashed-feature linear quality scorer (fastText shape): margin is
+    bit-exact fold arithmetic, score a 6-digit-rounded sigmoid."""
+    from .llm.web import quality_classify
+
+    return quality_classify(_t(spark, sf, "documents"))
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_rep_signals": llm_rep_signals,
     "llm_line_dedup": llm_line_dedup,
@@ -1095,4 +1147,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_gap_linear": w_gap_linear,
     "llm_kmeans": llm_kmeans,
     "llm_semantic_dedup": llm_semantic_dedup,
+    "llm_html_strip": llm_html_strip,
+    "llm_url_dedup": llm_url_dedup,
+    "llm_domain_stats": llm_domain_stats,
+    "llm_quality_classifier": llm_quality_classifier,
 }
