@@ -65,6 +65,9 @@ HEADLINERS = [
     "llm_semantic_dedup",
     "llm_top_ngrams",
     "llm_bigram_logprob",
+    "llm_html_strip",
+    "llm_url_dedup",
+    "llm_quality_classifier",
 ]
 
 
