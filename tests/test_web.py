@@ -120,6 +120,60 @@ class TestUrlDedup:
             assert r["n_docs"] >= r["n_urls"] >= 1
 
 
+class TestRobotsFilter:
+    def _run(self, spark, urls, rules):
+        from uofi_payroll_etl_main_spark.llm.web import robots_filter
+
+        udf = spark.createDataFrame(urls, "doc_id long, domain string, path string")
+        rdf = spark.createDataFrame(rules, "domain string, prefix string, allow boolean")
+        return {r["doc_id"]: r for r in robots_filter(udf, rdf).collect()}
+
+    def test_longest_prefix_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a.com", "/blog/post/7")],
+            [("a.com", "/", False), ("a.com", "/blog/", True)],
+        )
+        assert got[1]["allowed"] is True
+        assert got[1]["matched_prefix"] == "/blog/"
+
+    def test_deny_beats_allow_on_tie(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a.com", "/x/1")],
+            [("a.com", "/x/", True), ("a.com", "/x/", False)],
+        )
+        assert got[1]["allowed"] is False
+
+    def test_no_rule_defaults_allow(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a.com", "/y"), (2, "other.com", "/x")],
+            [("a.com", "/x", False)],
+        )
+        assert got[1]["allowed"] is True and got[1]["matched_prefix"] is None
+        assert got[2]["allowed"] is True
+
+    def test_rules_scoped_per_domain(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a.com", "/x/p"), (2, "b.com", "/x/p")],
+            [("a.com", "/x", False), ("b.com", "/x", True)],
+        )
+        assert got[1]["allowed"] is False
+        assert got[2]["allowed"] is True
+
+    def test_rule_join_broadcasts(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import robots_filter
+
+        udf = spark.createDataFrame(
+            [(1, "a.com", "/x")], "doc_id long, domain string, path string"
+        )
+        rdf = spark.createDataFrame([("a.com", "/x", True)], "domain string, prefix string, allow boolean")
+        plan = robots_filter(udf, rdf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def _py_margin(text: str) -> tuple[int, float]:
     toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
     acc = 0.0

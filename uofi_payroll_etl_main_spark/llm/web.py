@@ -41,6 +41,7 @@ __all__ = [
     "url_dedup",
     "domain_stats",
     "quality_classify",
+    "robots_filter",
     "TRACKING_PARAMS_RE",
     "HASH_BUCKETS",
 ]
@@ -201,6 +202,69 @@ def domain_stats(
         F.sum("n_docs").alias("n_docs"),
         F.count(F.lit(1)).alias("n_urls"),
         F.sum("chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robots-style path-prefix rule filter
+# ---------------------------------------------------------------------------
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Crawl-policy filter with robots.txt longest-match semantics:
+    for each (domain, path), the matching rule with the LONGEST prefix
+    wins; at equal length deny beats allow (the conservative
+    convention); no matching rule means allowed.
+
+    `rules` has columns (domain, prefix, allow).  Shape at scale: the
+    rule table is small (a crawl policy) -> the domain equi-join
+    broadcasts; the longest-match argmax is a groupBy max(struct)
+    rather than a window, so it partial-aggregates map-side and the
+    only full shuffle carries one struct per URL-rule match, never a
+    per-key sort.
+
+    Adds `allowed` (bool) and `matched_prefix` (null when no rule
+    fired).
+    """
+    key_cols = [c for c in df.columns]
+    # rename the rule-side key: both frames may share lineage (rules
+    # derived from the same table), which makes unqualified references
+    # ambiguous under Spark 4's self-join resolution
+    r = rules.select(
+        F.col("domain").alias("__rule_domain"),
+        F.col("prefix"),
+        F.col("allow"),
+    )
+    matched = (
+        df.join(
+            F.broadcast(r),
+            (F.col(domain_col) == F.col("__rule_domain"))
+            & F.col(path_col).startswith(F.col("prefix")),
+            "left",
+        )
+        .drop("__rule_domain")
+        .groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.struct(
+                        F.length("prefix").alias("l"),
+                        (~F.col("allow")).alias("deny"),
+                        F.col("prefix").alias("prefix"),
+                    ),
+                )
+            ).alias("best")
+        )
+    )
+    return matched.select(
+        *key_cols,
+        F.coalesce(~F.col("best.deny"), F.lit(True)).alias("allowed"),
+        F.col("best.prefix").alias("matched_prefix"),
     )
 
 

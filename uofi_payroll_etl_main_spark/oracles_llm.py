@@ -1239,6 +1239,42 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_robots_filter": r"""
+        WITH src AS (
+          SELECT DISTINCT source, CAST(substr(source, 4, 10) AS INTEGER) AS k
+          FROM documents
+        ), rules AS (
+          SELECT source || '.com' AS domain, '/A/' AS prefix, true AS allow
+          FROM src WHERE k % 2 = 1
+          UNION ALL
+          SELECT source || '.com', '/A/7', false FROM src
+          UNION ALL
+          SELECT source || '.com', '/A/3', false FROM src WHERE k % 2 = 0
+          UNION ALL
+          SELECT source || '.com', '/A/5', true FROM src
+          UNION ALL
+          SELECT source || '.com', '/A/5', false FROM src
+        ), urls AS (
+          SELECT doc_id, source || '.com' AS domain,
+                 '/A/' || CAST(doc_id % 10 AS VARCHAR)
+                 || '/p' || CAST(doc_id % 7 AS VARCHAR) AS path
+          FROM documents
+        ), m AS (
+          SELECT u.doc_id, r.prefix, r.allow,
+                 row_number() OVER (
+                   PARTITION BY u.doc_id
+                   ORDER BY length(r.prefix) DESC, r.allow ASC, r.prefix DESC
+                 ) AS rk
+          FROM urls u
+          JOIN rules r ON u.domain = r.domain AND starts_with(u.path, r.prefix)
+        )
+        SELECT u.doc_id, u.domain, u.path,
+               coalesce(m.allow, true) AS allowed,
+               m.prefix AS matched_prefix
+        FROM urls u
+        LEFT JOIN (SELECT doc_id, prefix, allow FROM m WHERE rk = 1) m
+          USING (doc_id)
+    """,
     "llm_quality_classifier": r"""
         WITH toks AS (
           SELECT doc_id,

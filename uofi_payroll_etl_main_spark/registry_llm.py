@@ -1051,6 +1051,42 @@ def llm_domain_stats(spark, sf):
     return domain_stats(d, blocklist=["src0.com", "src7.com"])
 
 
+def llm_robots_filter(spark, sf):
+    """Longest-prefix-match crawl-policy filter: deterministic rule set
+    derived from the corpus's own source domains (odd-k domains get a
+    catch-all allow; /A/7 denied everywhere; /A/3 denied on even-k
+    domains; /A/5 carries an allow+deny tie that deny must win)."""
+    from .llm.web import robots_filter
+
+    d = _t(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+        F.concat(
+            F.lit("/A/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("/p"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("path"),
+    )
+    src = d.select("source").distinct()
+    k = F.substring("source", 4, 10).cast("int")
+    dom = F.concat(F.col("source"), F.lit(".com")).alias("domain")
+    rules = (
+        src.filter(k % 2 == 1)
+        .select(dom, F.lit("/A/").alias("prefix"), F.lit(True).alias("allow"))
+        .unionByName(src.select(dom, F.lit("/A/7").alias("prefix"), F.lit(False).alias("allow")))
+        .unionByName(
+            src.filter(k % 2 == 0).select(
+                dom, F.lit("/A/3").alias("prefix"), F.lit(False).alias("allow")
+            )
+        )
+        .unionByName(src.select(dom, F.lit("/A/5").alias("prefix"), F.lit(True).alias("allow")))
+        .unionByName(src.select(dom, F.lit("/A/5").alias("prefix"), F.lit(False).alias("allow")))
+    )
+    return robots_filter(urls, rules)
+
+
 def llm_quality_classifier(spark, sf):
     """Hashed-feature linear quality scorer (fastText shape): margin is
     bit-exact fold arithmetic, score a 6-digit-rounded sigmoid."""
@@ -1149,6 +1185,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_semantic_dedup": llm_semantic_dedup,
     "llm_html_strip": llm_html_strip,
     "llm_url_dedup": llm_url_dedup,
+    "llm_robots_filter": llm_robots_filter,
     "llm_domain_stats": llm_domain_stats,
     "llm_quality_classifier": llm_quality_classifier,
 }
