@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "s12_zorder_profile",   # single-row (min,max) z-range broadcast
     "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
     "w_decayed_counts",     # single-row max-ts reference broadcast
+    "llm_hard_negatives",   # brute-force exact baseline BY DESIGN
+    "llm_negative_pairs",   # single-row id-space bound broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

@@ -120,6 +120,31 @@ class TestUrlDedup:
             assert r["n_docs"] >= r["n_urls"] >= 1
 
 
+class TestNormalizeUrlProperties:
+    def test_idempotent_on_generated_urls(self, spark):
+        # deterministic sweep over the URL feature grid (scheme case,
+        # www, port, trailing slash, tracking params, fragment) --
+        # normalize(normalize(u)) must equal normalize(u)
+        urls = []
+        for scheme in ["https", "HTTPS", "http"]:
+            for www in ["", "WWW.", "www."]:
+                for port in ["", ":443", ":80", ":8080"]:
+                    for tail in ["", "/", "/P/1/", "/p?id=1", "/p?utm_source=x", "/p?utm_source=x&id=2#f"]:
+                        urls.append(f"{scheme}://{www}Example.com{port}{tail}")
+        df = spark.createDataFrame([(u,) for u in urls], "x string")
+        once = [r[0] for r in df.select(normalize_url(F.col("x")).alias("y")).collect()]
+        df2 = spark.createDataFrame([(u,) for u in once], "x string")
+        twice = [r[0] for r in df2.select(normalize_url(F.col("x")).alias("y")).collect()]
+        assert once == twice
+
+    def test_strip_html_idempotent_on_stripped(self, spark):
+        html = "<p>A &amp; B</p> <div>c <b>d</b></div>"
+        once = _one(spark, html, strip_html(F.col("x")))
+        # a second pass over already-clean text must not alter it
+        # (no tags or double-escaped entities remain)
+        assert _one(spark, once, strip_html(F.col("x"))) == once
+
+
 class TestRobotsFilter:
     def _run(self, spark, urls, rules):
         from uofi_payroll_etl_main_spark.llm.web import robots_filter

@@ -37,6 +37,8 @@ __all__ = [
     "cosine_topk_vectorized",
     "quantize_embeddings",
     "cosine_topk_quantized",
+    "hard_negatives",
+    "negative_pairs",
 ]
 
 ROUND_DIGITS = 6
@@ -769,4 +771,118 @@ def semantic_dedup(
     )
     return out.select(
         F.col("vid").alias(id_col), "cluster", "keep", "exemplar_id"
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    most cosine-similar vectors with a DIFFERENT label (the negatives a
+    random sampler would almost never surface).
+
+    Exact brute-force tier, same contract discipline as cosine_topk
+    (ROUND_DIGITS rounding, neighbor-id tie-break).  At 100 TB the
+    anchor side runs through the bucketed ANN paths (ivf_topk /
+    lsh_topk) first and this exact scorer ranks only their candidate
+    lists; the all-pairs form here is the validation baseline.
+    """
+    q = emb.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    pairs = q.crossJoin(c).filter(
+        (F.col("anchor_id") != F.col("neg_id"))
+        & (F.col("anchor_label") != F.col("neg_label"))
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv"))
+        / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        ROUND_DIGITS,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("similarity"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "similarity", "rank")
+    )
+
+
+def negative_pairs(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic random negative sampling (the contrastive-training
+    default): each anchor draws k pseudo-random candidate ids via
+    md5(anchor_id | slot) mod (max_id + 1); candidates that miss the id
+    space, hit the anchor itself, or share its label yield no pair.
+
+    Scale shape: the candidate frame carries only (anchor_id, label,
+    slot, cand_id) -- no vectors -- and resolves through ONE hash
+    equi-join against the id/label projection.  The id-space bound is
+    a single-row aggregate broadcast (never a driver collect).  The
+    training loader joins vectors back co-partitioned by id.
+    """
+    n1 = emb.agg((F.max(F.col(id_col)) + F.lit(1)).alias("__n"))
+    cand = (
+        emb.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("slot"),
+            F.col("__n"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("slot").cast("int").alias("slot"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit("|"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("__n")
+            ).alias("cand_id"),
+        )
+    )
+    targets = emb.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    )
+    return (
+        cand.join(targets, cand["cand_id"] == targets["neg_id"], "inner")
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .select("anchor_id", "anchor_label", "slot", "neg_id", "neg_label")
     )

@@ -1239,6 +1239,42 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_hard_negatives": r"""
+        WITH pairs AS (
+          SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                 c.vec_id AS neg_id, c.label AS neg_label,
+                 round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                   6) AS similarity
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id <> c.vec_id AND q.label <> c.label
+        )
+        SELECT anchor_id, anchor_label, neg_id, neg_label, similarity, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY similarity DESC, neg_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 2
+    """,
+    "llm_negative_pairs": r"""
+        WITH n AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+        cand AS (
+          SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+                 CAST(s.j AS INTEGER) AS slot,
+                 CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '|'
+                                         || CAST(s.j AS VARCHAR)), 1, 15)
+                      AS BIGINT) % n.n AS cand_id
+          FROM embeddings e
+          CROSS JOIN n
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) s
+        )
+        SELECT c.anchor_id, c.anchor_label, c.slot,
+               t.vec_id AS neg_id, t.label AS neg_label
+        FROM cand c
+        JOIN embeddings t ON c.cand_id = t.vec_id
+        WHERE t.vec_id <> c.anchor_id AND t.label <> c.anchor_label
+    """,
     "llm_robots_filter": r"""
         WITH src AS (
           SELECT DISTINCT source, CAST(substr(source, 4, 10) AS INTEGER) AS k

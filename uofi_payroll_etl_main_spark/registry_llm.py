@@ -1051,6 +1051,19 @@ def llm_domain_stats(spark, sf):
     return domain_stats(d, blocklist=["src0.com", "src7.com"])
 
 
+def llm_hard_negatives(spark, sf):
+    """Per-anchor nearest different-label vector (k=2): exact
+    brute-force tier over the embeddings table (validation baseline;
+    the ANN buckets feed this scorer at scale)."""
+    return LS.hard_negatives(_t(spark, sf, "embeddings"), k=2)
+
+
+def llm_negative_pairs(spark, sf):
+    """Deterministic random negative sampling, k=4 slots per anchor;
+    misses/self/same-label slots drop by contract."""
+    return LS.negative_pairs(_t(spark, sf, "embeddings"), k=4)
+
+
 def llm_robots_filter(spark, sf):
     """Longest-prefix-match crawl-policy filter: deterministic rule set
     derived from the corpus's own source domains (odd-k domains get a
@@ -1186,6 +1199,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_html_strip": llm_html_strip,
     "llm_url_dedup": llm_url_dedup,
     "llm_robots_filter": llm_robots_filter,
+    "llm_hard_negatives": llm_hard_negatives,
+    "llm_negative_pairs": llm_negative_pairs,
     "llm_domain_stats": llm_domain_stats,
     "llm_quality_classifier": llm_quality_classifier,
 }
