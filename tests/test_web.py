@@ -233,3 +233,32 @@ class TestQualityClassifier:
         plan = quality_classify(d)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # one narrow projection, no shuffle
+
+
+class TestVocabCoverage:
+    def test_matches_python_model(self, spark):
+        from collections import Counter
+
+        from uofi_payroll_etl_main_spark.llm.text import vocab_coverage
+
+        texts = ["a b b c", "b c  d", "", "a a a x"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = vocab_coverage(df, top_v=3).collect()
+        cnt = Counter(t for s in texts for t in s.split())
+        order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        total = sum(cnt.values())
+        assert [(r["rank"], r["tok"], r["cnt"]) for r in got] == [
+            (i + 1, t, c) for i, (t, c) in enumerate(order)
+        ]
+        run = 0
+        for r, (t, c) in zip(got, order):
+            run += c
+            assert abs(r["cum_share"] - run / total) < 1e-12
+
+    def test_topv_is_take_ordered(self, spark, sf_dir):
+        from uofi_payroll_etl_main_spark.llm.text import vocab_coverage
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = vocab_coverage(d, top_v=500)._jdf.queryExecution().executedPlan().toString()
+        # the V cut must be a distributed partial top-V, not a global sort
+        assert "TakeOrderedAndProject" in plan

@@ -37,6 +37,7 @@ __all__ = [
     "oov_rate",
     "build_trigram_index",
     "substring_search",
+    "vocab_coverage",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -455,3 +456,46 @@ def substring_search(
         .select(id_col)
     )
     return df.join(cand, id_col, "left_semi").filter(F.col(text_col).contains(pattern))
+
+
+def vocab_coverage(
+    df: DataFrame, top_v: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary induction report: the top-V corpus tokens by frequency
+    with each prefix's cumulative share of all token occurrences -- the
+    standard "how big must the vocab be to cover X% of the stream"
+    curve that sizes tokenizers and OOV budgets.
+
+    Scale shape: token counting is one map-side-combined groupBy; the
+    top-V cut is TakeOrdered (distributed partial top-V per partition,
+    never a global sort); the cumulative window then runs over only V
+    rows (metadata scale), and the denominator is a one-row total
+    broadcast.  cum_share divides exact longs -> bit-identical doubles
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    arr = tokens(normalize_text(text_col))
+    counts = (
+        explode_nonempty(df, [], arr, "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(int(top_v))
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.col("tok"),
+            F.col("cnt").cast("long").alias("cnt"),
+            (
+                F.sum("cnt").over(w).cast("double")
+                / F.col("__total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

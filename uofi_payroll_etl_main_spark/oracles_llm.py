@@ -1239,6 +1239,27 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_vocab_coverage": r"""
+        WITH toks AS (
+          SELECT CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []
+                      ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT unnest(t) AS tok FROM toks
+        ), counts AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY tok
+        ), total AS (
+          SELECT sum(cnt) AS total FROM counts
+        ), top AS (
+          SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT 500
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank,
+               tok, cnt,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(t.total AS DOUBLE) AS cum_share
+        FROM top CROSS JOIN total t
+    """,
     "llm_hard_negatives": r"""
         WITH pairs AS (
           SELECT q.vec_id AS anchor_id, q.label AS anchor_label,

@@ -1051,6 +1051,12 @@ def llm_domain_stats(spark, sf):
     return domain_stats(d, blocklist=["src0.com", "src7.com"])
 
 
+def llm_vocab_coverage(spark, sf):
+    """Top-500 vocabulary with cumulative token-stream coverage (the
+    tokenizer/OOV-budget sizing curve)."""
+    return LT.vocab_coverage(_t(spark, sf, "documents"), top_v=500)
+
+
 def llm_hard_negatives(spark, sf):
     """Per-anchor nearest different-label vector (k=2): exact
     brute-force tier over the embeddings table (validation baseline;
@@ -1200,6 +1206,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_url_dedup": llm_url_dedup,
     "llm_robots_filter": llm_robots_filter,
     "llm_hard_negatives": llm_hard_negatives,
+    "llm_vocab_coverage": llm_vocab_coverage,
     "llm_negative_pairs": llm_negative_pairs,
     "llm_domain_stats": llm_domain_stats,
     "llm_quality_classifier": llm_quality_classifier,
