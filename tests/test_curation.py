@@ -247,3 +247,43 @@ def test_observe_counts_piggybacks_on_action(spark):
     df, obs = observe_counts(spark.range(0, 1234).filter(F.col("id") % 2 == 0))
     assert df.count() == 617
     assert obs.get["n_rows"] == 617
+
+
+class TestCurriculumShards:
+    def test_matches_global_ranking_model(self, spark):
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.curation import curriculum_shards
+
+        rng = np.random.RandomState(7)
+        rows_in = [(int(i), round(float(rng.rand()), 6)) for i in range(137)]
+        df = spark.createDataFrame(rows_in, "doc_id long, score double")
+        got = {r["doc_id"]: (r["rank"], r["shard"]) for r in
+               curriculum_shards(df, n_shards=4).collect()}
+        order = sorted(rows_in, key=lambda t: (-t[1], t[0]))
+        n = len(order)
+        for rank, (i, _) in enumerate(order):
+            assert got[i] == (rank, (rank * 4) // n)
+        # shards are contiguous and near-balanced
+        from collections import Counter
+
+        sizes = Counter(s for _, s in got.values())
+        assert set(sizes) == {0, 1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    def test_no_single_partition_global_sort(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import curriculum_shards
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.col("id") * 37, 1000) / 1000.0).alias("score"),
+        )
+        plan = (
+            curriculum_shards(df, n_shards=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # ranking must ride the bucket exchange; a global rank would
+        # show a SinglePartition exchange feeding the big window
+        assert "rangepartitioning" not in plan.lower()

@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "w_decayed_counts",     # single-row max-ts reference broadcast
     "llm_hard_negatives",   # brute-force exact baseline BY DESIGN
     "llm_negative_pairs",   # single-row id-space bound broadcast
+    "llm_curriculum",       # single-row corpus-count broadcast
+    "llm_vocab_coverage",   # single-row token-total broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

@@ -40,6 +40,7 @@ __all__ = [
     "dedup_lines",
     "importance_sample",
     "shuffle_index",
+    "curriculum_shards",
     "weighted_sample_topk",
 ]
 
@@ -558,4 +559,63 @@ def weighted_sample_topk(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__pr", "__rk")
+    )
+
+
+def curriculum_shards(
+    scored: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    score_min: float = 0.0,
+    score_max: float = 1.0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Curriculum ordering: rank the corpus easiest-first (score DESC,
+    id ASC) and split the ranking into `n_shards` contiguous shards --
+    shard 0 is the highest-quality slice, the training loader walks
+    shards in order.
+
+    The global rank is computed WITHOUT a single-partition sort, by the
+    same two-phase trick as shuffle_index: scores quantize into
+    `n_buckets` order-preserving range buckets (descending), per-bucket
+    counts fold into cumulative offsets (a tiny n_buckets-row frame,
+    broadcast back), and rank = offset + row_number within the bucket.
+    One exchange on the bucket key; the in-bucket sort rides it.  The
+    shard cut is integer arithmetic (rank * n_shards div n) on a
+    one-row count broadcast -- exact on both engines, no doubles.
+
+    Caveat at scale: fixed-width score buckets inherit the score
+    distribution's skew (margins cluster near 0); a production refit
+    would pick bucket edges from approx quantiles.  The within-bucket
+    tie-break on `id_col` keeps the order total and deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    span = float(score_max) - float(score_min)
+    # descending buckets: highest score -> bucket 0
+    raw = F.floor((F.lit(float(score_max)) - s) / F.lit(span) * n_buckets)
+    bkt = F.greatest(F.lit(0), F.least(F.lit(int(n_buckets) - 1), raw)).cast("int")
+    base = scored.withColumn("__b", bkt)
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n_b"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n_b").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("__n"))
+    w_in = Window.partitionBy("__b").orderBy(s.desc(), F.col(id_col).asc())
+    ranked = (
+        base.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "rank", (F.col("__off") + F.row_number().over(w_in) - F.lit(1)).cast("long")
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        F.col(id_col),
+        s.alias(score_col),
+        "rank",
+        F.expr(f"CAST((rank * {int(n_shards)}) DIV __n AS INT)").alias("shard"),
     )

@@ -1239,6 +1239,34 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_curriculum": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> length(t) > 0) AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-4.0 * (
+                   CASE WHEN len(tk) > 0 THEN
+                     list_reduce(
+                       list_prepend(0.0, list_transform(tk, t ->
+                         CAST((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 4096)
+                              % 997 AS DOUBLE) / 997.0 - 0.5)),
+                       (a, b) -> a + b) / CAST(len(tk) AS DOUBLE)
+                   ELSE 0.0 END))), 6) AS score
+          FROM toks
+        ), ranked AS (
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1
+                      AS BIGINT) AS rank,
+                 count(*) OVER () AS n
+          FROM scored
+        )
+        SELECT doc_id, score, rank,
+               CAST((rank * 4) // n AS INTEGER) AS shard
+        FROM ranked
+    """,
     "llm_vocab_coverage": r"""
         WITH toks AS (
           SELECT CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []

@@ -1051,6 +1051,17 @@ def llm_domain_stats(spark, sf):
     return domain_stats(d, blocklist=["src0.com", "src7.com"])
 
 
+def llm_curriculum(spark, sf):
+    """Composed curriculum pipeline: hashed-feature quality score ->
+    easiest-first global rank (two-phase bucketed index, no global
+    sort) -> 4 contiguous training shards."""
+    from .llm.curation import curriculum_shards
+    from .llm.web import quality_classify
+
+    scored = quality_classify(_t(spark, sf, "documents")).select("doc_id", "score")
+    return curriculum_shards(scored, n_shards=4)
+
+
 def llm_vocab_coverage(spark, sf):
     """Top-500 vocabulary with cumulative token-stream coverage (the
     tokenizer/OOV-budget sizing curve)."""
@@ -1207,6 +1218,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_robots_filter": llm_robots_filter,
     "llm_hard_negatives": llm_hard_negatives,
     "llm_vocab_coverage": llm_vocab_coverage,
+    "llm_curriculum": llm_curriculum,
     "llm_negative_pairs": llm_negative_pairs,
     "llm_domain_stats": llm_domain_stats,
     "llm_quality_classifier": llm_quality_classifier,
