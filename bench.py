@@ -68,6 +68,10 @@ HEADLINERS = [
     "llm_html_strip",
     "llm_url_dedup",
     "llm_quality_classifier",
+    "llm_robots_filter",
+    "llm_negative_pairs",
+    "llm_vocab_coverage",
+    "llm_curriculum",
 ]
 
 

@@ -946,3 +946,33 @@ def test_load_table_normalizes_every_ts_flavor(spark, tmp_path, flavor):
     )
     # nanos truncate toward zero (DuckDB/Arrow behavior), never round up
     assert got == micros, (flavor, got)
+
+
+class TestIndexDedup:
+    def test_incremental_roundtrip(self, spark, tmp_path):
+        from uofi_payroll_etl_main_spark.llm.dedup import (
+            build_dedup_index,
+            dedup_against_index,
+        )
+
+        old = spark.createDataFrame(
+            [(0, "alpha beta"), (2, "ALPHA   beta"), (4, "gamma")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (11, "alpha beta"),      # known (normalizes onto 0/2's print)
+                (13, "delta"),           # fresh
+                (15, "  delta "),        # in-batch dup of 13 after norm
+                (17, "gamma"),           # known
+            ],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "idx")
+        build_dedup_index(old, path)
+        got = {r["new_id"]: r for r in dedup_against_index(new, path).collect()}
+        assert set(got) == {11, 13, 17}
+        assert got[11]["is_new"] is False and got[11]["known_keeper_id"] == 0
+        assert got[13]["is_new"] is True and got[13]["known_keeper_id"] is None
+        assert got[13]["n_batch_dups"] == 2  # 13 + 15 fold in-batch
+        assert got[17]["is_new"] is False and got[17]["known_keeper_id"] == 4

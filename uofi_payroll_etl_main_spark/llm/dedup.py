@@ -46,6 +46,8 @@ __all__ = [
     "simhash_candidates",
     "fuzzy_pairs_blocked",
     "compression_ratio",
+    "build_dedup_index",
+    "dedup_against_index",
 ]
 
 
@@ -849,4 +851,65 @@ def containment_pairs_prefix(
         (F.col("inter") / F.col("n_a")).alias("cont_a"),
         (F.col("inter") / F.col("n_b")).alias("cont_b"),
         "containment",
+    )
+
+
+def build_dedup_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the corpus's near-canonical fingerprint index: one
+    (fingerprint, keeper_id) row per distinct normalized-text digest,
+    parquet at `path`.  This is the artifact that makes dedup
+    INCREMENTAL: tomorrow's batch checks the index instead of
+    rescanning yesterday's 100 TB of text.
+
+    The index carries digests only -- ~48 bytes/row regardless of
+    document size -- so a trillion-doc corpus indexes in ~50 TB-scale
+    storage and the probe join shuffles no text.
+    """
+    (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-batch dedup: tag each incoming document as fresh or
+    already-known by probing the persisted fingerprint index, and for
+    within-batch duplicates keep only the min-id representative.
+
+    One hash equi-join on the digest (left join -> `known_keeper_id`
+    null means fresh) after an in-batch groupBy dedup; both shuffles
+    carry (fingerprint, id) pairs only.  Returns one row per distinct
+    incoming fingerprint: (fingerprint, new_id, n_batch_dups,
+    known_keeper_id, is_new).
+    """
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path).select(
+        "fingerprint", F.col("keeper_id").alias("known_keeper_id")
+    )
+    batch = (
+        new_docs.select(
+            F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col)
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("new_id"),
+            F.count(F.lit(1)).alias("n_batch_dups"),
+        )
+    )
+    return batch.join(idx, "fingerprint", "left").select(
+        "fingerprint",
+        "new_id",
+        "n_batch_dups",
+        "known_keeper_id",
+        F.col("known_keeper_id").isNull().alias("is_new"),
     )

@@ -1239,6 +1239,24 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_index_dedup": r"""
+        WITH idx AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                 min(doc_id) AS known_keeper_id
+          FROM documents WHERE doc_id % 2 = 0
+          GROUP BY 1
+        ), batch AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                 min(doc_id) AS new_id,
+                 CAST(count(*) AS BIGINT) AS n_batch_dups
+          FROM documents WHERE doc_id % 2 = 1
+          GROUP BY 1
+        )
+        SELECT b.fingerprint, b.new_id, b.n_batch_dups,
+               i.known_keeper_id,
+               i.known_keeper_id IS NULL AS is_new
+        FROM batch b LEFT JOIN idx i USING (fingerprint)
+    """,
     "llm_curriculum": r"""
         WITH toks AS (
           SELECT doc_id,

@@ -1051,6 +1051,25 @@ def llm_domain_stats(spark, sf):
     return domain_stats(d, blocklist=["src0.com", "src7.com"])
 
 
+def llm_index_dedup(spark, sf):
+    """Incremental-batch dedup against a PERSISTED fingerprint index:
+    even-id docs are indexed to parquet (cached per sf_dir, the
+    'yesterday's corpus' artifact); odd-id docs probe it.  Certifies
+    the on-disk index roundtrip, the in-batch fold, and the fresh/known
+    tagging in one gate."""
+    import os
+    import tempfile
+
+    from .llm.dedup import build_dedup_index, dedup_against_index
+
+    d = _t(spark, sf, "documents")
+    tag = _source_tag(sf, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_dedup_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_dedup_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    return dedup_against_index(d.filter(F.col("doc_id") % 2 == 1), path)
+
+
 def llm_curriculum(spark, sf):
     """Composed curriculum pipeline: hashed-feature quality score ->
     easiest-first global rank (two-phase bucketed index, no global
@@ -1219,6 +1238,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_hard_negatives": llm_hard_negatives,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_curriculum": llm_curriculum,
+    "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
     "llm_domain_stats": llm_domain_stats,
     "llm_quality_classifier": llm_quality_classifier,
