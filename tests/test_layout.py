@@ -69,3 +69,44 @@ def test_zorder_write_clusters_files(spark, tmp_path):
     assert len(per_file) >= 4
     narrow = sum(1 for r in per_file if r["xmax"] - r["xmin"] <= n // 2)
     assert narrow >= len(per_file) // 2, per_file
+
+
+class TestVersionedStore:
+    def test_publish_time_travel_and_crash_invisibility(self, spark, tmp_path):
+        import os
+
+        from uofi_payroll_etl_main_spark.io import (
+            list_versions,
+            read_version,
+            write_version,
+        )
+
+        root = str(tmp_path / "store")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        df2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, v string")
+        assert write_version(df1, root) == 1
+        assert write_version(df2, root) == 2
+        assert list_versions(root) == [1, 2]
+        # pinned read is unchanged by the later publish
+        assert sorted(tuple(r) for r in read_version(spark, root, 1).collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+        # latest is v2
+        assert read_version(spark, root).count() == 3
+        # a half-written version (no _SUCCESS) is invisible
+        os.makedirs(os.path.join(root, "v=3"))
+        assert list_versions(root) == [1, 2]
+        assert read_version(spark, root).count() == 3
+        # and pinning to it raises loudly
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            read_version(spark, root, 3)
+
+    def test_empty_store_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.io import read_version
+
+        with _pytest.raises(FileNotFoundError):
+            read_version(spark, str(tmp_path / "nope"))

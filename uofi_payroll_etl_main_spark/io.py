@@ -665,3 +665,61 @@ def snapshot_diff(
     out = j.withColumn("change_type", change).filter(F.col("change_type").isNotNull())
     sel = [F.coalesce(nc(k), oc(k)).alias(k) for k in keys]
     return out.select(*sel, "change_type")
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshot store (table-format-lite: publish + time travel)
+# ---------------------------------------------------------------------------
+
+def list_versions(root: str) -> list[int]:
+    """Committed versions at `root`, ascending.  A version counts only
+    once its Spark `_SUCCESS` marker exists -- half-written snapshots
+    (crashed writers) are invisible to every reader."""
+    import os
+    import re as _re
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _re.fullmatch(r"v=(\d+)", name)
+        if m and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Publish a new immutable snapshot version (1-based, dense) and
+    return its number.  Old versions are never touched -- readers
+    pinned to them keep a consistent view (time travel), and rollback
+    is "point at version N-1", not a data rewrite.
+
+    Commit protocol: data lands under `v=N/` and becomes visible
+    atomically when the parquet committer drops `_SUCCESS`; a reader
+    listing versions mid-write simply does not see N yet.  At 100 TB
+    this is the same O(files) commit as any parquet write -- no table
+    lock, no manifest rewrite of earlier versions.
+    """
+    vs = list_versions(root)
+    n = (vs[-1] + 1) if vs else 1
+    import os
+
+    df.write.mode("error").parquet(os.path.join(root, f"v={n}"))
+    return n
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the given committed version, or the latest.
+    Raises if the store is empty or the pinned version was never
+    committed."""
+    import os
+
+    vs = list_versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not committed under {root} (have {vs})")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))

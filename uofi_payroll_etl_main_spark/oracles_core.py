@@ -661,6 +661,22 @@ CORE_ORACLES: dict[str, str] = {
         WHERE event_type IN ('click', 'purchase')
         GROUP BY event_type
     """,
+    "s16_time_travel": """
+        WITH v1 AS (
+          SELECT 1 AS version, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM documents WHERE lang = 'en' GROUP BY lang
+        ), v2 AS (
+          SELECT 2 AS version, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM documents GROUP BY lang
+        )
+        SELECT CAST(version AS INTEGER) AS version, lang, n_docs, n_chars FROM v1
+        UNION ALL
+        SELECT CAST(version AS INTEGER) AS version, lang, n_docs, n_chars FROM v2
+    """,
     "s14_compact": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,

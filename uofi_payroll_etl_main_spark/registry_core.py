@@ -574,6 +574,37 @@ def s13_partition_prune(spark, sf):
     )
 
 
+def s16_time_travel(spark, sf):
+    """S-family -- versioned snapshot store (io.write_version /
+    read_version).  Two snapshots publish write-once per data
+    generation: v1 = the 'en' slice of documents, v2 = all documents.
+    The gate reads BOTH pinned versions after v2 exists and returns
+    their per-lang profiles side by side -- certifying that publishing
+    v2 did not disturb v1 (time travel / consistent pinned reads) and
+    that latest == v2.  Commit visibility rides the parquet _SUCCESS
+    marker; half-written snapshots are invisible to list_versions."""
+    from .io import read_version, write_version
+
+    root = _tagged_dir(sf, "documents", "docs_versions")
+    from .io import list_versions
+
+    if len(list_versions(root)) < 2:
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        write_version(d.filter(F.col("lang") == "en"), root)
+        write_version(d, root)
+    v1 = read_version(spark, root, 1)
+    v2 = read_version(spark, root)  # latest
+    prof1 = v1.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    ).withColumn("version", F.lit(1).cast("int"))
+    prof2 = v2.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    ).withColumn("version", F.lit(2).cast("int"))
+    return prof1.unionByName(prof2).select("version", "lang", "n_docs", "n_chars")
+
+
 def s14_compact(spark, sf):
     """S-family -- small-files compaction (io.compact).  The write-once
     base materializes a 48-file fragmented copy of a documents
@@ -2051,6 +2082,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "s13_partition_prune": s13_partition_prune,
     "s14_compact": s14_compact,
+    "s16_time_travel": s16_time_travel,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
