@@ -223,3 +223,44 @@ def test_label_propagation_two_triangles_bridge(spark):
     # deterministic across reruns
     again = {r.node: r.label for r in label_propagation(edges, iterations=2).collect()}
     assert got == again
+
+
+class TestBfsHops:
+    def test_known_graph(self, spark):
+        from uofi_payroll_etl_main_spark.graph import bfs_hops
+
+        # 1-2-3-4 path, 5-6 separate component, 7 isolated source
+        edges = spark.createDataFrame(
+            [("1", "2"), ("2", "3"), ("3", "4"), ("5", "6")], "src string, dst string"
+        )
+        srcs = spark.createDataFrame([("1",), ("7",)], "node string")
+        got = dict(
+            (r["node"], r["hops"]) for r in bfs_hops(edges, srcs, max_hops=6).collect()
+        )
+        assert got == {"1": 0, "2": 1, "3": 2, "4": 3, "7": 0}
+
+    def test_hop_cap_and_min_fold(self, spark):
+        from uofi_payroll_etl_main_spark.graph import bfs_hops
+
+        # ring 1-2-3-4-5-1: two directions meet; cap stops expansion
+        edges = spark.createDataFrame(
+            [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "1")],
+            "src string, dst string",
+        )
+        srcs = spark.createDataFrame([("1",)], "node string")
+        got = dict(
+            (r["node"], r["hops"]) for r in bfs_hops(edges, srcs, max_hops=1).collect()
+        )
+        # undirected: both neighbors at hop 1, rest unreached
+        assert got == {"1": 0, "2": 1, "5": 1}
+
+    def test_directed_mode(self, spark):
+        from uofi_payroll_etl_main_spark.graph import bfs_hops
+
+        edges = spark.createDataFrame([("1", "2"), ("3", "1")], "src string, dst string")
+        srcs = spark.createDataFrame([("1",)], "node string")
+        got = dict(
+            (r["node"], r["hops"])
+            for r in bfs_hops(edges, srcs, max_hops=3, directed=True).collect()
+        )
+        assert got == {"1": 0, "2": 1}  # 3->1 not traversable forward

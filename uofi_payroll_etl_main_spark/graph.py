@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops"]
 
 
 def pagerank(
@@ -362,3 +362,55 @@ def label_propagation(
             .drop("__new")
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: for every node reachable within `max_hops`
+    edges of any source node, the MINIMUM hop count (source nodes are
+    hop 0).  `sources` has one column `node`.
+
+    Frontier-expansion form: each round joins only the nodes FIRST
+    discovered last round against the edge list (the classic Pregel
+    BFS superstep), unions into the running distance frame and
+    min-folds.  Per round: one equi-join shuffle + one groupBy -- the
+    frontier shrinks as the graph saturates, so late rounds are cheap.
+    Fixed `max_hops` keeps the loop deterministic and the oracle
+    SQL-expressible (recursive CTE with a hop cap); the frame persists
+    per round so lineage stays O(1) deep per superstep rather than
+    re-expanding the whole chain.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    e = e.distinct().persist()
+    dist = sources.select(F.col("node")).distinct().withColumn(
+        "hops", F.lit(0).cast("long")
+    ).persist()
+    frontier = dist
+    for h in range(1, int(max_hops) + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        # nodes seen for the FIRST time this round
+        new = reached.join(dist.select("node"), "node", "left_anti").withColumn(
+            "hops", F.lit(h).cast("long")
+        )
+        new = new.persist()
+        if new.isEmpty():
+            new.unpersist()
+            break
+        nxt = dist.union(new).persist()
+        dist.unpersist()
+        dist = nxt
+        frontier = new
+    e.unpersist()
+    return dist

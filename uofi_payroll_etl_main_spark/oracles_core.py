@@ -182,6 +182,28 @@ CORE_ORACLES: dict[str, str] = {
         )
         SELECT node, min(label) AS component FROM cc GROUP BY node
     """,
+    "g6_bfs_hops": """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_quantity > 48
+        ), bidir AS (
+          SELECT src AS a, dst AS b FROM edges
+          UNION ALL
+          SELECT dst, src FROM edges
+        ), srcs AS (
+          SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey % 50 = 0
+        ), walk AS (
+          SELECT node, 0 AS hop FROM srcs
+          UNION
+          SELECT bidir.b AS node, walk.hop + 1 AS hop
+          FROM walk JOIN bidir ON walk.node = bidir.a
+          WHERE walk.hop < 4
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node
+    """,
     "g5_label_propagation": """
         WITH edges AS (
           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -1923,6 +1923,34 @@ def g2_connected_components(spark, sf):
     return connected_components(edges)
 
 
+def g6_bfs_hops(spark, sf):
+    """Multi-source BFS hop counts (cap 4) over the g2 sparse
+    fulfillment graph, sources = suppliers with suppkey % 50 == 0.
+    Oracle: hop-capped recursive-CTE walk with min-fold."""
+    from .graph import bfs_hops
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 50 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    # only sources that are actually in the graph participate (others
+    # are isolated hop-0 rows on both sides -- keep them for parity)
+    return bfs_hops(edges, sources, max_hops=4)
+
+
 def g5_label_propagation(spark, sf):
     """Two-round synchronous label propagation (deterministic min-label
     ties) over the same high-quantity fulfillment graph as g2; oracle
@@ -1989,6 +2017,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "g2_connected_components": g2_connected_components,
     "g5_label_propagation": g5_label_propagation,
+    "g6_bfs_hops": g6_bfs_hops,
     "g3_triangle_count": g3_triangle_count,
     "g4_degree_stats": g4_degree_stats,
     "j14_interval_join": j14_interval_join,
