@@ -976,3 +976,49 @@ class TestIndexDedup:
         assert got[13]["is_new"] is True and got[13]["known_keeper_id"] is None
         assert got[13]["n_batch_dups"] == 2  # 13 + 15 fold in-batch
         assert got[17]["is_new"] is False and got[17]["known_keeper_id"] == 4
+
+
+class TestScd2:
+    def test_run_compression_and_intervals(self, spark):
+        from uofi_payroll_etl_main_spark.scd import scd2_build
+
+        log = spark.createDataFrame(
+            [
+                (1, 10, 100, "A"),
+                (1, 20, 101, "A"),   # same state -> compressed away
+                (1, 30, 102, "B"),   # change
+                (1, 40, 103, "A"),   # back to A = NEW run
+                (2, 10, 104, None),  # null initial state
+                (2, 20, 105, "X"),   # null -> value opens a run
+            ],
+            "k long, t long, id long, attr string",
+        )
+        got = sorted(
+            (
+                tuple(r)
+                for r in scd2_build(log, "k", "t", ["attr"], tiebreak="id").collect()
+            ),
+            key=lambda t: (t[0], t[2]),  # (key, valid_from); attr may be None
+        )
+        assert got == [
+            (1, "A", 10, 30, False),
+            (1, "B", 30, 40, False),
+            (1, "A", 40, None, True),
+            (2, None, 10, 20, False),
+            (2, "X", 20, None, True),
+        ]
+
+    def test_single_shuffle(self, spark):
+        from uofi_payroll_etl_main_spark.scd import scd2_build
+
+        log = spark.createDataFrame(
+            [(1, 10, 1, "A")], "k long, t long, id long, attr string"
+        )
+        plan = (
+            scd2_build(log, "k", "t", ["attr"], tiebreak="id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both windows share partitioning+order -> exactly one exchange
+        assert plan.count("Exchange") == 1

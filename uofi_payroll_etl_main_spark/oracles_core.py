@@ -735,6 +735,29 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "d8_scd2": """
+        WITH log AS (
+          SELECT o_custkey AS custkey, o_orderdate AS obs_date,
+                 o_orderkey AS obs_id, o_orderpriority AS priority
+          FROM orders
+        ), flagged AS (
+          SELECT custkey, obs_date, obs_id, priority,
+                 (row_number() OVER w = 1
+                  OR priority IS DISTINCT FROM lag(priority) OVER w) AS new_run
+          FROM log
+          WINDOW w AS (PARTITION BY custkey ORDER BY obs_date ASC, obs_id ASC)
+        ), runs AS (
+          SELECT custkey, obs_date, obs_id, priority
+          FROM flagged WHERE new_run
+        )
+        SELECT custkey, priority,
+               obs_date AS valid_from,
+               lead(obs_date) OVER (PARTITION BY custkey
+                                    ORDER BY obs_date ASC, obs_id ASC) AS valid_to,
+               lead(obs_date) OVER (PARTITION BY custkey
+                                    ORDER BY obs_date ASC, obs_id ASC) IS NULL AS is_current
+        FROM runs
+    """,
     "d5_snapshot_diff": """
         WITH old AS (
           SELECT o_orderkey,

@@ -924,6 +924,23 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def d8_scd2(spark, sf):
+    """SCD2 dimension history: each customer's order-priority
+    observation log (ordered by orderdate, orderkey tiebreak)
+    compresses into validity-interval runs; one shuffle, two stacked
+    windows."""
+    from .scd import scd2_build
+
+    log = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("obs_date"),
+        F.col("o_orderkey").alias("obs_id"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return scd2_build(log, key="custkey", order_col="obs_date",
+                      attrs=["priority"], tiebreak="obs_id")
+
+
 def d5_snapshot_diff(spark, sf):
     """Row-level snapshot diff (CDC delta extraction): 'old' drops every
     5th order and perturbs every 7th price; diff vs the current table
@@ -2106,6 +2123,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v6_profile_table": v6_profile_table,
     "v7_expectations": v7_expectations,
     "d5_snapshot_diff": d5_snapshot_diff,
+    "d8_scd2": d8_scd2,
     "d6_merge_upsert": d6_merge_upsert,
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
