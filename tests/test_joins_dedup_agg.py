@@ -1022,3 +1022,39 @@ class TestScd2:
         )
         # both windows share partitioning+order -> exactly one exchange
         assert plan.count("Exchange") == 1
+
+
+class TestLinkagePairs:
+    def test_scoring_and_blocking(self, spark):
+        from uofi_payroll_etl_main_spark.joins import linkage_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "b1", "X", 100.0),
+                (2, "b1", "X", 120.0),   # both agree with 1 -> 2.0
+                (3, "b1", "Y", 105.0),   # segment disagrees with 1 -> 0.5
+                (4, "b2", "X", 100.0),   # other block: never paired with 1
+                (5, "b1", None, 500.0),  # null segment
+                (6, "b1", None, 510.0),  # null==null agrees (null-safe)
+            ],
+            "id long, blk string, seg string, bal double",
+        )
+        out = linkage_pairs(
+            df, block_on="blk", id_col="id",
+            exact_fields=["seg"], band_fields=[("bal", 50.0)], threshold=1.5,
+        )
+        got = {(r["id_a"], r["id_b"]): r["score"] for r in out.collect()}
+        assert got == {(1, 2): 2.0, (5, 6): 2.0}
+
+    def test_block_join_is_equi(self, spark):
+        from uofi_payroll_etl_main_spark.joins import linkage_pairs
+
+        df = spark.createDataFrame(
+            [(1, "b", "X", 1.0)], "id long, blk string, seg string, bal double"
+        )
+        plan = (
+            linkage_pairs(df, "blk", "id", ["seg"], [("bal", 1.0)])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

@@ -633,3 +633,64 @@ def band_join(
         F.abs(F.col(value_col) - F.col(right_value_alias)) <= F.lit(float(eps))
     )
     return joined.drop("__bkt")
+
+
+def linkage_pairs(
+    df: DataFrame,
+    block_on: str,
+    id_col: str,
+    exact_fields: "Sequence[str]" = (),
+    band_fields: "Sequence[tuple[str, float]]" = (),
+    agree_w: float = 1.0,
+    disagree_w: float = -0.5,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Blocked record-linkage scoring (Fellegi-Sunter shape): candidate
+    pairs meet only inside a blocking-key equi-join (never the n^2
+    space); each field contributes `agree_w` on agreement (null-safe
+    equality for exact fields, |a-b| <= band for numeric fields) and
+    `disagree_w` otherwise; pairs scoring >= threshold survive.
+
+    Self-linkage over one frame, a < b dedup.  At scale the shuffle key
+    is the blocking key, so block-size skew is the tuning knob: block
+    on a composite (e.g. region + name-prefix) to keep the per-block
+    quadratic term bounded, exactly like the shingle-df guard in the
+    text near-dup family.  Per-field agreement flags are returned for
+    audit/active-learning triage.
+    """
+    cols = [id_col, block_on, *exact_fields, *[f for f, _ in band_fields]]
+    a = df.select([F.col(c).alias(f"a_{c}") for c in cols])
+    b = df.select([F.col(c).alias(f"b_{c}") for c in cols])
+    pairs = a.join(
+        b,
+        (F.col(f"a_{block_on}") == F.col(f"b_{block_on}"))
+        & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")),
+    )
+    score = F.lit(0.0)
+    out_flags = []
+    for f in exact_fields:
+        agree = F.col(f"a_{f}").eqNullSafe(F.col(f"b_{f}"))
+        score = score + F.when(agree, F.lit(float(agree_w))).otherwise(
+            F.lit(float(disagree_w))
+        )
+        out_flags.append(agree.alias(f"agree_{f}"))
+    for f, band in band_fields:
+        agree = (
+            F.col(f"a_{f}").isNotNull()
+            & F.col(f"b_{f}").isNotNull()
+            & (F.abs(F.col(f"a_{f}") - F.col(f"b_{f}")) <= F.lit(float(band)))
+        )
+        score = score + F.when(agree, F.lit(float(agree_w))).otherwise(
+            F.lit(float(disagree_w))
+        )
+        out_flags.append(agree.alias(f"agree_{f}"))
+    return (
+        pairs.select(
+            F.col(f"a_{id_col}").alias("id_a"),
+            F.col(f"b_{id_col}").alias("id_b"),
+            F.col(f"a_{block_on}").alias("block"),
+            *out_flags,
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= float(threshold))
+    )

@@ -735,6 +735,20 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "j18_linkage": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_nationkey AS block,
+               (a.c_mktsegment = b.c_mktsegment) AS agree_c_mktsegment,
+               (abs(a.c_acctbal - b.c_acctbal) <= 50.0) AS agree_c_acctbal,
+               (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE -0.5 END
+                + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0 THEN 1.0 ELSE -0.5 END)
+               AS score
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE -0.5 END
+               + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0 THEN 1.0 ELSE -0.5 END)
+              >= 1.5
+    """,
     "d8_scd2": """
         WITH log AS (
           SELECT o_custkey AS custkey, o_orderdate AS obs_date,

@@ -924,6 +924,23 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def j18_linkage(spark, sf):
+    """Blocked record-linkage self-match over customer: block on
+    nation, exact-agree on market segment, band-agree on acctbal
+    (+-50); both agreements required at threshold 1.5."""
+    from .joins import linkage_pairs
+
+    c = _t(spark, sf, "customer")
+    return linkage_pairs(
+        c,
+        block_on="c_nationkey",
+        id_col="c_custkey",
+        exact_fields=["c_mktsegment"],
+        band_fields=[("c_acctbal", 50.0)],
+        threshold=1.5,
+    )
+
+
 def d8_scd2(spark, sf):
     """SCD2 dimension history: each customer's order-priority
     observation log (ordered by orderdate, orderkey tiebreak)
@@ -2124,6 +2141,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v7_expectations": v7_expectations,
     "d5_snapshot_diff": d5_snapshot_diff,
     "d8_scd2": d8_scd2,
+    "j18_linkage": j18_linkage,
     "d6_merge_upsert": d6_merge_upsert,
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
