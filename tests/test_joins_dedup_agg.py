@@ -1058,3 +1058,29 @@ class TestLinkagePairs:
         )
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+class TestPitLookup:
+    def test_no_future_leakage(self, spark):
+        """A fact row dated between two state changes must see the
+        EARLIER state; a fact on a change date sees the new state
+        (half-open [from, to) intervals)."""
+        from uofi_payroll_etl_main_spark.scd import scd2_build
+
+        log = spark.createDataFrame(
+            [(1, 10, 100, "A"), (1, 30, 101, "B")],
+            "custkey long, obs_date long, obs_id long, priority string",
+        )
+        hist = scd2_build(log, "custkey", "obs_date", ["priority"], tiebreak="obs_id")
+        facts = spark.createDataFrame(
+            [(1, 5), (1, 10), (1, 29), (1, 30), (1, 99)], "custkey long, d long"
+        )
+        j = facts.join(
+            hist,
+            (facts["custkey"] == hist["custkey"])
+            & (hist["valid_from"] <= facts["d"])
+            & (facts["d"] < F.coalesce(hist["valid_to"], F.lit(2**62))),
+            "left",
+        ).select(facts["d"], hist["priority"])
+        got = dict((r["d"], r["priority"]) for r in j.collect())
+        assert got == {5: None, 10: "A", 29: "A", 30: "B", 99: "B"}

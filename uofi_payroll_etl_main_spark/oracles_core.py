@@ -735,6 +735,35 @@ CORE_ORACLES: dict[str, str] = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type
     """,
+    "j19_pit_lookup": """
+        WITH log AS (
+          SELECT o_custkey AS custkey, o_orderdate AS obs_date,
+                 o_orderkey AS obs_id, o_orderpriority AS priority
+          FROM orders
+        ), flagged AS (
+          SELECT custkey, obs_date, obs_id, priority,
+                 (row_number() OVER w = 1
+                  OR priority IS DISTINCT FROM lag(priority) OVER w) AS new_run
+          FROM log
+          WINDOW w AS (PARTITION BY custkey ORDER BY obs_date ASC, obs_id ASC)
+        ), hist AS (
+          SELECT custkey, priority,
+                 obs_date AS valid_from,
+                 lead(obs_date) OVER (PARTITION BY custkey
+                                      ORDER BY obs_date ASC, obs_id ASC) AS valid_to
+          FROM flagged WHERE new_run
+        ), facts AS (
+          SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.l_shipdate,
+               h.priority AS pit_priority
+        FROM facts f
+        LEFT JOIN hist h
+          ON f.custkey = h.custkey
+         AND h.valid_from <= f.l_shipdate
+         AND f.l_shipdate < coalesce(h.valid_to, DATE '9999-12-31')
+    """,
     "j18_linkage": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                a.c_nationkey AS block,

@@ -924,6 +924,49 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def j19_pit_lookup(spark, sf):
+    """Point-in-time lookup (feature-store correctness shape): each
+    lineitem resolves its customer's order-priority state AS OF its
+    ship date against the d8 SCD2 history -- equi-join on custkey plus
+    the half-open interval predicate, so no future state ever leaks
+    into a training row."""
+    from .scd import scd2_build
+
+    o = _t(spark, sf, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("obs_date"),
+        F.col("o_orderkey").alias("obs_id"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    hist = scd2_build(log, key="custkey", order_col="obs_date",
+                      attrs=["priority"], tiebreak="obs_id")
+    facts = (
+        _t(spark, sf, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate"),
+        )
+    )
+    j = facts.join(
+        hist,
+        (facts["custkey"] == hist["custkey"])
+        & (hist["valid_from"] <= facts["l_shipdate"])
+        & (facts["l_shipdate"] < F.coalesce(hist["valid_to"], F.lit("9999-12-31").cast("date"))),
+        "left",
+    )
+    return j.select(
+        facts["l_orderkey"],
+        facts["l_linenumber"],
+        facts["custkey"],
+        facts["l_shipdate"],
+        hist["priority"].alias("pit_priority"),
+    )
+
+
 def j18_linkage(spark, sf):
     """Blocked record-linkage self-match over customer: block on
     nation, exact-agree on market segment, band-agree on acctbal
@@ -2142,6 +2185,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d5_snapshot_diff": d5_snapshot_diff,
     "d8_scd2": d8_scd2,
     "j18_linkage": j18_linkage,
+    "j19_pit_lookup": j19_pit_lookup,
     "d6_merge_upsert": d6_merge_upsert,
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
