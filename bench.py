@@ -72,6 +72,11 @@ HEADLINERS = [
     "llm_negative_pairs",
     "llm_vocab_coverage",
     "llm_curriculum",
+    "llm_index_dedup",
+    "d8_scd2",
+    "j18_linkage",
+    "j19_pit_lookup",
+    "g6_bfs_hops",
 ]
 
 
