@@ -110,3 +110,28 @@ class TestVersionedStore:
 
         with _pytest.raises(FileNotFoundError):
             read_version(spark, str(tmp_path / "nope"))
+
+
+class TestOptimisticPublish:
+    def test_conflict_detection(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.io import (
+            ConcurrentWriteError,
+            write_version,
+            write_version_if,
+        )
+
+        root = str(tmp_path / "occ")
+        df = spark.createDataFrame([(1,)], "id long")
+        # empty store: expected None succeeds
+        assert write_version_if(df, root, None) == 1
+        # stale expectation raises
+        with _pytest.raises(ConcurrentWriteError):
+            write_version_if(df, root, None)
+        # correct expectation advances
+        assert write_version_if(df, root, 1) == 2
+        # a racing plain write bumps latest; v2-expectation now stale
+        write_version(df, root)
+        with _pytest.raises(ConcurrentWriteError):
+            write_version_if(df, root, 2)

@@ -262,3 +262,51 @@ class TestVocabCoverage:
         plan = vocab_coverage(d, top_v=500)._jdf.queryExecution().executedPlan().toString()
         # the V cut must be a distributed partial top-V, not a global sort
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTokenizeGreedy:
+    def test_matches_python_model(self, spark):
+        from uofi_payroll_etl_main_spark.llm.text import tokenize_greedy
+
+        vocab = ["hel", "lo", "he", "l", "o", "wor", "ld", "spark"]
+        vs = set(vocab)
+
+        def model(text):
+            words = text.lower().split()
+            subs = unk = 0
+            for w in words:
+                pos = 0
+                while pos < len(w):
+                    for ln in range(min(12, len(w) - pos), 0, -1):
+                        if w[pos:pos + ln] in vs:
+                            subs += 1
+                            pos += ln
+                            break
+                    else:
+                        unk += 1
+                        pos += 1
+            return len(words), subs, unk
+
+        texts = ["hello world", "SPARK sparkle", "zzz", "", "hel lo l o"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_words"], r["n_subwords"], r["n_unk"])
+               for r in tokenize_greedy(df, vocab).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == model(t), (i, t)
+
+    def test_greedy_prefers_longest(self, spark):
+        from uofi_payroll_etl_main_spark.llm.text import tokenize_greedy
+
+        # "hello" -> hel+lo (2 subwords), never he+l+lo
+        df = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+        r = tokenize_greedy(df, ["hel", "lo", "he", "l"]).head()
+        assert (r["n_subwords"], r["n_unk"]) == (2, 0)
+
+    def test_arrow_path_not_row_python(self, spark):
+        from uofi_payroll_etl_main_spark.llm.text import tokenize_greedy
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = tokenize_greedy(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # Arrow MapInPandas, not per-row UDF

@@ -723,3 +723,30 @@ def read_version(
     if v not in vs:
         raise FileNotFoundError(f"version {v} not committed under {root} (have {vs})")
     return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def write_version_if(
+    df: DataFrame, root: str, expected_latest: int | None
+) -> int:
+    """Optimistic-concurrency publish: commit a new version ONLY if the
+    store's latest committed version is still `expected_latest`
+    (None = expect an empty store).  Raises ConcurrentWriteError when
+    another writer got there first -- the caller re-reads, re-derives,
+    and retries, exactly the table-format commit loop.
+
+    The check-then-write window is small but real on a shared store;
+    a production edition would CAS a manifest pointer.  The semantics
+    (conflict surfaces as an error, never a silent overwrite -- old
+    versions are immutable either way) are what the engine certifies.
+    """
+    vs = list_versions(root)
+    latest = vs[-1] if vs else None
+    if latest != expected_latest:
+        raise ConcurrentWriteError(
+            f"expected latest={expected_latest} but store has {latest} under {root}"
+        )
+    return write_version(df, root)
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed first; re-derive from the new latest."""

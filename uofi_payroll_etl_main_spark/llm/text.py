@@ -38,6 +38,7 @@ __all__ = [
     "build_trigram_index",
     "substring_search",
     "vocab_coverage",
+    "tokenize_greedy",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -498,4 +499,66 @@ def vocab_coverage(
                 / F.col("__total").cast("double")
             ).alias("cum_share"),
         )
+    )
+
+
+def tokenize_greedy(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_subword_len: int = 12,
+) -> DataFrame:
+    """Greedy longest-match subword segmentation (WordPiece-style
+    inference) against a fixed vocabulary: each whitespace word is
+    consumed left-to-right by its longest vocabulary prefix; a position
+    with no matching prefix consumes one character as UNK.
+
+    The per-word loop is inherently sequential, so this is the one
+    text operator on the Arrow path: a `mapInPandas` kernel with the
+    vocabulary shipped once per executor in the closure (a real
+    deployment broadcasts the trained vocab the same way).  Scan-only:
+    no shuffle, output is per-doc token accounting (the numbers that
+    drive token budgets, packing, and cost estimates).
+
+    Returns (id, n_words, n_subwords, n_unk).
+    """
+    vocab_set = frozenset(v for v in vocab if v)
+    cap = int(max_subword_len)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, n_words, n_subs, n_unk = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                words = (txt or "").lower().split()
+                subs = unk = 0
+                for w in words:
+                    pos = 0
+                    while pos < len(w):
+                        for ln in range(min(cap, len(w) - pos), 0, -1):
+                            if w[pos : pos + ln] in vocab_set:
+                                subs += 1
+                                pos += ln
+                                break
+                        else:
+                            unk += 1
+                            pos += 1
+                ids.append(i)
+                n_words.append(len(words))
+                n_subs.append(subs)
+                n_unk.append(unk)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": n_words,
+                    "n_subwords": n_subs,
+                    "n_unk": n_unk,
+                }
+            )
+
+    out_schema = f"{id_col} long, n_words long, n_subwords long, n_unk long"
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        run, out_schema
     )

@@ -1081,6 +1081,16 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_tokenize(spark, sf):
+    """Greedy longest-match subword tokenization against the corpus's
+    own induced top-50 vocabulary (vocab_coverage), character-UNK
+    fallback.  Arrow mapInPandas kernel -- rows-only gate; exactness vs
+    a pure-Python model is pytest-asserted."""
+    d = _t(spark, sf, "documents")
+    vocab = [r["tok"] for r in LT.vocab_coverage(d, top_v=50).collect()]
+    return LT.tokenize_greedy(d, vocab)
+
+
 def llm_vocab_coverage(spark, sf):
     """Top-500 vocabulary with cumulative token-stream coverage (the
     tokenizer/OOV-budget sizing curve)."""
@@ -1237,6 +1247,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_robots_filter": llm_robots_filter,
     "llm_hard_negatives": llm_hard_negatives,
     "llm_vocab_coverage": llm_vocab_coverage,
+    "llm_tokenize": llm_tokenize,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
