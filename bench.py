@@ -75,6 +75,7 @@ HEADLINERS = [
     "llm_index_dedup",
     "d8_scd2",
     "j18_linkage",
+    "j18b_linkage_banded",
     "j19_pit_lookup",
     "g6_bfs_hops",
 ]

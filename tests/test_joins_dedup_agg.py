@@ -1084,3 +1084,42 @@ class TestPitLookup:
         ).select(facts["d"], hist["priority"])
         got = dict((r["d"], r["priority"]) for r in j.collect())
         assert got == {5: None, 10: "A", 29: "A", 30: "B", 99: "B"}
+
+
+class TestLinkageBanded:
+    def test_identical_to_plain_linkage(self, spark):
+        import random
+
+        from uofi_payroll_etl_main_spark.joins import (
+            linkage_pairs,
+            linkage_pairs_banded,
+        )
+
+        rnd = random.Random(3)
+        data = [
+            (i, f"b{rnd.randrange(3)}", f"S{rnd.randrange(2)}",
+             round(rnd.uniform(0, 500), 2))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(data, "id long, blk string, seg string, bal double")
+        plain = linkage_pairs(
+            df, "blk", "id", ["seg"], [("bal", 25.0)], threshold=1.5
+        )
+        banded = linkage_pairs_banded(
+            df, "blk", "id", ["seg"], ("bal", 25.0), threshold=1.5
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, banded.collect())
+        )
+
+    def test_rejects_non_mandatory_band_threshold(self, spark):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.joins import linkage_pairs_banded
+
+        df = spark.createDataFrame([(1, "b", "X", 1.0)],
+                                   "id long, blk string, seg string, bal double")
+        with _pytest.raises(ValueError, match="mandatory"):
+            # threshold 0.4 is reachable without band agreement -> lossy
+            linkage_pairs_banded(df, "blk", "id", ["seg"], ("bal", 25.0),
+                                 threshold=0.4)

@@ -1203,3 +1203,7 @@ CORE_ORACLES: dict[str, str] = {
                            WHERE j2.p_partkey = j.p_partkey)
     """,
 }
+
+# j18b returns the identical pair set (banded blocking is lossless at
+# this threshold) -- certified against the SAME oracle as j18.
+CORE_ORACLES["j18b_linkage_banded"] = CORE_ORACLES["j18_linkage"]

@@ -924,6 +924,23 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def j18b_linkage_banded(spark, sf):
+    """Composite-blocked linkage (nation x balance-bucket): SAME result
+    and SAME oracle as j18_linkage -- the lossless-optimization proof
+    pattern -- with block sizes bounded at any table growth."""
+    from .joins import linkage_pairs_banded
+
+    c = _t(spark, sf, "customer")
+    return linkage_pairs_banded(
+        c,
+        block_on="c_nationkey",
+        id_col="c_custkey",
+        exact_fields=["c_mktsegment"],
+        band_field=("c_acctbal", 50.0),
+        threshold=1.5,
+    )
+
+
 def j19_pit_lookup(spark, sf):
     """Point-in-time lookup (feature-store correctness shape): each
     lineitem resolves its customer's order-priority state AS OF its
@@ -2186,6 +2203,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d8_scd2": d8_scd2,
     "j18_linkage": j18_linkage,
     "j19_pit_lookup": j19_pit_lookup,
+    "j18b_linkage_banded": j18b_linkage_banded,
     "d6_merge_upsert": d6_merge_upsert,
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
