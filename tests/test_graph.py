@@ -264,3 +264,48 @@ class TestBfsHops:
             for r in bfs_hops(edges, srcs, max_hops=3, directed=True).collect()
         )
         assert got == {"1": 0, "2": 1}  # 3->1 not traversable forward
+
+
+class TestShortestPaths:
+    def test_cheaper_path_via_more_hops(self, spark):
+        from uofi_payroll_etl_main_spark.graph import shortest_paths
+
+        # direct 1->4 costs 10; the 3-hop route costs 3
+        edges = spark.createDataFrame(
+            [("1", "4", 10), ("1", "2", 1), ("2", "3", 1), ("3", "4", 1)],
+            "src string, dst string, w long",
+        )
+        srcs = spark.createDataFrame([("1",)], "node string")
+        got = dict(
+            (r["node"], r["cost"])
+            for r in shortest_paths(edges, srcs, max_hops=4).collect()
+        )
+        assert got == {"1": 0, "2": 1, "3": 2, "4": 3}
+
+    def test_hop_cap_limits_relaxation(self, spark):
+        from uofi_payroll_etl_main_spark.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [("1", "4", 10), ("1", "2", 1), ("2", "3", 1), ("3", "4", 1)],
+            "src string, dst string, w long",
+        )
+        srcs = spark.createDataFrame([("1",)], "node string")
+        got = dict(
+            (r["node"], r["cost"])
+            for r in shortest_paths(edges, srcs, max_hops=1).collect()
+        )
+        # within 1 hop the direct (expensive) edge is the only route to 4
+        assert got == {"1": 0, "2": 1, "4": 10}
+
+    def test_undirected_and_multi_source_min(self, spark):
+        from uofi_payroll_etl_main_spark.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [("a", "b", 5), ("c", "b", 2)], "src string, dst string, w long"
+        )
+        srcs = spark.createDataFrame([("a",), ("c",)], "node string")
+        got = dict(
+            (r["node"], r["cost"])
+            for r in shortest_paths(edges, srcs, max_hops=2).collect()
+        )
+        assert got == {"a": 0, "c": 0, "b": 2}

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths"]
 
 
 def pagerank(
@@ -412,5 +412,59 @@ def bfs_hops(
         dist.unpersist()
         dist = nxt
         frontier = new
+    e.unpersist()
+    return dist
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Hop-capped weighted shortest paths (Bellman-Ford relaxation):
+    per node reachable within `max_hops` edges of any source, the
+    minimum total edge weight over all such paths.  Integer weights
+    stay exact across engines.
+
+    Unlike BFS, a cheaper path can arrive via MORE hops, so each round
+    relaxes the FULL distance frame against the edge list (not just a
+    frontier): cand = dist ⋈ edges -> (dst, cost+w), min-folded into
+    dist.  `max_hops` rounds of one equi-join + one groupBy each; the
+    distance frame persists per round so lineage stays flat.  The cap
+    both bounds cost and keeps the oracle a hop-capped recursive CTE.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
+    )
+    if not directed:
+        e = e.union(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"), F.col(weight).alias("w")
+            )
+        )
+    e = e.distinct().persist()
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .persist()
+    )
+    for _ in range(int(max_hops)):
+        cand = (
+            dist.join(e, dist["node"] == e["a"])
+            .select(F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        nxt = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .persist()
+        )
+        dist.unpersist()
+        dist = nxt
     e.unpersist()
     return dist

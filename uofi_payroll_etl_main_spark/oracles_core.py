@@ -182,6 +182,29 @@ CORE_ORACLES: dict[str, str] = {
         )
         SELECT node, min(label) AS component FROM cc GROUP BY node
     """,
+    "g7_shortest_paths": """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst,
+                          CAST((l_suppkey % 5) + (o_custkey % 3) + 1 AS BIGINT) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_quantity > 48
+        ), bidir AS (
+          SELECT src AS a, dst AS b, w FROM edges
+          UNION
+          SELECT dst, src, w FROM edges
+        ), srcs AS (
+          SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey % 50 = 0
+        ), walk AS (
+          SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS hop FROM srcs
+          UNION
+          SELECT bidir.b AS node, walk.cost + bidir.w AS cost, walk.hop + 1 AS hop
+          FROM walk JOIN bidir ON walk.node = bidir.a
+          WHERE walk.hop < 4
+        )
+        SELECT node, min(cost) AS cost FROM walk GROUP BY node
+    """,
     "g6_bfs_hops": """
         WITH RECURSIVE edges AS (
           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -2045,6 +2045,35 @@ def g6_bfs_hops(spark, sf):
     return bfs_hops(edges, sources, max_hops=4)
 
 
+def g7_shortest_paths(spark, sf):
+    """Hop-capped (4) weighted shortest paths over the fulfillment
+    graph; integer edge weights derived from the keys so min-cost sums
+    are exact on both engines."""
+    from .graph import shortest_paths
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+            ((F.col("l_suppkey") % 5) + (F.col("o_custkey") % 3) + 1)
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    sources = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 50 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return shortest_paths(edges, sources, max_hops=4)
+
+
 def g5_label_propagation(spark, sf):
     """Two-round synchronous label propagation (deterministic min-label
     ties) over the same high-quantity fulfillment graph as g2; oracle
@@ -2112,6 +2141,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g2_connected_components": g2_connected_components,
     "g5_label_propagation": g5_label_propagation,
     "g6_bfs_hops": g6_bfs_hops,
+    "g7_shortest_paths": g7_shortest_paths,
     "g3_triangle_count": g3_triangle_count,
     "g4_degree_stats": g4_degree_stats,
     "j14_interval_join": j14_interval_join,
