@@ -287,3 +287,35 @@ class TestCurriculumShards:
         # ranking must ride the bucket exchange; a global rank would
         # show a SinglePartition exchange feeding the big window
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestMixtureApply:
+    def test_rates_and_determinism(self, spark):
+        import hashlib
+
+        from uofi_payroll_etl_main_spark.llm.curation import mixture_apply
+
+        # skewed corpus: big source dominates, small source upweighted
+        rows_in = [(i, "big") for i in range(900)] + [
+            (1000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows_in, "doc_id long, source string")
+        out = mixture_apply(df, target_frac=0.5).collect()
+        rates = {r["source"]: r["rate_pm"] for r in out}
+        # sqrt temperature: small source keeps a larger FRACTION
+        assert rates["small"] > rates["big"]
+        # keep rule replicated in python: md5 13-hex bucket
+        for r in out:
+            b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16) % 1000
+            assert b < r["rate_pm"]
+        # deterministic across invocations
+        again = sorted((r["doc_id"]) for r in mixture_apply(df, target_frac=0.5).collect())
+        assert again == sorted(r["doc_id"] for r in out)
+
+    def test_overall_volume_near_target(self, spark, sf_dir):
+        from uofi_payroll_etl_main_spark.llm.curation import mixture_apply
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        kept = mixture_apply(d, target_frac=0.5).count()
+        assert 0.35 * n < kept < 0.65 * n  # md5-bucket noise at small n

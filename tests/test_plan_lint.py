@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "llm_negative_pairs",   # single-row id-space bound broadcast
     "llm_curriculum",       # single-row corpus-count broadcast
     "llm_vocab_coverage",   # single-row token-total broadcast
+    "llm_mixture_apply",    # single-row (total, ssum) broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

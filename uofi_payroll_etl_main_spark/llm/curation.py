@@ -41,6 +41,7 @@ __all__ = [
     "importance_sample",
     "shuffle_index",
     "curriculum_shards",
+    "mixture_apply",
     "weighted_sample_topk",
 ]
 
@@ -618,4 +619,67 @@ def curriculum_shards(
         s.alias(score_col),
         "rank",
         F.expr(f"CAST((rank * {int(n_shards)}) DIV __n AS INT)").alias("shard"),
+    )
+
+
+def mixture_apply(
+    docs: DataFrame,
+    group_col: str = "source",
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a temperature-scaled training mix (alpha = 0.5):
+    each source g is downsampled at the per-mille rate that makes its
+    KEPT share proportional to sqrt(n_g) while the overall kept volume
+    targets `target_frac` of the corpus.  Small sources are upweighted
+    (kept nearly whole), dominant sources are cut -- the standard
+    multi-source mix, actually applied rather than just reported
+    (mixture_weights is the report tier).
+
+    Determinism discipline: the keep rule is integer (md5-bucket mod 1000 <
+    rate_pm), and the rate computation avoids every cross-engine FP
+    trap -- sqrt is IEEE-correctly-rounded (pow is not), the sqrt terms
+    are rounded to 6 digits and summed as DECIMAL (order-free), and the
+    final rate is floor() over exact double products.  Resumable and
+    identical on any engine or partitioning.
+
+    One groupBy + a one-row broadcast; the keep filter is a scan-side
+    projection, so applying the mix to 100 TB costs one pass.
+    """
+    per = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    per = per.withColumn(
+        "__s", F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(28,6)")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__total"),
+        F.sum("__s").cast("decimal(38,6)").alias("__ssum"),
+    )
+    rates = per.join(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                F.lit(1000.0)
+                * F.lit(float(target_frac))
+                * F.col("__total").cast("double")
+                * F.col("__s").cast("double")
+                / (F.col("__ssum").cast("double") * F.col("n_docs").cast("double"))
+            ),
+        )
+        .cast("int")
+        .alias("rate_pm"),
+    )
+    # md5-derived bucket, not raw id mod: block-allocated / small-range
+    # ids are not uniform mod 1000, and the digest rule is the same on
+    # both engines (the shuffle_index / weighted_sample discipline)
+    bucket = (
+        F.conv(F.substring(F.md5(_c(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates.select(group_col, "rate_pm")), group_col)
+        .filter(bucket < F.col("rate_pm"))
+        .select(_c(id_col).alias(id_col), F.col(group_col), F.col("rate_pm"))
     )

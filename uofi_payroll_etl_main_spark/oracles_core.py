@@ -1229,4 +1229,11 @@ CORE_ORACLES: dict[str, str] = {
 
 # j18b returns the identical pair set (banded blocking is lossless at
 # this threshold) -- certified against the SAME oracle as j18.
+CORE_ORACLES["a28_string_agg"] = """
+    SELECT n_regionkey AS regionkey,
+           string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+"""
+
 CORE_ORACLES["j18b_linkage_banded"] = CORE_ORACLES["j18_linkage"]

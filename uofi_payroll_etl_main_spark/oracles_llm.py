@@ -1239,6 +1239,25 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_mixture_apply": r"""
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS s
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(n_docs) AS total, CAST(sum(s) AS DECIMAL(38,6)) AS ssum FROM per
+        ), rates AS (
+          SELECT source,
+                 CAST(least(1000, floor(
+                   1000.0 * 0.5 * CAST(t.total AS DOUBLE) * CAST(p.s AS DOUBLE)
+                   / (CAST(t.ssum AS DOUBLE) * CAST(p.n_docs AS DOUBLE))
+                 )) AS INTEGER) AS rate_pm
+          FROM per p CROSS JOIN tot t
+        )
+        SELECT d.doc_id, d.source, r.rate_pm
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 1000 < r.rate_pm
+    """,
     "llm_index_dedup": r"""
         WITH idx AS (
           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,

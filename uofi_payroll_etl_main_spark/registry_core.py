@@ -830,6 +830,23 @@ def j13_full_outer(spark, sf):
     )
 
 
+def a28_string_agg(spark, sf):
+    """Deterministic ordered string aggregation: per region, the
+    '|'-joined ascending list of nation names.  Spark's collect_list
+    is order-nondeterministic, so the engine sorts the array BEFORE
+    joining -- array_join(array_sort(collect_set)) -- which is the only
+    way the value-hash can match a string_agg ... ORDER BY oracle."""
+    n = _t(spark, sf, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias("nations"),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+        .select(F.col("n_regionkey").alias("regionkey"), "nations", "n_nations")
+    )
+
+
 def a12_unpivot(spark, sf):
     """Unpivot / melt: wide lineitem metrics to long (row, metric,
     value) form -- the inverse of a8_pivot; narrow fan-out, no
@@ -2244,6 +2261,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
     "a12_unpivot": a12_unpivot,
+    "a28_string_agg": a28_string_agg,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
     "q14_promo_share": q14_promo_share,

@@ -1081,6 +1081,15 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_mixture_apply(spark, sf):
+    """Temperature mix (alpha=0.5) actually applied: per-source
+    per-mille keep rates from sqrt-scaled weights, integer id-mod keep
+    rule."""
+    from .llm.curation import mixture_apply
+
+    return mixture_apply(_t(spark, sf, "documents"), target_frac=0.5)
+
+
 def llm_tokenize(spark, sf):
     """Greedy longest-match subword tokenization against the corpus's
     own induced top-50 vocabulary (vocab_coverage), character-UNK
@@ -1248,6 +1257,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_hard_negatives": llm_hard_negatives,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_tokenize": llm_tokenize,
+    "llm_mixture_apply": llm_mixture_apply,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
