@@ -78,6 +78,8 @@ HEADLINERS = [
     "j18b_linkage_banded",
     "j19_pit_lookup",
     "g6_bfs_hops",
+    "g7_shortest_paths",
+    "llm_mixture_apply",
 ]
 
 
