@@ -499,3 +499,40 @@ def test_resample_linear_interpolates_interior_gaps(spark):
     assert out[(0, "b")] == (None, False)  # leading gap: no left neighbour
     assert out[(1, "b")] == (7.0, True)
     assert out[(2, "b")] == (None, False)  # trailing gap
+
+
+class TestTransitions:
+    def test_matches_python_model(self, spark):
+        from collections import Counter, defaultdict
+
+        import __spark_entry__ as entry
+
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in entry.queries()["w_transitions"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        ev = sorted(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        cnt = Counter()
+        for a, b in zip(ev, ev[1:]):
+            if a["user_id"] == b["user_id"]:
+                cnt[(a["event_type"], b["event_type"])] += 1
+        totals = defaultdict(int)
+        for (f, _), n in cnt.items():
+            totals[f] += n
+        assert set(got) == set(cnt)
+        for k, n in cnt.items():
+            assert got[k][0] == n
+            assert abs(got[k][1] - n / totals[k[0]]) < 1e-12
+        # probabilities row-normalize exactly
+        rows = defaultdict(float)
+        for (f, _), (_, p) in got.items():
+            rows[f] += p
+        for f, s in rows.items():
+            assert abs(s - 1.0) < 1e-9

@@ -1229,6 +1229,22 @@ CORE_ORACLES: dict[str, str] = {
 
 # j18b returns the identical pair set (banded blocking is lossless at
 # this threshold) -- certified against the SAME oracle as j18.
+CORE_ORACLES["w_transitions"] = """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS to_type
+      FROM events
+    ), mat AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM mat
+"""
+
 CORE_ORACLES["a28_string_agg"] = """
     SELECT n_regionkey AS regionkey,
            string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS nations,

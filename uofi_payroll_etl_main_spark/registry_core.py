@@ -1725,6 +1725,32 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    streams: (from_type, to_type, n, p) where p row-normalizes each
+    from-state.  lead() over (user, ts, event_id) rides one shuffle;
+    the matrix itself is event-type-cardinality-squared -- metadata
+    scale -- so the normalizing window is tiny.  p divides exact longs
+    (bit-identical doubles across engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    mat = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w2 = Window.partitionBy("from_type")
+    return mat.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w2).cast("double")).alias("p"),
+    )
+
+
 def w_event_paths(spark, sf):
     """Ordered per-user-day event paths (sequence-mining primitive):
     event types concatenated in (ts, event_id) order.  One keyed
@@ -2178,6 +2204,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql2_window_rank": sql2_window_rank,
     "a17_sketch_union": a17_sketch_union,
     "w_event_paths": w_event_paths,
+    "w_transitions": w_transitions,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,
