@@ -1229,6 +1229,52 @@ CORE_ORACLES: dict[str, str] = {
 
 # j18b returns the identical pair set (banded blocking is lossless at
 # this threshold) -- certified against the SAME oracle as j18.
+CORE_ORACLES["er_pipeline"] = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE -0.5 END
+             + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0 THEN 1.0 ELSE -0.5 END)
+            >= 1.5
+    ), bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+      SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs
+    ), cc AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT bidir.b AS node, cc.label
+      FROM cc JOIN bidir ON cc.node = bidir.a
+    ), labels AS (
+      SELECT node, min(label) AS component FROM cc GROUP BY node
+    ), members AS (
+      SELECT coalesce(l.component, c.c_custkey) AS entity_id,
+             c.c_custkey, c.c_mktsegment, c.c_acctbal
+      FROM customer c LEFT JOIN labels l ON c.c_custkey = l.node
+    ), seg_counts AS (
+      SELECT entity_id, c_mktsegment, count(*) AS cnt
+      FROM members GROUP BY 1, 2
+    ), mode_seg AS (
+      SELECT entity_id, c_mktsegment AS mode_segment
+      FROM (
+        SELECT entity_id, c_mktsegment,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+        FROM seg_counts
+      ) WHERE rn = 1
+    ), stats AS (
+      SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+             min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      FROM members GROUP BY entity_id
+    )
+    SELECT s.entity_id, s.n_members, s.min_bal, s.max_bal, m.mode_segment
+    FROM stats s JOIN mode_seg m USING (entity_id)
+    WHERE s.n_members >= 2
+"""
+
 CORE_ORACLES["w_transitions"] = """
     WITH seq AS (
       SELECT event_type AS from_type,

@@ -941,6 +941,58 @@ def v6_profile_table(spark, sf):
     return prof.select("column", "n_rows", "n_nulls", "min_str", "max_str")
 
 
+def er_pipeline(spark, sf):
+    """End-to-end entity resolution, composed from certified parts:
+    banded linkage pairs -> connected components (star contraction) ->
+    survivorship per resolved entity (canonical id = component min,
+    mode market segment with lexicographic tie-break, member count,
+    balance spread).  Unpaired customers resolve to themselves.
+
+    The composition is the point: match -> cluster -> survive is the
+    production ER stack, and each stage here is the scale-shaped tier
+    (bounded blocks, O(log n) cc rounds, one-shuffle mode)."""
+    from .graph import connected_components
+    from .joins import linkage_pairs_banded
+
+    c = _t(spark, sf, "customer")
+    pairs = linkage_pairs_banded(
+        c,
+        block_on="c_nationkey",
+        id_col="c_custkey",
+        exact_fields=["c_mktsegment"],
+        band_field=("c_acctbal", 50.0),
+        threshold=1.5,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    members = c.join(
+        cc, c["c_custkey"] == cc["node"], "left"
+    ).select(
+        F.coalesce(cc["component"], c["c_custkey"]).alias("entity_id"),
+        c["c_custkey"],
+        c["c_mktsegment"],
+        c["c_acctbal"],
+    )
+    counts = members.groupBy("entity_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    from pyspark.sql import Window
+
+    wm = Window.partitionBy("entity_id").orderBy(
+        F.desc("__cnt"), F.asc("c_mktsegment")
+    )
+    mode_seg = (
+        counts.withColumn("__rn", F.row_number().over(wm))
+        .filter(F.col("__rn") == 1)
+        .select("entity_id", F.col("c_mktsegment").alias("mode_segment"))
+    )
+    stats = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+    return stats.join(mode_seg, "entity_id").filter(F.col("n_members") >= 2)
+
+
 def j18b_linkage_banded(spark, sf):
     """Composite-blocked linkage (nation x balance-bucket): SAME result
     and SAME oracle as j18_linkage -- the lossless-optimization proof
@@ -2278,6 +2330,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j18_linkage": j18_linkage,
     "j19_pit_lookup": j19_pit_lookup,
     "j18b_linkage_banded": j18b_linkage_banded,
+    "er_pipeline": er_pipeline,
     "d6_merge_upsert": d6_merge_upsert,
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
