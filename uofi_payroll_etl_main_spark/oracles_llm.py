@@ -1239,6 +1239,101 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_web_pipeline": r"""
+        WITH wrapped AS (
+          SELECT doc_id, source,
+                 '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+                 || '<style>p { color: red; }</style></head><!-- crawl '
+                 || CAST(doc_id % 7 AS VARCHAR)
+                 || ' --><body class="doc"><h1>Doc &amp; '
+                 || CAST(doc_id % 13 AS VARCHAR)
+                 || '</h1><p>' || text || '&nbsp;&lt;end&gt;</p></body></html>' AS h
+          FROM documents
+        ), cleaned AS (
+          SELECT doc_id, source,
+                 trim(regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(h,
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                     '<[^>]+>', ' ', 'g'),
+                     '&nbsp;', ' ', 'g'),
+                     '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                     '&quot;', '"', 'g'),
+                     '&#39;', '''', 'g'),
+                     '&amp;', '&', 'g'),
+                     '\s+', ' ', 'g')) AS text
+          FROM wrapped
+        ), u AS (
+          SELECT doc_id,
+                 'HTTPS://WWW.m' || CAST(doc_id % 2 AS VARCHAR) || '.' || source
+                 || '.COM:443/A/' || CAST(doc_id % 10 AS VARCHAR) || '/'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
+                              || '&utm_medium=m'
+                         WHEN doc_id % 3 = 1
+                         THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#Sec2' ELSE '' END AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^www\.', ''), ':(443|80)$', '') AS host,
+                 regexp_replace(
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '#.*$', '') AS rest
+          FROM u
+        ), np AS (
+          SELECT doc_id, scheme, host,
+                 regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
+                     '(?i)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                   '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS query
+          FROM parts
+        ), keepers AS (
+          SELECT min(doc_id) AS doc_id
+          FROM np GROUP BY scheme || '://' || host || path || query
+        ), toks AS (
+          SELECT c.doc_id,
+                 list_filter(regexp_split_to_array(lower(c.text), '[^a-z0-9]+'),
+                             t -> length(t) > 0) AS tk
+          FROM cleaned c JOIN keepers k ON c.doc_id = k.doc_id
+        ), scored AS (
+          SELECT doc_id,
+                 (CASE WHEN len(tk) > 0 THEN
+                    list_reduce(
+                      list_prepend(0.0, list_transform(tk, t ->
+                        CAST((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 4096)
+                             % 997 AS DOUBLE) / 997.0 - 0.5)),
+                      (a, b) -> a + b) / CAST(len(tk) AS DOUBLE)
+                  ELSE 0.0 END) >= 0 AS keep
+          FROM toks
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_url_kept,
+               CAST(sum(CASE WHEN s.keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_quality_kept
+        FROM documents d
+        LEFT JOIN keepers k ON d.doc_id = k.doc_id
+        LEFT JOIN scored s ON d.doc_id = s.doc_id
+        GROUP BY d.source
+    """,
     "llm_mixture_apply": r"""
         WITH per AS (
           SELECT source, count(*) AS n_docs,

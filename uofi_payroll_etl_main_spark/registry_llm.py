@@ -1081,6 +1081,48 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_web_pipeline(spark, sf):
+    """Composed web-ingest funnel: wrap docs in crawl HTML -> strip
+    markup -> canonical-URL dedup (keep min doc_id per URL) -> hashed
+    linear quality cut on the CLEANED text -> per-source funnel counts.
+    Certifies the three web stages composed, not just separately."""
+    from .llm.web import quality_classify, strip_html, synth_url, url_dedup
+
+    d = _t(spark, sf, "documents")
+    wrapped = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<style>p { color: red; }</style></head><!-- crawl "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(' --><body class="doc"><h1>Doc &amp; '),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("&nbsp;&lt;end&gt;</p></body></html>"),
+    )
+    cleaned = d.select(
+        "doc_id", "source", strip_html(wrapped).alias("text")
+    )
+    keepers = url_dedup(d.withColumn("url", synth_url())).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = cleaned.join(keepers, "doc_id", "left_semi")
+    scored = quality_classify(kept.select("doc_id", "text")).select(
+        "doc_id", "keep"
+    )
+    funnel = (
+        d.select("doc_id", "source")
+        .join(keepers.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .join(scored.withColumnRenamed("keep", "__q"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.sum(F.coalesce(F.col("__k"), F.lit(0))).cast("long").alias("n_url_kept"),
+            F.sum(F.when(F.col("__q"), 1).otherwise(0)).cast("long").alias("n_quality_kept"),
+        )
+    )
+    return funnel
+
+
 def llm_mixture_apply(spark, sf):
     """Temperature mix (alpha=0.5) actually applied: per-source
     per-mille keep rates from sqrt-scaled weights, integer id-mod keep
@@ -1258,6 +1300,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
+    "llm_web_pipeline": llm_web_pipeline,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
