@@ -80,6 +80,8 @@ HEADLINERS = [
     "g6_bfs_hops",
     "g7_shortest_paths",
     "llm_mixture_apply",
+    "llm_web_pipeline",
+    "w_transitions",
 ]
 
 
