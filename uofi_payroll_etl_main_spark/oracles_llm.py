@@ -1239,6 +1239,23 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_extract_spans": r"""
+        WITH nums AS (
+          SELECT doc_id, 'number' AS kind,
+                 unnest(list_transform(regexp_extract_all(text, '\d+'),
+                                       (x, i) -> struct_pack(pos := i - 1, span := x))) AS sp
+          FROM documents
+        ), words AS (
+          SELECT doc_id, 'keyword' AS kind,
+                 unnest(list_transform(
+                   regexp_extract_all(text, '\b(spark|hash|join|merge)\b'),
+                   (x, i) -> struct_pack(pos := i - 1, span := x))) AS sp
+          FROM documents
+        )
+        SELECT doc_id, kind, CAST(sp.pos AS INTEGER) AS pos, sp.span AS span FROM nums
+        UNION ALL
+        SELECT doc_id, kind, CAST(sp.pos AS INTEGER) AS pos, sp.span AS span FROM words
+    """,
     "llm_web_pipeline": r"""
         WITH wrapped AS (
           SELECT doc_id, source,

@@ -1081,6 +1081,32 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_extract_spans(spark, sf):
+    """Structured span extraction: every numeric token and every
+    ALL-CAPS-like word-initial token per document via
+    regexp_extract_all, exploded to (doc_id, kind, span, pos) rows --
+    the IE primitive behind PII audits and template mining.  Pure
+    Catalyst; posexplode keeps span order reproducible."""
+    d = _t(spark, sf, "documents")
+    nums = d.select(
+        "doc_id",
+        F.lit("number").alias("kind"),
+        F.posexplode_outer(F.regexp_extract_all("text", F.lit(r"\d+"), 0)).alias(
+            "pos", "span"
+        ),
+    ).filter(F.col("span").isNotNull())
+    words = d.select(
+        "doc_id",
+        F.lit("keyword").alias("kind"),
+        F.posexplode_outer(
+            F.regexp_extract_all("text", F.lit(r"\b(spark|hash|join|merge)\b"), 0)
+        ).alias("pos", "span"),
+    ).filter(F.col("span").isNotNull())
+    return nums.unionByName(words).select(
+        "doc_id", "kind", F.col("pos").cast("int").alias("pos"), "span"
+    )
+
+
 def llm_web_pipeline(spark, sf):
     """Composed web-ingest funnel: wrap docs in crawl HTML -> strip
     markup -> canonical-URL dedup (keep min doc_id per URL) -> hashed
@@ -1301,6 +1327,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
+    "llm_extract_spans": llm_extract_spans,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
