@@ -536,3 +536,28 @@ class TestTransitions:
             rows[f] += p
         for f, s in rows.items():
             assert abs(s - 1.0) < 1e-9
+
+
+class TestFreshness:
+    def test_gap_detection(self, spark):
+        from pyspark.sql import functions as F
+
+        from uofi_payroll_etl_main_spark.report import check_freshness
+
+        # 8 healthy days of 10 events, then a day with 2 (gap), then 10
+        rows_in = []
+        eid = 0
+        for d in range(1, 9):
+            for _ in range(10):
+                rows_in.append((eid, f"2024-01-0{d}" if d < 10 else f"2024-01-{d}")); eid += 1
+        for _ in range(2):
+            rows_in.append((eid, "2024-01-09")); eid += 1
+        for _ in range(10):
+            rows_in.append((eid, "2024-01-10")); eid += 1
+        df = spark.createDataFrame(rows_in, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        got = {r["day"]: (r["n_events"], r["is_gap"]) for r in check_freshness(df).collect()}
+        assert got["2024-01-01"] == (10, False)  # no baseline yet -> never flagged
+        assert got["2024-01-09"] == (2, True)    # 2 < 0.5 * 10
+        assert got["2024-01-10"][1] is False     # 10 vs mean(~9) healthy

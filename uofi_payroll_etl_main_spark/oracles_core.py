@@ -1275,6 +1275,20 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["v8_freshness"] = """
+    WITH days AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events,
+           avg(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             AS trailing_mean,
+           coalesce(n_events < 0.5 * avg(n_events)
+                      OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+                    false) AS is_gap
+    FROM days
+"""
+
 CORE_ORACLES["w_transitions"] = """
     WITH seq AS (
       SELECT event_type AS from_type,

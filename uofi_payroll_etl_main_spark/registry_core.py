@@ -1777,6 +1777,14 @@ def a16_group_sample(spark, sf):
     )
 
 
+def v8_freshness(spark, sf):
+    """V-family -- freshness/completeness canary: per-day event volumes
+    vs the trailing-7-day mean baseline, gap days flagged."""
+    from .report import check_freshness
+
+    return check_freshness(_t(spark, sf, "events"))
+
+
 def w_transitions(spark, sf):
     """First-order Markov transition matrix over per-user event
     streams: (from_type, to_type, n, p) where p row-normalizes each
@@ -2257,6 +2265,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a17_sketch_union": a17_sketch_union,
     "w_event_paths": w_event_paths,
     "w_transitions": w_transitions,
+    "v8_freshness": v8_freshness,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,

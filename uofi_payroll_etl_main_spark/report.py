@@ -230,3 +230,42 @@ def check_expectations(df: DataFrame, expectations: Sequence[dict]) -> DataFrame
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def check_freshness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_factor: float = 0.5,
+    trailing_days: int = 7,
+) -> DataFrame:
+    """Operational freshness/completeness report: per event-day row
+    counts, each compared against the mean of the `trailing_days`
+    PRECEDING days; a day is flagged as a gap when its volume falls
+    below `gap_factor` x that baseline.  The first days (no baseline
+    yet) are never flagged.
+
+    The canary for silent upstream breakage -- a dead producer shows up
+    as a gap day, a late backfill as a recovered one.  One groupBy to
+    day grain (the window then runs over ~365 rows/year -- metadata
+    scale); counts are exact longs, the baseline is sum/count division
+    (bit-stable across engines).
+    """
+    from pyspark.sql import Window
+
+    days = (
+        events.groupBy(F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(-int(trailing_days), -1)
+    base = F.avg("n_events").over(w)
+    return days.select(
+        "day",
+        "n_events",
+        base.alias("trailing_mean"),
+        F.when(
+            base.isNotNull() & (F.col("n_events") < F.lit(float(gap_factor)) * base),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_gap"),
+    )
