@@ -1275,6 +1275,19 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["a32_basket_pairs"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 20
+"""
+
 CORE_ORACLES["v8_freshness"] = """
     WITH days AS (
       SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_events

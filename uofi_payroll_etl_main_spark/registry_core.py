@@ -830,6 +830,26 @@ def j13_full_outer(spark, sf):
     )
 
 
+def a32_basket_pairs(spark, sf):
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order (pair space bounded by items-per-order, ~7 on TPC-H, so
+    the within-order self-join is O(n * k^2), never n^2; the join key
+    is the orderkey -- one co-partitioned shuffle)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).groupBy(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
 def a28_string_agg(spark, sf):
     """Deterministic ordered string aggregation: per region, the
     '|'-joined ascending list of nation names.  Spark's collect_list
@@ -2351,6 +2371,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j13_full_outer": j13_full_outer,
     "a12_unpivot": a12_unpivot,
     "a28_string_agg": a28_string_agg,
+    "a32_basket_pairs": a32_basket_pairs,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
     "q14_promo_share": q14_promo_share,
