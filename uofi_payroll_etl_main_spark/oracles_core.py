@@ -1275,6 +1275,33 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["w_session_stats"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM flagged
+    ), durs AS (
+      SELECT user_id,
+             CAST(floor(date_part('epoch', max(ts) - min(ts))) AS BIGINT) AS dur_s
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY dur_s) AS median_dur_s,
+           max(dur_s) AS max_dur_s
+    FROM durs GROUP BY user_id
+"""
+
 CORE_ORACLES["a32_basket_pairs"] = """
     WITH li AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -1239,6 +1239,19 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_dedup_audit": r"""
+        WITH fp AS (
+          SELECT source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS dup_rate
+        FROM fp GROUP BY source
+    """,
     "llm_extract_spans": r"""
         WITH nums AS (
           SELECT doc_id, 'number' AS kind,

@@ -1797,6 +1797,49 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_session_stats(spark, sf):
+    """Composed session-length distribution: 30-min-gap sessionization
+    -> per-session duration seconds -> corpus stats per event-type-mix
+    bucket is overkill, so the grain is per user: n_sessions, exact
+    median/mean/max duration.  Certifies sessionize composed with the
+    exact-percentile aggregate (percentile_cont semantics both
+    engines); durations are exact long second differences."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    flagged = ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sid = F.sum("__new").over(
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        flagged.withColumn("__sid", sid)
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.floor(
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / 1_000_000
+            ).cast("long").alias("dur_s")
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.percentile("dur_s", F.lit(0.5)).alias("median_dur_s"),
+        F.max("dur_s").alias("max_dur_s"),
+    )
+
+
 def v8_freshness(spark, sf):
     """V-family -- freshness/completeness canary: per-day event volumes
     vs the trailing-7-day mean baseline, gap days flagged."""
@@ -2286,6 +2329,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_event_paths": w_event_paths,
     "w_transitions": w_transitions,
     "v8_freshness": v8_freshness,
+    "w_session_stats": w_session_stats,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,

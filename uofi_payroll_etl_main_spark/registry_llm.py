@@ -1081,6 +1081,24 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_dedup_audit(spark, sf):
+    """Corpus-health duplication audit per source: raw volume, distinct
+    canonical fingerprints, duplicate share.  One digest groupBy --
+    the monitoring twin of the dedup family."""
+    d = _t(spark, sf, "documents")
+    fp = d.select(
+        "source", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp")
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.count_distinct("fp")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 def llm_extract_spans(spark, sf):
     """Structured span extraction: every numeric token and every
     ALL-CAPS-like word-initial token per document via
@@ -1328,6 +1346,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
     "llm_extract_spans": llm_extract_spans,
+    "llm_dedup_audit": llm_dedup_audit,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
