@@ -1302,6 +1302,31 @@ CORE_ORACLES["w_session_stats"] = """
     FROM durs GROUP BY user_id
 """
 
+CORE_ORACLES["e18_slugify"] = r"""
+    SELECT p_partkey, p_name,
+           regexp_replace(
+             regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
+             '^-+|-+$', '', 'g') AS slug
+    FROM part
+"""
+
+CORE_ORACLES["a33_gini"] = """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n ASC, source ASC) AS i FROM per
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(i * n) AS BIGINT) AS iw
+      FROM ranked
+    )
+    SELECT k, total,
+           2.0 * CAST(iw AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(total AS DOUBLE))
+           - CAST(k + 1 AS DOUBLE) / CAST(k AS DOUBLE) AS gini
+    FROM agg
+"""
+
 CORE_ORACLES["a32_basket_pairs"] = """
     WITH li AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -830,6 +830,47 @@ def j13_full_outer(spark, sf):
     )
 
 
+def e18_slugify(spark, sf):
+    """E-family extension -- URL-safe slug derivation from part names:
+    lowercase, non-alphanumeric runs to single hyphens, trimmed.  The
+    id-derivation twin of the reference's concat-key discipline
+    (etl_payroll_pipeline.py:318-326), RE2/Java-identical regexes."""
+    p = _t(spark, sf, "part")
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("p_name")), r"[^a-z0-9]+", "-"), r"^-+|-+$", ""
+    )
+    return p.select("p_partkey", F.col("p_name"), slug.alias("slug"))
+
+
+def a33_gini(spark, sf):
+    """Volume-concentration (Gini) per corpus dimension: how unevenly
+    document volume spreads across sources.  The classic sorted-
+    cumulative formula over the per-source counts -- the window runs
+    over |sources| rows (metadata scale), counts are exact longs, and
+    the final expression is pure IEEE double arithmetic."""
+    from pyspark.sql import Window
+
+    per = _t(spark, sf, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").asc(), F.col("source").asc())
+    ranked = per.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("iw"),
+    )
+    return agg.select(
+        "k",
+        "total",
+        (
+            F.lit(2.0) * F.col("iw").cast("double")
+            / (F.col("k").cast("double") * F.col("total").cast("double"))
+            - (F.col("k") + 1).cast("double") / F.col("k").cast("double")
+        ).alias("gini"),
+    )
+
+
 def a32_basket_pairs(spark, sf):
     """Market-basket co-occurrence: top-20 part pairs appearing in the
     same order (pair space bounded by items-per-order, ~7 on TPC-H, so
@@ -2416,6 +2457,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a12_unpivot": a12_unpivot,
     "a28_string_agg": a28_string_agg,
     "a32_basket_pairs": a32_basket_pairs,
+    "e18_slugify": e18_slugify,
+    "a33_gini": a33_gini,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
     "q14_promo_share": q14_promo_share,
