@@ -1275,6 +1275,19 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["w_unconverted"] = """
+    SELECT c.user_id, c.event_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+"""
+
 CORE_ORACLES["w_session_stats"] = """
     WITH flagged AS (
       SELECT user_id, ts, event_id,

@@ -1838,6 +1838,34 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_unconverted(spark, sf):
+    """Absence detection (negative funnel): every click with NO
+    purchase by the same user within the following hour.  Composes the
+    as-of forward join -- the next purchase per click rides one
+    union+window pass -- then keeps rows where the match is missing or
+    too late; no NOT-EXISTS anti-join over the fact table."""
+    from .joins import asof_join_forward
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join_forward(
+        clicks, purchases, by="user_id", ts="ts", value_cols=["purchase_id"],
+        right_ts_alias="purchase_ts",
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return (
+        j.filter(F.col("purchase_ts").isNull() | (lag_us > 3600 * 1_000_000))
+        .select("user_id", "event_id", F.col("ts").alias("click_ts"))
+    )
+
+
 def w_session_stats(spark, sf):
     """Composed session-length distribution: 30-min-gap sessionization
     -> per-session duration seconds -> corpus stats per event-type-mix
@@ -2371,6 +2399,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_transitions": w_transitions,
     "v8_freshness": v8_freshness,
     "w_session_stats": w_session_stats,
+    "w_unconverted": w_unconverted,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,
