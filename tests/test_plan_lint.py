@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "llm_curriculum",       # single-row corpus-count broadcast
     "llm_vocab_coverage",   # single-row token-total broadcast
     "llm_mixture_apply",    # single-row (total, ssum) broadcast
+    "j21_report_spine",     # region x priority grid (metadata-scale spine)
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

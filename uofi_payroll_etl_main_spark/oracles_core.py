@@ -1315,6 +1315,31 @@ CORE_ORACLES["w_session_stats"] = """
     FROM durs GROUP BY user_id
 """
 
+CORE_ORACLES["u4_union_distinct"] = """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+"""
+
+CORE_ORACLES["j21_report_spine"] = """
+    WITH spine AS (
+      SELECT r.r_regionkey, r.r_name, p.o_orderpriority
+      FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ), facts AS (
+      SELECT n.n_regionkey, o.o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT s.r_name AS region, s.o_orderpriority AS priority,
+           coalesce(f.n_orders, 0) AS n_orders
+    FROM spine s
+    LEFT JOIN facts f
+      ON s.r_regionkey = f.n_regionkey AND s.o_orderpriority = f.o_orderpriority
+"""
+
 CORE_ORACLES["e18_slugify"] = r"""
     SELECT p_partkey, p_name,
            regexp_replace(

@@ -830,6 +830,44 @@ def j13_full_outer(spark, sf):
     )
 
 
+def u4_union_distinct(spark, sf):
+    """Row-set UNION (distinct): nations appearing as customer OR
+    supplier homes -- the dedup twin of u1's UNION ALL."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(su).distinct()
+
+
+def j21_report_spine(spark, sf):
+    """Reporting spine: the FULL region x order-priority grid (both
+    metadata-scale dims, so the cross product is deliberate and tiny)
+    left-filled with order counts, zero where empty -- the gap-free
+    report every BI layer wants.  The fact side aggregates BEFORE
+    joining the spine, so the grid join touches |grid| rows."""
+    r = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    pri = _t(spark, sf, "orders").select("o_orderpriority").distinct()
+    spine = r.crossJoin(pri)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    facts = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return spine.join(
+        facts,
+        (spine["r_regionkey"] == facts["n_regionkey"])
+        & (spine["o_orderpriority"] == facts["o_orderpriority"]),
+        "left",
+    ).select(
+        spine["r_name"].alias("region"),
+        spine["o_orderpriority"].alias("priority"),
+        F.coalesce(facts["n_orders"], F.lit(0).cast("long")).alias("n_orders"),
+    )
+
+
 def e18_slugify(spark, sf):
     """E-family extension -- URL-safe slug derivation from part names:
     lowercase, non-alphanumeric runs to single hyphens, trimmed.  The
@@ -2487,6 +2525,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a28_string_agg": a28_string_agg,
     "a32_basket_pairs": a32_basket_pairs,
     "e18_slugify": e18_slugify,
+    "u4_union_distinct": u4_union_distinct,
+    "j21_report_spine": j21_report_spine,
     "a33_gini": a33_gini,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
