@@ -1315,6 +1315,24 @@ CORE_ORACLES["w_session_stats"] = """
     FROM durs GROUP BY user_id
 """
 
+CORE_ORACLES["p11_distinct_from"] = """
+    SELECT event_id, user_id, props
+    FROM events
+    WHERE props IS DISTINCT FROM '{"k": 1}'
+"""
+
+CORE_ORACLES["d10_burst_dedup"] = """
+    WITH flagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             (lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE) AS keep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_id, user_id, event_type, ts FROM flagged WHERE keep
+"""
+
 CORE_ORACLES["u4_union_distinct"] = """
     SELECT c_nationkey AS nationkey FROM customer
     UNION

@@ -830,6 +830,40 @@ def j13_full_outer(spark, sf):
     )
 
 
+def p11_distinct_from(spark, sf):
+    """Null-safe inequality predicate (IS DISTINCT FROM): events whose
+    JSON props differ from a reference value, keeping nulls -- the
+    comparison a plain != silently drops."""
+    ev = _t(spark, sf, "events")
+    ref = F.lit('{"k": 1}')
+    return ev.filter(~F.col("props").eqNullSafe(ref)).select(
+        "event_id", "user_id", "props"
+    )
+
+
+def d10_burst_dedup(spark, sf):
+    """At-least-once ingestion dedup: within each (user, event_type)
+    stream, drop events arriving within 30 minutes of the PREVIOUS KEPT
+    event's burst start -- approximated engine-side by the standard
+    lag-based rule (new burst when the gap from the previous event is
+    >= the window), which needs ONE window pass instead of a per-key sequential
+    scan.  Keeps the first event of each burst."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    return (
+        ev.withColumn("__keep", gap.isNull() | (gap >= 1800 * 1_000_000))
+        .filter(F.col("__keep"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def u4_union_distinct(spark, sf):
     """Row-set UNION (distinct): nations appearing as customer OR
     supplier homes -- the dedup twin of u1's UNION ALL."""
@@ -2526,6 +2560,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a32_basket_pairs": a32_basket_pairs,
     "e18_slugify": e18_slugify,
     "u4_union_distinct": u4_union_distinct,
+    "p11_distinct_from": p11_distinct_from,
+    "d10_burst_dedup": d10_burst_dedup,
     "j21_report_spine": j21_report_spine,
     "a33_gini": a33_gini,
     "u2_intersect": u2_intersect,
