@@ -1239,6 +1239,22 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_mix_drift": r"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM per
+        )
+        SELECT p.source, p.n_a, p.n_b,
+               CAST(p.n_a AS DOUBLE) / CAST(t.ta AS DOUBLE) AS share_a,
+               CAST(p.n_b AS DOUBLE) / CAST(t.tb AS DOUBLE) AS share_b,
+               abs(CAST(p.n_a AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                   - CAST(p.n_b AS DOUBLE) / CAST(t.tb AS DOUBLE)) AS abs_drift
+        FROM per p CROSS JOIN tot t
+    """,
     "llm_dedup_audit": r"""
         WITH fp AS (
           SELECT source,

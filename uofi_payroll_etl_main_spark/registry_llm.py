@@ -1081,6 +1081,36 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_mix_drift(spark, sf):
+    """Distribution-drift report between two corpus slices (even vs
+    odd doc ids, standing in for yesterday-vs-today): per-source share
+    in each slice plus absolute share drift; the summed L1/2 distance
+    is the scalar a monitor alerts on.  Shares divide exact longs --
+    bit-identical doubles -- and the report is |sources| rows."""
+    d = _t(spark, sf, "documents")
+    tagged = d.select(
+        "source", (F.col("doc_id") % 2 == 0).alias("is_a")
+    )
+    per = tagged.groupBy("source").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("long").alias("__ta"), F.sum("n_b").cast("long").alias("__tb")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("__ta").cast("double")).alias("share_a"),
+        (F.col("n_b").cast("double") / F.col("__tb").cast("double")).alias("share_b"),
+        F.abs(
+            F.col("n_a").cast("double") / F.col("__ta").cast("double")
+            - F.col("n_b").cast("double") / F.col("__tb").cast("double")
+        ).alias("abs_drift"),
+    )
+
+
 def llm_dedup_audit(spark, sf):
     """Corpus-health duplication audit per source: raw volume, distinct
     canonical fingerprints, duplicate share.  One digest groupBy --
@@ -1347,6 +1377,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_web_pipeline": llm_web_pipeline,
     "llm_extract_spans": llm_extract_spans,
     "llm_dedup_audit": llm_dedup_audit,
+    "llm_mix_drift": llm_mix_drift,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
