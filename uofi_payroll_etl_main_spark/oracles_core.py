@@ -1315,6 +1315,29 @@ CORE_ORACLES["w_session_stats"] = """
     FROM durs GROUP BY user_id
 """
 
+CORE_ORACLES["e20_pad_ids"] = """
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS custkey_padded
+    FROM customer
+"""
+
+CORE_ORACLES["a36_dominance"] = """
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn,
+             sum(n) OVER (PARTITION BY user_id) AS tot
+      FROM counts
+    )
+    SELECT user_id, event_type AS top_type, n AS n_top,
+           CAST(tot AS BIGINT) AS n_total,
+           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+    FROM ranked WHERE rn = 1
+"""
+
 CORE_ORACLES["p11_distinct_from"] = """
     SELECT event_id, user_id, props
     FROM events

@@ -830,6 +830,44 @@ def j13_full_outer(spark, sf):
     )
 
 
+def e20_pad_ids(spark, sf):
+    """E-family -- fixed-width zero-padded id rendering (the inverse of
+    e3's trailing-`.0` strip: systems exchanging keys as text need one
+    canonical width).  lpad over the decimal rendering."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("custkey_padded"),
+    )
+
+
+def a36_dominance(spark, sf):
+    """Per-user behavioral dominance: the most frequent event type and
+    its share of the user's events (mode + share in one pass; ties
+    break to the lexicographically smallest type, the engine's A1
+    discipline).  Shares divide exact longs."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    totals = Window.partitionBy("user_id")
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__tot", F.sum("n").over(totals))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("n").alias("n_top"),
+            F.col("__tot").cast("long").alias("n_total"),
+            (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("share"),
+        )
+    )
+
+
 def p11_distinct_from(spark, sf):
     """Null-safe inequality predicate (IS DISTINCT FROM): events whose
     JSON props differ from a reference value, keeping nulls -- the
@@ -2561,6 +2599,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e18_slugify": e18_slugify,
     "u4_union_distinct": u4_union_distinct,
     "p11_distinct_from": p11_distinct_from,
+    "e20_pad_ids": e20_pad_ids,
+    "a36_dominance": a36_dominance,
     "d10_burst_dedup": d10_burst_dedup,
     "j21_report_spine": j21_report_spine,
     "a33_gini": a33_gini,
