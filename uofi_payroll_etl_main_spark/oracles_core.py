@@ -1275,6 +1275,22 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["w_inter_event_stats"] = """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(date_part('epoch', ts - lag(ts) OVER w)) AS BIGINT) AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s) AS median_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+"""
+
 CORE_ORACLES["w_unconverted"] = """
     SELECT c.user_id, c.event_id, c.ts AS click_ts
     FROM events c

@@ -1239,6 +1239,25 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_prefix_index": r"""
+        WITH toks AS (
+          SELECT CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []
+                      ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT unnest(t) AS tok FROM toks
+        ), counts AS (
+          SELECT substr(tok, 1, 3) AS prefix, tok, CAST(count(*) AS BIGINT) AS n
+          FROM g WHERE length(tok) >= 3
+          GROUP BY 1, 2
+        )
+        SELECT prefix, rank, tok, n FROM (
+          SELECT prefix, tok, n,
+                 CAST(row_number() OVER (PARTITION BY prefix
+                                         ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+          FROM counts
+        ) WHERE rank <= 3
+    """,
     "llm_mix_drift": r"""
         WITH per AS (
           SELECT source,

@@ -1948,6 +1948,32 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_inter_event_stats(spark, sf):
+    """Per-event-type inter-arrival statistics across each user stream:
+    exact median and max gap seconds.  The operational heartbeat
+    metric behind rate alerting; gaps are floor-exact long seconds and
+    the percentile is percentile_cont on both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_s = F.floor(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        )
+        / 1_000_000
+    ).cast("long")
+    gaps = ev.withColumn("gap_s", gap_s).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
 def w_unconverted(spark, sf):
     """Absence detection (negative funnel): every click with NO
     purchase by the same user within the following hour.  Composes the
@@ -2510,6 +2536,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v8_freshness": v8_freshness,
     "w_session_stats": w_session_stats,
     "w_unconverted": w_unconverted,
+    "w_inter_event_stats": w_inter_event_stats,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,

@@ -1081,6 +1081,30 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_prefix_index(spark, sf):
+    """Autocomplete/serving index build: top-3 corpus tokens per 3-char
+    prefix by frequency (count desc, token asc).  GroupBy (prefix,
+    token) partial-aggregates map-side; the per-prefix rank window runs
+    over each prefix's handful of candidates."""
+    from pyspark.sql import Window
+
+    from .llm.text import explode_nonempty, normalize_text, tokens
+
+    d = _t(spark, sf, "documents")
+    toks = explode_nonempty(d, [], tokens(normalize_text("text")), "tok").filter(
+        F.length("tok") >= 3
+    )
+    counts = toks.groupBy(
+        F.substring("tok", 1, 3).alias("prefix"), F.col("tok")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("prefix", "rank", "tok", "n")
+    )
+
+
 def llm_mix_drift(spark, sf):
     """Distribution-drift report between two corpus slices (even vs
     odd doc ids, standing in for yesterday-vs-today): per-source share
@@ -1378,6 +1402,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_extract_spans": llm_extract_spans,
     "llm_dedup_audit": llm_dedup_audit,
     "llm_mix_drift": llm_mix_drift,
+    "llm_prefix_index": llm_prefix_index,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
