@@ -1275,6 +1275,18 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["w_hourly_profile"] = """
+    WITH per AS (
+      SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+    FROM per
+"""
+
 CORE_ORACLES["w_inter_event_stats"] = """
     WITH gaps AS (
       SELECT event_type,

@@ -1239,6 +1239,23 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(chars) AS BIGINT) AS total_chars
         FROM per_url GROUP BY domain
     """,
+    "llm_balanced_sample": r"""
+        WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        ), mn AS (
+          SELECT min(n) AS mn FROM per
+        ), rates AS (
+          SELECT lang,
+                 CAST(least(1000, floor(
+                   1000.0 * CAST(m.mn AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 )) AS INTEGER) AS rate_pm
+          FROM per p CROSS JOIN mn m
+        )
+        SELECT d.doc_id, d.lang, r.rate_pm
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+              % 1000 < r.rate_pm
+    """,
     "llm_prefix_index": r"""
         WITH toks AS (
           SELECT CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []

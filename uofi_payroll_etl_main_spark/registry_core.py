@@ -1948,6 +1948,26 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_hourly_profile(spark, sf):
+    """Seasonality profile: per event type, the hour-of-day volume and
+    its share of the type's total -- the load-shaping curve capacity
+    planning reads.  One (type, hour) groupBy; shares are exact-long
+    divisions over the per-type window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("event_type")
+    return per.select(
+        "event_type",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("share"),
+    )
+
+
 def w_inter_event_stats(spark, sf):
     """Per-event-type inter-arrival statistics across each user stream:
     exact median and max gap seconds.  The operational heartbeat
@@ -2537,6 +2557,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_session_stats": w_session_stats,
     "w_unconverted": w_unconverted,
     "w_inter_event_stats": w_inter_event_stats,
+    "w_hourly_profile": w_hourly_profile,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,

@@ -1081,6 +1081,37 @@ def llm_curriculum(spark, sf):
     return curriculum_shards(scored, n_shards=4)
 
 
+def llm_balanced_sample(spark, sf):
+    """Class-balanced downsampling: every language keeps ~min-class
+    volume (rate_pm = floor(1000 * min_n / n_g), md5-bucket keep rule)
+    so the majority classes shrink to parity.  Same engine-exact rate
+    discipline as mixture_apply: exact-long arithmetic, digest bucket."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mn = per.agg(F.min("n").alias("__mn"))
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                F.lit(1000.0) * F.col("__mn").cast("double") / F.col("n").cast("double")
+            ),
+        )
+        .cast("int")
+        .alias("rate_pm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate_pm"))
+        .select("doc_id", "lang", "rate_pm")
+    )
+
+
 def llm_prefix_index(spark, sf):
     """Autocomplete/serving index build: top-3 corpus tokens per 3-char
     prefix by frequency (count desc, token asc).  GroupBy (prefix,
@@ -1403,6 +1434,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_dedup_audit": llm_dedup_audit,
     "llm_mix_drift": llm_mix_drift,
     "llm_prefix_index": llm_prefix_index,
+    "llm_balanced_sample": llm_balanced_sample,
     "llm_curriculum": llm_curriculum,
     "llm_index_dedup": llm_index_dedup,
     "llm_negative_pairs": llm_negative_pairs,
