@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "llm_mixture_apply",    # single-row (total, ssum) broadcast
     "j21_report_spine",     # region x priority grid (metadata-scale spine)
     "llm_mix_drift",        # single-row (ta, tb) totals broadcast
+    "llm_balanced_sample",  # single-row min-class broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;
