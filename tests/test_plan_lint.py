@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
     "w_decayed_counts",     # single-row max-ts reference broadcast
     "llm_hard_negatives",   # brute-force exact baseline BY DESIGN
+    "llm_anchor_positives", # brute-force exact baseline BY DESIGN
     "llm_negative_pairs",   # single-row id-space bound broadcast
     "llm_curriculum",       # single-row corpus-count broadcast
     "llm_vocab_coverage",   # single-row token-total broadcast

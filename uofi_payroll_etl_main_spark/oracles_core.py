@@ -1275,6 +1275,24 @@ CORE_ORACLES["er_pipeline"] = """
     WHERE s.n_members >= 2
 """
 
+CORE_ORACLES["w_dau_wau"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), dau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ud GROUP BY day
+    ), support AS (
+      SELECT user_id, day + (i * INTERVAL 1 DAY) AS day
+      FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i)
+    ), wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM support GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+"""
+
 CORE_ORACLES["w_hourly_profile"] = """
     WITH per AS (
       SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hour,

@@ -1502,6 +1502,24 @@ LLM_ORACLES: dict[str, str] = {
                / CAST(t.total AS DOUBLE) AS cum_share
         FROM top CROSS JOIN total t
     """,
+    "llm_anchor_positives": r"""
+        WITH pairs AS (
+          SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                 c.vec_id AS pos_id,
+                 round(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                   6) AS similarity
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id <> c.vec_id AND q.label = c.label
+        )
+        SELECT anchor_id, anchor_label, pos_id, similarity FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY similarity DESC, pos_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 1
+    """,
     "llm_hard_negatives": r"""
         WITH pairs AS (
           SELECT q.vec_id AS anchor_id, q.label AS anchor_label,

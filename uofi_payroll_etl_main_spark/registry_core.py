@@ -1948,6 +1948,38 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_dau_wau(spark, sf):
+    """Product stickiness: per day, the distinct active users that day
+    (DAU), in the trailing 7-day window (WAU), and the DAU/WAU ratio.
+    WAU is computed by exploding each (user, day) activity into the 7
+    report days it supports -- turning distinct-over-window into a
+    plain groupBy count_distinct, the shuffle-friendly form -- then
+    the ratio divides exact longs."""
+    ev = _t(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    support = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    wau = support.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+    )
+
+
 def w_hourly_profile(spark, sf):
     """Seasonality profile: per event type, the hour-of-day volume and
     its share of the type's total -- the load-shaping curve capacity
@@ -2558,6 +2590,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_unconverted": w_unconverted,
     "w_inter_event_stats": w_inter_event_stats,
     "w_hourly_profile": w_hourly_profile,
+    "w_dau_wau": w_dau_wau,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,

@@ -1277,6 +1277,41 @@ def llm_vocab_coverage(spark, sf):
     return LT.vocab_coverage(_t(spark, sf, "documents"), top_v=500)
 
 
+def llm_anchor_positives(spark, sf):
+    """Positive-pair mining (contrastive complement of hard negatives):
+    per anchor, the nearest SAME-label vector (k=1) -- exact tier over
+    the embeddings table, ANN buckets feed it at scale."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("pos_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("pos_label"),
+    )
+    pairs = q.crossJoin(c).filter(
+        (F.col("anchor_id") != F.col("pos_id"))
+        & (F.col("anchor_label") == F.col("pos_label"))
+    )
+    sim = F.round(
+        LS.dot(F.col("__qv"), F.col("__cv"))
+        / (LS.l2_norm(F.col("__qv")) * LS.l2_norm(F.col("__cv"))),
+        6,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("similarity"), F.asc("pos_id"))
+    return (
+        pairs.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 1)
+        .select("anchor_id", "anchor_label", "pos_id", "similarity")
+    )
+
+
 def llm_hard_negatives(spark, sf):
     """Per-anchor nearest different-label vector (k=2): exact
     brute-force tier over the embeddings table (validation baseline;
@@ -1426,6 +1461,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_url_dedup": llm_url_dedup,
     "llm_robots_filter": llm_robots_filter,
     "llm_hard_negatives": llm_hard_negatives,
+    "llm_anchor_positives": llm_anchor_positives,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
