@@ -1390,6 +1390,15 @@ CORE_ORACLES["p11_distinct_from"] = """
     WHERE props IS DISTINCT FROM '{"k": 1}'
 """
 
+CORE_ORACLES["d11_keep_latest_n"] = """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+"""
+
 CORE_ORACLES["d10_burst_dedup"] = """
     WITH flagged AS (
       SELECT event_id, user_id, event_type, ts,

@@ -879,6 +879,23 @@ def p11_distinct_from(spark, sf):
     )
 
 
+def d11_keep_latest_n(spark, sf):
+    """Retention policy: keep each customer's LATEST 3 orders (by
+    orderdate desc, orderkey desc tiebreak) and drop older history --
+    the version-pruning twin of d4's keep-first.  One window pass."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 def d10_burst_dedup(spark, sf):
     """At-least-once ingestion dedup: within each (user, event_type)
     stream, drop events arriving within 30 minutes of the PREVIOUS KEPT
@@ -2683,6 +2700,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e20_pad_ids": e20_pad_ids,
     "a36_dominance": a36_dominance,
     "d10_burst_dedup": d10_burst_dedup,
+    "d11_keep_latest_n": d11_keep_latest_n,
     "j21_report_spine": j21_report_spine,
     "a33_gini": a33_gini,
     "u2_intersect": u2_intersect,
