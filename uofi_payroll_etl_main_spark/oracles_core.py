@@ -1367,6 +1367,22 @@ CORE_ORACLES["e20_pad_ids"] = """
     FROM customer
 """
 
+CORE_ORACLES["a37_entropy"] = """
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), terms AS (
+      SELECT user_id,
+             CAST(round(
+               -(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE))
+               * log2(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE)),
+               6) AS DECIMAL(18,6)) AS t
+      FROM counts
+    )
+    SELECT user_id, CAST(sum(t) AS DOUBLE) AS entropy_bits
+    FROM terms GROUP BY user_id
+"""
+
 CORE_ORACLES["a36_dominance"] = """
     WITH counts AS (
       SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

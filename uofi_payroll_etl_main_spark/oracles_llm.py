@@ -1291,6 +1291,19 @@ LLM_ORACLES: dict[str, str] = {
                    - CAST(p.n_b AS DOUBLE) / CAST(t.tb AS DOUBLE)) AS abs_drift
         FROM per p CROSS JOIN tot t
     """,
+    "llm_dedup_keep_longest": r"""
+        WITH fp AS (
+          SELECT doc_id, n_chars,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+          FROM documents
+        )
+        SELECT fingerprint, doc_id AS keeper_id, n_chars FROM (
+          SELECT fingerprint, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM fp
+        ) WHERE rn = 1
+    """,
     "llm_dedup_audit": r"""
         WITH fp AS (
           SELECT source,

@@ -841,6 +841,27 @@ def e20_pad_ids(spark, sf):
     )
 
 
+def a37_entropy(spark, sf):
+    """Behavioral diversity: Shannon entropy (bits) of each user's
+    event-type distribution.  p*log2(p) terms are rounded to 6 digits
+    before the DECIMAL-order-free sum (libm log is not guaranteed
+    correctly rounded, unlike sqrt) -- the bigram_logprob discipline."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    return (
+        counts.withColumn("__t", term)
+        .groupBy("user_id")
+        .agg(F.sum("__t").cast("double").alias("entropy_bits"))
+    )
+
+
 def a36_dominance(spark, sf):
     """Per-user behavioral dominance: the most frequent event type and
     its share of the user's events (mode + share in one pass; ties
@@ -2699,6 +2720,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p11_distinct_from": p11_distinct_from,
     "e20_pad_ids": e20_pad_ids,
     "a36_dominance": a36_dominance,
+    "a37_entropy": a37_entropy,
     "d10_burst_dedup": d10_burst_dedup,
     "d11_keep_latest_n": d11_keep_latest_n,
     "j21_report_spine": j21_report_spine,

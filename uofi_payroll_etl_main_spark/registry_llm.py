@@ -1166,6 +1166,31 @@ def llm_mix_drift(spark, sf):
     )
 
 
+def llm_dedup_keep_longest(spark, sf):
+    """Quality-aware dedup keeper policy: per normalized fingerprint,
+    keep the LONGEST duplicate (ties to min doc_id) instead of the
+    first -- the policy web pipelines prefer when duplicates differ by
+    truncation.  One window over the digest shuffle."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    fp = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("fingerprint", F.col("doc_id").alias("keeper_id"), "n_chars")
+    )
+
+
 def llm_dedup_audit(spark, sf):
     """Corpus-health duplication audit per source: raw volume, distinct
     canonical fingerprints, duplicate share.  One digest groupBy --
@@ -1468,6 +1493,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_web_pipeline": llm_web_pipeline,
     "llm_extract_spans": llm_extract_spans,
     "llm_dedup_audit": llm_dedup_audit,
+    "llm_dedup_keep_longest": llm_dedup_keep_longest,
     "llm_mix_drift": llm_mix_drift,
     "llm_prefix_index": llm_prefix_index,
     "llm_balanced_sample": llm_balanced_sample,
