@@ -103,6 +103,46 @@ class TestVersionedStore:
         with _pytest.raises(FileNotFoundError):
             read_version(spark, root, 3)
 
+    def test_crashed_write_does_not_wedge_store(self, spark, tmp_path):
+        # a half-written v=N dir (no _SUCCESS) used to collide with the
+        # next publish forever; write_version must clean it and proceed
+        import os
+
+        from uofi_payroll_etl_main_spark.io import (
+            list_versions,
+            read_version,
+            write_version,
+        )
+
+        root = str(tmp_path / "crashed")
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        assert write_version(df, root) == 1
+        # simulate a crashed writer at v=2 (data present, no marker)
+        os.makedirs(os.path.join(root, "v=2"))
+        with open(os.path.join(root, "v=2", "part-garbage.parquet"), "wb") as f:
+            f.write(b"not parquet")
+        assert list_versions(root) == [1]
+        # publish succeeds at the SAME version number
+        assert write_version(df, root) == 2
+        assert list_versions(root) == [1, 2]
+        assert read_version(spark, root, 2).count() == 1
+
+    def test_remote_root_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.io import list_versions, write_version
+
+        df = spark.createDataFrame([(1,)], "id long")
+        for bad in ["s3://bucket/store", "hdfs://nn/store"]:
+            with _pytest.raises(ValueError, match="local path"):
+                list_versions(bad)
+            with _pytest.raises(ValueError, match="local path"):
+                write_version(df, bad)
+        # file:// is normalized, not rejected
+        root = "file://" + str(tmp_path / "filescheme")
+        assert write_version(df, root) == 1
+        assert list_versions(root) == [1]
+
     def test_empty_store_raises(self, spark, tmp_path):
         import pytest as _pytest
 

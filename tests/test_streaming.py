@@ -561,3 +561,26 @@ class TestFreshness:
         assert got["2024-01-01"] == (10, False)  # no baseline yet -> never flagged
         assert got["2024-01-09"] == (2, True)    # 2 < 0.5 * 10
         assert got["2024-01-10"][1] is False     # 10 vs mean(~9) healthy
+
+    def test_zero_event_day_appears_as_gap_row(self, spark):
+        # a fully dead day has NO input rows; the day spine must still
+        # materialize it as a 0-count flagged gap (the headline use
+        # case: a dead producer)
+        from pyspark.sql import functions as F
+
+        from uofi_payroll_etl_main_spark.report import check_freshness
+
+        rows_in = []
+        eid = 0
+        for d in (1, 2, 3, 4, 6):  # day 5 is silent
+            for _ in range(10):
+                rows_in.append((eid, f"2024-02-0{d}")); eid += 1
+        df = spark.createDataFrame(rows_in, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        got = {r["day"]: (r["n_events"], r["is_gap"]) for r in check_freshness(df).collect()}
+        assert set(got) == {f"2024-02-0{d}" for d in range(1, 7)}  # complete spine
+        assert got["2024-02-05"] == (0, True)  # the dead day is a flagged row
+        # the day after the outage compares against a baseline that
+        # INCLUDES the 0-count day (true per-calendar-day mean: 8)
+        assert got["2024-02-06"] == (10, False)

@@ -70,6 +70,11 @@ class TestNormalizeUrl:
         ("https://example.com/p/?ref=tw&a=1&gclid=z", "https://example.com/p?a=1"),
         ("https://sub.example.com/CaseKept", "https://sub.example.com/CaseKept"),
         ("https://example.com", "https://example.com"),
+        # params whose name CONTAINS a tracking name must survive:
+        # `ref` must not match inside `href=` / `xref=` (boundary anchor)
+        ("https://example.com/p?href=abc&id=2", "https://example.com/p?href=abc&id=2"),
+        ("https://example.com/p?xref=abc&ref=tw", "https://example.com/p?xref=abc"),
+        ("https://example.com/p?href=h&utm_source=n&id=3", "https://example.com/p?href=h&id=3"),
     ]
 
     def test_known_cases(self, spark):
@@ -187,6 +192,23 @@ class TestRobotsFilter:
         )
         assert got[1]["allowed"] is False
         assert got[2]["allowed"] is True
+
+    def test_duplicate_input_rows_preserved(self, spark):
+        # exact-duplicate input rows must come out once EACH -- the
+        # filter annotates, it never changes cardinality
+        from uofi_payroll_etl_main_spark.llm.web import robots_filter
+
+        udf = spark.createDataFrame(
+            [(1, "a.com", "/x"), (1, "a.com", "/x"), (2, "a.com", "/y")],
+            "doc_id long, domain string, path string",
+        )
+        rdf = spark.createDataFrame(
+            [("a.com", "/x", False)], "domain string, prefix string, allow boolean"
+        )
+        out = robots_filter(udf, rdf)
+        assert out.count() == 3
+        assert out.filter("doc_id = 1").count() == 2
+        assert out.columns == ["doc_id", "domain", "path", "allowed", "matched_prefix"]
 
     def test_rule_join_broadcasts(self, spark):
         from uofi_payroll_etl_main_spark.llm.web import robots_filter

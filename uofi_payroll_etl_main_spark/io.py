@@ -671,6 +671,28 @@ def snapshot_diff(
 # Versioned snapshot store (table-format-lite: publish + time travel)
 # ---------------------------------------------------------------------------
 
+def _local_store_root(root: str) -> str:
+    """Validate that a versioned-store root is a driver-local path.
+
+    The store's commit protocol lists directories with os.listdir, so
+    the root MUST live on the driver's local filesystem; an s3:// or
+    hdfs:// root would silently read as an empty store while
+    df.write.parquet happily wrote to the remote filesystem, splitting
+    the commit protocol from the data path.  `file://` URIs are
+    normalized to a plain path; any other scheme raises loudly.  (A
+    production edition would list via the Hadoop FileSystem API so
+    both halves share one filesystem abstraction.)
+    """
+    if root.startswith("file://"):
+        return root[len("file://"):]
+    if "://" in root:
+        raise ValueError(
+            f"versioned store root must be a local path, got {root!r}: "
+            "the version listing uses the driver's local filesystem"
+        )
+    return root
+
+
 def list_versions(root: str) -> list[int]:
     """Committed versions at `root`, ascending.  A version counts only
     once its Spark `_SUCCESS` marker exists -- half-written snapshots
@@ -678,6 +700,7 @@ def list_versions(root: str) -> list[int]:
     import os
     import re as _re
 
+    root = _local_store_root(root)
     if not os.path.isdir(root):
         return []
     out = []
@@ -699,12 +722,27 @@ def write_version(df: DataFrame, root: str) -> int:
     listing versions mid-write simply does not see N yet.  At 100 TB
     this is the same O(files) commit as any parquet write -- no table
     lock, no manifest rewrite of earlier versions.
+
+    Crash recovery: a writer that died mid-write leaves `v=N/` with no
+    `_SUCCESS`.  That directory is invisible to readers but would
+    collide with the next publish (mode('error') raises on an existing
+    path), wedging the store forever.  So an UNCOMMITTED directory at
+    the chosen version is deleted before writing -- committed versions
+    are never touched, and the documented ConcurrentWriteError
+    re-derive-and-retry loop can actually make progress after a crash.
     """
+    import os
+    import shutil
+
+    root = _local_store_root(root)
     vs = list_versions(root)
     n = (vs[-1] + 1) if vs else 1
-    import os
-
-    df.write.mode("error").parquet(os.path.join(root, f"v={n}"))
+    target = os.path.join(root, f"v={n}")
+    if os.path.isdir(target) and not os.path.exists(
+        os.path.join(target, "_SUCCESS")
+    ):
+        shutil.rmtree(target)
+    df.write.mode("error").parquet(target)
     return n
 
 

@@ -43,12 +43,16 @@ __all__ = [
     "quality_classify",
     "robots_filter",
     "TRACKING_PARAMS_RE",
+    "TRACKING_PARAM_FULL_RE",
     "HASH_BUCKETS",
 ]
 
-# Tracking query parameters dropped during URL canonicalization; the
-# alternation is anchored to the param position by the callers.
+# Tracking query parameters dropped during URL canonicalization.  The
+# full pattern anchors the name to a parameter boundary (`?` or `&`)
+# and keeps the captured separator, so `ref` never matches inside a
+# longer name such as `href=` or `xref=`.
 TRACKING_PARAMS_RE = r"(utm_[a-z]+|gclid|fbclid|ref)"
+TRACKING_PARAM_FULL_RE = r"([?&])" + TRACKING_PARAMS_RE + r"=[^&#]*"
 
 # Feature-hash dimensionality for the quality classifier.
 HASH_BUCKETS = 4096
@@ -108,8 +112,10 @@ def synth_url(id_col: str | Column = "doc_id", src_col: str | Column = "source")
     q = (
         F.when(
             i % 3 == 0,
+            # `href=` is the adversarial case: a non-tracking param whose
+            # name CONTAINS `ref` -- it must survive canonicalization.
             F.concat(
-                F.lit("?utm_source=news&id="),
+                F.lit("?href=h&utm_source=news&id="),
                 (i % 20).cast("string"),
                 F.lit("&utm_medium=m"),
             ),
@@ -136,8 +142,9 @@ def url_parts(col: str | Column) -> dict[str, Column]:
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(rest, r"(\?.*)$", 1)
-    # drop tracking params, then tidy separators left behind
-    query = F.regexp_replace(query, r"(?i)" + TRACKING_PARAMS_RE + r"=[^&#]*", "")
+    # drop tracking params (boundary-anchored, separator kept), then
+    # tidy separators left behind
+    query = F.regexp_replace(query, r"(?i)" + TRACKING_PARAM_FULL_RE, "$1")
     query = F.regexp_replace(query, r"\?&+", "?")
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"[?&]+$", "")
@@ -231,6 +238,12 @@ def robots_filter(
     fired).
     """
     key_cols = [c for c in df.columns]
+    # A synthesized per-row id keeps the argmax re-aggregation exactly
+    # row-preserving: grouping on the input columns alone would collapse
+    # exact-duplicate input rows, changing cardinality beyond the
+    # allow/deny contract.
+    rid = "__robots_row_id"
+    df = df.withColumn(rid, F.monotonically_increasing_id())
     # rename the rule-side key: both frames may share lineage (rules
     # derived from the same table), which makes unqualified references
     # ambiguous under Spark 4's self-join resolution
@@ -247,7 +260,7 @@ def robots_filter(
             "left",
         )
         .drop("__rule_domain")
-        .groupBy(*key_cols)
+        .groupBy(rid, *key_cols)
         .agg(
             F.max(
                 F.when(

@@ -1491,9 +1491,17 @@ CORE_ORACLES["a32_basket_pairs"] = """
 """
 
 CORE_ORACLES["v8_freshness"] = """
-    WITH days AS (
-      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_events
+    WITH observed AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_obs
       FROM events GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM observed),
+                                    (SELECT max(d) FROM observed),
+                                    INTERVAL 1 DAY))::DATE AS d
+    ), days AS (
+      SELECT strftime(s.d, '%Y-%m-%d') AS day,
+             CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_events
+      FROM spine s LEFT JOIN observed o ON s.d = o.d
     )
     SELECT day, n_events,
            avg(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)

@@ -1162,7 +1162,7 @@ LLM_ORACLES: dict[str, str] = {
                  'HTTPS://WWW.m' || CAST(doc_id % 2 AS VARCHAR) || '.' || source
                  || '.COM:443/A/' || CAST(doc_id % 10 AS VARCHAR) || '/'
                  || CASE WHEN doc_id % 3 = 0
-                         THEN '?utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
+                         THEN '?href=h&utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
                               || '&utm_medium=m'
                          WHEN doc_id % 3 = 1
                          THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
@@ -1184,7 +1184,7 @@ LLM_ORACLES: dict[str, str] = {
                  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
                  regexp_replace(regexp_replace(regexp_replace(
                    regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
-                     '(?i)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                     '(?i)([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
                    '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS query
           FROM parts
         )
@@ -1199,7 +1199,7 @@ LLM_ORACLES: dict[str, str] = {
                  'HTTPS://WWW.m' || CAST(doc_id % 2 AS VARCHAR) || '.' || source
                  || '.COM:443/A/' || CAST(doc_id % 10 AS VARCHAR) || '/'
                  || CASE WHEN doc_id % 3 = 0
-                         THEN '?utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
+                         THEN '?href=h&utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
                               || '&utm_medium=m'
                          WHEN doc_id % 3 = 1
                          THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
@@ -1222,7 +1222,7 @@ LLM_ORACLES: dict[str, str] = {
                  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
                  regexp_replace(regexp_replace(regexp_replace(
                    regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
-                     '(?i)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                     '(?i)([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
                    '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS query
           FROM parts
         ), per_url AS (
@@ -1374,7 +1374,7 @@ LLM_ORACLES: dict[str, str] = {
                  'HTTPS://WWW.m' || CAST(doc_id % 2 AS VARCHAR) || '.' || source
                  || '.COM:443/A/' || CAST(doc_id % 10 AS VARCHAR) || '/'
                  || CASE WHEN doc_id % 3 = 0
-                         THEN '?utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
+                         THEN '?href=h&utm_source=news&id=' || CAST(doc_id % 20 AS VARCHAR)
                               || '&utm_medium=m'
                          WHEN doc_id % 3 = 1
                          THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
@@ -1396,7 +1396,7 @@ LLM_ORACLES: dict[str, str] = {
                  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
                  regexp_replace(regexp_replace(regexp_replace(
                    regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
-                     '(?i)(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                     '(?i)([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
                    '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS query
           FROM parts
         ), keepers AS (

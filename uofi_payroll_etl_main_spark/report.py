@@ -249,12 +249,29 @@ def check_freshness(
     day grain (the window then runs over ~365 rows/year -- metadata
     scale); counts are exact longs, the baseline is sum/count division
     (bit-stable across engines).
+
+    Days with ZERO events are materialized explicitly: a complete day
+    spine (sequence(min day, max day)) is left-joined to the observed
+    counts with coalesce(n, 0), so a fully dead day appears as a
+    0-count gap row instead of silently vanishing -- and the trailing
+    window's baseline is a true per-calendar-day mean, never stretched
+    across missing days.  The spine is derived from the already-
+    aggregated day table, so events is still scanned exactly once.
     """
     from pyspark.sql import Window
 
+    observed = (
+        events.groupBy(F.to_date(F.col(ts_col)).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    bounds = observed.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
     days = (
-        events.groupBy(F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        spine.join(observed, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_events"),
+        )
     )
     w = Window.orderBy("day").rowsBetween(-int(trailing_days), -1)
     base = F.avg("n_events").over(w)
