@@ -70,6 +70,8 @@ HEADLINERS = [
     "llm_quality_classifier",
     "llm_robots_filter",
     "llm_negative_pairs",
+    "llm_anchor_positives_lsh",
+    "llm_hard_negatives_lsh",
     "llm_vocab_coverage",
     "llm_curriculum",
     "llm_index_dedup",

@@ -9,8 +9,10 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_spark.llm.similarity import (
+    anchor_positives_lsh,
     cosine_topk,
     hard_negatives,
+    hard_negatives_lsh,
     negative_pairs,
 )
 
@@ -89,3 +91,78 @@ class TestNegativePairs:
         assert "CartesianProduct" not in plan
         # single BNLJ allowed: the single-row id-space bound broadcast
         assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+class TestLshMiningTiers:
+    """LSH-bucketed scale tiers vs their exact crossJoin baselines:
+    precision is exact by construction (every emitted pair is truly
+    scored), recall is bounded below."""
+
+    def _exact_positive(self, spark, emb):
+        from pyspark.sql import Window
+
+        q = emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("__qv"),
+            F.col("label").alias("anchor_label"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("pos_id"),
+            F.col("embedding").alias("__cv"),
+            F.col("label").alias("pos_label"),
+        )
+        from uofi_payroll_etl_main_spark.llm.similarity import dot, l2_norm
+
+        pairs = q.crossJoin(c).filter(
+            (F.col("anchor_id") != F.col("pos_id"))
+            & (F.col("anchor_label") == F.col("pos_label"))
+        )
+        sim = F.round(
+            dot(F.col("__qv"), F.col("__cv"))
+            / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+            6,
+        )
+        w = Window.partitionBy("anchor_id").orderBy(F.desc("similarity"), F.asc("pos_id"))
+        return (
+            pairs.withColumn("similarity", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 1)
+        )
+
+    def test_positive_recall_vs_exact(self, spark):
+        emb = _emb(spark).cache()
+        exact = {r["anchor_id"]: r["pos_id"] for r in self._exact_positive(spark, emb).collect()}
+        approx = {
+            r["anchor_id"]: r["cand_id"]
+            for r in anchor_positives_lsh(emb, k=1).collect()
+        }
+        hits = sum(1 for a, p in exact.items() if approx.get(a) == p)
+        recall = hits / len(exact)
+        assert recall >= 0.9, f"positive recall {recall:.3f} < 0.9"
+        # precision-exactness: every emitted pair shares the label
+        for r in anchor_positives_lsh(emb, k=1).collect():
+            assert r["anchor_label"] == r["cand_label"]
+
+    def test_negative_recall_vs_exact(self, spark):
+        emb = _emb(spark).cache()
+        exact = {
+            (r["anchor_id"], r["rank"]): r["neg_id"]
+            for r in hard_negatives(emb, k=1).collect()
+        }
+        approx = {
+            (r["anchor_id"], r["rank"]): r["cand_id"]
+            for r in hard_negatives_lsh(emb, k=1).collect()
+        }
+        hits = sum(1 for key, n in exact.items() if approx.get(key) == n)
+        recall = hits / len(exact)
+        assert recall >= 0.9, f"negative recall {recall:.3f} < 0.9"
+        for r in hard_negatives_lsh(emb, k=1).collect():
+            assert r["anchor_label"] != r["cand_label"]
+            assert r["anchor_id"] != r["cand_id"]
+
+    def test_no_cross_join_in_plan(self, spark):
+        emb = _emb(spark)
+        for tier in (anchor_positives_lsh, hard_negatives_lsh):
+            plan = tier(emb, k=1)._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan

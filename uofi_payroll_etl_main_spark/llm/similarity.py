@@ -38,6 +38,8 @@ __all__ = [
     "quantize_embeddings",
     "cosine_topk_quantized",
     "hard_negatives",
+    "hard_negatives_lsh",
+    "anchor_positives_lsh",
     "negative_pairs",
 ]
 
@@ -885,4 +887,184 @@ def negative_pairs(
             & (F.col("neg_label") != F.col("anchor_label"))
         )
         .select("anchor_id", "anchor_label", "slot", "neg_id", "neg_label")
+    )
+
+
+def _bucket_table_labeled(
+    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """_bucket_table with the label carried alongside the vector, so
+    label-aware miners can block or mask inside each bucket without a
+    join back to the source."""
+    import pandas as pd
+
+    num_tables, nbits, dim = planes.shape
+    flat = planes.reshape(num_tables * nbits, dim)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    lab_t = _id_sql_type(df, label_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (cm @ flat.T) >= 0
+            frames = []
+            for t in range(num_tables):
+                bucket = bits[:, t * nbits : (t + 1) * nbits] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col],
+                            "lab": pdf[label_col],
+                            "table": np.full(len(pdf), t, dtype=np.int32),
+                            "bucket": bucket,
+                            "vec": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return df.mapInPandas(
+        assign,
+        schema=(
+            f"vid {_id_sql_type(df, id_col)}, lab {lab_t}, table int, "
+            "bucket long, vec array<float>"
+        ),
+    )
+
+
+def _mine_pairs_lsh(
+    emb: DataFrame,
+    same_label: bool,
+    k: int,
+    num_tables: int,
+    nbits: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    seed: int,
+) -> DataFrame:
+    """Shared LSH-bucketed kernel behind anchor_positives_lsh /
+    hard_negatives_lsh.
+
+    Scale shape: candidates meet ONLY inside a shuffle group -- for
+    positives the group key is (label, table, bucket) (label blocking
+    composes with the hyperplane bucket, shrinking groups further), for
+    negatives (table, bucket) with a same-label mask applied to the
+    in-group similarity matrix.  Within a group one NumPy matmul scores
+    the block; a final window re-ranks each anchor's candidates across
+    tables.  Driver traffic: the seeded planes only (plan literals).
+    Recall is bounded by bucket collision probability, pytest-checked
+    against the exact tiers.
+    """
+    import pandas as pd
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(num_tables, nbits, dim, seed)
+    bucketed = _bucket_table_labeled(emb, planes, id_col, vec_col, label_col)
+
+    id_t = _id_sql_type(emb, id_col)
+    lab_t = _id_sql_type(emb, label_col)
+    empty_id = "int64" if id_t == "long" else "object"
+    empty_lab = "int64" if lab_t == "long" else "object"
+    out_schema = (
+        f"anchor_id {id_t}, anchor_label {lab_t}, cand_id {id_t}, "
+        f"cand_label {lab_t}, similarity double"
+    )
+
+    def bucket_mine(key, pdf):
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "anchor_id": pd.Series([], dtype=empty_id),
+                "anchor_label": pd.Series([], dtype=empty_lab),
+                "cand_id": pd.Series([], dtype=empty_id),
+                "cand_label": pd.Series([], dtype=empty_lab),
+                "similarity": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+        sims = np.round(cm @ cm.T, ROUND_DIGITS)
+        ids = pdf["vid"].to_numpy()
+        labs = pdf["lab"].to_numpy()
+        np.fill_diagonal(sims, -np.inf)
+        if not same_label:
+            sims[labs[:, None] == labs[None, :]] = -np.inf
+        take = min(k, n - 1)
+        idx = _topk_tiebroken(sims, ids, take)
+        qi = np.repeat(np.arange(n), take)
+        ci = idx.ravel()
+        sel = sims[qi, ci]
+        keep = np.isfinite(sel)
+        return pd.DataFrame(
+            {
+                "anchor_id": ids[qi][keep],
+                "anchor_label": labs[qi][keep],
+                "cand_id": ids[ci][keep],
+                "cand_label": labs[ci][keep],
+                "similarity": sel[keep],
+            }
+        )
+
+    group_keys = ["lab", "table", "bucket"] if same_label else ["table", "bucket"]
+    cand = bucketed.groupBy(*group_keys).applyInPandas(bucket_mine, schema=out_schema)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("similarity"), F.asc("cand_id"))
+    return (
+        cand.dropDuplicates(["anchor_id", "cand_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", "similarity", "rank")
+    )
+
+
+def anchor_positives_lsh(
+    emb: DataFrame,
+    k: int = 1,
+    num_tables: int = 16,
+    nbits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Positive-pair mining, LSH-bucketed SCALE tier: per anchor, the k
+    most cosine-similar SAME-label vectors, candidates met only inside
+    (label, table, bucket) groups -- never an all-pairs product.  The
+    exact crossJoin tier (registry llm_anchor_positives) is the recall
+    baseline; pytest asserts recall against it."""
+    return _mine_pairs_lsh(
+        emb, True, k, num_tables, nbits, id_col, vec_col, label_col, seed
+    )
+
+
+def hard_negatives_lsh(
+    emb: DataFrame,
+    k: int = 1,
+    num_tables: int = 16,
+    nbits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining, LSH-bucketed SCALE tier: per anchor, the k
+    most cosine-similar DIFFERENT-label vectors, candidates met only
+    inside (table, bucket) hyperplane groups with the same-label mask
+    applied to the in-group score block.  The exact crossJoin tier
+    (hard_negatives) is the recall baseline; pytest asserts recall
+    against it.
+
+    Default (16 tables, 3 bits) holds recall ~0.95+ even when the true
+    nearest neighbor sits at a wide angle (uniform-ish embeddings).
+    Tuning at scale: raise nbits to keep per-bucket row counts bounded
+    (compare work is sum of bucket^2), then raise num_tables to buy the
+    recall back -- collision prob per table is (1 - acos(c)/pi)^nbits."""
+    return _mine_pairs_lsh(
+        emb, False, k, num_tables, nbits, id_col, vec_col, label_col, seed
     )

@@ -1344,6 +1344,32 @@ def llm_hard_negatives(spark, sf):
     return LS.hard_negatives(_t(spark, sf, "embeddings"), k=2)
 
 
+def llm_anchor_positives_lsh(spark, sf):
+    """Positive-pair mining, LSH-bucketed SCALE tier (rows-only gate):
+    same contract as llm_anchor_positives but candidates meet only
+    inside (label, table, bucket) hyperplane groups -- no crossJoin
+    anywhere in the plan.  Recall vs the exact tier is pytest-bounded
+    (tests/test_negatives.py)."""
+    out = LS.anchor_positives_lsh(_t(spark, sf, "embeddings"), k=1)
+    return out.select("anchor_id", "anchor_label", F.col("cand_id").alias("pos_id"), "similarity")
+
+
+def llm_hard_negatives_lsh(spark, sf):
+    """Hard-negative mining, LSH-bucketed SCALE tier (rows-only gate):
+    same contract as llm_hard_negatives (k=2) with candidates met only
+    inside (table, bucket) groups, same-label pairs masked in-block.
+    Recall vs the exact tier is pytest-bounded."""
+    out = LS.hard_negatives_lsh(_t(spark, sf, "embeddings"), k=2)
+    return out.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cand_label").alias("neg_label"),
+        "similarity",
+        "rank",
+    )
+
+
 def llm_negative_pairs(spark, sf):
     """Deterministic random negative sampling, k=4 slots per anchor;
     misses/self/same-label slots drop by contract."""
@@ -1487,6 +1513,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_robots_filter": llm_robots_filter,
     "llm_hard_negatives": llm_hard_negatives,
     "llm_anchor_positives": llm_anchor_positives,
+    "llm_hard_negatives_lsh": llm_hard_negatives_lsh,
+    "llm_anchor_positives_lsh": llm_anchor_positives_lsh,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
