@@ -15,6 +15,7 @@ from uofi_payroll_etl_main_spark.llm.multimodal import (
     FEATURE_DIM,
     decode_media,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     extract_features,
@@ -55,6 +56,110 @@ def test_bmp_roundtrip_matches_ppm_decode():
     got = decode_media(encode_bmp(px), "image")
     assert got["width"] == 5 and got["height"] == 4
     assert np.array_equal(got["pixels"], px)
+
+
+def test_png_roundtrip():
+    px = (np.arange(6 * 7 * 3, dtype=np.int64) * 29 % 256).astype(np.uint8).reshape(6, 7, 3)
+    payload = encode_png(px)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    got = decode_media(payload, "image")
+    assert got["width"] == 7 and got["height"] == 6
+    assert np.array_equal(got["pixels"], px)
+
+
+def _png_forward_filter(px: np.ndarray, filters: list[int], nch: int = 3) -> bytes:
+    """Independent FORWARD scanline filter (PNG spec 9.2) -- the test-side
+    half of the codec: product code only implements the inverse."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w, _ = px.shape
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for r in range(h):
+        f = filters[r % len(filters)]
+        cur = flat[r]
+        prev = flat[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        out = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    colortype = {1: 0, 3: 2, 4: 6}[nch]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_all_filter_types_decode():
+    # every scanline filter type, produced by an independent forward
+    # implementation, must invert to the original pixels
+    px = ((np.arange(8 * 9 * 3, dtype=np.int64) * 53 + 11) % 256).astype(np.uint8).reshape(8, 9, 3)
+    payload = _png_forward_filter(px, filters=[0, 1, 2, 3, 4])
+    got = decode_media(payload, "image")
+    assert np.array_equal(got["pixels"], px)
+
+
+def test_png_gray_and_rgba_variants():
+    h, w = 4, 5
+    gray = ((np.arange(h * w) * 37) % 256).astype(np.uint8).reshape(h, w, 1)
+    payload = _png_forward_filter(gray, filters=[0, 2], nch=1)
+    got = decode_media(payload, "image")
+    assert got["pixels"].shape == (h, w, 3)
+    assert np.array_equal(got["pixels"], np.repeat(gray, 3, axis=2))
+
+    rgba = ((np.arange(h * w * 4) * 19) % 256).astype(np.uint8).reshape(h, w, 4)
+    payload = _png_forward_filter(rgba, filters=[1, 4], nch=4)
+    got = decode_media(payload, "image")
+    assert np.array_equal(got["pixels"], rgba[:, :, :3])
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _struct
+    import zlib as _zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth
+    bad = sig + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_media(bad, "image")
+    # palette color type
+    bad = sig + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_media(bad, "image")
+    # Adam7 interlace
+    bad = sig + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError):
+        decode_media(bad, "image")
 
 
 def test_wav_roundtrip():

@@ -7,13 +7,14 @@ resize / frame-sampling run as Arrow-batched Pandas UDFs via
 ``mapInPandas``: batches of payload bytes cross to Python once, columnar,
 never row-at-a-time.
 
-Decode kernels: the stdlib-decodable codecs are REAL -- PPM (P6) and
-uncompressed 24-bit BMP images via pure byte parsing, WAV audio via the
-stdlib ``wave`` module -- so features and resizes compute from actual
-pixels/samples.  Codecs that need third-party libs (JPEG/PNG/MP3/video)
-raise NotImplementedError at the kernel; the surrounding Spark plumbing
-is identical either way, so swapping in PIL/soundfile/av at deployment
-touches only `decode_media`.
+Decode kernels: the stdlib-decodable codecs are REAL -- PPM (P6),
+uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/RGBA, all five
+scanline filters, via zlib) for images; WAV audio via the stdlib
+``wave`` module -- so features and resizes compute from actual
+pixels/samples.  Codecs that genuinely need third-party libs
+(JPEG/MP3/video) raise NotImplementedError at the kernel; the
+surrounding Spark plumbing is identical either way, so swapping in
+PIL/soundfile/av at deployment touches only `decode_media`.
 
 The synthetic media table (`synth_media`) emits real PPM/WAV payloads by
 default, making the whole path -- synth -> decode -> feature/resize --
@@ -41,6 +42,7 @@ __all__ = [
     "RESIZE_SCHEMA",
     "encode_ppm",
     "encode_bmp",
+    "encode_png",
     "encode_wav",
     "synth_media",
     "decode_media",
@@ -156,6 +158,108 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.stack(rows)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (8-bit truecolor, filter 0 scanlines,
+    no interlace).  Pure stdlib: struct + zlib."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decode: 8-bit gray / RGB / RGBA, no interlace,
+    all five scanline filters (None/Sub/Up/Average/Paeth).  Gray
+    replicates to 3 channels, RGBA drops alpha -- output is always
+    (h, w, 3) uint8.  Anything fancier (16-bit, palette, Adam7) raises
+    NotImplementedError; swap in PIL at deployment for those."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = bitdepth = colortype = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8 or colortype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (bitdepth={bitdepth}, colortype={colortype}, "
+            f"interlace={interlace}): stdlib decoder covers 8-bit gray/RGB/RGBA, "
+            "no interlace"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[colortype]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rp = 0
+    for r in range(h):
+        f = raw[rp]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rp + 1).astype(
+            np.int32
+        )
+        rp += 1 + stride
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0  # left
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prev[i]) >> 1
+                else:
+                    b = prev[i]
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[:, :, :3]
+    return w, h, np.ascontiguousarray(px)
+
+
 def _synth_samples(n: int, seed: int) -> np.ndarray:
     i = np.arange(n, dtype=np.int64)
     return (((seed * 7 + i * 13) % 4096 - 2048) * 15).astype(np.int16)
@@ -190,7 +294,7 @@ def decode_media(payload: bytes, kind: str) -> dict:
     """Decode a payload by magic number.  Returns a dict:
       image -> {"width", "height", "pixels": (h, w, 3) uint8}
       audio -> {"rate", "samples": int16 array}
-    Unknown codecs (JPEG/PNG/MP3/any video) raise NotImplementedError --
+    Unknown codecs (JPEG/MP3/any video) raise NotImplementedError --
     swap in PIL / soundfile / av here at deployment; everything around
     this kernel (batching, schema, partitioning) is codec-agnostic."""
     if payload[:2] == b"P6":
@@ -198,6 +302,9 @@ def decode_media(payload: bytes, kind: str) -> dict:
         return {"width": w, "height": h, "pixels": px}
     if payload[:2] == b"BM":
         w, h, px = _decode_bmp(payload)
+        return {"width": w, "height": h, "pixels": px}
+    if payload[:8] == PNG_SIG:
+        w, h, px = _decode_png(payload)
         return {"width": w, "height": h, "pixels": px}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = _decode_wav(payload)
@@ -244,8 +351,14 @@ def synth_media(spark: SparkSession, n: int = 64, real_codecs: bool = True) -> D
                 kind = kinds[mid % 3]
                 if kind == "image":
                     w, h = 8 + mid % 9, 6 + mid % 5
-                    payload = encode_ppm(_synth_pixels(w, h, mid))
-                    meta = {"codec": "ppm", "width": str(w), "height": str(h)}
+                    px = _synth_pixels(w, h, mid)
+                    # alternate codecs so PPM and PNG decode paths both
+                    # run end-to-end in every gate/test corpus
+                    if mid % 2 == 0:
+                        payload, codec = encode_ppm(px), "ppm"
+                    else:
+                        payload, codec = encode_png(px), "png"
+                    meta = {"codec": codec, "width": str(w), "height": str(h)}
                 elif kind == "audio":
                     n_s = 64 + mid % 97
                     payload = encode_wav(_synth_samples(n_s, mid), rate=8000)
