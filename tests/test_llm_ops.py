@@ -200,6 +200,61 @@ def test_ivf_topk_beats_lsh_recall(embeddings):
     assert len(ivf & exact) / len(exact) >= 0.5  # probing half the cells
 
 
+def test_ivf_kmeans_centroids_beat_sampling_on_skew(spark):
+    """On a SKEWED corpus (one giant cluster, several tiny tight ones)
+    hash-sampled centroids nearly all land in the big cluster, so tiny
+    clusters share distant cells and their true neighbors escape the
+    probe set.  k-means-trained centroids must recover recall."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.llm.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    centers = rng.randn(9, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, owner = [], []
+    # cluster 0: 160 points; clusters 1..8: 5 points each (tight)
+    for ci, n in [(0, 160)] + [(i, 5) for i in range(1, 9)]:
+        for _ in range(n):
+            v = centers[ci] + 0.05 * rng.randn(dim)
+            vecs.append(v / np.linalg.norm(v))
+            owner.append(ci)
+    vecs = np.array(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "id long, embedding array<float>",
+    ).cache()
+
+    sims = np.round(vecs @ vecs.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    ids = np.arange(len(vecs))
+    exact = {(int(i), int(np.lexsort((ids, -sims[i]))[0])) for i in range(len(vecs))}
+
+    def recall(mode):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                df, k=1, n_centroids=9, n_probe=2, id_col="id", centroids=mode
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_sample, r_kmeans = recall("sample"), recall("kmeans")
+    assert r_kmeans > r_sample, (r_sample, r_kmeans)
+    assert r_kmeans >= 0.9, r_kmeans
+
+
+def test_ivf_centroids_mode_validation(spark):
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_spark.llm.similarity import ivf_topk
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_topk(df, centroids="bogus", id_col="id")
+
+
 def test_cosine_topk_vectorized_matches_catalyst(embeddings):
     from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, cosine_topk_vectorized
 

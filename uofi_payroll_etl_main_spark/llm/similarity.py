@@ -342,30 +342,48 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: str = "sample",
+    kmeans_iter: int = 3,
 ) -> DataFrame:
     """ANN cosine top-k via IVF-Flat: coarse-quantize the corpus to its
     nearest centroid, probe the `n_probe` nearest centroid cells per
     query, exact-re-rank inside the probed cells.
 
-    Centroids are a deterministic hash-ordered sample of corpus vectors
-    (no iterative k-means pass; on clustered data sampled centroids land
-    in every cluster w.h.p.).  The shuffle key is the centroid id; each
-    cell meets its probing queries in a cogroup, where the scoring block
-    is one NumPy matmul -- the classic FAISS IVF layout on Arrow.
-    Beats hyperplane LSH when neighbors sit at
-    moderate cosine (collision-probability decay makes sign-LSH recall
-    collapse below ~0.6 cosine); probing cells degrades gracefully
-    instead.
+    centroids="sample" (default): a deterministic hash-ordered sample
+    of corpus vectors -- no extra corpus pass; on roughly balanced data
+    sampled centroids land in every cluster w.h.p.  centroids="kmeans":
+    `kmeans_iter` Lloyd iterations (kmeans_assign -- distributed; the
+    driver only ever sees k*dim cells per iteration) refine that
+    placement, which matters on SKEWED corpora where hash sampling
+    starves small clusters of centroids and their queries then probe
+    only far-away cells.  That trade (recall on skew vs n_iter extra
+    corpus passes) is the standard FAISS train-vs-sample choice;
+    pytest asserts the recall improvement on a skewed corpus.
+
+    The shuffle key is the centroid id; each cell meets its probing
+    queries in a cogroup, where the scoring block is one NumPy matmul
+    -- the classic FAISS IVF layout on Arrow.  Beats hyperplane LSH
+    when neighbors sit at moderate cosine (collision-probability decay
+    makes sign-LSH recall collapse below ~0.6 cosine); probing cells
+    degrades gracefully instead.
     """
     import pandas as pd
 
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
-    )
-    cn = _norm_rows(np.array(_centroid_array(cent_rows, vec_col), dtype=np.float64))
+    if centroids == "kmeans":
+        _, cents = kmeans_assign(
+            corpus, k=n_centroids, n_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+        )
+        cn = _norm_rows(cents)
+    elif centroids == "sample":
+        cent_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
+        )
+        cn = _norm_rows(np.array(_centroid_array(cent_rows, vec_col), dtype=np.float64))
+    else:
+        raise ValueError(f"centroids must be 'sample' or 'kmeans', got {centroids!r}")
 
     def assign_cells(n_out: int):
         """mapInPandas fn: one matmul against all centroids per batch;
