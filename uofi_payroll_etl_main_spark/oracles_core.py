@@ -722,6 +722,30 @@ CORE_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT CAST(version AS INTEGER) AS version, lang, n_docs, n_chars FROM v2
     """,
+    "s17_evolving_read": """
+        WITH ev AS (
+          SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+          FROM orders
+        )
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM ev GROUP BY priority
+    """,
+    "s18_range_sorted": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    """,
     "s14_compact": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -675,6 +675,68 @@ def d6_merge_upsert(spark, sf):
     return merged.select("o_orderkey", "o_orderstatus", "version")
 
 
+def s17_evolving_read(spark, sf):
+    """S-family -- schema-evolution parquet read
+    (io.read_parquet_evolving): two write generations of the orders
+    projection land in sibling dirs -- gen1 (even orderkeys) without
+    o_orderpriority, gen2 (odd orderkeys) with it.  mergeSchema unions
+    the file schemas, null-filling the missing column for gen1 files;
+    the gate aggregates per priority so the null-fill group is part of
+    the certified value hash.  Write-once per data generation via the
+    _SUCCESS markers (same discipline as s13/s16)."""
+    from .io import read_parquet_evolving
+
+    root = _tagged_dir(sf, "orders", "orders_evolve")
+    g1, g2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    orders = _t(spark, sf, "orders")
+    if not os.path.exists(os.path.join(g1, "_SUCCESS")):
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(g1)
+    if not os.path.exists(os.path.join(g2, "_SUCCESS")):
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(g2)
+    ev = read_parquet_evolving(spark, g1, g2)
+    return ev.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def s18_range_sorted(spark, sf):
+    """S-family -- range-partitioned sorted layout (io.write_range_sorted):
+    orders written once range-partitioned + sorted on o_orderdate; the
+    gate reads the layout back through a date-range predicate (the scan
+    shape the layout exists for -- parquet min/max footer stats prune
+    files and row groups; per-file stat narrowness is plan/stat-asserted
+    in tests/test_layout.py) and certifies the data round-trip exactly
+    against the unsorted source."""
+    from .io import write_range_sorted
+
+    path = _tagged_dir(sf, "orders", "orders_rangesort")
+    orders = _t(spark, sf, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_range_sorted(
+            orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+            path,
+            by=["o_orderdate"],
+            num_files=8,
+        )
+    rd = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return rd.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def d7_merge_additive(spark, sf):
     """D-family -- incremental materialized-rollup refresh
     (io.merge_additive): the base rollup aggregates only even-user
@@ -2709,6 +2771,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s13_partition_prune": s13_partition_prune,
     "s14_compact": s14_compact,
     "s16_time_travel": s16_time_travel,
+    "s17_evolving_read": s17_evolving_read,
+    "s18_range_sorted": s18_range_sorted,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
