@@ -68,6 +68,7 @@ HEADLINERS = [
     "llm_html_strip",
     "llm_url_dedup",
     "llm_quality_classifier",
+    "llm_gopher_rules",
     "llm_robots_filter",
     "llm_negative_pairs",
     "llm_anchor_positives_lsh",

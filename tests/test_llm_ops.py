@@ -771,3 +771,66 @@ def test_semantic_dedup_matches_numpy_replica(spark, sf_dir):
             assert got[i][0] == cid
             assert got[i][1] == (exemplar[pos] == pos), (cid, i)
             assert got[i][2] == ids[exemplar[pos]], (cid, i)
+
+
+def test_gopher_rules_match_python_model(spark):
+    import re as _re
+
+    from uofi_payroll_etl_main_spark.llm.text import GOPHER_STOPWORDS, gopher_rules
+
+    data = [
+        (1, "the cat sat on the mat with a hat and that was that to be fair " * 3),
+        (2, "short text"),                          # too few words
+        (3, "### ## #tag " + "the of and to be that have with word " * 5),  # symbols
+        (4, "- bullet one\n- bullet two\n- bullet three"),  # all bullet lines
+        (5, "trailing...\nalso trailing...\nthe of and plain line to be have with " * 1),
+        (6, "12 34 56 78 90 " * 10 + "the of"),     # numeric words, low alpha frac
+        (7, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    for doc_id, text in data:
+        words = [w for w in _re.split(r"\s+", text.strip()) if w] if text.strip() else []
+        lines = text.split("\n")
+        n_words = len(words)
+        mean_wl = round(sum(len(w) for w in words) / n_words, 6) if n_words else 0.0
+        sym = round(
+            sum(1 for w in words if "#" in w or "..." in w or "…" in w) / n_words, 6
+        ) if n_words else 0.0
+        bullet = round(
+            sum(1 for l in lines if l.startswith(("-", "*", "•"))) / len(lines), 6
+        )
+        ell = round(sum(1 for l in lines if l.endswith(("...", "…"))) / len(lines), 6)
+        alpha = round(
+            sum(1 for w in words if _re.search("[A-Za-z]", w)) / n_words, 6
+        ) if n_words else 0.0
+        stops = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        keep = (
+            30 <= n_words <= 100000
+            and 3.0 <= mean_wl <= 10.0
+            and sym <= 0.1
+            and bullet <= 0.9
+            and ell <= 0.3
+            and alpha >= 0.8
+            and stops >= 2
+        )
+        g = got[doc_id]
+        assert g["n_words"] == n_words, doc_id
+        assert abs(g["mean_word_len"] - mean_wl) < 1e-9, doc_id
+        assert abs(g["symbol_ratio"] - sym) < 1e-9, doc_id
+        assert abs(g["bullet_line_frac"] - bullet) < 1e-9, doc_id
+        assert abs(g["ellipsis_line_frac"] - ell) < 1e-9, doc_id
+        assert abs(g["alpha_word_frac"] - alpha) < 1e-9, doc_id
+        assert g["stop_hits"] == stops, doc_id
+        assert g["keep"] == keep, doc_id
+
+
+def test_gopher_rules_discriminate_on_corpus(spark, sf_dir):
+    from uofi_payroll_etl_main_spark.llm.text import gopher_rules
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_rules(d, min_stop_hits=1)  # registry's corpus-adapted setting
+    kept = out.filter("keep").count()
+    total = out.count()
+    assert 0 < kept < total  # rules actually split the corpus

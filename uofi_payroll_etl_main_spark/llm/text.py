@@ -39,6 +39,8 @@ __all__ = [
     "substring_search",
     "vocab_coverage",
     "tokenize_greedy",
+    "gopher_rules",
+    "GOPHER_STOPWORDS",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -561,4 +563,107 @@ def tokenize_greedy(
     out_schema = f"{id_col} long, n_words long, n_subwords long, n_unk long"
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         run, out_schema
+    )
+
+
+# Gopher/MassiveText document-quality rule set (Rae et al. 2021, §A1.1):
+# a small battery of cheap structural filters applied before any
+# model-based scoring.  The stop-word list is the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules, one codegen-wide
+    projection per document: word-count bounds, mean word length
+    bounds, symbol-to-word ratio (# / ellipsis), bullet-started and
+    ellipsis-ended line fractions, fraction of words containing an
+    alphabetic character, and the >=2-stop-words presence rule; `keep`
+    is the conjunction.  Every rule is a higher-order-function over the
+    split token array -- no UDF, no shuffle, scan-speed filtering
+    (the 100 TB posture: quality gating costs one projection).
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stop_hits, keep) -- per-rule
+    observability so a curation run can report WHY documents dropped,
+    not just how many (the fix-the-crawler loop needs the breakdown).
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words).cast("long")
+    nw_d = n_words.cast("double")
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.round(
+        F.when(n_words > 0, total_chars.cast("double") / nw_d).otherwise(F.lit(0.0)), 6
+    )
+    n_symbol_words = F.size(
+        F.filter(words, lambda w: w.contains("#") | w.contains("...") | w.contains("…"))
+    ).cast("long")
+    symbol_ratio = F.round(
+        F.when(n_words > 0, n_symbol_words.cast("double") / nw_d).otherwise(F.lit(0.0)), 6
+    )
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = F.round(
+        F.when(n_words > 0, n_alpha_words.cast("double") / nw_d).otherwise(F.lit(0.0)), 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
     )

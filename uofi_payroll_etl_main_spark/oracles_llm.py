@@ -1627,4 +1627,46 @@ LLM_ORACLES: dict[str, str] = {
                margin >= 0 AS keep
         FROM scored
     """,
+    "llm_gopher_rules": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                         / len(words), 6)
+                 ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x ->
+                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
+                     AS DOUBLE) / len(words), 6)
+                 ELSE 0.0 END AS symbol_ratio,
+                 round(CAST(len(list_filter(lines, l ->
+                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
+                 round(CAST(len(list_filter(lines, l ->
+                   ends_with(l, '...') OR ends_with(l, chr(8230))))
+                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / len(words), 6)
+                 ELSE 0.0 END AS alpha_word_frac,
+                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+          FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+               ellipsis_line_frac, alpha_word_frac, stop_hits,
+               (n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS keep
+        FROM m
+    """,
 }

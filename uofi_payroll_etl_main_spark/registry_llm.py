@@ -1420,6 +1420,17 @@ def llm_quality_classifier(spark, sf):
     return quality_classify(_t(spark, sf, "documents"))
 
 
+def llm_gopher_rules(spark, sf):
+    """Gopher/MassiveText structural quality rules over the documents
+    corpus: per-rule metrics + the conjunctive keep flag, all codegen
+    HOFs in one projection (llm/text.py gopher_rules).  min_stop_hits
+    is relaxed to 1 for this corpus (the synthetic vocabulary carries
+    only 'the' from the Gopher stop list); every other threshold is
+    the paper default, and the keep flag genuinely splits the corpus
+    (pytest-held)."""
+    return LT.gopher_rules(_t(spark, sf, "documents"), min_stop_hits=1)
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_rep_signals": llm_rep_signals,
     "llm_line_dedup": llm_line_dedup,
@@ -1516,6 +1527,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_hard_negatives_lsh": llm_hard_negatives_lsh,
     "llm_anchor_positives_lsh": llm_anchor_positives_lsh,
     "llm_vocab_coverage": llm_vocab_coverage,
+    "llm_gopher_rules": llm_gopher_rules,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
