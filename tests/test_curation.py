@@ -319,3 +319,40 @@ class TestMixtureApply:
         n = d.count()
         kept = mixture_apply(d, target_frac=0.5).count()
         assert 0.35 * n < kept < 0.65 * n  # md5-bucket noise at small n
+
+
+class TestContaminationOverlap:
+    def test_graded_fractions(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import contamination_overlap
+
+        # benchmark doc: 6 words -> two 5-grams
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [
+                # identical -> both grams hit: overlap 1.0
+                (1, "alpha beta gamma delta epsilon zeta"),
+                # first 5 words only -> its single gram hits: 1.0
+                (2, "alpha beta gamma delta epsilon"),
+                # one shared gram out of three: 1/3
+                (3, "alpha beta gamma delta epsilon one two"),
+                # disjoint: 0.0
+                (4, "totally different words here that never overlap anything"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in contamination_overlap(docs, bench, n=5).collect()}
+        assert got[1]["overlap_frac"] == 1.0 and got[1]["n_grams"] == 2
+        assert got[2]["overlap_frac"] == 1.0 and got[2]["n_grams"] == 1
+        assert got[3]["n_grams"] == 3 and got[3]["n_hit"] == 1
+        assert abs(got[3]["overlap_frac"] - round(1 / 3, 6)) < 1e-9
+        assert got[4]["overlap_frac"] == 0.0 and got[4]["n_hit"] == 0
+
+    def test_total_docs_preserved(self, spark, sf_dir):
+        from uofi_payroll_etl_main_spark.llm.curation import contamination_overlap
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.filter("doc_id % 97 = 0")
+        out = contamination_overlap(docs, bench, n=5)
+        assert out.count() == docs.count()  # every doc scored, even 0-overlap

@@ -27,6 +27,7 @@ from .text import token_count
 
 __all__ = [
     "decontaminate",
+    "contamination_overlap",
     "contaminated_ids",
     "stratified_sample",
     "split_assign",
@@ -98,6 +99,49 @@ def decontaminate(
     """
     contam = contaminated_ids(docs, benchmark, n, id_col, text_col)
     return docs.join(F.broadcast(contam), id_col, "left_anti")
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Graded contamination score: per corpus document, the fraction of
+    its DISTINCT word n-grams that appear anywhere in the benchmark.
+
+    The boolean decontaminate() drops on ANY shared gram; real
+    curation policy usually wants a threshold ("drop above 20%
+    overlap, audit above 5%"), which needs the graded view.  Returns
+    (id, n_grams, n_hit, overlap_frac).
+
+    Scale shape: identical to contaminated_ids -- the benchmark gram
+    set broadcasts, the corpus is one scan -> explode -> broadcast
+    left join; the only shuffle carries (id, two counters), never text.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = _ensure_parallelism(docs).select(
+        F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+    )
 
 
 def stratified_sample(

@@ -383,6 +383,32 @@ LLM_ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d ANTI JOIN contam c ON d.doc_id = c.doc_id
     """,
+    "llm_contamination_overlap": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+        FROM g LEFT JOIN bench b USING (gram)
+        GROUP BY g.doc_id
+    """,
     "llm_contamination_rate": f"""
         WITH toks AS (
           SELECT doc_id,

@@ -286,6 +286,17 @@ def llm_contamination_rate(spark, sf):
     )
 
 
+def llm_contamination_overlap(spark, sf):
+    """Graded per-document contamination: fraction of each doc's
+    distinct 5-grams present in the benchmark holdout (doc_id % 97)
+    -- the thresholdable view behind decontaminate's boolean."""
+    from .llm.curation import contamination_overlap
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_overlap(docs, bench, n=5)
+
+
 def llm_stratified_sample(spark, sf):
     """Deterministic per-language downsampling (en 50%, zh 20%, rest
     10%) by doc_id mod 100 -- reproducible across engines, so it
@@ -1466,6 +1477,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_embed_dup": llm_embed_dup,
     "llm_embed_dup_lsh": llm_embed_dup_lsh,
     "llm_decontaminate": llm_decontaminate,
+    "llm_contamination_overlap": llm_contamination_overlap,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_split_assign": llm_split_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,
