@@ -834,3 +834,80 @@ def test_gopher_rules_discriminate_on_corpus(spark, sf_dir):
     kept = out.filter("keep").count()
     total = out.count()
     assert 0 < kept < total  # rules actually split the corpus
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _reference_bpe(word_counts: dict, n_merges: int, min_pair_count: int = 2):
+        """Independent pure-Python BPE (Sennrich alg. 1) with the same
+        tie-break (count desc, pair lexicographic asc)."""
+        vocab = {w: list(w) + ["</w>"] for w in word_counts}
+        merges = []
+        for rank in range(n_merges):
+            pair_counts = {}
+            for w, sym in vocab.items():
+                for i in range(len(sym) - 1):
+                    p = (sym[i], sym[i + 1])
+                    pair_counts[p] = pair_counts.get(p, 0) + word_counts[w]
+            if not pair_counts:
+                break
+            best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            if cnt < min_pair_count:
+                break
+            merges.append((rank, a, b, a + b, cnt))
+            for w, sym in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                vocab[w] = out
+        return merges, vocab
+
+    def test_matches_reference_on_crafted_corpus(self, spark):
+        from collections import Counter
+
+        from uofi_payroll_etl_main_spark.llm.text import bpe_train
+
+        texts = [
+            "low low low low low lower lower newest newest newest",
+            "newest newest newest widest widest widest new new knew",
+            "the theme then there the the anthem",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        wc = Counter(w for t in texts for w in t.split())
+        exp_merges, exp_vocab = self._reference_bpe(dict(wc), n_merges=15)
+        got_merges, got_words = bpe_train(df, n_merges=15)
+        assert [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in got_merges
+        ] == exp_merges
+        got_vocab = {r["w"]: list(r["symbols"]) for r in got_words.collect()}
+        assert got_vocab == exp_vocab
+
+    def test_greedy_leftmost_nonoverlapping(self, spark):
+        from uofi_payroll_etl_main_spark.llm.text import bpe_train
+
+        # 'aaaa' under merge (a,a): leftmost non-overlapping -> [aa, aa]
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+        )
+        merges, words = bpe_train(df, n_merges=1)
+        assert merges[0]["left"] == "a" and merges[0]["right"] == "a"
+        sym = words.collect()[0]["symbols"]
+        assert sym == ["aa", "aa", "</w>"]
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from uofi_payroll_etl_main_spark.llm.text import bpe_train
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        m1, _ = bpe_train(d, n_merges=8)
+        m2, _ = bpe_train(d, n_merges=8)
+        assert m1 == m2
+        assert len(m1) == 8  # corpus is rich enough for all 8 merges

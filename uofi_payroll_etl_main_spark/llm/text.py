@@ -41,6 +41,7 @@ __all__ = [
     "tokenize_greedy",
     "gopher_rules",
     "GOPHER_STOPWORDS",
+    "bpe_train",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -667,3 +668,103 @@ def gopher_rules(
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+def _bpe_merge_expr(sym: Column, a: str, b: str, ab: str) -> Column:
+    """Apply ONE merge rule (a,b)->ab to a symbol array: greedy
+    leftmost non-overlapping replacement of adjacent (a,b), the exact
+    BPE apply step, as a foldLeft (F.aggregate) -- pure codegen, the
+    rule pair ships as plan literals."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+):
+    """Distributed byte-pair-encoding vocabulary training (Sennrich et
+    al. 2016 word-level BPE): learn `n_merges` merge rules from corpus
+    word frequencies.  Returns (merges, word_symbols) where `merges`
+    is a list of dicts {rank, left, right, merged, pair_count} (the
+    ordered merge table a tokenizer consumes) and `word_symbols` the
+    final per-word symbol arrays DataFrame (word, symbols, n_words).
+
+    Scale design -- the corpus is touched ONCE:
+      * One corpus scan aggregates word counts; every subsequent step
+        runs on the DISTINCT-WORD table (vocab-scale: ~10^5..10^7 rows
+        at 100 TB, thousands of times smaller than the corpus).
+      * Per iteration: adjacent-pair counts are a transform+explode
+        over the symbol arrays weighted by word count (map-side
+        partial agg on the (left,right) key), the argmax pair is ONE
+        driver row (count DESC, pair ASC tie-break -- deterministic),
+        and the merge applies as a codegen foldLeft projection.
+      * Lineage is truncated with localCheckpoint each iteration (the
+        iterative-fixpoint discipline of graph.py); driver traffic is
+        one (pair,count) row per iteration, never the vocabulary.
+
+    Stops early when no pair reaches `min_pair_count` (merging
+    singletons is noise).  The classic `</w>` end-of-word marker keeps
+    word-final subwords distinct from word-internal ones.
+    """
+    word_counts = (
+        explode_nonempty(docs, [], tokens(normalize_text(F.col(text_col))), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    words = word_counts.select(
+        "w",
+        "n",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("sym"),
+    ).localCheckpoint()
+
+    merges: list[dict] = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            words.select(
+                "n",
+                F.explode(
+                    F.when(
+                        F.size("sym") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("sym") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("sym"), i).alias("l"),
+                                F.element_at(F.col("sym"), i + F.lit(1)).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        ab = a + b
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": ab, "pair_count": cnt}
+        )
+        words = words.select(
+            "w", "n", _bpe_merge_expr(F.col("sym"), a, b, ab).alias("sym")
+        ).localCheckpoint()
+    return merges, words.select("w", F.col("sym").alias("symbols"), F.col("n").alias("n_words"))

@@ -1431,6 +1431,21 @@ def llm_quality_classifier(spark, sf):
     return quality_classify(_t(spark, sf, "documents"))
 
 
+def llm_bpe_train(spark, sf):
+    """Distributed BPE vocabulary training over the documents corpus:
+    12 merge rules learned from one corpus scan + vocab-scale
+    iterations (llm/text.py bpe_train; iteration count is gate-budget,
+    production runs thousands -- per-iteration cost is vocab-scale and
+    flat).  Rows-only gate (iterative
+    argmax is not SQL-expressible); exactness vs an independent pure-
+    Python BPE reference is pytest-asserted (tests/test_llm_ops.py)."""
+    merges, _ = LT.bpe_train(_t(spark, sf, "documents"), n_merges=12)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
+        "rank long, left string, right string, merged string, pair_count long",
+    )
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1540,6 +1555,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_anchor_positives_lsh": llm_anchor_positives_lsh,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_gopher_rules": llm_gopher_rules,
+    "llm_bpe_train": llm_bpe_train,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
