@@ -332,3 +332,91 @@ class TestTokenizeGreedy:
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         plan = tokenize_greedy(df, ["x"])._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan  # Arrow MapInPandas, not per-row UDF
+
+
+class TestTrainedClassifier:
+    def _corpus(self, spark):
+        # separable by vocabulary: 'good' docs share clean tokens,
+        # 'spam' docs share junk tokens, plus shared filler words
+        rows, label = [], {}
+        good = "useful insight careful analysis thorough method result"
+        spam = "buy cheap pills casino winner jackpot click"
+        filler = "the and with from about"
+        for i in range(40):
+            t = f"{good} {filler} doc number {i % 7}"
+            rows.append((i, t, 1.0))
+        for i in range(40, 80):
+            t = f"{spam} {filler} doc number {i % 7}"
+            rows.append((i, t, 0.0))
+        return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+    def test_matches_numpy_closed_form(self, spark):
+        import re as _re
+
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.web import (
+            _py_bucket,
+            train_quality_classifier,
+        )
+
+        df = self._corpus(spark)
+        D = 64
+        got = np.array(train_quality_classifier(df, "label", n_buckets=D, l2=0.5))
+
+        rows = df.collect()
+        d1 = D + 1
+        xtx, xty = np.zeros((d1, d1)), np.zeros(d1)
+        for r in rows:
+            toks = [t for t in _re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+            x = np.zeros(d1)
+            for t in toks:
+                x[_py_bucket(t, D)] += 1.0
+            x[:D] /= len(toks)
+            x[D] = 1.0
+            xtx += np.outer(x, x)
+            xty += r["label"] * x
+        reg = 0.5 * np.eye(d1)
+        reg[D, D] = 0.0
+        expect = np.linalg.solve(xtx + reg, xty)
+        assert np.allclose(got, expect, atol=1e-8)
+
+    def test_train_then_score_separates(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import (
+            quality_classify_trained,
+            train_quality_classifier,
+        )
+
+        df = self._corpus(spark)
+        w = train_quality_classifier(df, "label", n_buckets=64, l2=0.5)
+        scored = {r["doc_id"]: r for r in quality_classify_trained(df, w).collect()}
+        # every good doc above threshold, every spam doc below
+        for i in range(40):
+            assert scored[i]["keep"] is True, scored[i]
+        for i in range(40, 80):
+            assert scored[i]["keep"] is False, scored[i]
+
+    def test_training_deterministic(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import train_quality_classifier
+
+        df = self._corpus(spark).repartition(8)
+        w1 = train_quality_classifier(df, "label", n_buckets=32)
+        w2 = train_quality_classifier(df, "label", n_buckets=32)
+        assert w1 == w2
+
+    def test_scorer_stays_single_projection(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import (
+            quality_classify_trained,
+            train_quality_classifier,
+        )
+
+        df = self._corpus(spark)
+        w = train_quality_classifier(df, "label", n_buckets=32)
+        plan = (
+            quality_classify_trained(df, w)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # zero-shuffle scoring
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

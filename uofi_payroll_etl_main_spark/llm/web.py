@@ -41,6 +41,8 @@ __all__ = [
     "url_dedup",
     "domain_stats",
     "quality_classify",
+    "train_quality_classifier",
+    "quality_classify_trained",
     "robots_filter",
     "TRACKING_PARAMS_RE",
     "TRACKING_PARAM_FULL_RE",
@@ -328,4 +330,125 @@ def quality_classify(
         margin.alias("margin"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * margin)), 6).alias("score"),
         (margin >= 0).alias("keep"),
+    )
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    """Python twin of _bucket (first 15 md5 hex chars mod n) -- used by
+    the trainer's Arrow kernel so trained weights index the SAME
+    feature space the Catalyst scorer hashes into."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    l2: float = 1.0,
+) -> list[float]:
+    """Closed-form ridge regression over mean-pooled hashed-token
+    features: returns `n_buckets + 1` weights (last = intercept) that
+    quality_classify(weights=...) consumes -- the "swap in trained
+    weights" deployment path made real, no ML library needed.
+
+    Distributed shape (the tree-aggregate-the-Gram-matrix pattern):
+    each partition accumulates its local X'X (D+1 x D+1) and X'y in
+    NumPy inside ONE mapInPandas pass and emits a single flattened
+    partial row; the driver sums P partials (P x ~0.5 MB at D=256) and
+    solves the (D+1) system.  The corpus is scanned once, nothing
+    document-sized shuffles, and executor memory holds one D^2 block.
+    D is the capacity/cost knob: the Gram partial is O(D^2) per
+    partition, so raise D only with executor memory to match.
+
+    Driver-side determinism: partials carry their partition id and sum
+    in that order, so repeated runs add identical floats identically.
+    """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    d1 = n_buckets + 1
+
+    def gram(batches):
+        xtx = np.zeros((d1, d1))
+        xty = np.zeros(d1)
+        pid = -1
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid < 0:
+                pid = int(pdf["__pid"].iloc[0])
+            for text, y in zip(pdf[text_col], pdf[label_col]):
+                toks = [t for t in _re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+                x = np.zeros(d1)
+                if toks:
+                    for t in toks:
+                        x[_py_bucket(t, n_buckets)] += 1.0
+                    x[:n_buckets] /= len(toks)  # mean pooling
+                x[n_buckets] = 1.0  # intercept
+                xtx += np.outer(x, x)
+                xty += float(y) * x
+        yield pd.DataFrame(
+            {"pid": [pid], "xtx": [xtx.ravel().tolist()], "xty": [xty.tolist()]}
+        )
+
+    partials = (
+        df.select(
+            F.col(text_col),
+            F.col(label_col).cast("double").alias(label_col),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .mapInPandas(gram, schema="pid int, xtx array<double>, xty array<double>")
+        .collect()
+    )
+    xtx = np.zeros((d1, d1))
+    xty = np.zeros(d1)
+    for r in sorted(partials, key=lambda r: r["pid"]):
+        xtx += np.array(r["xtx"]).reshape(d1, d1)
+        xty += np.array(r["xty"])
+    reg = float(l2) * np.eye(d1)
+    reg[n_buckets, n_buckets] = 0.0  # never shrink the intercept
+    w = np.linalg.solve(xtx + reg, xty)
+    return [float(v) for v in w]
+
+
+def quality_classify_trained(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents with TRAINED weights (train_quality_classifier's
+    output): margin = mean-pooled hashed-token weights + intercept,
+    exactly the feature map the trainer fit.  The weight vector ships
+    as a plan-literal array (KBs); the scorer is the same zero-shuffle
+    single-projection HOF chain as quality_classify.
+    """
+    n_buckets = len(weights) - 1
+    warr = F.array(*[F.lit(float(v)) for v in weights[:n_buckets]])
+    bias = F.lit(float(weights[n_buckets]))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) > 0,
+    )
+    bucket = lambda t: (  # noqa: E731 -- tiny local expression builder
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % n_buckets
+    )
+    wsum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + F.lit(1)).cast("int")),
+    )
+    n = F.size(toks)
+    margin = F.when(n > 0, wsum / n.cast("double")).otherwise(F.lit(0.0)) + bias
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(margin, 6).alias("margin"),
+        (margin >= threshold).alias("keep"),
     )

@@ -1446,6 +1446,24 @@ def llm_bpe_train(spark, sf):
     )
 
 
+def llm_trained_classifier(spark, sf):
+    """Train-then-score quality classification: closed-form ridge
+    weights fit distributedly on hashed-token features (one corpus
+    scan, Gram-matrix partials tree-aggregated, D=128) with lang=='en'
+    as the training signal, then the zero-shuffle codegen scorer
+    applies them.  Rows-only gate (float matrix solve has no SQL
+    oracle); trainer exactness vs a NumPy closed-form replica and
+    train->score separation are pytest-held (tests/test_web.py)."""
+    from .llm.web import quality_classify_trained, train_quality_classifier
+
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    w = train_quality_classifier(labeled, "label", n_buckets=128, l2=1.0)
+    return quality_classify_trained(docs, w)
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1556,6 +1574,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_gopher_rules": llm_gopher_rules,
     "llm_bpe_train": llm_bpe_train,
+    "llm_trained_classifier": llm_trained_classifier,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
