@@ -356,3 +356,33 @@ class TestContaminationOverlap:
         bench = docs.filter("doc_id % 97 = 0")
         out = contamination_overlap(docs, bench, n=5)
         assert out.count() == docs.count()  # every doc scored, even 0-overlap
+
+
+class TestBoilerplate:
+    def test_catalog_and_fraction(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import (
+            boilerplate_fraction,
+            boilerplate_ngrams,
+        )
+
+        footer = "copyright acme corp all rights reserved"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique article one body text here {footer}"),
+                (2, f"another entirely different article body {footer}"),
+                (3, f"third piece of writing goes here {footer}"),
+                (4, "no shared template text in this one at all"),
+            ],
+            "doc_id long, text string",
+        )
+        cat = {r["gram"]: r["n_docs"] for r in boilerplate_ngrams(docs, n=3, min_docs=3).collect()}
+        assert "copyright acme corp" in cat and cat["copyright acme corp"] == 3
+        assert all(n >= 3 for n in cat.values())
+        # footer-internal grams only -- nothing from unique bodies
+        assert not any("article" in g for g in cat)
+
+        frac = {r["doc_id"]: r for r in boilerplate_fraction(docs, n=3, min_docs=3).collect()}
+        assert frac[4]["n_boiler"] == 0 and frac[4]["boiler_frac"] == 0.0
+        for d in (1, 2, 3):
+            assert frac[d]["n_boiler"] >= 4  # the footer's 3-gram run
+            assert 0 < frac[d]["boiler_frac"] < 1

@@ -28,6 +28,8 @@ from .text import token_count
 __all__ = [
     "decontaminate",
     "contamination_overlap",
+    "boilerplate_ngrams",
+    "boilerplate_fraction",
     "contaminated_ids",
     "stratified_sample",
     "split_assign",
@@ -726,4 +728,79 @@ def mixture_apply(
         docs.join(F.broadcast(rates.select(group_col, "rate_pm")), group_col)
         .filter(bucket < F.col("rate_pm"))
         .select(_c(id_col).alias(id_col), F.col(group_col), F.col("rate_pm"))
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate catalog (the C4 'repeated span'
+    signal): word n-grams appearing in >= min_docs DISTINCT documents,
+    with their document frequency.  Template headers, navigation
+    chrome, license blurbs, and cookie banners all surface here; the
+    catalog drives span stripping or doc down-weighting.
+
+    Scale shape: one corpus scan -> distinct grams per doc (the
+    word_shingles array is already distinct) -> explode -> ONE
+    count-distinct aggregation on the gram key (map-side partial
+    count).  The shuffle carries (gram, doc_id) pairs -- bounded by
+    total distinct-gram occurrences, never raw text beyond the n-gram
+    itself; gram-frequency skew is AQE's standard case.
+    """
+    doc_grams = _ensure_parallelism(docs).select(
+        F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    return (
+        doc_grams.groupBy("gram")
+        .agg(
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate load: the fraction of each doc's
+    distinct n-grams that are corpus boilerplate (boilerplate_ngrams
+    at the same n / min_docs).  High fractions mark template pages
+    worth dropping wholesale; moderate ones mark spans to strip.
+
+    The catalog is derived from the SAME exploded gram table (the
+    optimizer reuses the exchange under AQE), and the doc<->catalog
+    join shuffles on the gram key -- gram-vocabulary-sized, not
+    corpus-sized.  Output: (id, n_grams, n_boiler, boiler_frac).
+    """
+    doc_grams = _ensure_parallelism(docs).select(
+        F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    catalog = (
+        doc_grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("gram", F.lit(1).alias("__boiler"))
+    )
+    return (
+        doc_grams.join(catalog, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__boiler"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_frac"),
+        )
     )

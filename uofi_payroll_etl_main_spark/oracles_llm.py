@@ -409,6 +409,32 @@ LLM_ORACLES: dict[str, str] = {
         FROM g LEFT JOIN bench b USING (gram)
         GROUP BY g.doc_id
     """,
+    "llm_boilerplate": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        ), catalog AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 4
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               round(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+        FROM g LEFT JOIN catalog c ON g.gram = c.gram
+        GROUP BY g.doc_id
+    """,
     "llm_contamination_rate": f"""
         WITH toks AS (
           SELECT doc_id,

@@ -1464,6 +1464,15 @@ def llm_trained_classifier(spark, sf):
     return quality_classify_trained(docs, w)
 
 
+def llm_boilerplate(spark, sf):
+    """Per-document boilerplate load vs the corpus's own repeated-span
+    catalog (word 5-grams in >= 4 distinct docs): the C4 repeated-span
+    removal signal, graded per doc."""
+    from .llm.curation import boilerplate_fraction
+
+    return boilerplate_fraction(_t(spark, sf, "documents"), n=5, min_docs=4)
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1575,6 +1584,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_gopher_rules": llm_gopher_rules,
     "llm_bpe_train": llm_bpe_train,
     "llm_trained_classifier": llm_trained_classifier,
+    "llm_boilerplate": llm_boilerplate,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
