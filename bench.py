@@ -69,6 +69,9 @@ HEADLINERS = [
     "llm_url_dedup",
     "llm_quality_classifier",
     "llm_gopher_rules",
+    "llm_contamination_overlap",
+    "llm_boilerplate",
+    "llm_trained_classifier",
     "llm_robots_filter",
     "llm_negative_pairs",
     "llm_anchor_positives_lsh",

@@ -766,5 +766,10 @@ def bpe_train(
         )
         words = words.select(
             "w", "n", _bpe_merge_expr(F.col("sym"), a, b, ab).alias("sym")
-        ).localCheckpoint()
+        )
+        # truncate lineage every few merges: each checkpoint is a small
+        # materialization job, so per-iteration checkpointing doubles
+        # the job count for no benefit at shallow depths
+        if (rank + 1) % 4 == 0:
+            words = words.localCheckpoint()
     return merges, words.select("w", F.col("sym").alias("symbols"), F.col("n").alias("n_words"))

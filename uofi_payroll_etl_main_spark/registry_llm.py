@@ -1473,6 +1473,21 @@ def llm_boilerplate(spark, sf):
     return boilerplate_fraction(_t(spark, sf, "documents"), n=5, min_docs=4)
 
 
+def llm_bpe_tokenize(spark, sf):
+    """Composed BPE pipeline: train 12 merges on the corpus, derive the
+    subword vocabulary (merged symbols + single characters, </w>
+    markers stripped for the greedy matcher), then tokenize the SAME
+    corpus with greedy longest-match inference -- the full
+    train->deploy loop of a subword tokenizer as one dataflow.
+    Rows-only gate; both halves are independently pytest-exact."""
+    d = _t(spark, sf, "documents")
+    merges, _ = LT.bpe_train(d, n_merges=12)
+    vocab = sorted({m["merged"].replace("</w>", "") for m in merges}
+                   | {chr(c) for c in range(ord("a"), ord("z") + 1)}
+                   | set("0123456789"))
+    return LT.tokenize_greedy(d, [v for v in vocab if v])
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1585,6 +1600,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_bpe_train": llm_bpe_train,
     "llm_trained_classifier": llm_trained_classifier,
     "llm_boilerplate": llm_boilerplate,
+    "llm_bpe_tokenize": llm_bpe_tokenize,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
