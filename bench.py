@@ -58,6 +58,7 @@ HEADLINERS = [
     "llm_containment_prefix",
     "llm_corpus_shuffle",
     "llm_curation_pipeline",
+    "llm_c4_pipeline",
     "w_gap_linear",
     "sql3_exists_cte",
     "s12_zorder_profile",

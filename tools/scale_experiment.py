@@ -52,6 +52,11 @@ HEADLINERS = [
     "llm_containment_prefix",
     "llm_minhash_lsh",
     "llm_tfidf",
+    "llm_gopher_rules",
+    "llm_contamination_overlap",
+    "llm_boilerplate",
+    "llm_trained_classifier",
+    "llm_bpe_train",
 ]
 
 SCALED = {

@@ -435,6 +435,77 @@ LLM_ORACLES: dict[str, str] = {
         FROM g LEFT JOIN catalog c ON g.gram = c.gram
         GROUP BY g.doc_id
     """,
+    "llm_c4_pipeline": f"""
+        WITH gw AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), gm AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x ->
+                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+                 round(CAST(len(list_filter(lines, l ->
+                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
+                 round(CAST(len(list_filter(lines, l ->
+                   ends_with(l, '...') OR ends_with(l, chr(8230))))
+                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+          FROM gw
+        ), gkeep AS (
+          SELECT doc_id FROM gm
+          WHERE n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8 AND stop_hits >= 1
+        ), toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), overlap AS (
+          SELECT g.doc_id,
+                 round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+          FROM g LEFT JOIN bench b USING (gram)
+          GROUP BY g.doc_id
+        ), clean AS (
+          SELECT d.doc_id, d.lang, d.source, d.n_chars, o.overlap_frac,
+                 md5({_NORM}) AS fp
+          FROM documents d
+          SEMI JOIN gkeep k ON d.doc_id = k.doc_id
+          JOIN overlap o ON d.doc_id = o.doc_id AND o.overlap_frac <= 0.2
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM clean
+        )
+        SELECT doc_id, lang, source, n_chars, overlap_frac
+        FROM ranked WHERE rn = 1
+    """,
     "llm_contamination_rate": f"""
         WITH toks AS (
           SELECT doc_id,

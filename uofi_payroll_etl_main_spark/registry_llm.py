@@ -1488,6 +1488,37 @@ def llm_bpe_tokenize(spark, sf):
     return LT.tokenize_greedy(d, [v for v in vocab if v])
 
 
+def llm_c4_pipeline(spark, sf):
+    """Composed C4/Gopher-style curation funnel, certified END-TO-END
+    against one chained oracle: (1) Gopher structural rules keep
+    (corpus-adapted min_stop_hits=1), (2) eval-decontamination cut at
+    graded overlap <= 0.2 vs the doc_id %% 97 holdout, (3) fingerprint
+    dedup keep-min-id.  Returns the surviving documents with their
+    contamination score.  Every stage is the scale-shaped tier: one
+    HOF projection, one broadcast-semi overlap, one digest-key window
+    -- the corpus never shuffles as text except the final digest."""
+    from pyspark.sql import Window
+
+    from .llm.curation import contamination_overlap
+    from .llm.text import gopher_rules, normalize_text
+
+    docs = _t(spark, sf, "documents")
+    keep_ids = gopher_rules(docs, min_stop_hits=1).filter("keep").select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    overlap = contamination_overlap(docs, bench, n=5)
+    clean = (
+        docs.join(keep_ids, "doc_id", "left_semi")
+        .join(overlap.filter(F.col("overlap_frac") <= 0.2).select("doc_id", "overlap_frac"), "doc_id")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        clean.withColumn("fp", F.md5(normalize_text(F.col("text"))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "overlap_frac")
+    )
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1601,6 +1632,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_trained_classifier": llm_trained_classifier,
     "llm_boilerplate": llm_boilerplate,
     "llm_bpe_tokenize": llm_bpe_tokenize,
+    "llm_c4_pipeline": llm_c4_pipeline,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
