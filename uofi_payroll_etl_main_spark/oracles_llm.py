@@ -506,6 +506,51 @@ LLM_ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source, n_chars, overlap_frac
         FROM ranked WHERE rn = 1
     """,
+    "llm_gopher_report": r"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id, source,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x ->
+                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+                 round(CAST(len(list_filter(lines, l ->
+                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
+                 round(CAST(len(list_filter(lines, l ->
+                   ends_with(l, '...') OR ends_with(l, chr(8230))))
+                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+          FROM w
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_words >= 30 AND n_words <= 100000
+                              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                              AND symbol_ratio <= 0.1
+                              AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+                              AND alpha_word_frac >= 0.8 AND stop_hits >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_words,
+               CAST(sum(CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+               CAST(sum(CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+               CAST(sum(CASE WHEN alpha_word_frac < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+               CAST(sum(CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
+        FROM m GROUP BY source
+    """,
     "llm_contamination_rate": f"""
         WITH toks AS (
           SELECT doc_id,

@@ -1519,6 +1519,27 @@ def llm_c4_pipeline(spark, sf):
     )
 
 
+def llm_gopher_report(spark, sf):
+    """Per-source quality-gate report: how many docs each Gopher rule
+    drops, per corpus source -- the fix-the-crawler breakdown the
+    per-doc rule columns exist for.  One extra groupBy over the rule
+    projection; exact-long counts keep the oracle hash float-free."""
+    docs = _t(spark, sf, "documents")
+    g = LT.gopher_rules(docs, min_stop_hits=1)
+    joined = g.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        F.sum((F.col("n_words") < 30).cast("long")).cast("long").alias("fail_min_words"),
+        F.sum(
+            ((F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0)).cast("long")
+        ).cast("long").alias("fail_word_len"),
+        F.sum((F.col("symbol_ratio") > 0.1).cast("long")).cast("long").alias("fail_symbols"),
+        F.sum((F.col("alpha_word_frac") < 0.8).cast("long")).cast("long").alias("fail_alpha"),
+        F.sum((F.col("stop_hits") < 1).cast("long")).cast("long").alias("fail_stopwords"),
+    )
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1628,6 +1649,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_anchor_positives_lsh": llm_anchor_positives_lsh,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_gopher_rules": llm_gopher_rules,
+    "llm_gopher_report": llm_gopher_report,
     "llm_bpe_train": llm_bpe_train,
     "llm_trained_classifier": llm_trained_classifier,
     "llm_boilerplate": llm_boilerplate,
