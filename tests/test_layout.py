@@ -175,3 +175,63 @@ class TestOptimisticPublish:
         write_version(df, root)
         with _pytest.raises(ConcurrentWriteError):
             write_version_if(df, root, 2)
+
+
+class TestVacuumVersions:
+    def test_retention_window(self, spark, tmp_path):
+        import os
+
+        from uofi_payroll_etl_main_spark.io import (
+            list_versions,
+            read_version,
+            vacuum_versions,
+            write_version,
+        )
+
+        root = str(tmp_path / "vac")
+        df = spark.createDataFrame([(1,)], "id long")
+        for _ in range(5):
+            write_version(df, root)
+        assert list_versions(root) == [1, 2, 3, 4, 5]
+        deleted = vacuum_versions(root, keep_latest=2)
+        assert deleted == [1, 2, 3]
+        assert list_versions(root) == [4, 5]
+        # retained versions still read
+        assert read_version(spark, root, 4).count() == 1
+        # next publish continues the dense numbering from the survivors
+        assert write_version(df, root) == 6
+
+    def test_uncommitted_debris_collected(self, spark, tmp_path):
+        import os
+
+        from uofi_payroll_etl_main_spark.io import (
+            list_versions,
+            vacuum_versions,
+            write_version,
+        )
+
+        root = str(tmp_path / "vacdebris")
+        df = spark.createDataFrame([(1,)], "id long")
+        for _ in range(3):
+            write_version(df, root)
+        os.makedirs(os.path.join(root, "v=2.5"))  # not a version dir -> untouched
+        os.rename(os.path.join(root, "v=2.5"), os.path.join(root, "junk"))
+        os.makedirs(os.path.join(root, "v=1"), exist_ok=True)  # already committed
+        # crashed writer debris BELOW the retained window
+        import pathlib
+
+        crash = pathlib.Path(root) / "v=2"
+        (crash / "_SUCCESS").unlink()  # de-commit v2 -> becomes debris
+        deleted = vacuum_versions(root, keep_latest=1)
+        assert deleted == [1]  # v2 (now uncommitted) is swept but not reported
+        assert list_versions(root) == [3]
+        assert not (pathlib.Path(root) / "v=2").exists()
+        assert (pathlib.Path(root) / "junk").exists()  # non-version dirs untouched
+
+    def test_keep_latest_floor(self, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.io import vacuum_versions
+
+        with _pytest.raises(ValueError):
+            vacuum_versions(str(tmp_path), keep_latest=0)

@@ -788,3 +788,46 @@ def write_version_if(
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed first; re-derive from the new latest."""
+
+
+def vacuum_versions(root: str, keep_latest: int = 2) -> list[int]:
+    """Retention for the versioned snapshot store: delete all but the
+    newest `keep_latest` COMMITTED versions (and any uncommitted
+    crash debris older than the retained set).  Returns the versions
+    deleted, ascending.
+
+    The table-format GC step: time travel is only useful if storage is
+    bounded, and readers pinned inside the retained window are never
+    disturbed -- deletion walks strictly older versions.  A reader
+    pinned BEYOND the window races GC exactly as in real table formats;
+    the retention window is the operator's contract with its readers.
+    keep_latest must be >= 1: the latest committed version is never
+    deletable.
+    """
+    import os
+    import re as _re
+    import shutil
+
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    root = _local_store_root(root)
+    committed = list_versions(root)
+    keep = set(committed[-int(keep_latest):])
+    deleted = []
+    if not os.path.isdir(root):
+        return deleted
+    for name in sorted(os.listdir(root)):
+        m = _re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        committed_v = v in committed
+        # delete: old committed versions outside the window, and
+        # uncommitted debris older than the newest retained version
+        if (committed_v and v not in keep) or (
+            not committed_v and keep and v < max(keep)
+        ):
+            shutil.rmtree(os.path.join(root, name))
+            if committed_v:
+                deleted.append(v)
+    return deleted
