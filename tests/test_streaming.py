@@ -584,3 +584,47 @@ class TestFreshness:
         # the day after the outage compares against a baseline that
         # INCLUDES the 0-count day (true per-calendar-day mean: 8)
         assert got["2024-02-06"] == (10, False)
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, event_dir):
+    """The Spark-4-native transformWithStateInPandas implementation must
+    produce the same final per-user state as the applyInPandasWithState
+    one AND as the batch aggregate.  Skips (via the loud capability
+    gate) when google.protobuf -- required by transformWithState's
+    state-server protocol -- is absent, as in this container."""
+    import pyspark.sql.functions as F
+
+    from uofi_payroll_etl_main_spark.streaming.streams import (
+        read_event_stream,
+        run_to_memory,
+        streaming_running_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        stream0 = read_event_stream(spark, event_dir)
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_running_totals_tws(stream0)
+        pytest.skip("google.protobuf not installed: transformWithState unavailable")
+
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(
+        streaming_running_totals_tws(stream), "tws_stream", timeout_s=180,
+        output_mode="update",
+    )
+    got = (
+        spark.table("tws_stream")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    expect = spark.read.parquet(event_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    e = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in expect.collect()}
+    assert g == e and len(g) > 0

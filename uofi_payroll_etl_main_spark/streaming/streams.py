@@ -27,6 +27,7 @@ __all__ = [
     "streaming_session_counts",
     "streaming_dedup",
     "streaming_running_totals",
+    "streaming_running_totals_tws",
     "streaming_static_enrich",
     "streaming_interval_join",
     "streaming_interval_join_outer",
@@ -314,3 +315,77 @@ def streaming_upsert_sink(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def streaming_running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running count + value total via transformWithStateInPandas
+    -- the Spark 4-native arbitrary-state API (typed state handles, TTL,
+    timers) that supersedes applyInPandasWithState.  Functionally the
+    twin of streaming_running_totals, kept side by side so the suite
+    proves both stateful APIs produce identical results on the same
+    bounded input.
+
+    State: one ValueState row (n, total) per user.  At 100 TB-day
+    volumes the state store scales with DISTINCT users (RocksDB-backed
+    on a real cluster); per micro-batch work touches only the keys the
+    batch saw, and TTL (not used here -- totals are lifetime) is the
+    knob that bounds abandoned keys.
+
+    Environment gate: the transformWithState Python protocol speaks
+    protobuf; when google.protobuf is absent (this container) the
+    query's driver worker cannot start, so raise a clear
+    NotImplementedError up front instead of a mid-query crash --
+    the same import-try discipline as the Excel/Box seams.  The
+    applyInPandasWithState twin above is the dependency-free path.
+    """
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(its state-server protocol is protobuf-based); use "
+            "streaming_running_totals (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._state.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
