@@ -776,14 +776,25 @@ def boilerplate_fraction(
     at the same n / min_docs).  High fractions mark template pages
     worth dropping wholesale; moderate ones mark spans to strip.
 
-    The catalog is derived from the SAME exploded gram table (the
-    optimizer reuses the exchange under AQE), and the doc<->catalog
-    join shuffles on the gram key -- gram-vocabulary-sized, not
-    corpus-sized.  Output: (id, n_grams, n_boiler, boiler_frac).
+    ONE corpus scan, ONE text explode: the exploded gram table is
+    hash-repartitioned on the gram key up front, so (a) the catalog
+    aggregation needs no further exchange (its clustering is already
+    satisfied), (b) the doc<->catalog join co-locates on the same
+    partitioning with a ReusedExchange for the gram side instead of a
+    second scan+explode, and (c) the catalog is never broadcast -- at
+    100 TB the set of frequent grams can be GBs, which would OOM a
+    broadcast but is a perfectly ordinary shuffle-side build.  The
+    only later exchange carries (id, two counters).
+    Output: (id, n_grams, n_boiler, boiler_frac).
     """
-    doc_grams = _ensure_parallelism(docs).select(
-        F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("gram")
-    ).filter(F.col("gram").isNotNull())
+    doc_grams = (
+        _ensure_parallelism(docs)
+        .select(
+            F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .repartition(F.col("gram"))
+    )
     catalog = (
         doc_grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"))
