@@ -551,6 +551,85 @@ LLM_ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
         FROM m GROUP BY source
     """,
+    "llm_dataset_card": f"""
+        WITH base AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+                 CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+                 CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+                 round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS pct_en,
+                 round(1.0 - count(DISTINCT md5({_NORM}))
+                       / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
+          FROM documents
+        ), gw AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), gm AS (
+          SELECT CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x ->
+                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+                 round(CAST(len(list_filter(lines, l ->
+                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
+                 round(CAST(len(list_filter(lines, l ->
+                   ends_with(l, '...') OR ends_with(l, chr(8230))))
+                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+          FROM gw
+        ), gkeep AS (
+          SELECT round(sum(CASE WHEN n_words >= 30 AND n_words <= 100000
+                            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                            AND symbol_ratio <= 0.1
+                            AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+                            AND alpha_word_frac >= 0.8 AND stop_hits >= 1
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+                 AS gopher_keep_rate
+          FROM gm
+        ), toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), contam AS (
+          SELECT CAST(count(DISTINCT g.doc_id) AS DOUBLE) AS n_contaminated
+          FROM g JOIN bench USING (gram)
+        )
+        SELECT m.metric, m.value FROM base, gkeep, contam,
+        LATERAL (VALUES
+          ('n_docs', n_docs),
+          ('total_chars', total_chars),
+          ('n_sources', n_sources),
+          ('n_langs', n_langs),
+          ('pct_en', pct_en),
+          ('exact_dup_rate', exact_dup_rate),
+          ('gopher_keep_rate', gopher_keep_rate),
+          ('contaminated_rate', round(n_contaminated / n_docs, 6))
+        ) AS m(metric, value)
+    """,
     "llm_contamination_rate": f"""
         WITH toks AS (
           SELECT doc_id,

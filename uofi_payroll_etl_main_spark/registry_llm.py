@@ -1540,6 +1540,62 @@ def llm_gopher_report(spark, sf):
     )
 
 
+def llm_dataset_card(spark, sf):
+    """Dataset-card metrics in one result: corpus size, language/source
+    breadth, english share, exact-duplicate rate (normalized-md5), the
+    Gopher keep rate (corpus-adapted stop rule), and the eval-holdout
+    contamination rate -- the numbers a dataset card / datasheet
+    publishes, each certified against the SAME chained DuckDB oracle.
+
+    Tall (metric, value) layout so new metrics append without schema
+    churn.  Scale shape: every metric is an aggregate over one of the
+    already-certified operator shapes; nothing materializes wider than
+    a scalar per metric.  Ratios are rounded to 6 (engine-stable)."""
+    from .llm.curation import contaminated_ids
+    from .llm.text import gopher_rules, normalize_text
+
+    docs = _t(spark, sf, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("pct_en"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.md5(normalize_text(F.col("text")))) / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    keep = gopher_rules(docs, min_stop_hits=1).agg(
+        F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6).alias(
+            "gopher_keep_rate"
+        )
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    contam = contaminated_ids(docs, bench, n=5).agg(
+        F.count(F.lit(1)).cast("double").alias("n_contaminated")
+    )
+    wide = base.crossJoin(F.broadcast(keep)).crossJoin(F.broadcast(contam))
+    wide = wide.withColumn(
+        "contaminated_rate", F.round(F.col("n_contaminated") / F.col("n_docs"), 6)
+    ).drop("n_contaminated")
+    metrics = [
+        "n_docs", "total_chars", "n_sources", "n_langs", "pct_en",
+        "exact_dup_rate", "gopher_keep_rate", "contaminated_rate",
+    ]
+    return wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+                for m in metrics
+            ])
+        ).alias("r")
+    ).select("r.metric", "r.value")
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1655,6 +1711,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_boilerplate": llm_boilerplate,
     "llm_bpe_tokenize": llm_bpe_tokenize,
     "llm_c4_pipeline": llm_c4_pipeline,
+    "llm_dataset_card": llm_dataset_card,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
