@@ -45,6 +45,9 @@ ANSI_PROBES = [
     "llm_quality_classifier",
     "llm_extract_spans",
     "llm_cosine_topk",
+    "llm_gopher_rules",
+    "llm_c4_pipeline",
+    "llm_dataset_card",
 ]
 
 
