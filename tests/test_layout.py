@@ -114,6 +114,8 @@ class TestVersionedStore:
             write_version,
         )
 
+        from uofi_payroll_etl_main_spark.io import ConcurrentWriteError
+
         root = str(tmp_path / "crashed")
         df = spark.createDataFrame([(1, "a")], "id long, v string")
         assert write_version(df, root) == 1
@@ -122,8 +124,15 @@ class TestVersionedStore:
         with open(os.path.join(root, "v=2", "part-garbage.parquet"), "wb") as f:
             f.write(b"not parquet")
         assert list_versions(root) == [1]
-        # publish succeeds at the SAME version number
-        assert write_version(df, root) == 2
+        # a FRESH uncommitted dir may be another writer in flight:
+        # publishing must refuse rather than delete it out from under them
+        import pytest as _pytest
+
+        with _pytest.raises(ConcurrentWriteError, match="in flight"):
+            write_version(df, root)
+        # once stale (here: zero grace), it is crash debris -- swept, and
+        # the publish succeeds at the SAME version number
+        assert write_version(df, root, stale_after_s=0.0) == 2
         assert list_versions(root) == [1, 2]
         assert read_version(spark, root, 2).count() == 1
 
@@ -227,6 +236,22 @@ class TestVacuumVersions:
         assert list_versions(root) == [3]
         assert not (pathlib.Path(root) / "v=2").exists()
         assert (pathlib.Path(root) / "junk").exists()  # non-version dirs untouched
+
+    def test_double_digit_versions_delete_ascending(self, spark, tmp_path):
+        # lexicographic listing would order v=10 before v=2; the
+        # returned deletion list must be NUMERICALLY ascending
+        from uofi_payroll_etl_main_spark.io import (
+            list_versions,
+            vacuum_versions,
+            write_version,
+        )
+
+        root = str(tmp_path / "vac10")
+        df = spark.createDataFrame([(1,)], "id long")
+        for _ in range(12):
+            write_version(df, root)
+        assert vacuum_versions(root, keep_latest=2) == list(range(1, 11))
+        assert list_versions(root) == [11, 12]
 
     def test_keep_latest_floor(self, tmp_path):
         import pytest as _pytest

@@ -711,7 +711,7 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def write_version(df: DataFrame, root: str) -> int:
+def write_version(df: DataFrame, root: str, stale_after_s: float = 600.0) -> int:
     """Publish a new immutable snapshot version (1-based, dense) and
     return its number.  Old versions are never touched -- readers
     pinned to them keep a consistent view (time travel), and rollback
@@ -723,16 +723,24 @@ def write_version(df: DataFrame, root: str) -> int:
     this is the same O(files) commit as any parquet write -- no table
     lock, no manifest rewrite of earlier versions.
 
-    Crash recovery: a writer that died mid-write leaves `v=N/` with no
-    `_SUCCESS`.  That directory is invisible to readers but would
-    collide with the next publish (mode('error') raises on an existing
-    path), wedging the store forever.  So an UNCOMMITTED directory at
-    the chosen version is deleted before writing -- committed versions
-    are never touched, and the documented ConcurrentWriteError
-    re-derive-and-retry loop can actually make progress after a crash.
+    Crash recovery vs live-writer safety: a writer that died mid-write
+    leaves `v=N/` with no `_SUCCESS` -- invisible to readers but
+    colliding with the next publish (mode('error') raises on an
+    existing path), wedging the store forever.  An uncommitted dir at
+    the chosen version is therefore swept before writing -- but ONLY
+    when nothing inside it has been touched for `stale_after_s`
+    seconds.  A concurrent writer racing this one keeps its directory
+    fresh (the committer streams part files into it), so a recent
+    uncommitted dir means IN-FLIGHT, not crashed, and deleting it
+    would silently interleave two writers' part files under one
+    eventual _SUCCESS.  That case raises ConcurrentWriteError instead:
+    the caller backs off and retries, exactly the optimistic-commit
+    loop write_version_if documents.  Committed versions are never
+    touched.
     """
     import os
     import shutil
+    import time
 
     root = _local_store_root(root)
     vs = list_versions(root)
@@ -741,6 +749,20 @@ def write_version(df: DataFrame, root: str) -> int:
     if os.path.isdir(target) and not os.path.exists(
         os.path.join(target, "_SUCCESS")
     ):
+        newest = max(
+            (
+                os.path.getmtime(os.path.join(dirpath, f))
+                for dirpath, _dirs, files in os.walk(target)
+                for f in files
+            ),
+            default=os.path.getmtime(target),
+        )
+        if time.time() - newest < stale_after_s:
+            raise ConcurrentWriteError(
+                f"uncommitted {target} was modified {time.time() - newest:.0f}s "
+                f"ago (< stale_after_s={stale_after_s:g}): another writer "
+                "appears in flight; back off and retry"
+            )
         shutil.rmtree(target)
     df.write.mode("error").parquet(target)
     return n
@@ -816,11 +838,14 @@ def vacuum_versions(root: str, keep_latest: int = 2) -> list[int]:
     deleted = []
     if not os.path.isdir(root):
         return deleted
-    for name in sorted(os.listdir(root)):
+    # numeric order, not lexicographic: os.listdir sorts 'v=10' before
+    # 'v=2', which would break the documented ascending return order
+    candidates = []
+    for name in os.listdir(root):
         m = _re.fullmatch(r"v=(\d+)", name)
-        if not m:
-            continue
-        v = int(m.group(1))
+        if m:
+            candidates.append((int(m.group(1)), name))
+    for v, name in sorted(candidates):
         committed_v = v in committed
         # delete: old committed versions outside the window, and
         # uncommitted debris older than the newest retained version

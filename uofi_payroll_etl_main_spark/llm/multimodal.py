@@ -311,7 +311,7 @@ def decode_media(payload: bytes, kind: str) -> dict:
         return {"rate": rate, "samples": samples}
     raise NotImplementedError(
         f"no decoder available for kind={kind!r} (magic={payload[:4]!r}): stdlib "
-        "codecs cover PPM/BMP/WAV; install pillow/soundfile/av for the rest."
+        "codecs cover PPM/BMP/PNG/WAV; install pillow/soundfile/av for the rest."
     )
 
 

@@ -153,7 +153,11 @@ def _topk_tiebroken(sims: np.ndarray, ids: np.ndarray, take: int):
 
 
 def _bucket_table(
-    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Vectorized (table, bucket) assignment: one NumPy sign-bit matmul
     per Arrow batch against all tables' planes at once.  The per-row
@@ -161,7 +165,9 @@ def _bucket_table(
     dot products per row -- orders of magnitude slower on wide vectors.
 
     Output: one row per (vector, table) with the vector carried along,
-    ready to shuffle on the (table, bucket) key.
+    ready to shuffle on the (table, bucket) key.  With `label_col`, the
+    label rides alongside as `lab` so label-aware miners can block or
+    mask inside each bucket without a join back to the source.
     """
     import pandas as pd
 
@@ -178,21 +184,28 @@ def _bucket_table(
             frames = []
             for t in range(num_tables):
                 bucket = bits[:, t * nbits : (t + 1) * nbits] @ weights
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vid": pdf[id_col],
-                            "table": np.full(len(pdf), t, dtype=np.int32),
-                            "bucket": bucket,
-                            "vec": pdf[vec_col],
-                        }
-                    )
+                cols = {"vid": pdf[id_col]}
+                if label_col is not None:
+                    cols["lab"] = pdf[label_col]
+                cols.update(
+                    {
+                        "table": np.full(len(pdf), t, dtype=np.int32),
+                        "bucket": bucket,
+                        "vec": pdf[vec_col],
+                    }
                 )
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames)
 
+    lab_part = (
+        f" lab {_id_sql_type(df, label_col)}," if label_col is not None else ""
+    )
     return df.mapInPandas(
         assign,
-        schema=f"vid {_id_sql_type(df, id_col)}, table int, bucket long, vec array<float>",
+        schema=(
+            f"vid {_id_sql_type(df, id_col)},{lab_part} table int, "
+            "bucket long, vec array<float>"
+        ),
     )
 
 
@@ -908,50 +921,6 @@ def negative_pairs(
     )
 
 
-def _bucket_table_labeled(
-    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str, label_col: str
-) -> DataFrame:
-    """_bucket_table with the label carried alongside the vector, so
-    label-aware miners can block or mask inside each bucket without a
-    join back to the source."""
-    import pandas as pd
-
-    num_tables, nbits, dim = planes.shape
-    flat = planes.reshape(num_tables * nbits, dim)
-    weights = (1 << np.arange(nbits)).astype(np.int64)
-    lab_t = _id_sql_type(df, label_col)
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = (cm @ flat.T) >= 0
-            frames = []
-            for t in range(num_tables):
-                bucket = bits[:, t * nbits : (t + 1) * nbits] @ weights
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vid": pdf[id_col],
-                            "lab": pdf[label_col],
-                            "table": np.full(len(pdf), t, dtype=np.int32),
-                            "bucket": bucket,
-                            "vec": pdf[vec_col],
-                        }
-                    )
-                )
-            yield pd.concat(frames)
-
-    return df.mapInPandas(
-        assign,
-        schema=(
-            f"vid {_id_sql_type(df, id_col)}, lab {lab_t}, table int, "
-            "bucket long, vec array<float>"
-        ),
-    )
-
-
 def _mine_pairs_lsh(
     emb: DataFrame,
     same_label: bool,
@@ -980,7 +949,7 @@ def _mine_pairs_lsh(
 
     dim = len(emb.select(vec_col).first()[0])
     planes = _planes(num_tables, nbits, dim, seed)
-    bucketed = _bucket_table_labeled(emb, planes, id_col, vec_col, label_col)
+    bucketed = _bucket_table(emb, planes, id_col, vec_col, label_col=label_col)
 
     id_t = _id_sql_type(emb, id_col)
     lab_t = _id_sql_type(emb, label_col)

@@ -577,6 +577,7 @@ def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
     min_words: int = 30,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -596,10 +597,13 @@ def gopher_rules(
     split token array -- no UDF, no shuffle, scan-speed filtering
     (the 100 TB posture: quality gating costs one projection).
 
-    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
-    ellipsis_line_frac, alpha_word_frac, stop_hits, keep) -- per-rule
-    observability so a curation run can report WHY documents dropped,
-    not just how many (the fix-the-crawler loop needs the breakdown).
+    Returns (id, *keep_cols, n_words, mean_word_len, symbol_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+    keep) -- per-rule observability so a curation run can report WHY
+    documents dropped, not just how many (the fix-the-crawler loop
+    needs the breakdown).  `keep_cols` passes grouping columns (e.g.
+    source) through the projection so downstream rollups stay
+    single-scan instead of joining back to the corpus.
     """
     t = F.col(text_col)
     words = tokens(t)
@@ -659,6 +663,7 @@ def gopher_rules(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

@@ -7,6 +7,72 @@ mm_features / mm_frame_sample (Pandas-UDF plumbing -- rows-only).
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
+# Shared word-5-gram CTE pair (toks, g): per-doc DISTINCT 5-grams with
+# the short-doc full-token fallback, mirroring llm.dedup.word_shingles.
+# ONE definition so the per-operator and composed (c4/dataset-card)
+# oracles can never silently diverge on tokenization.
+_GRAMS5 = f"""toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        ELSE [array_to_string(t, ' ')] END
+                 )) AS gram
+          FROM toks
+        )"""
+
+
+def _gopher_cte(w: str, m: str, carry: str = "") -> str:
+    """Gopher metric CTE pair ({w}: tokenized words+lines, {m}: the
+    per-doc rule metrics).  `carry` is a comma-suffixed column list
+    (e.g. "doc_id," or "doc_id, source,") threaded through both CTEs.
+    One definition keeps the four gopher-consuming oracles (rules,
+    report, c4 funnel, dataset card) threshold-identical forever."""
+    return f"""{w} AS (
+          SELECT {carry}
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), {m} AS (
+          SELECT {carry}
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x ->
+                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+                 round(CAST(len(list_filter(lines, l ->
+                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
+                 round(CAST(len(list_filter(lines, l ->
+                   ends_with(l, '...') OR ends_with(l, chr(8230))))
+                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+          FROM {w}
+        )"""
+
+
+# The keep predicate at the corpus-adapted min_stop_hits=1 setting.
+_GOPHER_KEEP = """n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8 AND stop_hits >= 1"""
+
+
 # Word 3-gram distinct shingles in DuckDB list algebra; mirrors
 # llm.dedup.word_shingles (short docs fall back to the full token string).
 _SHINGLES = rf"""
@@ -361,21 +427,7 @@ LLM_ORACLES: dict[str, str] = {
     # token string, mirroring llm.dedup.word_shingles); benchmark =
     # doc_id % 97 == 0; anti-join away any doc sharing a gram.
     "llm_decontaminate": f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(
-                   CASE WHEN len(t) >= 5
-                        THEN list_transform(range(1, len(t) - 3),
-                                            i -> array_to_string(t[i:i+4], ' '))
-                        ELSE [array_to_string(t, ' ')] END
-                 )) AS gram
-          FROM toks
-        ), bench AS (
+        WITH {_GRAMS5}, bench AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
         ), contam AS (
           SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
@@ -384,21 +436,7 @@ LLM_ORACLES: dict[str, str] = {
         FROM documents d ANTI JOIN contam c ON d.doc_id = c.doc_id
     """,
     "llm_contamination_overlap": f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(
-                   CASE WHEN len(t) >= 5
-                        THEN list_transform(range(1, len(t) - 3),
-                                            i -> array_to_string(t[i:i+4], ' '))
-                        ELSE [array_to_string(t, ' ')] END
-                 )) AS gram
-          FROM toks
-        ), bench AS (
+        WITH {_GRAMS5}, bench AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
         )
         SELECT g.doc_id,
@@ -410,21 +448,7 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY g.doc_id
     """,
     "llm_boilerplate": f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(
-                   CASE WHEN len(t) >= 5
-                        THEN list_transform(range(1, len(t) - 3),
-                                            i -> array_to_string(t[i:i+4], ' '))
-                        ELSE [array_to_string(t, ' ')] END
-                 )) AS gram
-          FROM toks
-        ), catalog AS (
+        WITH {_GRAMS5}, catalog AS (
           SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 4
         )
         SELECT g.doc_id,
@@ -436,56 +460,10 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY g.doc_id
     """,
     "llm_c4_pipeline": f"""
-        WITH gw AS (
-          SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
-                 string_split(text, chr(10)) AS lines
-          FROM documents
-        ), gm AS (
-          SELECT doc_id,
-                 CAST(len(words) AS BIGINT) AS n_words,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
-                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x ->
-                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
-                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
-                 round(CAST(len(list_filter(lines, l ->
-                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
-                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
-                 round(CAST(len(list_filter(lines, l ->
-                   ends_with(l, '...') OR ends_with(l, chr(8230))))
-                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
-                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
-                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-          FROM gw
-        ), gkeep AS (
+        WITH {_gopher_cte('gw', 'gm', 'doc_id,')}, gkeep AS (
           SELECT doc_id FROM gm
-          WHERE n_words >= 30 AND n_words <= 100000
-            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND symbol_ratio <= 0.1
-            AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-            AND alpha_word_frac >= 0.8 AND stop_hits >= 1
-        ), toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(
-                   CASE WHEN len(t) >= 5
-                        THEN list_transform(range(1, len(t) - 3),
-                                            i -> array_to_string(t[i:i+4], ' '))
-                        ELSE [array_to_string(t, ' ')] END
-                 )) AS gram
-          FROM toks
-        ), bench AS (
+          WHERE {_GOPHER_KEEP}
+        ), {_GRAMS5}, bench AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
         ), overlap AS (
           SELECT g.doc_id,
@@ -506,43 +484,11 @@ LLM_ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source, n_chars, overlap_frac
         FROM ranked WHERE rn = 1
     """,
-    "llm_gopher_report": r"""
-        WITH w AS (
-          SELECT doc_id, source,
-                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
-                 string_split(text, chr(10)) AS lines
-          FROM documents
-        ), m AS (
-          SELECT doc_id, source,
-                 CAST(len(words) AS BIGINT) AS n_words,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
-                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x ->
-                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
-                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
-                 round(CAST(len(list_filter(lines, l ->
-                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
-                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
-                 round(CAST(len(list_filter(lines, l ->
-                   ends_with(l, '...') OR ends_with(l, chr(8230))))
-                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
-                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
-                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-          FROM w
-        )
+    "llm_gopher_report": f"""
+        WITH {_gopher_cte('w', 'm', 'doc_id, source,')}
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN n_words >= 30 AND n_words <= 100000
-                              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                              AND symbol_ratio <= 0.1
-                              AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-                              AND alpha_word_frac >= 0.8 AND stop_hits >= 1
+               CAST(sum(CASE WHEN {_GOPHER_KEEP}
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
                CAST(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_words,
                CAST(sum(CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
@@ -562,57 +508,12 @@ LLM_ORACLES: dict[str, str] = {
                  round(1.0 - count(DISTINCT md5({_NORM}))
                        / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
           FROM documents
-        ), gw AS (
-          SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
-                 string_split(text, chr(10)) AS lines
-          FROM documents
-        ), gm AS (
-          SELECT CAST(len(words) AS BIGINT) AS n_words,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
-                         / len(words), 6) ELSE 0.0 END AS mean_word_len,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x ->
-                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
-                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
-                 round(CAST(len(list_filter(lines, l ->
-                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
-                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
-                 round(CAST(len(list_filter(lines, l ->
-                   ends_with(l, '...') OR ends_with(l, chr(8230))))
-                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-                     AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
-                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
-                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-          FROM gw
-        ), gkeep AS (
-          SELECT round(sum(CASE WHEN n_words >= 30 AND n_words <= 100000
-                            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                            AND symbol_ratio <= 0.1
-                            AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-                            AND alpha_word_frac >= 0.8 AND stop_hits >= 1
+        ), {_gopher_cte('gw', 'gm', '')}, gkeep AS (
+          SELECT round(sum(CASE WHEN {_GOPHER_KEEP}
                           THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
                  AS gopher_keep_rate
           FROM gm
-        ), toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(
-                   CASE WHEN len(t) >= 5
-                        THEN list_transform(range(1, len(t) - 3),
-                                            i -> array_to_string(t[i:i+4], ' '))
-                        ELSE [array_to_string(t, ' ')] END
-                 )) AS gram
-          FROM toks
-        ), bench AS (
+        ), {_GRAMS5}, bench AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
         ), contam AS (
           SELECT CAST(count(DISTINCT g.doc_id) AS DOUBLE) AS n_contaminated
@@ -631,21 +532,7 @@ LLM_ORACLES: dict[str, str] = {
         ) AS m(metric, value)
     """,
     "llm_contamination_rate": f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 CASE WHEN length({_NORM}) = 0 THEN []
-                      ELSE string_split({_NORM}, ' ') END AS t
-          FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(
-                   CASE WHEN len(t) >= 5
-                        THEN list_transform(range(1, len(t) - 3),
-                                            i -> array_to_string(t[i:i+4], ' '))
-                        ELSE [array_to_string(t, ' ')] END
-                 )) AS gram
-          FROM toks
-        ), bench AS (
+        WITH {_GRAMS5}, bench AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
         ), contam AS (
           SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
@@ -1874,46 +1761,11 @@ LLM_ORACLES: dict[str, str] = {
                margin >= 0 AS keep
         FROM scored
     """,
-    "llm_gopher_rules": r"""
-        WITH w AS (
-          SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
-                 string_split(text, chr(10)) AS lines
-          FROM documents
-        ), m AS (
-          SELECT doc_id,
-                 CAST(len(words) AS BIGINT) AS n_words,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
-                         / len(words), 6)
-                 ELSE 0.0 END AS mean_word_len,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x ->
-                     contains(x, '#') OR contains(x, '...') OR contains(x, chr(8230))))
-                     AS DOUBLE) / len(words), 6)
-                 ELSE 0.0 END AS symbol_ratio,
-                 round(CAST(len(list_filter(lines, l ->
-                   starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, chr(8226))))
-                   AS DOUBLE) / len(lines), 6) AS bullet_line_frac,
-                 round(CAST(len(list_filter(lines, l ->
-                   ends_with(l, '...') OR ends_with(l, chr(8230))))
-                   AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac,
-                 CASE WHEN len(words) > 0 THEN
-                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-                     AS DOUBLE) / len(words), 6)
-                 ELSE 0.0 END AS alpha_word_frac,
-                 CAST(len(list_intersect(list_transform(words, x -> lower(x)),
-                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-          FROM w
-        )
+    "llm_gopher_rules": f"""
+        WITH {_gopher_cte('w', 'm', 'doc_id,')}
         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
                ellipsis_line_frac, alpha_word_frac, stop_hits,
-               (n_words >= 30 AND n_words <= 100000
-                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                AND symbol_ratio <= 0.1
-                AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-                AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS keep
+               ({_GOPHER_KEEP}) AS keep
         FROM m
     """,
 }

@@ -1522,11 +1522,12 @@ def llm_c4_pipeline(spark, sf):
 def llm_gopher_report(spark, sf):
     """Per-source quality-gate report: how many docs each Gopher rule
     drops, per corpus source -- the fix-the-crawler breakdown the
-    per-doc rule columns exist for.  One extra groupBy over the rule
-    projection; exact-long counts keep the oracle hash float-free."""
+    per-doc rule columns exist for.  `source` rides through the rule
+    projection (keep_cols), so the whole report is ONE corpus scan +
+    one aggregation -- no join back to the table; exact-long counts
+    keep the oracle hash float-free."""
     docs = _t(spark, sf, "documents")
-    g = LT.gopher_rules(docs, min_stop_hits=1)
-    joined = g.join(docs.select("doc_id", "source"), "doc_id")
+    joined = LT.gopher_rules(docs, keep_cols=("source",), min_stop_hits=1)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
