@@ -746,6 +746,23 @@ CORE_ORACLES: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1996-01-01'
         GROUP BY 1
     """,
+    "s19_vacuum": """
+        WITH v3 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+          FROM documents WHERE doc_id % 4 = 0
+        ), v4 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+          FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT 0 AS kind, 1 AS version,
+               CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_chars
+        UNION ALL
+        SELECT 0, 2, NULL, NULL
+        UNION ALL
+        SELECT 1, 3, n, c FROM v3
+        UNION ALL
+        SELECT 1, 4, n, c FROM v4
+    """,
     "s14_compact": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -737,6 +737,41 @@ def s18_range_sorted(spark, sf):
     )
 
 
+def s19_vacuum(spark, sf):
+    """S-family -- versioned-store retention (io.vacuum_versions): four
+    snapshots publish into a FRESH scratch store (deterministic slices
+    of documents), vacuum keeps the newest two, and the gate returns
+    the surviving versions' per-version profiles plus the deleted
+    version ids -- certifying the retention window end-to-end.  Fresh
+    dir per invocation: vacuum mutates the store."""
+    import tempfile
+    import uuid
+
+    from .io import list_versions, read_version, vacuum_versions, write_version
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vacuum_{uuid.uuid4().hex[:16]}"
+    )
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    for mod in (2, 3, 4, 5):  # v1..v4 = progressively sparser slices
+        write_version(d.filter(F.col("doc_id") % mod == 0), root)
+    deleted = vacuum_versions(root, keep_latest=2)
+    out = None
+    for v in list_versions(root):
+        prof = read_version(spark, root, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).withColumn("version", F.lit(v)).withColumn("kind", F.lit(1))
+        out = prof if out is None else out.unionByName(prof)
+    deleted_df = spark.createDataFrame(
+        [(0, v, None, None) for v in deleted],
+        "kind int, version int, n_docs long, total_chars long",
+    )
+    return deleted_df.unionByName(
+        out.select("kind", "version", "n_docs", "total_chars")
+    )
+
+
 def d7_merge_additive(spark, sf):
     """D-family -- incremental materialized-rollup refresh
     (io.merge_additive): the base rollup aggregates only even-user
@@ -2773,6 +2808,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s16_time_travel": s16_time_travel,
     "s17_evolving_read": s17_evolving_read,
     "s18_range_sorted": s18_range_sorted,
+    "s19_vacuum": s19_vacuum,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
