@@ -379,3 +379,110 @@ def test_winsorize_idempotent_and_bounded(spark, vals):
     twice = winsorize(once.select("g", F.col("w1").alias("v")), "g", "v", 0.0, 1.0, "w2")
     for r in twice.collect():
         assert lo - 1e-9 <= r.w2 <= hi + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators vs independent Python models, over generated inputs
+# ---------------------------------------------------------------------------
+
+WORDS = st.lists(
+    st.sampled_from(["low", "lower", "newest", "widest", "the", "a", "ab",
+                     "abc", "zz", "banana", "bandana"]),
+    min_size=1, max_size=40,
+)
+
+
+@SETTINGS
+@given(st.lists(WORDS, min_size=1, max_size=5), st.integers(min_value=1, max_value=8))
+def test_bpe_train_matches_reference(spark, docs_words, n_merges):
+    from collections import Counter
+
+    from tests.test_llm_ops import TestBpeTrain
+    from uofi_payroll_etl_main_spark.llm.text import bpe_train
+
+    texts = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    exp_merges, exp_vocab = TestBpeTrain._reference_bpe(dict(wc), n_merges)
+    got_merges, got_words = bpe_train(df, n_merges=n_merges)
+    assert [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in got_merges
+    ] == exp_merges
+    got_vocab = {r["w"]: list(r["symbols"]) for r in got_words.collect()}
+    assert got_vocab == exp_vocab
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=7),
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+def test_png_decode_inverts_any_filter_sequence(w, h, filters, nch, rnd):
+    import numpy as np
+
+    from tests.test_multimodal import _png_forward_filter
+    from uofi_payroll_etl_main_spark.llm.multimodal import decode_media
+
+    px = np.array(
+        [rnd.randrange(256) for _ in range(h * w * nch)], dtype=np.uint8
+    ).reshape(h, w, nch)
+    payload = _png_forward_filter(px, filters=filters, nch=nch)
+    got = decode_media(payload, "image")["pixels"]
+    if nch == 1:
+        assert np.array_equal(got, np.repeat(px, 3, axis=2))
+    elif nch == 4:
+        assert np.array_equal(got, px[:, :, :3])
+    else:
+        assert np.array_equal(got, px)
+
+
+URLY = st.builds(
+    lambda scheme, www, host, port, path, q, frag: f"{scheme}://{www}{host}{port}{path}{q}{frag}",
+    st.sampled_from(["http", "https", "HTTPS"]),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.sampled_from(["example.com", "Sub.Example.COM", "a.b.co"]),
+    st.sampled_from(["", ":443", ":80", ":8080"]),
+    st.sampled_from(["", "/", "/P/1/", "/p"]),
+    st.sampled_from(["", "?id=1", "?utm_source=x", "?href=a&ref=b", "?xref=c&utm_a=d&id=2",
+                     "?ref=x&href=y", "?utm_a=1&utm_b=2"]),
+    st.sampled_from(["", "#f", "#Sec"]),
+)
+
+
+def _py_normalize_url(u: str) -> str:
+    """Independent reference canonicalizer (urllib-free, mirrors the
+    documented contract, not the implementation's regex chain)."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$", u)
+    scheme, auth, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    if auth.startswith("www."):
+        auth = auth[4:]
+    auth = _re.sub(r":(443|80)$", "", auth)
+    rest = rest.split("#", 1)[0]
+    path, sep, query = rest.partition("?")
+    path = path.rstrip("/")
+    if sep:
+        params = [p for p in query.split("&") if p]
+        kept = [
+            p for p in params
+            if not _re.match(r"(?i)^(utm_[a-z]+|gclid|fbclid|ref)=", p)
+        ]
+        query = ("?" + "&".join(kept)) if kept else ""
+    return f"{scheme}://{auth}{path}{query}"
+
+
+@SETTINGS
+@given(st.lists(URLY, min_size=1, max_size=30))
+def test_normalize_url_matches_independent_model(spark, urls):
+    from uofi_payroll_etl_main_spark.llm.web import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "x string")
+    got = [r[0] for r in df.select(normalize_url(F.col("x"))).collect()]
+    assert got == [_py_normalize_url(u) for u in urls]
