@@ -628,3 +628,51 @@ def test_transform_with_state_matches_apply_in_pandas(spark, event_dir):
     g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
     e = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in expect.collect()}
     assert g == e and len(g) > 0
+
+
+def test_streaming_dedup_index_sink(spark, tmp_path):
+    """Three micro-batches with cross-batch and in-batch duplicates:
+    the landed corpus must hold exactly one copy per distinct
+    normalized text, and the index must end keyed to the earliest
+    keeper ids."""
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.llm.dedup import build_dedup_index
+    from uofi_payroll_etl_main_spark.streaming.streams import (
+        streaming_dedup_index_sink,
+    )
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "corpus")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    # day-0 corpus seeds the index
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta")]
+    )
+    build_dedup_index(seed, index)
+
+    batches = [
+        [Row(doc_id=10, text="ALPHA   beta"),      # dup of seed doc 1 (normalized)
+         Row(doc_id=11, text="fresh one")],
+        [Row(doc_id=20, text="fresh one"),          # dup of batch-1's doc 11
+         Row(doc_id=21, text="fresh two"),
+         Row(doc_id=22, text="Fresh   TWO")],       # in-batch dup of 21
+        [Row(doc_id=30, text="gamma delta"),        # dup of seed doc 2
+         Row(doc_id=31, text="fresh three")],
+    ]
+    for i, rows_in in enumerate(batches):
+        spark.createDataFrame(rows_in).write.parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    streaming_dedup_index_sink(stream, index, out, ckpt)
+
+    landed = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(landed) == {11, 21, 31}  # one copy per distinct new text
+    idx = {r.fingerprint: r.keeper_id for r in spark.read.parquet(index).collect()}
+    assert len(idx) == 5  # 2 seed + 3 fresh digests
+    assert sorted(idx.values()) == [1, 2, 11, 21, 31]

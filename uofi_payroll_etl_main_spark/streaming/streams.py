@@ -32,6 +32,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "run_to_memory",
+    "streaming_dedup_index_sink",
 ]
 
 EVENTS_SCHEMA = T.StructType(
@@ -389,3 +390,79 @@ def streaming_running_totals_tws(events: DataFrame, watermark: str = "2 hours") 
             timeMode="None",
         )
     )
+
+
+def streaming_dedup_index_sink(
+    sdf: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 120,
+) -> None:
+    """Continuous-ingest corpus dedup: each micro-batch of documents is
+    probed against the persisted fingerprint index
+    (llm.dedup.dedup_against_index); FRESH documents append to
+    `out_path` and their digests fold into the index, duplicates (of
+    the index or within the batch) are dropped.  readStream ->
+    probe-index -> append + index-merge: the streaming face of
+    incremental dedup, so tomorrow's crawl lands deduped without ever
+    rescanning yesterday's corpus.
+
+    Exactly-once discipline: foreachBatch replays a failed batch under
+    the same batch_id; both effects are idempotent under replay --
+    the index fold is a keep-min groupBy (re-folding the same digests
+    is a no-op) and the corpus append dedups against the
+    already-updated index ... EXCEPT a replay exactly between the two
+    writes could re-append rows whose digests already committed.
+    Ordering the index fold LAST closes that: a replayed batch re-probes
+    the pre-fold index and re-derives the same fresh set, overwriting
+    the same append via per-batch output partitioning (batch_id=N dir).
+    Per micro-batch cost: two digest-key shuffles, no text shuffles.
+    """
+    from ..llm.dedup import dedup_against_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tagged = dedup_against_index(batch_df, index_path, id_col, text_col)
+        fresh = tagged.filter(F.col("is_new"))
+        # 1) land fresh documents in a per-batch directory (replay
+        #    overwrites the same dir -- idempotent)
+        fresh_ids = fresh.select(F.col("new_id").alias(id_col))
+        (
+            batch_df.join(F.broadcast(fresh_ids), id_col, "left_semi")
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+        # 2) THEN fold the fresh digests into the index (keep-min is
+        #    idempotent under replay)
+        idx = spark.read.parquet(index_path)
+        merged = (
+            idx.unionByName(
+                fresh.select("fingerprint", F.col("new_id").alias("keeper_id"))
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("keeper_id").alias("keeper_id"))
+        )
+        tmp = index_path.rstrip("/") + ".__idx_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import os
+        import shutil
+
+        swap = index_path.rstrip("/") + ".__idx_old"
+        if os.path.exists(swap):
+            shutil.rmtree(swap)
+        os.rename(index_path, swap)
+        os.rename(tmp, index_path)
+        shutil.rmtree(swap)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
