@@ -260,3 +260,57 @@ class TestVacuumVersions:
 
         with _pytest.raises(ValueError):
             vacuum_versions(str(tmp_path), keep_latest=0)
+
+
+class TestQualityGatedPublish:
+    def test_blocks_bad_load_and_passes_good(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.io import (
+            QualityGateError,
+            list_versions,
+            write_version_checked,
+        )
+
+        root = str(tmp_path / "gated")
+        rules = [
+            {"kind": "min_rows", "n": 2},
+            {"kind": "not_null", "col": "v", "max_null_frac": 0.0},
+            {"kind": "unique", "col": "id"},
+        ]
+        good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        assert write_version_checked(good, root, rules) == 1
+        # null violation -> refused, NOTHING written
+        bad = spark.createDataFrame([(3, None), (4, "d")], "id long, v string")
+        with _pytest.raises(QualityGateError, match="not_null"):
+            write_version_checked(bad, root, rules)
+        assert list_versions(root) == [1]
+        # duplicate-key violation -> refused
+        dup = spark.createDataFrame([(5, "e"), (5, "f")], "id long, v string")
+        with _pytest.raises(QualityGateError, match="unique"):
+            write_version_checked(dup, root, rules)
+        assert list_versions(root) == [1]
+
+
+class TestVersionChanges:
+    def test_cdf_roundtrips_with_merge(self, spark, tmp_path):
+        """diff(v1, v2) applied to v1 via keep-latest must reproduce v2's
+        key set -- the CDC contract the docstring claims."""
+        from uofi_payroll_etl_main_spark.io import (
+            read_version,
+            read_version_changes,
+            write_version,
+        )
+
+        root = str(tmp_path / "cdf")
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+        v2 = spark.createDataFrame(
+            [(2, "B"), (3, "c"), (4, "d")], "id long, v string"
+        )
+        write_version(v1, root)
+        write_version(v2, root)
+        delta = {r["id"]: r["change_type"]
+                 for r in read_version_changes(spark, root, 1, 2, keys=["id"]).collect()}
+        assert delta == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged -> absent

@@ -856,3 +856,59 @@ def vacuum_versions(root: str, keep_latest: int = 2) -> list[int]:
             if committed_v:
                 deleted.append(v)
     return deleted
+
+
+def read_version_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two committed snapshot versions: the
+    added/removed/changed key set that transforms v_from into v_to
+    (snapshot_diff over two time-travel reads).  The incremental-
+    consumer contract of every table format: downstream jobs read the
+    delta, not the snapshot.  Cost: one full-outer key join of the two
+    versions -- at 100 TB consumers read adjacent versions, where the
+    delta (and the join's skew profile) is small by construction."""
+    return snapshot_diff(
+        read_version(spark, root, v_from),
+        read_version(spark, root, v_to),
+        keys,
+        compare_cols,
+    )
+
+
+class QualityGateError(RuntimeError):
+    """A quality-gated publish refused to commit: expectation rules
+    failed.  Carries the failing (rule, column, metric, threshold)
+    rows so the caller can report precisely what broke."""
+
+    def __init__(self, failures: list):
+        self.failures = failures
+        desc = "; ".join(
+            f"{f['rule']}({f['column']}): metric={f['metric']} vs threshold={f['threshold']}"
+            for f in failures
+        )
+        super().__init__(f"quality gate failed: {desc}")
+
+
+def write_version_checked(
+    df: DataFrame, root: str, expectations: Sequence[dict]
+) -> int:
+    """Quality-gated publish: evaluate declarative expectations
+    (report.check_expectations -- ONE aggregate pass) and commit a new
+    snapshot version only when every rule passes; otherwise raise
+    QualityGateError with the failing rules and write NOTHING.  The
+    write-audit-publish pattern that keeps bad loads out of the store
+    readers trust -- at 100 TB the check costs one scan, strictly
+    cheaper than a bad publish plus a rollback."""
+    from .report import check_expectations
+
+    report = check_expectations(df, expectations)
+    failures = [r.asDict() for r in report.filter(~F.col("passed")).collect()]
+    if failures:
+        raise QualityGateError(failures)
+    return write_version(df, root)

@@ -763,6 +763,65 @@ CORE_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 1, 4, n, c FROM v4
     """,
+    "s20_version_changes": """
+        WITH v1 AS (
+          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        ), v2 AS (
+          SELECT doc_id, lang,
+                 n_chars + CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 ELSE 0 END AS n_chars
+          FROM documents WHERE doc_id % 3 = 0
+        ), j AS (
+          SELECT coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+                 CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.lang IS DISTINCT FROM v2.lang
+                        OR v1.n_chars IS DISTINCT FROM v2.n_chars THEN 'changed'
+                 END AS change_type
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
+    """,
+    "v9_profile_drift": """
+        WITH a AS (SELECT o_orderstatus, o_custkey, o_orderpriority
+                   FROM orders WHERE o_orderkey % 2 = 0),
+             b AS (SELECT o_orderstatus, o_custkey, o_orderpriority
+                   FROM orders WHERE o_orderkey % 3 = 0),
+        pa AS (
+          SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS rows_a,
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_a,
+                 CAST(min(o_orderstatus) AS VARCHAR) AS min_a, CAST(max(o_orderstatus) AS VARCHAR) AS max_a
+          FROM a
+          UNION ALL
+          SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+          FROM a
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+          FROM a
+        ), pb AS (
+          SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS rows_b,
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_b,
+                 CAST(min(o_orderstatus) AS VARCHAR) AS min_b, CAST(max(o_orderstatus) AS VARCHAR) AS max_b
+          FROM b
+          UNION ALL
+          SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+          FROM b
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+          FROM b
+        )
+        SELECT pa."column", rows_a, rows_b, nulls_a, nulls_b,
+               min_a <> min_b AS min_drifted,
+               max_a <> max_b AS max_drifted
+        FROM pa JOIN pb ON pa."column" = pb."column"
+    """,
     "s14_compact": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -772,6 +772,61 @@ def s19_vacuum(spark, sf):
     )
 
 
+def s20_version_changes(spark, sf):
+    """S-family -- change data feed between committed snapshot versions
+    (io.read_version_changes): v1 = even-doc slice, v2 = multiples-of-3
+    slice with n_chars bumped for even keys -- so the delta contains
+    ADDED (3k odd keys), REMOVED (even non-3k), CHANGED (6k keys whose
+    bump is nonzero), and silent unchanged rows (6k keys with
+    doc_id %% 5 == 0).  Write-once per data generation; the diff is the
+    CDC consumer's read path."""
+    from .io import list_versions, read_version_changes, write_version
+
+    root = _tagged_dir(sf, "documents", "docs_cdf")
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    if len(list_versions(root)) < 2:
+        write_version(d.filter(F.col("doc_id") % 2 == 0), root)
+        v2 = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 5).otherwise(F.lit(0)),
+        )
+        write_version(v2, root)
+    return read_version_changes(spark, root, 1, 2, keys=["doc_id"])
+
+
+def v9_profile_drift(spark, sf):
+    """V-family -- snapshot-to-snapshot column profile drift: the exact
+    facets of report.profile_table (rows/nulls/min/max; the HLL
+    estimate is excluded, as in v6) computed for two deterministic
+    slices of orders and joined per column -- the schema/content drift
+    monitor a nightly load runs before publish."""
+    from .report import profile_table
+
+    cols = ["o_orderstatus", "o_custkey", "o_orderpriority"]
+    a = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 2 == 0).select(*cols)
+    b = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0).select(*cols)
+    pa = profile_table(a).select(
+        "column",
+        F.col("n_rows").alias("rows_a"),
+        F.col("n_nulls").alias("nulls_a"),
+        F.col("min_str").alias("min_a"),
+        F.col("max_str").alias("max_a"),
+    )
+    pb = profile_table(b).select(
+        "column",
+        F.col("n_rows").alias("rows_b"),
+        F.col("n_nulls").alias("nulls_b"),
+        F.col("min_str").alias("min_b"),
+        F.col("max_str").alias("max_b"),
+    )
+    return pa.join(pb, "column").select(
+        "column", "rows_a", "rows_b", "nulls_a", "nulls_b",
+        (F.col("min_a") != F.col("min_b")).alias("min_drifted"),
+        (F.col("max_a") != F.col("max_b")).alias("max_drifted"),
+    )
+
+
 def d7_merge_additive(spark, sf):
     """D-family -- incremental materialized-rollup refresh
     (io.merge_additive): the base rollup aggregates only even-user
@@ -2809,6 +2864,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s17_evolving_read": s17_evolving_read,
     "s18_range_sorted": s18_range_sorted,
     "s19_vacuum": s19_vacuum,
+    "s20_version_changes": s20_version_changes,
+    "v9_profile_drift": v9_profile_drift,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
