@@ -309,3 +309,68 @@ class TestShortestPaths:
             for r in shortest_paths(edges, srcs, max_hops=2).collect()
         )
         assert got == {"a": 0, "c": 0, "b": 2}
+
+
+class TestKCore:
+    @staticmethod
+    def _py_kcore(edges, k):
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(nb) for n, nb in adj.items() if nb}
+
+    def test_matches_python_peel(self, spark):
+        from uofi_payroll_etl_main_spark.graph import k_core
+
+        # triangle+tail: the tail peels away round by round, the
+        # triangle survives as the 2-core; plus an isolated 4-clique
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+            ("c", "d"), ("d", "e"), ("e", "f"),          # tail
+            ("p", "q"), ("p", "r"), ("p", "s"),
+            ("q", "r"), ("q", "s"), ("r", "s"),          # 4-clique
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for k in (2, 3, 4):
+            expect = self._py_kcore(edges, k)
+            got = {r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()}
+            assert got == expect, f"k={k}"
+        # k=2: triangle + clique survive, the tail is gone
+        got2 = set(k_core(df, k=2).toPandas()["node"])
+        assert got2 == {"a", "b", "c", "p", "q", "r", "s"}
+        # k=3: only the clique
+        got3 = set(k_core(df, k=3).toPandas()["node"])
+        assert got3 == {"p", "q", "r", "s"}
+
+    def test_matches_python_peel_on_corpus_graph(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        from uofi_payroll_etl_main_spark.io import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        from pyspark.sql import functions as F
+
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+            )
+            .distinct()
+        )
+        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+        expect = self._py_kcore(pairs, 3)
+        got = {r["node"]: r["core_degree"]
+               for r in entrymod.queries()["g8_kcore"](spark, sf_dir).collect()}
+        assert got == expect and len(got) > 0

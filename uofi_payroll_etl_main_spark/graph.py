@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core"]
 
 
 def pagerank(
@@ -468,3 +468,54 @@ def shortest_paths(
         dist = nxt
     e.unpersist()
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core of the UNDIRECTED simple graph induced by `edges`: the
+    maximal subgraph where every node has degree >= k, computed by the
+    standard iterative peel -- drop all nodes with degree < k, restrict
+    edges to survivors, repeat to fixpoint.  Returns surviving
+    (node, core_degree) rows; core_degree is the node's degree INSIDE
+    the core.
+
+    The community/cohesion primitive behind spam-farm detection and
+    dense-cluster mining on link graphs.  Scale shape: each round is
+    one degree aggregation (map-side combined) + one semi join of the
+    edge set against survivors -- edge-partitioned work, no collect
+    except the scalar survivor count that detects the fixpoint.
+    Lineage truncates per round (localCheckpoint, same discipline as
+    pagerank/bfs); rounds are data-bounded (each removes >= 1 node) and
+    capped by `max_iter` as a runaway stop.
+    """
+    # undirected simple graph: symmetrize + dedup, drop self-loops
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = und.select("a").distinct().count()
+    for _ in range(int(max_iter)):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        survivors = deg.filter(F.col("d") >= int(k)).select("a")
+        n_now = survivors.count()
+        if n_now == n_prev:
+            break
+        und = (
+            und.join(survivors, "a", "left_semi")
+            .join(survivors.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_prev = n_now
+    return (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= int(k))
+    )

@@ -827,6 +827,28 @@ def v9_profile_drift(spark, sf):
     )
 
 
+def g8_kcore(spark, sf):
+    """Graph family -- k-core peel (k=3) of the undirected
+    supplier<->customer fulfillment graph: the dense-subgraph
+    cohesion primitive.  Rows-only gate (unbounded-depth iterative
+    removal is not recursive-CTE-expressible -- each round needs the
+    CUMULATIVE removed set, which SQL recursion cannot see); exactness
+    vs a pure-Python peel is pytest-asserted (tests/test_graph.py)."""
+    from .graph import k_core
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=3)
+
+
 def d7_merge_additive(spark, sf):
     """D-family -- incremental materialized-rollup refresh
     (io.merge_additive): the base rollup aggregates only even-user
@@ -2866,6 +2888,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s19_vacuum": s19_vacuum,
     "s20_version_changes": s20_version_changes,
     "v9_profile_drift": v9_profile_drift,
+    "g8_kcore": g8_kcore,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
