@@ -386,3 +386,48 @@ class TestBoilerplate:
         for d in (1, 2, 3):
             assert frac[d]["n_boiler"] >= 4  # the footer's 3-gram run
             assert 0 < frac[d]["boiler_frac"] < 1
+
+
+class TestSpanCorruption:
+    def test_matches_python_model_and_invariants(self, spark, sf_dir):
+        import math
+
+        from uofi_payroll_etl_main_spark.llm.curation import span_corruption
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {}
+        for r in span_corruption(docs).collect():
+            got[(r["doc_id"], r["span_id"])] = (r["start"], r["length"], r["span_text"])
+
+        import re as _re
+
+        for row in docs.collect():
+            toks = [t for t in _re.split(r"\s+", row["text"].strip().lower()) if t]
+            n = len(toks)
+            ns = int(math.floor(n * 0.15 / 3))
+            if ns < 1:
+                continue
+            seg = int(math.floor(n / ns))
+            slot = max(1, seg - 3 + 1)
+            for i in range(ns):
+                h = (((row["doc_id"] * 131 + i) % 2147483648) * 2654435761 + 12345) % 1000000007
+                start = i * seg + (h % slot) + 1
+                expect = (start, 3, " ".join(toks[start - 1 : start + 2]))
+                assert got[(row["doc_id"], i)] == expect, (row["doc_id"], i)
+
+        # invariants: spans non-overlapping and in-bounds per doc
+        bydoc = {}
+        for (d, i), (start, length, _) in got.items():
+            bydoc.setdefault(d, []).append((start, length))
+        for d, spans in bydoc.items():
+            spans.sort()
+            for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+                assert s1 + l1 <= s2, (d, spans)
+
+    def test_deterministic(self, spark, sf_dir):
+        from uofi_payroll_etl_main_spark.llm.curation import span_corruption
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = sorted(tuple(r) for r in span_corruption(docs).collect())
+        b = sorted(tuple(r) for r in span_corruption(docs).collect())
+        assert a == b

@@ -30,6 +30,7 @@ __all__ = [
     "contamination_overlap",
     "boilerplate_ngrams",
     "boilerplate_fraction",
+    "span_corruption",
     "contaminated_ids",
     "stratified_sample",
     "split_assign",
@@ -814,4 +815,60 @@ def boilerplate_fraction(
             "n_boiler",
             F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_frac"),
         )
+    )
+
+
+def span_corruption(
+    docs: DataFrame,
+    mask_frac: float = 0.15,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption plan: for each document, deterministic
+    non-overlapping token spans covering ~mask_frac of the tokens, each
+    span_len tokens long -- the (start, length, span_text) triples a
+    denoising-objective data loader masks with sentinels.
+
+    Deterministic by construction (trainable-data discipline: the same
+    corpus snapshot must yield the same masks on every run/engine):
+    the token stream is split into one segment per target span and the
+    span lands at a Knuth-hash-chosen offset inside its segment --
+    non-overlapping without any rejection sampling, one codegen
+    projection + explode, no UDF, no shuffle.  Docs too short for one
+    span emit no rows.  Output: (id, span_id, start, length,
+    span_text); `start` is 1-based in the normalized token stream.
+    """
+    from .dedup import normalize_text
+    from .text import tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    n_spans = F.floor(
+        F.size(toks) * F.lit(float(mask_frac)) / F.lit(int(span_len))
+    ).cast("int")
+    base = (
+        docs.select(F.col(id_col), toks.alias("__toks"), n_spans.alias("__ns"))
+        .filter(F.col("__ns") >= 1)
+        .select(
+            id_col,
+            "__toks",
+            "__ns",
+            F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("span_id"),
+        )
+    )
+    seg = F.floor(F.size(F.col("__toks")) / F.col("__ns")).cast("int")
+    slot = F.greatest(F.lit(1), seg - F.lit(int(span_len)) + F.lit(1))
+    i = F.col("span_id")
+    h = (
+        F.pmod(F.col(id_col).cast("long") * F.lit(131) + i, F.lit(2147483648))
+        * F.lit(2654435761)
+        + F.lit(12345)
+    ) % F.lit(1000000007)
+    start = (i * seg + F.pmod(h, slot) + F.lit(1)).cast("int")
+    return base.select(
+        id_col,
+        F.col("span_id").cast("int").alias("span_id"),
+        start.alias("start"),
+        F.lit(int(span_len)).cast("int").alias("length"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), start, int(span_len))).alias("span_text"),
     )

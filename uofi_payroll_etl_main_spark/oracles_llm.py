@@ -531,6 +531,34 @@ LLM_ORACLES: dict[str, str] = {
           ('contaminated_rate', round(n_contaminated / n_docs, 6))
         ) AS m(metric, value)
     """,
+    "llm_span_corruption": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), spans AS (
+          SELECT doc_id, t,
+                 CAST(floor(len(t) * 0.15 / 3) AS INTEGER) AS ns
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, t, ns,
+                 CAST(unnest(range(0, ns)) AS INTEGER) AS span_id,
+                 CAST(floor(len(t) / ns) AS INTEGER) AS seg
+          FROM spans WHERE ns >= 1
+        ), placed AS (
+          SELECT doc_id, span_id, t,
+                 CAST(span_id * seg
+                      + ((((doc_id * 131 + span_id) % 2147483648) * 2654435761 + 12345)
+                         % 1000000007) % greatest(1, seg - 3 + 1)
+                      + 1 AS INTEGER) AS start
+          FROM ex
+        )
+        SELECT doc_id, span_id, start,
+               CAST(3 AS INTEGER) AS length,
+               array_to_string(t[start:start+2], ' ') AS span_text
+        FROM placed
+    """,
     "llm_contamination_rate": f"""
         WITH {_GRAMS5}, bench AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0

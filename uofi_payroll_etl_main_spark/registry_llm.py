@@ -1597,6 +1597,15 @@ def llm_dataset_card(spark, sf):
     ).select("r.metric", "r.value")
 
 
+def llm_span_corruption(spark, sf):
+    """T5-style deterministic span-corruption plan over the documents
+    corpus (15%% of tokens in 3-token spans, Knuth-hash placement):
+    the denoising-objective mask table a training loader consumes."""
+    from .llm.curation import span_corruption
+
+    return span_corruption(_t(spark, sf, "documents"))
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1713,6 +1722,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_bpe_tokenize": llm_bpe_tokenize,
     "llm_c4_pipeline": llm_c4_pipeline,
     "llm_dataset_card": llm_dataset_card,
+    "llm_span_corruption": llm_span_corruption,
     "llm_tokenize": llm_tokenize,
     "llm_mixture_apply": llm_mixture_apply,
     "llm_web_pipeline": llm_web_pipeline,
