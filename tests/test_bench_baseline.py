@@ -2,7 +2,7 @@
 
 BENCH_BASELINE.json freezes each headliner's wall time at sf0.01
 (best-of-2, tuned session).  Every headliner re-runs here with a
-GENEROUS bound -- 3x the recorded time plus a 2s floor -- so only gross
+GENEROUS bound -- 3x the recorded time plus a 3s floor -- so only gross
 plan regressions trip it (the r3 incident: a query that silently
 switched to a cartesian/row-Python plan would blow 3x immediately,
 while host noise, measured at 2-6x between back-to-back runs for
@@ -33,7 +33,11 @@ with open(os.path.join(ROOT, "BENCH_BASELINE.json")) as f:
     BASELINE = json.load(f)
 
 TOLERANCE = 3.0
-FLOOR_SEC = 2.0
+# floor absorbs host noise on sub-second queries: co-tenant load has been
+# measured pushing a 0.24s query past 2s while a true plan regression
+# (cartesian / row-Python switch) lands at 10-100x -- 3s keeps the guard
+# sensitive to the failure class it exists for without flaking
+FLOOR_SEC = 3.0
 
 
 def test_baseline_covers_only_live_headliners():
