@@ -374,3 +374,48 @@ class TestKCore:
         got = {r["node"]: r["core_degree"]
                for r in entrymod.queries()["g8_kcore"](spark, sf_dir).collect()}
         assert got == expect and len(got) > 0
+
+
+class TestPersonalizedPageRank:
+    def test_seed_restart_properties(self, spark):
+        from uofi_payroll_etl_main_spark.graph import personalized_pagerank
+
+        # two disjoint triangles; seed only in community A -- community
+        # B is unreachable from the teleport set, so its rank is
+        # EXACTLY zero (the defining property vs. uniform PageRank)
+        edges = [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("a1",)], "node string")
+        r = {x["node"]: x["rank"] for x in personalized_pagerank(df, seeds).collect()}
+        assert r["b1"] == r["b2"] == r["b3"] == 0.0
+        # the seed keeps at least its restart mass (1-d)*1
+        assert r["a1"] >= 0.15
+        assert all(v >= 0 for v in r.values())
+
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.graph import personalized_pagerank
+
+        edges = [("x", "y"), ("y", "z"), ("z", "x"), ("x", "z"), ("w", "x")]
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("x",), ("w",)], "node string")
+        got = {r["node"]: r["rank"] for r in personalized_pagerank(df, seeds, iterations=3).collect()}
+
+        tele = np.zeros(len(nodes)); tele[idx["x"]] = 0.5; tele[idx["w"]] = 0.5
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = tele.copy()
+        for _ in range(3):
+            nxt = 0.15 * tele
+            for s, d in edges:
+                nxt[idx[d]] += 0.85 * r[idx[s]] / outdeg[s]
+            r = nxt
+        for n in nodes:
+            assert abs(got[n] - r[idx[n]]) < 1e-12, n

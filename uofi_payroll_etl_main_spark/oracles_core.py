@@ -339,6 +339,55 @@ CORE_ORACLES: dict[str, str] = {
                  + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
         FROM nodes n2 CROSS JOIN nn LEFT JOIN c3 ON n2.node = c3.node
     """,
+    "g9_personalized_pr": """
+        WITH edges AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'c' || CAST(o_custkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), seeds AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+          FROM lineitem WHERE l_suppkey % 10 = 0
+        ), ns AS (
+          SELECT count(*) AS cnt FROM seeds
+        ), nodes AS (
+          SELECT n.node,
+                 CASE WHEN sd.node IS NOT NULL
+                      THEN CAST(1.0 AS DOUBLE) / (SELECT cnt FROM ns)
+                      ELSE CAST(0.0 AS DOUBLE) END AS tele
+          FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+          LEFT JOIN seeds sd ON n.node = sd.node
+        ), deg AS (
+          SELECT src, count(*) AS od FROM edges GROUP BY src
+        ), r0 AS (
+          SELECT node, tele, tele AS pr FROM nodes
+        ), c1 AS (
+          SELECT e.dst AS node, sum(CAST(r.pr / d.od AS DECIMAL(38,18))) AS s
+          FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r1 AS (
+          SELECT n2.node, n2.tele,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n2.tele
+                 + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
+          FROM nodes n2 LEFT JOIN c1 ON n2.node = c1.node
+        ), c2 AS (
+          SELECT e.dst AS node, sum(CAST(r.pr / d.od AS DECIMAL(38,18))) AS s
+          FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r2 AS (
+          SELECT n2.node, n2.tele,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n2.tele
+                 + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
+          FROM nodes n2 LEFT JOIN c2 ON n2.node = c2.node
+        ), c3 AS (
+          SELECT e.dst AS node, sum(CAST(r.pr / d.od AS DECIMAL(38,18))) AS s
+          FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        )
+        SELECT n2.node,
+               round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n2.tele
+                 + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0), 12) AS rank
+        FROM nodes n2 LEFT JOIN c3 ON n2.node = c3.node
+    """,
     "p1_contains_ci": """
         SELECT p_partkey, p_type FROM part
         WHERE lower(p_type) LIKE '%brass%'

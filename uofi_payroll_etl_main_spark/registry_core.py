@@ -849,6 +849,33 @@ def g8_kcore(spark, sf):
     return k_core(edges, k=3)
 
 
+def g9_personalized_pr(spark, sf):
+    """Graph family -- personalized PageRank (3 sync iterations,
+    d=0.85) with the teleport vector on every 10th supplier node:
+    seed-proximity relevance over the fulfillment graph.  Same
+    DECIMAL(38,18) contribution discipline as g1, so the unrolled-SQL
+    oracle hash-matches bit-for-bit."""
+    from .graph import personalized_pagerank
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    out = personalized_pagerank(edges, seeds)
+    return out.select("node", F.round(F.col("rank"), 12).alias("rank"))
+
+
 def d7_merge_additive(spark, sf):
     """D-family -- incremental materialized-rollup refresh
     (io.merge_additive): the base rollup aggregates only even-user
@@ -2889,6 +2916,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s20_version_changes": s20_version_changes,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
+    "g9_personalized_pr": g9_personalized_pr,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
