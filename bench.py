@@ -59,6 +59,8 @@ HEADLINERS = [
     "llm_corpus_shuffle",
     "llm_curation_pipeline",
     "llm_c4_pipeline",
+    "llm_span_corruption",
+    "llm_dataset_card",
     "w_gap_linear",
     "sql3_exists_cte",
     "s12_zorder_profile",
@@ -85,6 +87,8 @@ HEADLINERS = [
     "j18b_linkage_banded",
     "j19_pit_lookup",
     "g6_bfs_hops",
+    "g8_kcore",
+    "g9_personalized_pr",
     "g7_shortest_paths",
     "llm_mixture_apply",
     "llm_web_pipeline",
