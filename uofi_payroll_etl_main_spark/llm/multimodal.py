@@ -7,14 +7,16 @@ resize / frame-sampling run as Arrow-batched Pandas UDFs via
 ``mapInPandas``: batches of payload bytes cross to Python once, columnar,
 never row-at-a-time.
 
-Decode kernels: the stdlib-decodable codecs are REAL -- PPM (P6),
-uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/RGBA, all five
-scanline filters, via zlib) for images; WAV audio via the stdlib
-``wave`` module -- so features and resizes compute from actual
-pixels/samples.  Codecs that genuinely need third-party libs
-(JPEG/MP3/video) raise NotImplementedError at the kernel; the
-surrounding Spark plumbing is identical either way, so swapping in
-PIL/soundfile/av at deployment touches only `decode_media`.
+Decode kernels: the self-contained codecs are REAL -- PPM (P6),
+uncompressed 24-bit BMP, PNG (8-bit gray/RGB/RGBA, all five scanline
+filters, via zlib), and baseline JPEG (SOF0/SOF1, any sampling
+factors, restart markers -- pure numpy, see llm/jpeg.py) for images;
+WAV audio via the stdlib ``wave`` module -- so features and resizes
+compute from actual pixels/samples.  Codecs that genuinely need
+third-party libs (progressive JPEG/MP3/video) raise
+NotImplementedError at the kernel; the surrounding Spark plumbing is
+identical either way, so swapping in PIL/soundfile/av at deployment
+touches only `decode_media`.
 
 The synthetic media table (`synth_media`) emits real PPM/WAV payloads by
 default, making the whole path -- synth -> decode -> feature/resize --
@@ -36,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .jpeg import decode_jpeg, encode_jpeg
+
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
@@ -43,6 +47,7 @@ __all__ = [
     "encode_ppm",
     "encode_bmp",
     "encode_png",
+    "encode_jpeg",
     "encode_wav",
     "synth_media",
     "decode_media",
@@ -294,9 +299,9 @@ def decode_media(payload: bytes, kind: str) -> dict:
     """Decode a payload by magic number.  Returns a dict:
       image -> {"width", "height", "pixels": (h, w, 3) uint8}
       audio -> {"rate", "samples": int16 array}
-    Unknown codecs (JPEG/MP3/any video) raise NotImplementedError --
-    swap in PIL / soundfile / av here at deployment; everything around
-    this kernel (batching, schema, partitioning) is codec-agnostic."""
+    Unknown codecs (MP3/any video) raise NotImplementedError -- swap in
+    PIL / soundfile / av here at deployment; everything around this
+    kernel (batching, schema, partitioning) is codec-agnostic."""
     if payload[:2] == b"P6":
         w, h, px = _decode_ppm(payload)
         return {"width": w, "height": h, "pixels": px}
@@ -306,12 +311,16 @@ def decode_media(payload: bytes, kind: str) -> dict:
     if payload[:8] == PNG_SIG:
         w, h, px = _decode_png(payload)
         return {"width": w, "height": h, "pixels": px}
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = decode_jpeg(payload)
+        return {"width": w, "height": h, "pixels": px}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = _decode_wav(payload)
         return {"rate": rate, "samples": samples}
     raise NotImplementedError(
-        f"no decoder available for kind={kind!r} (magic={payload[:4]!r}): stdlib "
-        "codecs cover PPM/BMP/PNG/WAV; install pillow/soundfile/av for the rest."
+        f"no decoder available for kind={kind!r} (magic={payload[:4]!r}): built-in "
+        "codecs cover PPM/BMP/PNG/baseline JPEG/WAV; install pillow/soundfile/av "
+        "for the rest."
     )
 
 
@@ -352,12 +361,15 @@ def synth_media(spark: SparkSession, n: int = 64, real_codecs: bool = True) -> D
                 if kind == "image":
                     w, h = 8 + mid % 9, 6 + mid % 5
                     px = _synth_pixels(w, h, mid)
-                    # alternate codecs so PPM and PNG decode paths both
-                    # run end-to-end in every gate/test corpus
-                    if mid % 2 == 0:
+                    # rotate codecs so the PPM, PNG, and JPEG decode
+                    # paths all run end-to-end in every gate/test corpus
+                    rot = (mid // 3) % 3
+                    if rot == 0:
                         payload, codec = encode_ppm(px), "ppm"
-                    else:
+                    elif rot == 1:
                         payload, codec = encode_png(px), "png"
+                    else:
+                        payload, codec = encode_jpeg(px, quality=92), "jpeg"
                     meta = {"codec": codec, "width": str(w), "height": str(h)}
                 elif kind == "audio":
                     n_s = 64 + mid % 97
