@@ -61,6 +61,8 @@ HEADLINERS = [
     "llm_c4_pipeline",
     "llm_span_corruption",
     "llm_dataset_card",
+    "llm_substring_spans",
+    "llm_substring_strip",
     "w_gap_linear",
     "sql3_exists_cte",
     "s12_zorder_profile",

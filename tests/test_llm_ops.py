@@ -911,3 +911,101 @@ class TestBpeTrain:
         m2, _ = bpe_train(d, n_merges=8)
         assert m1 == m2
         assert len(m1) == 8  # corpus is rich enough for all 8 merges
+
+
+class TestSubstringDedup:
+    """Exact substring dedup (Lee et al. 2022): spans + strip."""
+
+    PASSAGE = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "Intro words here. " + self.PASSAGE + " tail one"),
+                (2, "Other start text goes now " + self.PASSAGE + " end words"),
+                (3, "unique document with no repeats at all whatsoever today"),
+                (4, self.PASSAGE + " and again " + self.PASSAGE),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_spans_keep_first_spares_global_first_copy(self, spark):
+        from uofi_payroll_etl_main_spark.llm.dedup import substring_dup_spans
+
+        spans = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_dup_spans(self._corpus(spark), k=4).collect()
+        )
+        # doc 1 holds the (doc_id, start)-first copy -> spared; doc 2's
+        # copy starts at token 5; doc 4 has both copies removed (its
+        # boundary windows "dog and again the" are unique, so the two
+        # spans stay separate maximal islands)
+        assert spans == [(2, 5, 14), (4, 0, 9), (4, 11, 20)]
+
+    def test_spans_keep_first_false_marks_all_copies(self, spark):
+        from uofi_payroll_etl_main_spark.llm.dedup import substring_dup_spans
+
+        spans = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_dup_spans(
+                self._corpus(spark), k=4, keep_first=False
+            ).collect()
+        )
+        assert spans == [(1, 3, 12), (2, 5, 14), (4, 0, 9), (4, 11, 20)]
+
+    def test_adjacent_windows_merge_to_maximal_span(self, spark):
+        from uofi_payroll_etl_main_spark.llm.dedup import substring_dup_spans
+
+        # the shared run is 6 tokens -> three overlapping 4-windows in
+        # each doc must merge into ONE maximal span of 6 tokens
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "x alpha beta gamma delta epsilon zeta y"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = [
+            (r.doc_id, r.span_start, r.span_end, r.n_span_tokens)
+            for r in substring_dup_spans(docs, k=4).collect()
+        ]
+        assert spans == [(2, 1, 7, 6)]
+
+    def test_strip_removes_spans_and_counts(self, spark):
+        from uofi_payroll_etl_main_spark.llm.dedup import substring_strip
+
+        out = {
+            r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+            for r in substring_strip(self._corpus(spark), k=4).collect()
+        }
+        assert out[1] == (
+            "intro words here. " + self.PASSAGE + " tail one",
+            14,
+            0,
+        )
+        assert out[2] == ("other start text goes now end words", 16, 9)
+        assert out[3][2] == 0  # untouched
+        assert out[4] == ("and again", 20, 18)
+
+    def test_strip_fully_duplicated_doc_yields_empty_string(self, spark):
+        from uofi_payroll_etl_main_spark.llm.dedup import substring_strip
+
+        docs = spark.createDataFrame(
+            [(1, self.PASSAGE), (2, self.PASSAGE), (3, self.PASSAGE)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.text_clean, r.n_removed) for r in
+               substring_strip(docs, k=4).collect()}
+        assert out[1] == (self.PASSAGE, 0)  # first copy survives
+        assert out[2] == ("", 9)
+        assert out[3] == ("", 9)
+
+    def test_short_docs_never_match(self, spark):
+        from uofi_payroll_etl_main_spark.llm.dedup import substring_strip
+
+        docs = spark.createDataFrame(
+            [(1, "same tiny text"), (2, "same tiny text")],
+            "doc_id long, text string",
+        )
+        out = substring_strip(docs, k=4).collect()  # 3 tokens < k
+        assert all(r.n_removed == 0 for r in out)

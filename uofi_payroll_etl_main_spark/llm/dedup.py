@@ -48,6 +48,8 @@ __all__ = [
     "compression_ratio",
     "build_dedup_index",
     "dedup_against_index",
+    "substring_dup_spans",
+    "substring_strip",
 ]
 
 
@@ -912,4 +914,164 @@ def dedup_against_index(
         "n_batch_dups",
         "known_keeper_id",
         F.col("known_keeper_id").isNull().alias("is_new"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (maximal repeated token spans)
+# --------------------------------------------------------------------------
+
+def _window_occurrences(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, start, whash) for every k-token window of the normalized
+    text: one corpus scan, windows built with a codegen transform over
+    an index sequence (no UDF, no self-join), then posexploded.  Docs
+    shorter than k tokens contribute nothing.  The 8-byte xxhash64 is
+    the shuffle key -- the window text itself never leaves the scan
+    stage, so the exploded table is ~n_tokens compact rows per doc."""
+    toks = tokens(normalize_text(text_col))
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return _ensure_parallelism(docs).select(
+        F.col(id_col), F.posexplode(wins).alias("start", "whash")
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans, the exact-substring-dedup signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): any k-token window of the normalized text whose
+    content occurs >= min_occurrences times corpus-wide (within- or
+    cross-document) marks its occurrence as duplicated; overlapping and
+    adjacent duplicated windows per document merge into maximal spans.
+
+    keep_first=True spares the globally first occurrence of each window
+    (ordered by (id, start)), so one copy of every passage survives a
+    subsequent strip; False marks every occurrence.
+
+    Returns (id, span_start, span_end, n_span_tokens) -- token
+    positions 0-based, span_end exclusive.
+
+    Scale shape: the dominant cost is ONE shuffle of the compact
+    (id, start, hash) window table on the 8-byte hash -- partial
+    count/min aggregation map-side, hot-window skew is AQE's standard
+    split case.  The span merge is a per-document window function over
+    only the duplicated occurrences (a small fraction of the corpus).
+    Hash collisions (2^-64-scale) could merge unrelated windows; at
+    oracle scales none occur, and a production paranoid mode would
+    re-verify pairs against the window text.
+    """
+    occ = _window_occurrences(docs, k, id_col, text_col)
+    grp = occ.groupBy("whash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("first_occ"),
+    )
+    marked = occ.join(
+        grp.filter(F.col("n_occ") >= int(min_occurrences)), "whash"
+    )
+    if keep_first:
+        marked = marked.filter(
+            F.struct(F.col(id_col), F.col("start")) != F.col("first_occ")
+        )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        marked.select(F.col(id_col), F.col("start"))
+        .withColumn("__island", F.sum(brk).over(w))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + k).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("n_span_tokens"),
+        )
+    )
+
+
+def substring_strip(
+    docs: DataFrame,
+    k: int = 10,
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply substring_dup_spans: remove every token inside a duplicated
+    span, keeping (with keep_first=True) the corpus-first copy of each
+    passage.  Output text is the NORMALIZED text (lowercased, collapsed
+    whitespace) minus the spans -- the same basis the spans were
+    computed on.
+
+    Returns one row per input doc: (id, text_clean, n_tokens,
+    n_removed).
+
+    Scale shape: spans per doc are few and short -> collect_list per doc
+    is bounded; the docs<->spans join is a standard shuffle join on the
+    doc key, and token filtering is a codegen higher-order filter (no
+    UDF).  Two scans of the corpus (window pass + strip pass) -- scan
+    cost is linear and parquet-pruned to (id, text); caching the token
+    arrays would trade memory for the second scan at deployment."""
+    spans = substring_dup_spans(
+        docs, k=k, min_occurrences=min_occurrences, keep_first=keep_first,
+        id_col=id_col, text_col=text_col,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    base = _ensure_parallelism(docs).select(
+        F.col(id_col), tokens(normalize_text(text_col)).alias("__toks")
+    )
+    joined = base.join(per_doc, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    pairs = F.transform(
+        F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        pairs,
+        lambda x: ~F.exists(
+            spans_arr,
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] < s["span_end"]),
+        ),
+    )
+    # null text -> null output (concat_ws would otherwise fold the null
+    # token array to ''); counters are null-propagating already
+    clean = F.when(
+        F.col("__toks").isNotNull(),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])),
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -1797,3 +1797,75 @@ LLM_ORACLES: dict[str, str] = {
         FROM m
     """,
 }
+
+# Shared exact-substring-dedup CTE chain (k = 8, min_occurrences = 2,
+# keep_first): window occurrences -> corpus-wide duplicate marking with
+# the globally-first copy spared -> per-doc maximal-span merge.  ONE
+# definition feeding both llm_substring_spans and llm_substring_strip,
+# mirroring llm.dedup.substring_dup_spans.
+_SUBSTR_SPANS = f"""toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 6),
+                   i -> struct_pack(s := i - 1,
+                                    win := array_to_string(t[i:i+7], ' ')))) AS o
+          FROM toks WHERE len(t) >= 8
+        ), o2 AS (
+          SELECT doc_id, o.s AS start, o.win AS win FROM occ
+        ), m AS (
+          SELECT doc_id, start,
+                 count(*) OVER (PARTITION BY win) AS n_occ,
+                 row_number() OVER (PARTITION BY win ORDER BY doc_id, start) AS rn
+          FROM o2
+        ), dup AS (
+          SELECT doc_id, start FROM m WHERE n_occ >= 2 AND rn > 1
+        ), isl AS (
+          SELECT doc_id, start,
+                 CASE WHEN max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR start > max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+          FROM dup
+        ), grp AS (
+          SELECT doc_id, start,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+          FROM isl
+        ), spans AS (
+          SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+          FROM grp GROUP BY doc_id, island
+        )"""
+
+LLM_ORACLES["llm_substring_spans"] = f"""
+        WITH {_SUBSTR_SPANS}
+        SELECT doc_id,
+               CAST(s AS BIGINT) AS span_start,
+               CAST(e AS BIGINT) AS span_end,
+               CAST(e - s AS BIGINT) AS n_span_tokens
+        FROM spans
+    """
+
+LLM_ORACLES["llm_substring_strip"] = f"""
+        WITH {_SUBSTR_SPANS}, sp AS (
+          SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+          FROM spans GROUP BY doc_id
+        ), kept AS (
+          SELECT t.doc_id, t.t,
+                 list_filter(t.t, (x, i) ->
+                   len(list_filter(coalesce(sp.sps, []),
+                       s2 -> (i - 1) >= s2.s AND (i - 1) < s2.e)) = 0) AS kt
+          FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+        )
+        SELECT doc_id,
+               -- array_to_string([]) is NULL in DuckDB; a fully
+               -- stripped doc must yield '' like Spark's concat_ws
+               CASE WHEN len(kt) = 0 THEN ''
+                    ELSE array_to_string(kt, ' ') END AS text_clean,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(t) - len(kt) AS BIGINT) AS n_removed
+        FROM kept
+    """

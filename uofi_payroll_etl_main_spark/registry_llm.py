@@ -1606,6 +1606,24 @@ def llm_span_corruption(spark, sf):
     return span_corruption(_t(spark, sf, "documents"))
 
 
+def llm_substring_spans(spark, sf):
+    """Exact-substring-dedup span catalog (Lee et al. 2022): maximal
+    duplicated 8-token spans across the documents corpus, sparing the
+    globally first copy of each window.  One hash-keyed shuffle of the
+    compact (id, start, xxhash64) window table; span merge is a
+    per-doc window function over the duplicated tail only
+    (llm/dedup.py substring_dup_spans)."""
+    return LD.substring_dup_spans(_t(spark, sf, "documents"), k=8)
+
+
+def llm_substring_strip(spark, sf):
+    """Apply the exact-substring spans: normalized corpus text with
+    every duplicated 8-token span removed (first copy kept), plus
+    removal counters -- the end-to-end Lee-et-al. dedup a training
+    pipeline actually ships (llm/dedup.py substring_strip)."""
+    return LD.substring_strip(_t(spark, sf, "documents"), k=8)
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1715,6 +1733,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_anchor_positives_lsh": llm_anchor_positives_lsh,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_gopher_rules": llm_gopher_rules,
+    "llm_substring_spans": llm_substring_spans,
+    "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
     "llm_bpe_train": llm_bpe_train,
     "llm_trained_classifier": llm_trained_classifier,
