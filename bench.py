@@ -63,6 +63,7 @@ HEADLINERS = [
     "llm_dataset_card",
     "llm_substring_spans",
     "llm_substring_strip",
+    "llm_perplexity_buckets",
     "w_gap_linear",
     "sql3_exists_cte",
     "s12_zorder_profile",

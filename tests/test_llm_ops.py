@@ -1009,3 +1009,43 @@ class TestSubstringDedup:
         )
         out = substring_strip(docs, k=4).collect()  # 3 tokens < k
         assert all(r.n_removed == 0 for r in out)
+
+
+class TestPerplexityBuckets:
+    def test_buckets_partition_by_fluency(self, spark):
+        from uofi_payroll_etl_main_spark.llm.text import perplexity_buckets
+
+        # 9 docs in one language: three share a common fluent phrasing
+        # (high bigram probability under the corpus LM), three are
+        # mid, three unique-ish word salad (low), plus a 1-token doc
+        common = "the cat sat on the mat and the cat sat"
+        rows = [(i, common, "en") for i in range(3)]
+        rows += [(10 + i, f"the cat ran near a mat {i}", "en") for i in range(3)]
+        rows += [
+            (20, "zebra quark bowl seven xylophone", "en"),
+            (21, "umbrella ninety plasma forest keel", "en"),
+            (22, "glyph mango turbine eleven crater", "en"),
+            (30, "single", "en"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+        assert len(out) == 10
+        assert out[30].bucket == "unscored" and out[30].avg_logprob is None
+        # the three common-phrasing docs out-rank the word salad
+        heads = {d for d, r in out.items() if r.bucket == "head"}
+        tails = {d for d, r in out.items() if r.bucket == "tail"}
+        assert heads == {0, 1, 2}
+        assert tails == {20, 21, 22}
+        assert {d for d, r in out.items() if r.bucket == "middle"} == {10, 11, 12}
+
+    def test_bucketing_is_per_language(self, spark):
+        from uofi_payroll_etl_main_spark.llm.text import perplexity_buckets
+
+        # one doc per language: n=1 -> percent_rank 0 -> every doc is
+        # its language's head, regardless of cross-language scores
+        docs = spark.createDataFrame(
+            [(1, "hola mundo hola mundo", "es"), (2, "hello world hello world", "en")],
+            "doc_id long, text string, lang string",
+        )
+        out = perplexity_buckets(docs).collect()
+        assert {r.bucket for r in out} == {"head"}

@@ -33,6 +33,7 @@ __all__ = [
     "tfidf_topk",
     "top_ngrams",
     "bigram_logprob",
+    "perplexity_buckets",
     "repetition_signals",
     "oov_rate",
     "build_trigram_index",
@@ -237,18 +238,28 @@ def top_ngrams(
 
 
 def bigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.0,
 ) -> DataFrame:
-    """CCNet-style fluency signal: mean MLE bigram log-probability of
-    each document under the corpus's own bigram model,
-    avg over bigrams (w1 w2) of ln(count(w1 w2) / count(w1)).
+    """CCNet-style fluency signal: mean bigram log-probability of each
+    document under the corpus's own bigram model, avg over bigrams
+    (w1 w2) of ln((count(w1 w2) + k) / (count(w1) + k*V)) with V the
+    unigram vocabulary size.  add_k=0 (default) is the raw MLE model;
+    add_k>0 is add-k (Laplace) smoothing, which is what a FLUENCY
+    ranking needs -- under unsmoothed MLE a hapax bigram scores
+    ln(1/1)=0, i.e. word salad made of unique words ranks as perfectly
+    fluent, while smoothing pushes rare-context bigrams toward
+    ln(k/(1+kV)) and keeps genuinely common phrasing on top.
 
     Unusual text (boilerplate, garbled extraction, wrong-language
     residue) scores low; a production pipeline swaps the corpus model
     for a pretrained KenLM, but the join/aggregate shape is identical.
 
     Shuffles are vocabulary-sized (bigram + unigram count joins;
-    stop-word skew is AQE's standard case), and the per-term logprob is
+    stop-word skew is AQE's standard case); V is a single scalar row
+    broadcast into the term expression.  The per-term logprob is
     rounded to 9 digits and summed as DECIMAL so the cross-engine
     result is bit-stable (ln may differ in the last ulp between libm
     implementations).
@@ -272,10 +283,18 @@ def bigram_logprob(
         .agg(F.count("*").alias("c_w1"))
     )
     bg = ex.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    term = F.round(F.log(F.col("c_bg") / F.col("c_w1")), 9).cast("decimal(20,9)")
+    scored = ex.join(bg, "bg").join(uni, "w1")
+    if add_k:
+        vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+        scored = scored.crossJoin(F.broadcast(vocab))
+        p = (F.col("c_bg") + F.lit(float(add_k))) / (
+            F.col("c_w1") + F.lit(float(add_k)) * F.col("__v")
+        )
+    else:
+        p = F.col("c_bg") / F.col("c_w1")
+    term = F.round(F.log(p), 9).cast("decimal(20,9)")
     return (
-        ex.join(bg, "bg")
-        .join(uni, "w1")
+        scored
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -778,3 +797,56 @@ def bpe_train(
         if (rank + 1) % 4 == 0:
             words = words.localCheckpoint()
     return merges, words.select("w", F.col("sym").alias("symbols"), F.col("n").alias("n_words"))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    head_frac: float = 1 / 3,
+    tail_frac: float = 1 / 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus bigram LM (`bigram_logprob`), then split each language's
+    corpus into head / middle / tail by fluency rank -- the head bucket
+    is what CCNet-descended pipelines keep for pretraining, the tail is
+    dropped or down-weighted.
+
+    Rank is percent_rank over (lang, avg_logprob DESC, id) -- most
+    fluent first, id as the deterministic tiebreak; pr < head_frac ->
+    'head', pr >= 1 - tail_frac -> 'tail', else 'middle'.  Documents
+    with < 2 tokens have no bigram score and land in 'unscored'
+    (production pipelines route them to a length filter instead).
+    Scoring uses the add-1-smoothed LM (see bigram_logprob: raw MLE
+    would rank hapax-word salad as perfectly fluent).
+
+    Scale shape: the LM scoring inherits bigram_logprob's
+    vocabulary-sized shuffles; the bucketing adds ONE per-language sort
+    (a window over (lang) partitions -- language count is small, each
+    partition's sort is the standard distributed one).  With a single
+    dominant language the window partition is corpus-sized: at 100 TB
+    swap percent_rank for an approx-quantile threshold join (two scans,
+    no global sort) -- the bucket boundaries are the only thing the
+    sort is buying here.
+    """
+    from pyspark.sql.window import Window
+
+    scored = bigram_logprob(df, text_col=text_col, id_col=id_col, add_k=1.0)
+    base = df.select(F.col(id_col), F.col(lang_col))
+    j = base.join(scored, id_col, "left")
+    has_score = j.filter(F.col("avg_logprob").isNotNull())
+    no_score = j.filter(F.col("avg_logprob").isNull())
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    pr = F.percent_rank().over(w)
+    bucketed = has_score.withColumn(
+        "bucket",
+        F.when(pr < float(head_frac), F.lit("head"))
+        .when(pr >= 1.0 - float(tail_frac), F.lit("tail"))
+        .otherwise(F.lit("middle")),
+    )
+    return bucketed.unionByName(
+        no_score.withColumn("bucket", F.lit("unscored"))
+    ).select(id_col, lang_col, "n_bigrams", "avg_logprob", "bucket")

@@ -1869,3 +1869,48 @@ LLM_ORACLES["llm_substring_strip"] = f"""
                CAST(len(t) - len(kt) AS BIGINT) AS n_removed
         FROM kept
     """
+
+LLM_ORACLES["llm_perplexity_buckets"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, t, unnest(range(1, len(t))) AS i
+          FROM toks WHERE len(t) >= 2
+        ), ex AS (
+          SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg FROM idx
+        ), uni AS (
+          SELECT unnest(t) AS w1 FROM toks
+        ), c_uni AS (
+          SELECT w1, count(*) AS c_w1 FROM uni GROUP BY w1
+        ), c_bg AS (
+          SELECT bg, count(*) AS c_bg FROM ex GROUP BY bg
+        ), scored AS (
+          -- add-1 (Laplace) smoothed model, matching
+          -- bigram_logprob(add_k=1): V = unigram vocabulary size
+          SELECT ex.doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(CAST(round(ln((CAST(c_bg.c_bg AS DOUBLE) + 1.0)
+                                              / (c_uni.c_w1 + 1.0 * (SELECT count(*) FROM c_uni))), 9)
+                                     AS DECIMAL(20,9))) / count(*) AS DOUBLE), 6) AS avg_logprob
+          FROM ex JOIN c_bg USING (bg) JOIN c_uni USING (w1)
+          GROUP BY ex.doc_id
+        ), j AS (
+          SELECT d.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        ), ranked AS (
+          SELECT *,
+                 percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY avg_logprob DESC, doc_id) AS pr
+          FROM j WHERE avg_logprob IS NOT NULL
+        )
+        SELECT doc_id, lang, n_bigrams, avg_logprob,
+               CASE WHEN pr < 1.0/3 THEN 'head'
+                    WHEN pr >= 1 - 1.0/3 THEN 'tail'
+                    ELSE 'middle' END AS bucket
+        FROM ranked
+        UNION ALL
+        SELECT doc_id, lang, n_bigrams, avg_logprob, 'unscored' AS bucket
+        FROM j WHERE avg_logprob IS NULL
+    """

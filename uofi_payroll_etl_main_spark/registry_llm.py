@@ -1606,6 +1606,14 @@ def llm_span_corruption(spark, sf):
     return span_corruption(_t(spark, sf, "documents"))
 
 
+def llm_perplexity_buckets(spark, sf):
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    under the corpus bigram LM -- the quality-stratified split the
+    CCNet/RedPajama lineage keeps for pretraining (llm/text.py
+    perplexity_buckets; deterministic percent_rank with id tiebreak)."""
+    return LT.perplexity_buckets(_t(spark, sf, "documents"))
+
+
 def llm_substring_spans(spark, sf):
     """Exact-substring-dedup span catalog (Lee et al. 2022): maximal
     duplicated 8-token spans across the documents corpus, sparing the
@@ -1734,6 +1742,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_gopher_rules": llm_gopher_rules,
     "llm_substring_spans": llm_substring_spans,
+    "llm_perplexity_buckets": llm_perplexity_buckets,
     "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
     "llm_bpe_train": llm_bpe_train,
