@@ -64,6 +64,7 @@ HEADLINERS = [
     "llm_substring_spans",
     "llm_substring_strip",
     "llm_perplexity_buckets",
+    "llm_fim_transform",
     "w_gap_linear",
     "sql3_exists_cte",
     "s12_zorder_profile",

@@ -431,3 +431,58 @@ class TestSpanCorruption:
         a = sorted(tuple(r) for r in span_corruption(docs).collect())
         b = sorted(tuple(r) for r in span_corruption(docs).collect())
         assert a == b
+
+
+class TestFimTransform:
+    def test_psm_reconstructs_original(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import fim_transform
+
+        docs = spark.createDataFrame(
+            [(i, f"Alpha beta GAMMA delta text number {i} epsilon zeta") for i in range(40)],
+            "doc_id long, text string",
+        )
+        rows = fim_transform(docs, fim_rate=0.5).collect()
+        assert len(rows) == 40
+        applied = [r for r in rows if r.fim_applied]
+        passthrough = [r for r in rows if not r.fim_applied]
+        assert applied and passthrough  # rate 0.5 hits both at n=40
+        for r in applied:
+            assert r.psm.startswith("<PRE>")
+            pre, rest = r.psm[5:].split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            original = f"alpha beta gamma delta text number {r.doc_id} epsilon zeta"
+            assert pre + mid + suf == original
+            assert len(pre) == r.split_1 and len(pre) + len(mid) == r.split_2
+        for r in passthrough:
+            assert "<PRE>" not in r.psm and r.split_1 is None and r.split_2 is None
+
+    def test_deterministic_across_runs(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import fim_transform
+
+        docs = spark.createDataFrame(
+            [(i, f"some document body {i} with words") for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, fim_transform(docs).collect()))
+        b = sorted(map(tuple, fim_transform(docs.repartition(7)).collect()))
+        assert a == b
+
+    def test_rate_bounds(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import fim_transform
+
+        docs = spark.createDataFrame(
+            [(i, "x y z") for i in range(30)], "doc_id long, text string"
+        )
+        none = fim_transform(docs, fim_rate=0.0).collect()
+        assert all(not r.fim_applied for r in none)
+        everything = fim_transform(docs, fim_rate=1.0).collect()
+        assert all(r.fim_applied for r in everything)
+
+    def test_empty_text_applies_cleanly(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import fim_transform
+
+        docs = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        out = {r.doc_id: r for r in fim_transform(docs, fim_rate=1.0).collect()}
+        for r in out.values():
+            assert r.psm == "<PRE><SUF><MID>"
+            assert r.split_1 == 0 and r.split_2 == 0

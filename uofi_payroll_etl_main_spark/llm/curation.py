@@ -31,6 +31,7 @@ __all__ = [
     "boilerplate_ngrams",
     "boilerplate_fraction",
     "span_corruption",
+    "fim_transform",
     "contaminated_ids",
     "stratified_sample",
     "split_assign",
@@ -871,4 +872,67 @@ def span_corruption(
         start.alias("start"),
         F.lit(int(span_len)).cast("int").alias("length"),
         F.concat_ws(" ", F.slice(F.col("__toks"), start, int(span_len))).alias("span_text"),
+    )
+
+
+def fim_transform(
+    docs: DataFrame,
+    fim_rate: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) transform, the code-LLM pretraining prep
+    of Bavarian et al. 2022: a deterministic fraction of documents is
+    rewritten prefix/suffix/middle as
+    ``<PRE>prefix<SUF>suffix<MID>middle`` (PSM order) so the model
+    learns infilling; the rest pass through unchanged.
+
+    Deterministic by construction like span_corruption: selection and
+    the two character split points come from Knuth multiplicative
+    hashes of the doc id, so every run/engine produces the same splits
+    (trainable-data discipline -- a resumed job must not re-randomize).
+    The sentinel tags are literal strings here; a real tokenizer maps
+    them to reserved special-token ids downstream.
+
+    Output: (id, fim_applied, split_1, split_2, psm) over the
+    NORMALIZED text.  One codegen projection -- no UDF, no shuffle, no
+    explode; at 100 TB this is a pure map stage pipelined into
+    whatever sink follows.
+    """
+    from .dedup import normalize_text
+
+    def knuth(salt: int):
+        return (
+            F.pmod(
+                F.col(id_col).cast("long") * F.lit(131) + F.lit(salt),
+                F.lit(2147483648),
+            )
+            * F.lit(2654435761)
+            + F.lit(12345)
+        ) % F.lit(1000000007)
+
+    s = normalize_text(F.col(text_col))
+    ln = F.length(s)
+    applied = F.pmod(knuth(0), F.lit(1000)) < F.lit(int(float(fim_rate) * 1000))
+    a = F.pmod(knuth(1), ln + 1)
+    b = F.pmod(knuth(2), ln + 1)
+    s1 = F.least(a, b)
+    s2 = F.greatest(a, b)
+    psm = F.when(
+        applied,
+        F.concat(
+            F.lit("<PRE>"),
+            s.substr(F.lit(1), s1),
+            F.lit("<SUF>"),
+            s.substr(s2 + 1, ln - s2),
+            F.lit("<MID>"),
+            s.substr(s1 + 1, s2 - s1),
+        ),
+    ).otherwise(s)
+    return docs.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied, s1.cast("long")).alias("split_1"),
+        F.when(applied, s2.cast("long")).alias("split_2"),
+        psm.alias("psm"),
     )

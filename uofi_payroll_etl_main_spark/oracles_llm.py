@@ -1914,3 +1914,31 @@ LLM_ORACLES["llm_perplexity_buckets"] = f"""
         SELECT doc_id, lang, n_bigrams, avg_logprob, 'unscored' AS bucket
         FROM j WHERE avg_logprob IS NULL
     """
+
+LLM_ORACLES["llm_fim_transform"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_NORM} AS s, length({_NORM}) AS ln,
+                 (((doc_id * 131 + 0) % 2147483648) * 2654435761 + 12345)
+                   % 1000000007 AS h0,
+                 (((doc_id * 131 + 1) % 2147483648) * 2654435761 + 12345)
+                   % 1000000007 AS h1,
+                 (((doc_id * 131 + 2) % 2147483648) * 2654435761 + 12345)
+                   % 1000000007 AS h2
+          FROM documents
+        ), pts AS (
+          SELECT doc_id, s, ln,
+                 (h0 % 1000) < 500 AS applied,
+                 least(h1 % (ln + 1), h2 % (ln + 1)) AS s1,
+                 greatest(h1 % (ln + 1), h2 % (ln + 1)) AS s2
+          FROM base
+        )
+        SELECT doc_id, applied AS fim_applied,
+               CASE WHEN applied THEN CAST(s1 AS BIGINT) END AS split_1,
+               CASE WHEN applied THEN CAST(s2 AS BIGINT) END AS split_2,
+               CASE WHEN applied THEN
+                 '<PRE>' || substr(s, 1, s1) || '<SUF>'
+                         || substr(s, s2 + 1, ln - s2) || '<MID>'
+                         || substr(s, s1 + 1, s2 - s1)
+               ELSE s END AS psm
+        FROM pts
+    """

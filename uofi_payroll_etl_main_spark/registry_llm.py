@@ -1632,6 +1632,15 @@ def llm_substring_strip(spark, sf):
     return LD.substring_strip(_t(spark, sf, "documents"), k=8)
 
 
+def llm_fim_transform(spark, sf):
+    """Fill-in-the-middle (PSM) rewrite of a deterministic half of the
+    corpus -- the code-LLM infilling data prep (llm/curation.py
+    fim_transform; Knuth-hash splits, one codegen projection)."""
+    from .llm.curation import fim_transform
+
+    return fim_transform(_t(spark, sf, "documents"))
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1743,6 +1752,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_gopher_rules": llm_gopher_rules,
     "llm_substring_spans": llm_substring_spans,
     "llm_perplexity_buckets": llm_perplexity_buckets,
+    "llm_fim_transform": llm_fim_transform,
     "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
     "llm_bpe_train": llm_bpe_train,
