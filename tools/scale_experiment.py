@@ -57,6 +57,10 @@ HEADLINERS = [
     "llm_boilerplate",
     "llm_trained_classifier",
     "llm_bpe_train",
+    "llm_substring_spans",
+    "llm_substring_strip",
+    "llm_perplexity_buckets",
+    "llm_fim_transform",
 ]
 
 SCALED = {

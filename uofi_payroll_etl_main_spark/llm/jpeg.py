@@ -573,6 +573,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         blocks = raster.reshape(cz.shape[0], cz.shape[1], 8, 8)
         spatial = _DCT.T @ blocks @ _DCT + 128.0
         plane = spatial.transpose(0, 2, 1, 3).reshape(cz.shape[0] * 8, cz.shape[1] * 8)
+        if vmax % sv or hmax % sh:
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ratio ({hmax}/{sh}, {vmax}/{sv}) "
+                "unsupported"
+            )
         plane = np.repeat(np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1)
         planes.append(plane[:fh, :fw])
 
