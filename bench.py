@@ -122,6 +122,15 @@ def main() -> None:
     # (r3 lost all 26 numbers to a single AnalysisException).  Errors are
     # recorded under "errors" and excluded from the total.
     #
+    # Execution via the noop SINK, not count(): under count() Catalyst
+    # prunes every column the row count doesn't need, so projection-heavy
+    # queries (string reconstruction, HOF transforms) were measured at a
+    # fraction of their true cost (measured: substring_strip 1.4s counted
+    # vs 6.0s materialized at sf0.1).  The noop sink forces full-column
+    # materialization with zero write cost.  Aggregation-shaped queries
+    # are unaffected; round-5+ numbers for projection-shaped queries are
+    # therefore NOT comparable with rounds <= 4.
+    #
     # Best-of-N per query (default 2): this host's throughput swings
     # 2-6x between back-to-back identical runs (measured: the same
     # warm query at 1.3s and 8.0s consecutively), so a single sample
@@ -137,7 +146,9 @@ def main() -> None:
             for _ in range(reps):
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
-                df.count()  # full execution; count avoids driver-side collect cost
+                # full execution incl. every output column, no driver
+                # transfer, no disk: the noop sink
+                df.write.format("noop").mode("overwrite").save()
                 dt = round(time.time() - t0, 3)
                 best = dt if best is None else min(best, dt)
             timings[name] = best

@@ -125,14 +125,20 @@ def main() -> None:
     qs = entrymod.queries()
     qs["a3_count"](spark, src).collect()  # warm workers
 
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "")
+    names = [s for s in only.split(",") if s] or HEADLINERS
     report = {"n_copies": n, "base": src, "queries": {}}
-    for name in HEADLINERS:
+    for name in names:
         row = {}
         for label, sf_dir in (("base_s", src), ("scaled_s", dst)):
             t0 = time.time()
             try:
-                row.setdefault("rows_" + label[:4], qs[name](spark, sf_dir).count())
+                df = qs[name](spark, sf_dir)
+                # noop sink: full-column materialization (count() lets
+                # Catalyst prune the expensive projections -- see bench.py)
+                df.write.format("noop").mode("overwrite").save()
                 row[label] = round(time.time() - t0, 2)
+                row.setdefault("rows_" + label[:4], df.count())
             except Exception as exc:  # noqa: BLE001
                 row[label] = None
                 row["err"] = f"{type(exc).__name__}: {exc}"[:200]

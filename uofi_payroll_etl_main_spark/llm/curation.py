@@ -458,8 +458,15 @@ def dedup_lines(
     base = docs.select(
         did.alias("_did"), lines_arr.alias("_lines"), F.size(lines_arr).alias("n_lines")
     )
+    # posexplode_OUTER, deliberately (the _shingle_table rule): a plain
+    # posexplode lets InferFiltersFromGenerate derive `size(_lines) > 0`
+    # and push the caller's ENTIRE text-synthesis expression below its
+    # exchanges onto the (often single-partition) scan, where it runs
+    # serially -- measured 18.5s vs ~2.5s for llm_line_dedup at sf0.1.
+    # Blank docs yield one null-line row, excluded from every aggregate
+    # below by null-aware counting.
     occ = base.select(
-        "_did", F.posexplode("_lines").alias("_lno", "_line")
+        "_did", F.posexplode_outer("_lines").alias("_lno", "_line")
     )
     heavy = (
         occ.groupBy("_line")
@@ -477,6 +484,7 @@ def dedup_lines(
     # collect_list skips nulls, so non-surviving lines vanish from the
     # rebuilt text while still counting toward n_lines -- one corpus
     # pass instead of a filter->aggregate->join-back second scan.
+    real = F.col("_line").isNotNull()
     rebuilt = (
         occ.join(F.broadcast(heavy), "_line", "left")
         .groupBy("_did")
@@ -485,15 +493,15 @@ def dedup_lines(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(survives, F.struct("_lno", "_line"))
+                            F.when(survives & real, F.struct("_lno", "_line"))
                         )
                     ),
                     lambda s: s["_line"],
                 ),
                 sep,
             ).alias("_text"),
-            F.count(F.lit(1)).alias("_n_lines"),
-            F.sum(F.when(survives, 0).otherwise(1)).alias("_dropped"),
+            F.count("_line").alias("_n_lines"),
+            F.sum(F.when(real & ~survives, 1).otherwise(0)).alias("_dropped"),
         )
     )
     # only documents with zero lines (blank text) are absent from the
