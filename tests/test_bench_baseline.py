@@ -8,8 +8,9 @@ switched to a cartesian/row-Python plan would blow 3x immediately,
 while host noise, measured at 2-6x between back-to-back runs for
 sub-second queries, stays inside the floor+multiplier envelope).
 
-Timing uses the same recipe as bench.py: build the DataFrame, .count()
-to force full execution, best-of-2.  When a query is missing from the
+Timing uses the same recipe as bench.py: build the DataFrame, execute
+through the noop sink (full-column materialization -- count() would let
+Catalyst prune projection-heavy work), best-of-2.  When a query is missing from the
 baseline (freshly added headliner), it is skipped here and picked up at
 the next baseline refresh; a baseline entry whose query vanished fails
 loudly instead.
@@ -51,7 +52,7 @@ def test_headliner_within_baseline_envelope(spark, name):
     best = None
     for _ in range(2):
         t0 = time.time()
-        fn(spark, SF_DIR).count()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     bound = max(FLOOR_SEC, TOLERANCE * BASELINE["queries"][name])
