@@ -405,6 +405,9 @@ def bfs_hops(
             "hops", F.lit(h).cast("long")
         )
         new = new.persist()
+        # isEmpty, not count: a full count job per round costs more than
+        # the partial cache misses it would avoid (measured equal-or-worse
+        # with count at sf0.1; per-round job overhead dominates BFS here)
         if new.isEmpty():
             new.unpersist()
             break
