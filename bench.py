@@ -65,6 +65,8 @@ HEADLINERS = [
     "llm_substring_strip",
     "llm_perplexity_buckets",
     "llm_fim_transform",
+    "llm_chat_render",
+    "llm_chat_stats",
     "w_gap_linear",
     "sql3_exists_cte",
     "s12_zorder_profile",

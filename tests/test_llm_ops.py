@@ -1049,3 +1049,49 @@ class TestPerplexityBuckets:
         )
         out = perplexity_buckets(docs).collect()
         assert {r.bucket for r in out} == {"head"}
+
+
+class TestChatPrep:
+    def test_synth_turn_structure(self, spark):
+        from uofi_payroll_etl_main_spark.llm.chat import synth_conversations
+
+        # 19 tokens -> turns of 8/8/3, roles user/assistant/user
+        text = " ".join(f"w{i}" for i in range(19))
+        docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+        out = {r.doc_id: r.turns for r in synth_conversations(docs).collect()}
+        t = out[1]
+        assert [x.role for x in t] == ["user", "assistant", "user"]
+        assert t[0].content == " ".join(f"w{i}" for i in range(8))
+        assert t[2].content == "w16 w17 w18"
+        assert out[2] == []
+
+    def test_render_chatml_template(self, spark):
+        from uofi_payroll_etl_main_spark.llm.chat import render_chatml, synth_conversations
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in render_chatml(synth_conversations(docs)).collect()}
+        assert out[1].n_turns == 2
+        assert out[1].rendered == (
+            "<|im_start|>user\na b c d e f g h<|im_end|>\n"
+            "<|im_start|>assistant\ni j<|im_end|>\n"
+        )
+        assert out[2].n_turns == 0 and out[2].rendered == ""
+
+    def test_conversation_stats_share(self, spark):
+        from uofi_payroll_etl_main_spark.llm.chat import (
+            conversation_stats,
+            synth_conversations,
+        )
+
+        # 12 tokens: user 8, assistant 4 -> share 4/12
+        docs = spark.createDataFrame(
+            [(1, " ".join("x" * 1 for _ in range(12))), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in conversation_stats(synth_conversations(docs)).collect()}
+        r = out[1]
+        assert (r.n_turns, r.n_user_tokens, r.n_assistant_tokens) == (2, 8, 4)
+        assert r.assistant_share == round(4 / 12, 6)
+        assert out[2].n_turns == 0 and out[2].assistant_share is None

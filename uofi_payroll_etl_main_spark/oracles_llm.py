@@ -1942,3 +1942,47 @@ LLM_ORACLES["llm_fim_transform"] = f"""
                ELSE s END AS psm
         FROM pts
     """
+
+# Shared chat-turn CTE: 8-token alternating-role turns, mirroring
+# llm.chat.synth_conversations.
+_CHAT_TOKS = f"""toks AS (
+          SELECT doc_id,
+                 CASE WHEN length({_NORM}) = 0 THEN []
+                      ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents
+        ), conv AS (
+          SELECT doc_id, t, CAST(ceil(len(t) / 8.0) AS INT) AS n
+          FROM toks
+        )"""
+
+LLM_ORACLES["llm_chat_render"] = f"""
+        WITH {_CHAT_TOKS}
+        SELECT doc_id,
+               CAST(CASE WHEN len(t) = 0 THEN 0 ELSE n END AS BIGINT) AS n_turns,
+               CASE WHEN len(t) = 0 THEN ''
+                    ELSE array_to_string(list_transform(range(0, n), i ->
+                      '<|im_start|>'
+                      || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+                      || chr(10)
+                      || array_to_string(t[8*i+1:8*i+8], ' ')
+                      || '<|im_end|>' || chr(10)), '') END AS rendered
+        FROM conv
+    """
+
+LLM_ORACLES["llm_chat_stats"] = f"""
+        WITH {_CHAT_TOKS}, counted AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) = 0 THEN 0 ELSE n END AS n_turns,
+                 coalesce(list_sum(list_transform(range(0, n), i ->
+                   CASE WHEN i % 2 = 0 THEN len(t[8*i+1:8*i+8]) ELSE 0 END)), 0) AS nu,
+                 coalesce(list_sum(list_transform(range(0, n), i ->
+                   CASE WHEN i % 2 = 1 THEN len(t[8*i+1:8*i+8]) ELSE 0 END)), 0) AS na
+          FROM conv
+        )
+        SELECT doc_id,
+               CAST(n_turns AS BIGINT) AS n_turns,
+               CAST(nu AS BIGINT) AS n_user_tokens,
+               CAST(na AS BIGINT) AS n_assistant_tokens,
+               CASE WHEN nu + na > 0 THEN round(na / (nu + na), 6) END AS assistant_share
+        FROM counted
+    """

@@ -1651,6 +1651,26 @@ def llm_fim_transform(spark, sf):
     return fim_transform(_t(spark, sf, "documents"))
 
 
+def llm_chat_render(spark, sf):
+    """SFT prep: deterministic conversation structure over the corpus
+    (8-token alternating user/assistant turns) flattened through a
+    ChatML-style template -- the training text an SFT loader tokenizes
+    (llm/chat.py; pure map stage, no shuffle)."""
+    from .llm.chat import render_chatml, synth_conversations
+
+    return render_chatml(synth_conversations(_t(spark, sf, "documents")))
+
+
+def llm_chat_stats(spark, sf):
+    """Per-conversation structure profile (turn count, role token
+    counts, assistant loss-mask share) -- the degenerate-dialogue
+    filter input (llm/chat.py conversation_stats; in-array HOF
+    aggregates, no explode)."""
+    from .llm.chat import conversation_stats, synth_conversations
+
+    return conversation_stats(synth_conversations(_t(spark, sf, "documents")))
+
+
 def llm_gopher_rules(spark, sf):
     """Gopher/MassiveText structural quality rules over the documents
     corpus: per-rule metrics + the conjunctive keep flag, all codegen
@@ -1763,6 +1783,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_substring_spans": llm_substring_spans,
     "llm_perplexity_buckets": llm_perplexity_buckets,
     "llm_fim_transform": llm_fim_transform,
+    "llm_chat_render": llm_chat_render,
+    "llm_chat_stats": llm_chat_stats,
     "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
     "llm_bpe_train": llm_bpe_train,
