@@ -486,3 +486,46 @@ class TestFimTransform:
         for r in out.values():
             assert r.psm == "<PRE><SUF><MID>"
             assert r.split_1 == 0 and r.split_2 == 0
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_splits(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import leakage_safe_split
+
+        # 300 docs in 100 clusters of 3 -- every cluster must land whole
+        clusters = spark.createDataFrame(
+            [(c * 3 + i, c * 3) for c in range(100) for i in range(3)],
+            "doc_id long, cluster_id long",
+        )
+        out = leakage_safe_split(clusters).collect()
+        assert len(out) == 300
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # default 100/100 per-mille shares: all three splits appear at
+        # n=100 clusters, train dominates
+        shares = {}
+        for s in by_cluster.values():
+            k = next(iter(s))
+            shares[k] = shares.get(k, 0) + 1
+        assert set(shares) == {"train", "val", "test"}
+        assert shares["train"] > shares["val"] and shares["train"] > shares["test"]
+
+    def test_split_is_cluster_hash_not_doc_hash(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import leakage_safe_split
+
+        # same cluster id under different doc ids -> identical split
+        a = leakage_safe_split(
+            spark.createDataFrame([(1, 42), (999, 42)], "doc_id long, cluster_id long")
+        ).collect()
+        assert a[0].split == a[1].split
+
+    def test_zero_shares_put_everything_in_train(self, spark):
+        from uofi_payroll_etl_main_spark.llm.curation import leakage_safe_split
+
+        clusters = spark.createDataFrame(
+            [(i, i) for i in range(50)], "doc_id long, cluster_id long"
+        )
+        out = leakage_safe_split(clusters, val_pm=0, test_pm=0).collect()
+        assert all(r.split == "train" for r in out)

@@ -32,6 +32,7 @@ __all__ = [
     "boilerplate_fraction",
     "span_corruption",
     "fim_transform",
+    "leakage_safe_split",
     "contaminated_ids",
     "stratified_sample",
     "split_assign",
@@ -944,3 +945,42 @@ def fim_transform(
         F.when(applied, s2.cast("long")).alias("split_2"),
         psm.alias("psm"),
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    val_pm: int = 100,
+    test_pm: int = 100,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split is a deterministic hash of the CLUSTER id (from
+    `dedup.duplicate_clusters` or any near-dup tier), so every member
+    of a duplicate cluster lands in the same split.  Hashing the doc id
+    instead -- the common mistake -- puts one copy of a duplicated
+    passage in train and another in test, silently inflating eval.
+
+    val_pm / test_pm are per-mille shares of CLUSTERS (not docs); the
+    remainder is train.  The Knuth multiplicative hash matches the
+    engine's other deterministic samplers, so membership is a pure
+    function of the cluster id -- stable across runs, partitionings,
+    and engines.
+
+    Narrow projection over the clusters frame: no shuffle, no RNG.
+    Output: (id, cluster_id, split)."""
+    h = (
+        F.pmod(
+            F.col(cluster_col).cast("long") * F.lit(131) + F.lit(7),
+            F.lit(2147483648),
+        )
+        * F.lit(2654435761)
+        + F.lit(12345)
+    ) % F.lit(1000000007)
+    r = F.pmod(h, F.lit(1000))
+    split = (
+        F.when(r < int(test_pm), F.lit("test"))
+        .when(r < int(test_pm) + int(val_pm), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return clusters.select(F.col(id_col), F.col(cluster_col), split.alias("split"))

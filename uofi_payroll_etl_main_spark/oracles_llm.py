@@ -1986,3 +1986,19 @@ LLM_ORACLES["llm_chat_stats"] = f"""
                CASE WHEN nu + na > 0 THEN round(na / (nu + na), 6) END AS assistant_share
         FROM counted
     """
+
+LLM_ORACLES["llm_leakage_safe_split"] = _CC_CTE + """
+        , lab AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+        ), hashed AS (
+          SELECT doc_id, cluster_id,
+                 (((cluster_id * 131 + 7) % 2147483648) * 2654435761 + 12345)
+                   % 1000000007 % 1000 AS r
+          FROM lab
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN r < 100 THEN 'test'
+                    WHEN r < 200 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM hashed
+    """

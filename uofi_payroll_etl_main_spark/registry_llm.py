@@ -1651,6 +1651,21 @@ def llm_fim_transform(spark, sf):
     return fim_transform(_t(spark, sf, "documents"))
 
 
+def llm_leakage_safe_split(spark, sf):
+    """Train/val/test assignment hashed on near-dup CLUSTER ids (exact
+    Jaccard edges -> min-label components -> Knuth-hash split), so no
+    duplicate cluster ever straddles splits -- the eval-leakage guard a
+    doc-id-hashed split silently lacks (llm/curation.py
+    leakage_safe_split).  Oracle replays the component fixpoint as a
+    DuckDB recursive CTE."""
+    from .llm.curation import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    edges = LD.jaccard_pairs(docs, threshold=0.4, n=3)
+    clusters = LD.duplicate_clusters(docs, edges)
+    return leakage_safe_split(clusters)
+
+
 def llm_chat_render(spark, sf):
     """SFT prep: deterministic conversation structure over the corpus
     (8-token alternating user/assistant turns) flattened through a
@@ -1784,6 +1799,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_perplexity_buckets": llm_perplexity_buckets,
     "llm_fim_transform": llm_fim_transform,
     "llm_chat_render": llm_chat_render,
+    "llm_leakage_safe_split": llm_leakage_safe_split,
     "llm_chat_stats": llm_chat_stats,
     "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
