@@ -420,3 +420,66 @@ class TestTrainedClassifier:
         )
         assert "Exchange" not in plan  # zero-shuffle scoring
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestParseRobots:
+    BODY = (
+        "# site policy\n"
+        "User-agent: gptbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "User-agent: otherbot\n"
+        "Allow: /docs\n"
+        "Disallow: /private\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /tmp\n"
+    )
+
+    def test_parse_star_groups_only(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import parse_robots
+
+        df = spark.createDataFrame(
+            [("example.com", self.BODY), ("empty.com", "# nothing here")],
+            "domain string, robots_txt string",
+        )
+        rules = sorted(
+            (r.domain, r.prefix, r.allow) for r in parse_robots(df).collect()
+        )
+        # gptbot group excluded; consecutive UA lines share one group;
+        # empty Disallow dropped; both * groups contribute
+        assert rules == [
+            ("example.com", "/docs", True),
+            ("example.com", "/private", False),
+            ("example.com", "/tmp", False),
+        ]
+
+    def test_parse_feeds_filter_end_to_end(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import parse_robots, robots_filter
+
+        rules = parse_robots(
+            spark.createDataFrame(
+                [("example.com", self.BODY)], "domain string, robots_txt string"
+            )
+        )
+        urls = spark.createDataFrame(
+            [("example.com", "/docs/page"), ("example.com", "/private/x"),
+             ("example.com", "/other")],
+            "domain string, path string",
+        )
+        out = {r.path: r.allowed for r in robots_filter(urls, rules).collect()}
+        assert out == {"/docs/page": True, "/private/x": False, "/other": True}
+
+    def test_case_insensitive_keys_and_crlf_tolerance(self, spark):
+        from uofi_payroll_etl_main_spark.llm.web import parse_robots
+
+        body = "USER-AGENT: *\nDISALLOW: /a\nallow: /a/b\n"
+        rules = sorted(
+            (r.prefix, r.allow)
+            for r in parse_robots(
+                spark.createDataFrame([("d", body)], "domain string, robots_txt string")
+            ).collect()
+        )
+        assert rules == [("/a", False), ("/a/b", True)]

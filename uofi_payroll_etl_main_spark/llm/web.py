@@ -44,6 +44,7 @@ __all__ = [
     "train_quality_classifier",
     "quality_classify_trained",
     "robots_filter",
+    "parse_robots",
     "TRACKING_PARAMS_RE",
     "TRACKING_PARAM_FULL_RE",
     "HASH_BUCKETS",
@@ -451,4 +452,64 @@ def quality_classify_trained(
         n.cast("long").alias("n_tokens"),
         F.round(margin, 6).alias("margin"),
         (margin >= threshold).alias("keep"),
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the (domain, prefix, allow)
+    rule table `robots_filter` consumes -- the step between fetching
+    robots.txt at crawl time and enforcing it.
+
+    Standard-subset semantics (RFC 9309 shape):
+      * lines split on newline; `# comment` stripped; fields matched as
+        `Key: value` with case-insensitive keys;
+      * consecutive `User-agent` lines form ONE group header; the
+        Allow/Disallow lines that follow belong to that group;
+      * only groups whose header names agent `*` contribute rules here
+        (a per-agent variant would thread the agent string through);
+      * an empty `Disallow:` value disallows nothing -> no rule row.
+
+    Pure Catalyst line parsing: one posexplode of the split body, a
+    running-sum window to assign each line to its user-agent group, a
+    per-group max to test for `*`, and a filter -- no UDF.  Robots
+    corpora are domain-cardinality (millions of small texts at crawl
+    scale, never corpus-scale), so the per-domain window partitions are
+    tiny and the parse is scan-bound."""
+    from pyspark.sql.window import Window
+
+    lines = (
+        robots.select(
+            F.col(domain_col).alias("domain"),
+            F.posexplode(F.split(F.col(body_col), "\n")).alias("lno", "raw"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")))
+        .withColumn("key", F.lower(F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)))
+        .withColumn("value", F.trim(F.regexp_extract(F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1)))
+    )
+    w = Window.partitionBy("domain").orderBy("lno")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    run_start = (
+        (F.col("key") == "user-agent")
+        & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    grouped = lines.withColumn("block", F.sum(run_start).over(w))
+    star = F.max(
+        F.when((F.col("key") == "user-agent") & (F.col("value") == "*"), 1).otherwise(0)
+    ).over(Window.partitionBy("domain", "block"))
+    return (
+        grouped.withColumn("__star", star)
+        .filter(
+            (F.col("__star") == 1)
+            & F.col("key").isin("allow", "disallow")
+            & (F.length("value") > 0)
+        )
+        .select(
+            "domain",
+            F.col("value").alias("prefix"),
+            (F.col("key") == "allow").alias("allow"),
+        )
     )

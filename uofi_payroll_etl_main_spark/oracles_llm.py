@@ -2002,3 +2002,20 @@ LLM_ORACLES["llm_leakage_safe_split"] = _CC_CTE + """
                     ELSE 'train' END AS split
         FROM hashed
     """
+
+# Closed-form EXPECTED rule set for the synthesized robots bodies in
+# llm_robots_parse -- the oracle states the parse's contract instead of
+# re-implementing the parser, so a symmetric parsing bug cannot cancel.
+LLM_ORACLES["llm_robots_parse"] = """
+        WITH src AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source
+        )
+        SELECT source || '.example' AS domain,
+               '/docs/' || source AS prefix,
+               true AS allow
+        FROM src
+        UNION ALL
+        SELECT source || '.example', '/private', false FROM src
+        UNION ALL
+        SELECT source || '.example', '/tmp/' || CAST(n AS VARCHAR), false FROM src
+    """

@@ -1666,6 +1666,34 @@ def llm_leakage_safe_split(spark, sf):
     return leakage_safe_split(clusters)
 
 
+def llm_robots_parse(spark, sf):
+    """Raw robots.txt bodies -> (domain, prefix, allow) rule rows
+    (llm/web.py parse_robots: grouped User-agent sections, `*` groups
+    only, comments and empty Disallow handled).  Bodies are synthesized
+    deterministically per corpus source with multi-group structure; the
+    oracle is the CLOSED-FORM expected rule set, so the parse is
+    checked against the spec, not against itself."""
+    from .llm.web import parse_robots
+
+    srcs = (
+        _t(spark, sf, "documents").groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    )
+    body = F.concat(
+        F.lit(
+            "# policy\nUser-agent: gptbot\nDisallow: /\n\n"
+            "User-agent: *\nUser-agent: otherbot\nAllow: /docs/"
+        ),
+        F.col("source"),
+        F.lit("\nDisallow: /private\nDisallow:\n\nUser-agent: *\nDisallow: /tmp/"),
+        F.col("n").cast("string"),
+    )
+    robots = srcs.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("domain"),
+        body.alias("robots_txt"),
+    )
+    return parse_robots(robots)
+
+
 def llm_chat_render(spark, sf):
     """SFT prep: deterministic conversation structure over the corpus
     (8-token alternating user/assistant turns) flattened through a
@@ -1800,6 +1828,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_fim_transform": llm_fim_transform,
     "llm_chat_render": llm_chat_render,
     "llm_leakage_safe_split": llm_leakage_safe_split,
+    "llm_robots_parse": llm_robots_parse,
     "llm_chat_stats": llm_chat_stats,
     "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
