@@ -269,3 +269,63 @@ def test_media_payloads_roundtrip_parquet(spark, tmp_path):
     feats_mem = {r.media_id: r.feature for r in extract_features(df).collect()}
     feats_pq = {r.media_id: r.feature for r in extract_features(back).collect()}
     assert feats_mem == feats_pq
+
+
+class TestImageDhash:
+    def _frame(self, spark, rows):
+        from uofi_payroll_etl_main_spark.llm.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_cross_codec_hash_stability(self, spark):
+        """The same pixels under PPM/PNG/JPEG-95 must hash identically
+        (the whole point of a perceptual hash)."""
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _synth_pixels, dhash64, encode_jpeg, encode_png, encode_ppm, image_dhash,
+        )
+
+        px = _synth_pixels(16, 12, 5)
+        other = _synth_pixels(16, 12, 77)
+        df = self._frame(spark, [
+            (1, "image", bytearray(encode_ppm(px)), {}),
+            (2, "image", bytearray(encode_png(px)), {}),
+            (3, "image", bytearray(encode_jpeg(px, quality=95)), {}),
+            (4, "image", bytearray(encode_ppm(other)), {}),
+            (5, "audio", bytearray(b"RIFFxxxxWAVE"), {}),
+        ])
+        h = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+        assert set(h) == {1, 2, 3, 4}  # non-image rows excluded
+        assert h[1] == h[2] == h[3]
+        assert h[1] != h[4]
+        # spark-side hash equals the plain python kernel
+        assert h[1] == dhash64(px)
+
+    def test_planted_duplicates_all_recalled(self, spark):
+        from pyspark.sql import functions as F
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            image_dup_candidates, synth_media,
+        )
+
+        base = synth_media(spark, 30)
+        shifted = synth_media(spark, 30).withColumn("media_id", F.col("media_id") + 1000)
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in image_dup_candidates(base.unionByName(shifted), max_hamming=3).collect()
+        }
+        image_ids = [r.media_id for r in base.filter("kind = 'image'").collect()]
+        expect = {(i, i + 1000) for i in image_ids}
+        assert expect <= pairs  # every planted dup recalled (hamming 0)
+
+    def test_undecodable_images_yield_null_and_drop(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _synth_pixels, encode_ppm, image_dhash, image_dup_candidates,
+        )
+
+        df = self._frame(spark, [
+            (1, "image", bytearray(b"\xff\xd8garbage-not-a-real-jpeg"), {}),
+            (2, "image", bytearray(encode_ppm(_synth_pixels(8, 8, 1))), {}),
+        ])
+        # decode failure inside the kernel must not kill the job
+        out = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+        assert out[2] is not None
+        assert image_dup_candidates(df).count() == 0

@@ -44,6 +44,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_candidates",
+    "hamming_candidates64",
     "fuzzy_pairs_blocked",
     "compression_ratio",
     "build_dedup_index",
@@ -451,6 +452,27 @@ def simhash_candidates(
     16-bit chunks; pigeonhole -- any pair within hamming<=3 agrees on at
     least one chunk.  Verify with bit_count(xor) <= max_hamming."""
     sig = _ensure_parallelism(df).select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    return hamming_candidates64(
+        sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def hamming_candidates64(
+    sig: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Banded Hamming-near pairs over ANY precomputed 64-bit signature
+    column (SimHash text signatures, image dHashes, ...): 4 x 16-bit
+    chunk buckets, in-bucket pair expansion, bit_count(xor) verify.
+    The pigeonhole guarantee covers hamming <= 3 (one of four chunks
+    must agree); larger thresholds still verify exactly but recall
+    becomes best-effort, LSH-style.  One shuffle on the 16-bit bucket
+    key; hot buckets capped like minhash_lsh_candidates.  Output
+    (doc_a, doc_b, hamming)."""
+    sig = sig.select(F.col(id_col).alias("doc"), F.col(sig_col).alias("sig"))
     chunks = sig.select(
         "doc",
         "sig",

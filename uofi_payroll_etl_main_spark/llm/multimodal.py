@@ -54,6 +54,9 @@ __all__ = [
     "extract_features",
     "sample_frames",
     "resize_media",
+    "dhash64",
+    "image_dhash",
+    "image_dup_candidates",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -542,4 +545,79 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             F.explode(F.sequence(F.lit(0), frames - 1, F.lit(every_n))),
         )
         .select("media_id", "frame_idx", "payload")
+    )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """Difference hash of an image: gray 9x8 nearest-resample, one bit
+    per horizontal neighbor comparison (g[r,c] > g[r,c+1]), packed
+    MSB-first into a signed 64-bit int.  Standard perceptual hash:
+    stable under recompression/resizing, flips few bits under small
+    edits -- Hamming distance is the near-dup metric."""
+    small = resize_nearest(pixels, 9, 8).astype(np.float64).mean(axis=2)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    h = np.uint64(0)
+    for b in bits:
+        h = np.uint64(h << np.uint64(1)) | np.uint64(bool(b))
+    return int(np.int64(h))
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual 64-bit dHash per image row: Arrow-batched mapInPandas
+    decode (any codec decode_media speaks: PPM/BMP/PNG/baseline JPEG)
+    -> gray 9x8 difference hash.  Undecodable payloads yield a null
+    hash (they can't perceptually collide with anything).
+
+    Output: (media_id, dhash).  Pair with
+    `dedup.hamming_candidates64(out, id_col="media_id",
+    sig_col="dhash")` for banded image near-dup candidates -- the image
+    half of the corpus dedup story (text tiers live in llm/dedup.py).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    decoded = decode_media(bytes(payload), kind)
+                    hashes.append(dhash64(decoded["pixels"]))
+                except Exception:  # noqa: BLE001 -- unsupported codec OR
+                    # corrupt payload: either way there is no perceptual
+                    # content to hash; null drops the row from candidate
+                    # generation instead of killing a 100 TB job on one
+                    # truncated file
+                    hashes.append(None)
+            yield pd.DataFrame({"media_id": pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")})
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_dup_candidates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Image near-dup candidates: dHash signatures banded into 16-bit
+    chunks (llm/dedup.hamming_candidates64) -- same pigeonhole shape as
+    SimHash text dedup, so recall is guaranteed for hamming <= 3 and
+    the shuffle carries only (id, 8-byte hash).  Output
+    (doc_a, doc_b, hamming) over media ids."""
+    from .dedup import hamming_candidates64
+
+    sigs = image_dhash(df, id_col=id_col).filter(F.col("dhash").isNotNull())
+    return hamming_candidates64(
+        sigs,
+        id_col=id_col,
+        sig_col="dhash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )

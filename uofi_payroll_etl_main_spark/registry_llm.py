@@ -885,6 +885,22 @@ def w_ewma(spark, sf):
     return ewma(_t(spark, sf, "events"), alpha=0.9, window_rows=20)
 
 
+def mm_image_dedup(spark, sf):
+    """Image near-dup candidates by perceptual dHash: decode (PPM/PNG/
+    JPEG) -> gray 9x8 difference hash -> 16-bit-chunk Hamming banding
+    (llm/multimodal.image_dup_candidates over dedup.hamming_candidates64).
+    The corpus is synth_media plus an id-shifted copy, so every image
+    has one planted exact perceptual duplicate; rows-only gate (Pandas-
+    UDF decode), pair recall pinned by pytest."""
+    from .llm.multimodal import image_dup_candidates
+
+    base = synth_media(spark, 48)
+    shifted = synth_media(spark, 48).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    return image_dup_candidates(base.unionByName(shifted), max_hamming=3)
+
+
 def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
@@ -1781,6 +1797,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
+    "mm_image_dedup": mm_image_dedup,
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
     "w_attribution": w_attribution,
