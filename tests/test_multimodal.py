@@ -329,3 +329,52 @@ class TestImageDhash:
         out = {r.media_id: r.dhash for r in image_dhash(df).collect()}
         assert out[2] is not None
         assert image_dup_candidates(df).count() == 0
+
+
+class TestAudioVad:
+    def test_segments_match_constructed_activity(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            MEDIA_SCHEMA, audio_vad, encode_wav, vad_segments,
+        )
+
+        rate = 8000
+        frame = rate // 50  # 20ms frames
+        silence = np.zeros(frame * 10, dtype=np.int16)          # 200ms
+        tone = (np.sin(np.arange(frame * 10) * 0.3) * 8000).astype(np.int16)
+        samples = np.concatenate([silence, tone, silence, tone])
+        # python kernel: exactly two active runs at the tone intervals
+        segs = vad_segments(samples, rate, frame_ms=20, threshold_db=-30.0)
+        assert [(s, e) for s, e, _ in segs] == [(200, 400), (600, 800)]
+        assert all(db > -30.0 for _, _, db in segs)
+
+        df = spark.createDataFrame(
+            [(7, "audio", bytearray(encode_wav(samples, rate)), {}),
+             (8, "image", bytearray(b"P6 garbage"), {})],
+            MEDIA_SCHEMA,
+        )
+        rows = sorted(
+            (r.media_id, r.seg_start_ms, r.seg_end_ms)
+            for r in audio_vad(df).collect()
+        )
+        assert rows == [(7, 200, 400), (7, 600, 800)]
+
+    def test_all_silence_yields_no_segments(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            MEDIA_SCHEMA, audio_vad, encode_wav,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(encode_wav(np.zeros(4000, dtype=np.int16))), {})],
+            MEDIA_SCHEMA,
+        )
+        assert audio_vad(df).count() == 0
+
+    def test_synth_corpus_end_to_end(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import audio_vad, synth_media
+
+        # synth clips are 64-160 samples (8-20ms at 8kHz): use 5ms
+        # frames so every clip holds at least one full frame
+        out = audio_vad(synth_media(spark, 30), frame_ms=5).collect()
+        # synthetic audio is loud throughout -> one segment per clip
+        assert out and all(r.seg_start_ms == 0 for r in out)
+        assert all(r.seg_end_ms > 0 and r.mean_db > -30 for r in out)

@@ -57,6 +57,8 @@ __all__ = [
     "dhash64",
     "image_dhash",
     "image_dup_candidates",
+    "vad_segments",
+    "audio_vad",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -621,3 +623,86 @@ def image_dup_candidates(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("seg_start_ms", T.LongType()),
+        T.StructField("seg_end_ms", T.LongType()),
+        T.StructField("mean_db", T.DoubleType()),
+    ]
+)
+
+
+def vad_segments(
+    samples: np.ndarray, rate: int, frame_ms: int = 20, threshold_db: float = -30.0
+) -> list[tuple[int, int, float]]:
+    """Energy-based voice-activity segments: frame the int16 stream
+    into `frame_ms` windows, mark frames whose RMS (dBFS) clears
+    `threshold_db`, and merge consecutive active frames.  Returns
+    [(start_ms, end_ms, mean_db)] -- the classic cheap VAD every
+    speech-data pipeline runs before the expensive ASR/diarization
+    stages.  A trailing partial frame is dropped (standard framing)."""
+    flen = max(1, rate * frame_ms // 1000)
+    n = len(samples) // flen
+    if n == 0:
+        return []
+    frames = samples[: n * flen].astype(np.float64).reshape(n, flen) / 32768.0
+    rms = np.sqrt((frames**2).mean(axis=1))
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    active = db > threshold_db
+    out: list[tuple[int, int, float]] = []
+    i = 0
+    while i < n:
+        if not active[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and active[j]:
+            j += 1
+        out.append(
+            (
+                i * frame_ms,
+                j * frame_ms,
+                round(float(db[i:j].mean()), 3),
+            )
+        )
+        i = j
+    return out
+
+
+def audio_vad(
+    df: DataFrame, frame_ms: int = 20, threshold_db: float = -30.0
+) -> DataFrame:
+    """Voice-activity segments for every audio row: Arrow-batched WAV
+    decode -> framed RMS energy -> merged active runs, one output row
+    per segment (media_id, seg_start_ms, seg_end_ms, mean_db).
+    Undecodable payloads contribute no segments.
+
+    Scale: pure mapInPandas -- no shuffle; segment rows are bounded by
+    clip length / frame_ms.  Feeds clip trimming, silence-ratio
+    quality filters, and ASR pre-segmentation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "seg_start_ms": [], "seg_end_ms": [], "mean_db": []}
+            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
+                try:
+                    decoded = decode_media(bytes(payload), kind)
+                    segs = vad_segments(
+                        decoded["samples"], decoded["rate"], frame_ms, threshold_db
+                    )
+                except Exception:  # noqa: BLE001 -- no codec / corrupt: no segments
+                    continue
+                for s, e, db in segs:
+                    rows["media_id"].append(int(mid))
+                    rows["seg_start_ms"].append(s)
+                    rows["seg_end_ms"].append(e)
+                    rows["mean_db"].append(db)
+            yield pd.DataFrame(rows) if rows["media_id"] else pd.DataFrame(
+                {k: pd.Series(dtype="int64" if k != "mean_db" else "float64")
+                 for k in rows}
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, VAD_SCHEMA)

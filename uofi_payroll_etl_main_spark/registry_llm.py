@@ -901,6 +901,17 @@ def mm_image_dedup(spark, sf):
     return image_dup_candidates(base.unionByName(shifted), max_hamming=3)
 
 
+def mm_audio_vad(spark, sf):
+    """Energy-based voice-activity segments over the synthetic audio
+    corpus (llm/multimodal.audio_vad: framed RMS -> merged active runs,
+    5ms frames to fit the short synth clips).  Rows-only gate
+    (Pandas-UDF decode); segment boundaries pinned by pytest on
+    constructed silence/tone streams."""
+    from .llm.multimodal import audio_vad
+
+    return audio_vad(synth_media(spark, 64), frame_ms=5)
+
+
 def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
@@ -1798,6 +1809,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
     "mm_image_dedup": mm_image_dedup,
+    "mm_audio_vad": mm_audio_vad,
     "e17_json_extract": e17_json_extract,
     "j10_asof_backward": j10_asof_backward,
     "w_attribution": w_attribution,
