@@ -1095,3 +1095,20 @@ class TestChatPrep:
         assert (r.n_turns, r.n_user_tokens, r.n_assistant_tokens) == (2, 8, 4)
         assert r.assistant_share == round(4 / 12, 6)
         assert out[2].n_turns == 0 and out[2].assistant_share is None
+
+
+def test_encoding_quality_counts_mojibake_and_replacement(spark):
+    from uofi_payroll_etl_main_spark.llm.text import encoding_quality
+
+    rows = [
+        (1, "clean english text here"),
+        (2, "lossy \ufffd decode \ufffd twice"),
+        (3, "caf\u00c3\u00a9 and \u00e2\u20ac\u0153quoted\u00e2\u20ac"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in encoding_quality(docs).collect()}
+    assert out[1].n_replacement == 0 and out[1].n_mojibake == 0
+    assert out[2].n_replacement == 2 and out[2].bad_ratio > 0
+    assert out[3].n_mojibake == 3  # one A-tilde digraph + two curly-quote prefixes
+    assert out[4].n_chars == 0 and out[4].bad_ratio == 0.0

@@ -34,6 +34,7 @@ __all__ = [
     "top_ngrams",
     "bigram_logprob",
     "perplexity_buckets",
+    "encoding_quality",
     "repetition_signals",
     "oov_rate",
     "build_trigram_index",
@@ -850,3 +851,31 @@ def perplexity_buckets(
     return bucketed.unionByName(
         no_score.withColumn("bucket", F.lit("unscored"))
     ).select(id_col, lang_col, "n_bigrams", "avg_logprob", "bucket")
+
+
+def encoding_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-health signals per document: counts of Unicode
+    replacement characters (U+FFFD -- lossy decode happened upstream)
+    and of classic UTF-8-as-Latin-1 mojibake digraphs («Ã©», «â€™»,
+    ...), plus their combined ratio.  Web-crawl pipelines drop or
+    re-decode documents above a small threshold; this is the cheap
+    screen before any ftfy-style repair.
+
+    One codegen projection (regexp_count), no UDF, no shuffle.
+    Output: (id, n_chars, n_replacement, n_mojibake, bad_ratio)."""
+    t = _c(text_col)
+    n_chars = F.length(t)
+    n_repl = F.regexp_count(t, F.lit("�"))
+    # 'Ã' or 'Â' followed by any char, and the 'â€' prefix of curly
+    # punctuation mojibake -- the high-precision core of the ftfy set
+    n_moji = F.regexp_count(t, F.lit("(Ã.|Â.|â€)"))
+    bad = n_repl + n_moji
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_moji.cast("long").alias("n_mojibake"),
+        F.when(n_chars > 0, F.round(bad / n_chars, 6)).otherwise(F.lit(0.0)).alias("bad_ratio"),
+    )

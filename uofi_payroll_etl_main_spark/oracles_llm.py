@@ -2019,3 +2019,18 @@ LLM_ORACLES["llm_robots_parse"] = """
         UNION ALL
         SELECT source || '.example', '/tmp/' || CAST(n AS VARCHAR), false FROM src
     """
+
+LLM_ORACLES["llm_encoding_quality"] = """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, '\ufffd', ''))
+                    AS BIGINT) AS n_replacement,
+               CAST(len(regexp_extract_all(text, '(\u00c3.|\u00c2.|\u00e2\u20ac)'))
+                    AS BIGINT) AS n_mojibake,
+               CASE WHEN length(text) > 0
+                    THEN round((length(text) - length(replace(text, '\ufffd', ''))
+                                + len(regexp_extract_all(text, '(\u00c3.|\u00c2.|\u00e2\u20ac)')))
+                               / length(text), 6)
+                    ELSE 0.0 END AS bad_ratio
+        FROM documents
+    """

@@ -1693,6 +1693,14 @@ def llm_leakage_safe_split(spark, sf):
     return leakage_safe_split(clusters)
 
 
+def llm_encoding_quality(spark, sf):
+    """Encoding-health screen: replacement-char and UTF-8-as-Latin-1
+    mojibake counts + ratio per document -- the cheap pre-ftfy filter a
+    web-crawl pipeline runs at scan speed (llm/text.py
+    encoding_quality; one regexp_count projection, no shuffle)."""
+    return LT.encoding_quality(_t(spark, sf, "documents"))
+
+
 def llm_robots_parse(spark, sf):
     """Raw robots.txt bodies -> (domain, prefix, allow) rule rows
     (llm/web.py parse_robots: grouped User-agent sections, `*` groups
@@ -1858,6 +1866,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_chat_render": llm_chat_render,
     "llm_leakage_safe_split": llm_leakage_safe_split,
     "llm_robots_parse": llm_robots_parse,
+    "llm_encoding_quality": llm_encoding_quality,
     "llm_chat_stats": llm_chat_stats,
     "llm_substring_strip": llm_substring_strip,
     "llm_gopher_report": llm_gopher_report,
