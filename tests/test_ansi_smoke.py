@@ -48,6 +48,13 @@ ANSI_PROBES = [
     "llm_gopher_rules",
     "llm_c4_pipeline",
     "llm_dataset_card",
+    # round-5 close: Knuth-hash arithmetic (overflow-sensitive under
+    # ANSI), HOF struct compares, decimal LM sums, ceil/array math
+    "llm_fim_transform",
+    "llm_substring_strip",
+    "llm_perplexity_buckets",
+    "llm_chat_render",
+    "llm_leakage_safe_split",
 ]
 
 
