@@ -61,6 +61,9 @@ HEADLINERS = [
     "llm_substring_strip",
     "llm_perplexity_buckets",
     "llm_fim_transform",
+    "llm_chat_render",
+    "llm_chat_stats",
+    "llm_encoding_quality",
 ]
 
 SCALED = {
