@@ -171,6 +171,10 @@ def main() -> None:
         "n_err": len(errors),
         "reps": reps,
         "agg": "min",
+        # round-5+ numbers use full-column noop-sink materialization;
+        # rounds <= 4 used count() (Catalyst column pruning) -- the two
+        # are NOT comparable for projection-heavy queries (see SCALE.md)
+        "measurement": "noop-sink",
         "loadavg": list(os.getloadavg()),
     }
     if errors:
