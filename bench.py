@@ -99,6 +99,9 @@ HEADLINERS = [
     "llm_mixture_apply",
     "llm_web_pipeline",
     "w_transitions",
+    "g10_adamic_adar",
+    "llm_bm25",
+    "llm_preference_pairs",
 ]
 
 

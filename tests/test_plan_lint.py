@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "llm_balanced_sample",  # single-row min-class broadcast
     "llm_perplexity_buckets",  # single-row vocab-size broadcast (add-k LM smoothing)
     "llm_dataset_card",     # single-row metric blocks broadcast (datasheet rollup)
+    "llm_bm25",             # single-row (n_docs, avgdl) stats broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

@@ -1,0 +1,125 @@
+"""Unit semantics for the retrieval / preference / bucketing family
+added in round 5: adamic_adar, bm25_topk, preference_pairs,
+length_buckets.  The cross-engine value checks live in the oracle gate
+(tools/check_oracles.py); these tests pin the SEMANTIC contracts on
+hand-checkable inputs -- tie-breaks, clamps, exclusions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from uofi_payroll_etl_main_spark.graph import adamic_adar
+from uofi_payroll_etl_main_spark.llm.chat import preference_pairs
+from uofi_payroll_etl_main_spark.llm.curation import length_buckets
+from uofi_payroll_etl_main_spark.llm.text import bm25_topk
+
+
+def test_adamic_adar_toy_graph(spark):
+    # a-b, a-c, b-c, c-d: the only non-adjacent pairs with a common
+    # neighbor are (a,d) and (b,d), both through c (deg 3).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    rows = {(r.x, r.y): r for r in adamic_adar(edges).collect()}
+    assert set(rows) == {("a", "d"), ("b", "d")}
+    expected = round(1.0 / math.log(3), 6)
+    for r in rows.values():
+        assert r.n_common == 1
+        assert r.aa_score == pytest.approx(expected, abs=1e-6)
+
+
+def test_adamic_adar_excludes_existing_edges_and_caps_hubs(spark):
+    # star: h connected to x1..x4 -- every leaf pair is a candidate
+    # through the hub; capping max_degree below 4 removes them all.
+    edges = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(1, 5)], ["src", "dst"]
+    )
+    full = adamic_adar(edges).collect()
+    assert len(full) == 6  # C(4,2) leaf pairs, no (h, leaf) rows
+    assert all(r.x != "h" and r.y != "h" for r in full)
+    assert adamic_adar(edges, max_degree=3).collect() == []
+
+
+def test_adamic_adar_duplicate_and_reversed_edges_collapse(spark):
+    edges = spark.createDataFrame(
+        [("a", "c"), ("c", "a"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    rows = adamic_adar(edges).collect()
+    # a-b via c; deg(c)=2 regardless of the duplicates
+    assert len(rows) == 1
+    assert (rows[0].x, rows[0].y) == ("a", "b")
+    assert rows[0].aa_score == pytest.approx(round(1.0 / math.log(2), 6), abs=1e-6)
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    # 'zebra' appears in one doc, 'data' in all: the zebra doc must
+    # outrank every data-only doc for the query {zebra, data}.
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data data"),
+            (2, "zebra data"),
+            (3, "data data"),
+            (4, "data"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["zebra", "data"], k=4).collect()
+    assert out[0].doc_id == 2
+    assert out[0].n_terms == 2
+    assert all(out[0].bm25 > r.bm25 for r in out[1:])
+
+
+def test_bm25_term_saturation_not_linear(spark):
+    # doubling tf must NOT double the score (k1 saturation).
+    docs = spark.createDataFrame(
+        [(1, "cat"), (2, "cat cat"), (3, "dog filler words here")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] > got[1]
+    assert got[2] < 2 * got[1]
+
+
+def test_preference_pairs_tie_breaks_and_singletons(spark):
+    comp = spark.createDataFrame(
+        [
+            # group 1: clear best/worst
+            (1, 10, 5), (1, 11, 9), (1, 12, 1),
+            # group 2: all-tied scores -> chosen = highest id, rejected = lowest
+            (2, 20, 7), (2, 21, 7), (2, 22, 7),
+            # group 3: singleton -> dropped
+            (3, 30, 4),
+            # group 4: null scores are unrated, leaving a singleton -> dropped
+            (4, 40, None), (4, 41, 3),
+        ],
+        "prompt_id long, completion_id long, score long",
+    )
+    rows = {r.prompt_id: r for r in preference_pairs(comp).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].chosen_id, rows[1].rejected_id) == (11, 12)
+    assert (rows[1].chosen_score, rows[1].rejected_score, rows[1].margin) == (9, 1, 8)
+    assert (rows[2].chosen_id, rows[2].rejected_id) == (22, 20)
+    assert rows[2].margin == 0 and rows[2].n_completions == 3
+
+
+def test_length_buckets_assignment_and_truncation(spark):
+    def words(n):
+        return " ".join(["w"] * n)
+
+    docs = spark.createDataFrame(
+        [(1, words(5)), (2, words(16)), (3, words(17)), (4, words(2000))],
+        ["doc_id", "text"],
+    )
+    rows = {r.bucket: r for r in length_buckets(docs).collect()}
+    assert set(rows) == {16, 32, 1024}
+    assert rows[16].n_docs == 2 and rows[16].sum_tokens == 21
+    assert rows[32].n_docs == 1 and rows[32].sum_tokens == 17
+    # overflow doc clamps to the last bucket and counts as truncated
+    assert rows[1024].n_truncated == 1
+    assert rows[1024].kept_tokens == 1024 and rows[1024].sum_tokens == 2000
+    assert rows[1024].pad_frac == 0.0
+    assert rows[16].pad_frac == pytest.approx(1 - 21 / 32, abs=1e-6)

@@ -27,6 +27,7 @@ __all__ = [
     "synth_conversations",
     "render_chatml",
     "conversation_stats",
+    "preference_pairs",
 ]
 
 TURN_TOKENS = 8
@@ -133,4 +134,50 @@ def conversation_stats(
         n_user.alias("n_user_tokens"),
         n_asst.alias("n_assistant_tokens"),
         F.when(total > 0, F.round(n_asst / total, 6)).alias("assistant_share"),
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "prompt_id",
+    id_col: str = "completion_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per prompt group, pick
+    the best-scored completion as `chosen` and the worst as `rejected`
+    (reward-model scores, judge ratings, or any comparable signal).
+    Groups with a single completion are dropped -- no pair to form.
+
+    Tie-break contract (document it to your trainer): among equal top
+    scores the HIGHEST completion id wins; among equal bottom scores
+    the LOWEST id loses.  That makes the operator a pure struct
+    min/max aggregate -- one shuffle on the prompt key with map-side
+    partial aggregation, no window sort -- the cheapest deterministic
+    shape (a row_number pair would cost a per-group sort for the same
+    answer).  chosen != rejected is guaranteed: with >=2 distinct
+    completion ids the (score, id) struct max and min always differ.
+
+    Output: (group, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_completions).  Rows with a null score
+    are excluded up front (a null reward is "unrated", not "worst";
+    struct min would otherwise sort it somewhere type-dependent).
+    """
+    rated = df.filter(F.col(score_col).isNotNull())
+    hi = F.max(
+        F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+    ).alias("hi")
+    lo = F.min(
+        F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+    ).alias("lo")
+    agg = rated.groupBy(group_col).agg(
+        hi, lo, F.count(F.lit(1)).cast("long").alias("n_completions")
+    )
+    return agg.filter(F.col("n_completions") >= 2).select(
+        group_col,
+        F.col("hi.i").alias("chosen_id"),
+        F.col("lo.i").alias("rejected_id"),
+        F.col("hi.s").alias("chosen_score"),
+        F.col("lo.s").alias("rejected_score"),
+        (F.col("hi.s") - F.col("lo.s")).alias("margin"),
+        "n_completions",
     )

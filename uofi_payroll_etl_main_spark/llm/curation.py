@@ -49,6 +49,7 @@ __all__ = [
     "curriculum_shards",
     "mixture_apply",
     "weighted_sample_topk",
+    "length_buckets",
 ]
 
 
@@ -984,3 +985,60 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
     )
     return clusters.select(F.col(id_col), F.col(cluster_col), split.alias("split"))
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Token-length bucketing for padded-batch training: each document
+    goes to the smallest bucket holding its whitespace-token count
+    (documents longer than the last bucket are clamped there =
+    truncated at collate time).  Per bucket: document count, token
+    sums, truncation count, and the padding-waste fraction
+    1 - kept_tokens / (n_docs * bucket) -- the number a curriculum
+    uses to choose bucket boundaries (waste is GPU time at training).
+
+    Bucket assignment is a chained CASE over the fixed boundary list
+    (codegen, branch-per-boundary; a log2/pow float route would risk
+    cross-engine rounding at exact powers of two), then ONE groupBy on
+    a <=len(buckets)-cardinality key with map-side combine -- the
+    aggregate output is bounded by the bucket list, not the corpus.
+    Integer sums + one final division keep the fraction bit-stable.
+
+    Output: (bucket, n_docs, sum_tokens, kept_tokens, n_truncated,
+    pad_frac), bucket ascending.
+    """
+    from .text import token_count
+
+    bs = sorted(int(x) for x in buckets)
+    n = token_count(text_col)
+    b = F.when(n <= bs[0], F.lit(bs[0]))
+    for edge in bs[1:-1]:
+        b = b.when(n <= edge, F.lit(edge))
+    b = b.otherwise(F.lit(bs[-1]))
+    kept = F.least(n, F.lit(bs[-1]).cast("long"))
+    return (
+        df.select(
+            b.cast("long").alias("bucket"),
+            n.alias("__n"),
+            kept.alias("__kept"),
+            (n > bs[-1]).cast("long").alias("__trunc"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").alias("sum_tokens"),
+            F.sum("__kept").alias("kept_tokens"),
+            F.sum("__trunc").alias("n_truncated"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                F.lit(1.0) - F.col("kept_tokens") / (F.col("n_docs") * F.col("bucket")),
+                6,
+            ),
+        )
+        .orderBy("bucket")
+    )

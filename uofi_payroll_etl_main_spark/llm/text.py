@@ -44,6 +44,7 @@ __all__ = [
     "gopher_rules",
     "GOPHER_STOPWORDS",
     "bpe_train",
+    "bm25_topk",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -879,3 +880,68 @@ def encoding_quality(
         n_moji.cast("long").alias("n_mojibake"),
         F.when(n_chars > 0, F.round(bad / n_chars, 6)).otherwise(F.lit(0.0)).alias("bad_ratio"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag-of-terms query --
+    the lexical half of a RAG / hard-negative-mining stack (tfidf_topk
+    characterizes documents; this RANKS them against a query).
+
+    Uses the Lucene/ATIRE formulation, always-positive idf:
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), and the standard
+    saturation tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)).
+
+    Shuffle plan at 100 TB: tokens explode at scan speed but are
+    filtered to the QUERY TERMS inside the same codegen stage, so the
+    (doc, term) aggregate is |matching docs| x |query| rows -- tiny --
+    with map-side combine; df(term) is a window over that aggregate
+    (vocabulary-sized, no second corpus scan, same trick as
+    tfidf_topk); N and avgdl are one scalar row broadcast by crossJoin
+    (corpus length sums are exact BIGINTs, so avgdl is bit-stable);
+    the global top-k is orderBy+limit -> TakeOrderedAndProject.
+
+    Per-term scores are rounded to 9 digits and summed as
+    DECIMAL(20,9) (ln last-ulp portability, order-independent sum);
+    ties broken by id ascending.  Output: (id, n_terms, bm25) --
+    deterministic, DuckDB-oracled.
+    """
+    toks = tokens(normalize_text(text_col))
+    terms = [t.lower() for t in query_terms]
+    ex = explode_nonempty(
+        df, [F.col(id_col), F.size(toks).cast("long").alias("dl")], toks, "term"
+    ).filter(F.col("term").isin(terms))
+    tf = ex.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    dfreq = F.count("*").over(Window.partitionBy("term")).alias("df")
+    stats = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("total_len"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(float(k1)) * (F.lit(1.0 - b) + F.lit(float(b)) * (F.col("dl") / avgdl))
+    )
+    term_score = F.round(idf * sat, 9).cast("decimal(20,9)")
+    scored = (
+        tf.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(term_score).cast("double"), 6).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(int(k))

@@ -1685,3 +1685,38 @@ CORE_ORACLES["a28_string_agg"] = """
 """
 
 CORE_ORACLES["j18b_linkage_banded"] = CORE_ORACLES["j18_linkage"]
+
+CORE_ORACLES["g10_adamic_adar"] = """
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity > 48
+      )
+      WHERE src <> dst
+    ), adj AS (
+      SELECT a AS p, b AS n FROM und
+      UNION ALL
+      SELECT b AS p, a AS n FROM und
+    ), deg AS (
+      SELECT p, count(*) AS d FROM adj GROUP BY p
+    ), wedges AS (
+      SELECT a1.n AS x, a2.n AS y, deg.d AS d_p
+      FROM adj a1
+      JOIN deg ON a1.p = deg.p AND deg.d <= 200
+      JOIN adj a2 ON a1.p = a2.p
+      WHERE a1.n < a2.n
+    ), scored AS (
+      SELECT x, y,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(CAST(sum(CAST(round(1.0 / ln(d_p), 9)
+                                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS aa_score
+      FROM wedges GROUP BY x, y
+    )
+    SELECT x, y, n_common, aa_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = s.x AND und.b = s.y)
+    ORDER BY aa_score DESC, x, y LIMIT 50
+"""

@@ -2034,3 +2034,82 @@ LLM_ORACLES["llm_encoding_quality"] = """
                     ELSE 0.0 END AS bad_ratio
         FROM documents
     """
+
+LLM_ORACLES["llm_bm25"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN []
+                  ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks
+    ), ex AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM ex WHERE term IN ('dup', 'vector', 'hash', 'scan', 'window')
+      GROUP BY 1, 2, 3
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             round(CAST(sum(CAST(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(total_len AS DOUBLE) / n_docs)))),
+             9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+LLM_ORACLES["llm_preference_pairs"] = """
+    WITH comp AS (
+      SELECT doc_id % 97 AS prompt_id, doc_id AS completion_id, n_chars AS score
+      FROM documents WHERE n_chars IS NOT NULL
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, completion_id DESC) AS rhi,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY score ASC, completion_id ASC) AS rlo,
+             count(*) OVER (PARTITION BY prompt_id) AS n
+      FROM comp
+    )
+    SELECT prompt_id,
+           max(CASE WHEN rhi = 1 THEN completion_id END) AS chosen_id,
+           max(CASE WHEN rlo = 1 THEN completion_id END) AS rejected_id,
+           max(CASE WHEN rhi = 1 THEN score END) AS chosen_score,
+           max(CASE WHEN rlo = 1 THEN score END) AS rejected_score,
+           max(CASE WHEN rhi = 1 THEN score END)
+             - max(CASE WHEN rlo = 1 THEN score END) AS margin,
+           CAST(max(n) AS BIGINT) AS n_completions
+    FROM ranked WHERE n >= 2 GROUP BY prompt_id
+"""
+
+LLM_ORACLES["llm_length_buckets"] = r"""
+    WITH n_t AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents
+    ), b AS (
+      SELECT n,
+             CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                  WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                  WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                  ELSE 1024 END AS bucket,
+             least(n, 1024) AS kept,
+             CASE WHEN n > 1024 THEN 1 ELSE 0 END AS trunc
+      FROM n_t
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(sum(kept) AS BIGINT) AS kept_tokens,
+           CAST(sum(trunc) AS BIGINT) AS n_truncated,
+           round(1.0 - sum(kept) / (count(*) * bucket), 6) AS pad_frac
+    FROM b GROUP BY bucket ORDER BY bucket
+"""

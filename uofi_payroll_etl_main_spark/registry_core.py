@@ -876,6 +876,29 @@ def g9_personalized_pr(spark, sf):
     return out.select("node", F.round(F.col("rank"), 12).alias("rank"))
 
 
+def g10_adamic_adar(spark, sf):
+    """Graph family -- Adamic-Adar link prediction (top-50 pairs) over
+    the g2 sparse fulfillment graph: non-adjacent pairs scored by
+    sum(1/ln(deg)) over common neighbors, degree-capped pivots bound
+    the wedge fan-out.  DECIMAL-summed rounded terms, so the plain-SQL
+    oracle (same wedge join) hash-matches bit-for-bit."""
+    from .graph import adamic_adar
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return adamic_adar(edges, max_degree=200, k=50)
+
+
 def d7_merge_additive(spark, sf):
     """D-family -- incremental materialized-rollup refresh
     (io.merge_additive): the base rollup aggregates only even-user
@@ -2917,6 +2940,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
+    "g10_adamic_adar": g10_adamic_adar,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

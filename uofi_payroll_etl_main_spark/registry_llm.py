@@ -1760,7 +1760,47 @@ def llm_gopher_rules(spark, sf):
     return LT.gopher_rules(_t(spark, sf, "documents"), min_stop_hits=1)
 
 
+BM25_QUERY_TERMS = ["dup", "vector", "hash", "scan", "window"]
+
+
+def llm_bm25(spark, sf):
+    """BM25 top-20 retrieval for a fixed 5-term query over the corpus
+    (Lucene always-positive idf, k1=1.2 b=0.75) -- the lexical
+    retrieval half of a RAG / hard-negative stack (llm/text.py
+    bm25_topk; query-filtered explode, window df, scalar-broadcast
+    N/avgdl, TakeOrderedAndProject top-k)."""
+    return LT.bm25_topk(_t(spark, sf, "documents"), BM25_QUERY_TERMS, k=20)
+
+
+def llm_preference_pairs(spark, sf):
+    """DPO preference-pair prep: completions synthesized from the
+    corpus (prompt = doc_id % 97, score = n_chars as the stand-in
+    reward), best-vs-worst pair per prompt via ONE struct-min/max
+    groupBy -- no window sort (llm/chat.py preference_pairs)."""
+    from .llm.chat import preference_pairs
+
+    comp = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 97).alias("prompt_id"),
+        F.col("doc_id").alias("completion_id"),
+        F.col("n_chars").alias("score"),
+    )
+    return preference_pairs(comp)
+
+
+def llm_length_buckets(spark, sf):
+    """Padded-batch length bucketing (powers of two 16..1024, clamp =
+    truncate): per-bucket doc/token counts + padding-waste fraction
+    (llm/curation.py length_buckets; chained-CASE bucket key, one
+    bounded-cardinality groupBy)."""
+    from .llm.curation import length_buckets
+
+    return length_buckets(_t(spark, sf, "documents"))
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "llm_bm25": llm_bm25,
+    "llm_preference_pairs": llm_preference_pairs,
+    "llm_length_buckets": llm_length_buckets,
     "llm_rep_signals": llm_rep_signals,
     "llm_line_dedup": llm_line_dedup,
     "llm_importance_sample": llm_importance_sample,
