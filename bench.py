@@ -102,6 +102,8 @@ HEADLINERS = [
     "g10_adamic_adar",
     "llm_bm25",
     "llm_preference_pairs",
+    "llm_rrf_fusion",
+    "a38_weighted_median",
 ]
 
 

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "llm_perplexity_buckets",  # single-row vocab-size broadcast (add-k LM smoothing)
     "llm_dataset_card",     # single-row metric blocks broadcast (datasheet rollup)
     "llm_bm25",             # single-row (n_docs, avgdl) stats broadcast
+    "llm_rrf_fusion",       # single-row query-vector broadcast + bm25 stats broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

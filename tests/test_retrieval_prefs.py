@@ -123,3 +123,50 @@ def test_length_buckets_assignment_and_truncation(spark):
     assert rows[1024].kept_tokens == 1024 and rows[1024].sum_tokens == 2000
     assert rows[1024].pad_frac == 0.0
     assert rows[16].pad_frac == pytest.approx(1 - 21 / 32, abs=1e-6)
+
+
+def test_weighted_median_hand_case(spark):
+    from uofi_payroll_etl_main_spark.aggregates import weighted_median
+
+    df = spark.createDataFrame(
+        [
+            # group a: weights pile on 10 -> median 10
+            ("a", 1.0, 1.0), ("a", 10.0, 5.0), ("a", 100.0, 1.0),
+            # group b: half-weight boundary hits exactly at value 2
+            ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0),
+            # group c: nulls ignored
+            ("c", None, 9.0), ("c", 7.0, 1.0), ("c", 8.0, None),
+        ],
+        "k string, v double, w double",
+    )
+    got = {r.k: r.weighted_median for r in weighted_median(df, "k", "v", "w").collect()}
+    assert got == {"a": 10.0, "b": 2.0, "c": 7.0}
+
+
+def test_weighted_median_unit_weights_match_lower_median(spark):
+    from uofi_payroll_etl_main_spark.aggregates import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in [5, 1, 4, 2, 3]],
+        "k string, v double, w double",
+    )
+    # lower median of 1..5 is 3
+    assert weighted_median(df, "k", "v", "w").collect()[0].weighted_median == 3.0
+
+
+def test_rrf_fuse_math_and_order(spark):
+    from uofi_payroll_etl_main_spark.llm.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    r2 = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    rows = {r.doc_id: r for r in rrf_fuse([r1, r2], k=60, topk=10).collect()}
+    # doc 2 appears in both lists -> highest fused score
+    assert rows[2].n_systems == 2
+    assert rows[2].rrf_score == pytest.approx(
+        round(1 / 62, 9) + round(1 / 61, 9), abs=1e-6
+    )
+    assert rows[1].n_systems == 1
+    assert rows[2].rrf_score > rows[1].rrf_score > rows[3].rrf_score
+    # k dampening: larger k compresses the gap but keeps the order
+    big_k = {r.doc_id: r.rrf_score for r in rrf_fuse([r1, r2], k=600).collect()}
+    assert big_k[2] > big_k[1]

@@ -32,6 +32,7 @@ __all__ = [
     "robust_zscore",
     "group_spearman",
     "quantile_sketch_merge",
+    "weighted_median",
 ]
 
 
@@ -473,3 +474,46 @@ def quantile_sketch_merge(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value v such that the
+    cumulative weight of rows with value <= v reaches half the group's
+    total weight (lower weighted median -- the robust center that, e.g.,
+    order-size-weighted price analytics need; the plain median is the
+    weight=1 special case).
+
+    Shape: one shuffle on the group key, then ONE within-partition sort
+    feeding two window passes (running sum + group total); the crossing
+    rows collapse via groupBy min.  No collect, no percentile UDF.
+    Cumulative weights are summed as DECIMAL(38,6): exact and
+    order-independent, so equal-valued runs can shuffle internally
+    without moving the crossing test -- cross-engine bit-stable
+    (a double running sum would make `2*cum >= total` flip on float
+    association at exact-boundary groups).
+
+    Output: one row per group, (keys..., weighted_median).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    wt = F.col(weight_col).cast("decimal(38,6)")
+    part = Window.partitionBy(*key_list)
+    run = (
+        part.orderBy(F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(wt).over(run)
+    tot = F.sum(wt).over(part)
+    crossed = (
+        df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .withColumn("__cum", cum)
+        .withColumn("__tot", tot)
+        .filter(F.col("__cum") * 2 >= F.col("__tot"))
+    )
+    return crossed.groupBy(*key_list).agg(
+        F.min(value_col).alias("weighted_median")
+    )

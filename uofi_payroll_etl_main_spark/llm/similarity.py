@@ -20,6 +20,8 @@ ROUND_DIGITS before ranking so rank order is stable across engines.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -41,6 +43,7 @@ __all__ = [
     "hard_negatives_lsh",
     "anchor_positives_lsh",
     "negative_pairs",
+    "rrf_fuse",
 ]
 
 ROUND_DIGITS = 6
@@ -85,9 +88,13 @@ def cosine_topk(
     validation use only).  With a real query batch, broadcast the small
     side so the corpus never shuffles.
     """
-    q = (queries or corpus).select(
+    q = (queries if queries is not None else corpus).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
+    if queries is not None:
+        # explicit query batch = the small side; broadcast it so the
+        # corpus never shuffles and the plan is BNLJ, not a cartesian
+        q = F.broadcast(q)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     sim = F.round(
@@ -1055,3 +1062,40 @@ def hard_negatives_lsh(
     return _mine_pairs_lsh(
         emb, False, k, num_tables, nbits, id_col, vec_col, label_col, seed
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): combine any
+    number of per-system rankings of the same id space into one list by
+    score(d) = sum over systems of 1/(k + rank_s(d)) -- THE standard
+    hybrid-retrieval merge (BM25 + dense ANN) because it needs no score
+    calibration between systems, only ranks.
+
+    Each input frame carries (id_col, rank_col) with rank starting at 1;
+    ids absent from a system simply contribute nothing.  The fused
+    aggregate is |union of top-lists| rows -- top-k-bounded, never
+    corpus-scale -- one unionByName (no shuffle) + one groupBy on the id.
+    Per-system terms are rounded to 9 digits and summed as
+    DECIMAL(20,9), so the cross-engine result is bit-stable; final ties
+    broken by id ascending.
+
+    Output: (id, n_systems, rrf_score) top-`topk`.
+    """
+    term = F.round(
+        F.lit(1.0) / (F.lit(int(k)) + F.col(rank_col).cast("long")), 9
+    ).cast("decimal(20,9)")
+    tagged = [r.select(F.col(id_col), term.alias("__t")) for r in rankings]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+        F.round(F.sum("__t").cast("double"), 6).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(int(topk))

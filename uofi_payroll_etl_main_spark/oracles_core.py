@@ -1720,3 +1720,22 @@ CORE_ORACLES["g10_adamic_adar"] = """
     WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = s.x AND und.b = s.y)
     ORDER BY aa_score DESC, x, y LIMIT 50
 """
+
+CORE_ORACLES["a38_weighted_median"] = """
+    WITH src AS (
+      SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(38,6)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ), c AS (
+      SELECT l_returnflag, l_linestatus, v,
+             sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY v ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+      FROM src
+    )
+    SELECT l_returnflag, l_linestatus, min(v) AS weighted_median
+    FROM c WHERE cum * 2 >= tot
+    GROUP BY l_returnflag, l_linestatus
+"""

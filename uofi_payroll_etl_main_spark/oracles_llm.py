@@ -2113,3 +2113,58 @@ LLM_ORACLES["llm_length_buckets"] = r"""
            round(1.0 - sum(kept) / (count(*) * bucket), 6) AS pad_frac
     FROM b GROUP BY bucket ORDER BY bucket
 """
+
+LLM_ORACLES["llm_rrf_fusion"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN []
+                  ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks
+    ), ex AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM ex WHERE term IN ('dup', 'vector', 'hash', 'scan', 'window')
+      GROUP BY 1, 2, 3
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), bm AS (
+      SELECT tf.doc_id,
+             round(CAST(sum(CAST(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(total_len AS DOUBLE) / n_docs)))),
+             9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), bm_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ), cos AS (
+      SELECT c.vec_id AS doc_id,
+             round(
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               6) AS similarity
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id = 0 AND c.vec_id <> 0
+    ), cos_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY similarity DESC, doc_id ASC) AS rank
+      FROM cos ORDER BY similarity DESC, doc_id ASC LIMIT 50
+    ), fused AS (
+      SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS t
+      FROM bm_ranked
+      UNION ALL
+      SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS t
+      FROM cos_ranked
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems,
+           round(CAST(sum(t) AS DOUBLE), 6) AS rrf_score
+    FROM fused GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+"""

@@ -876,6 +876,19 @@ def g9_personalized_pr(spark, sf):
     return out.select("node", F.round(F.col("rank"), 12).alias("rank"))
 
 
+def a38_weighted_median(spark, sf):
+    """A-family -- per-group weighted median (l_extendedprice weighted
+    by l_quantity per returnflag/linestatus): DECIMAL-exact cumulative
+    weights make the crossing test order-independent, so the
+    window-SQL oracle hash-matches exactly."""
+    from .aggregates import weighted_median
+
+    li = _t(spark, sf, "lineitem")
+    return weighted_median(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", "l_quantity"
+    )
+
+
 def g10_adamic_adar(spark, sf):
     """Graph family -- Adamic-Adar link prediction (top-50 pairs) over
     the g2 sparse fulfillment graph: non-adjacent pairs scored by
@@ -2941,6 +2954,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
     "g10_adamic_adar": g10_adamic_adar,
+    "a38_weighted_median": a38_weighted_median,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

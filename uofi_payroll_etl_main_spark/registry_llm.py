@@ -1772,6 +1772,30 @@ def llm_bm25(spark, sf):
     return LT.bm25_topk(_t(spark, sf, "documents"), BM25_QUERY_TERMS, k=20)
 
 
+def llm_rrf_fusion(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    top-50 lexical ranking and the dense cosine top-50 for query
+    vector 0 -- the standard no-calibration lexical+dense merge
+    (llm/similarity.py rrf_fuse).  The rank-assignment windows run on
+    top-k-BOUNDED lists (<=50 rows), so the single-partition window is
+    metadata-scale by construction; the fusion itself is one
+    unionByName + one groupBy on the id."""
+    from pyspark.sql import Window
+
+    from .llm.similarity import cosine_topk, rrf_fuse
+
+    docs = _t(spark, sf, "documents")
+    bm = LT.bm25_topk(docs, BM25_QUERY_TERMS, k=50)
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rank")
+    )
+    emb = _t(spark, sf, "embeddings")
+    dense = cosine_topk(emb, k=50, queries=emb.filter(F.col("vec_id") == 0))
+    dense_ranked = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm_ranked, dense_ranked], id_col="doc_id", k=60, topk=20)
+
+
 def llm_preference_pairs(spark, sf):
     """DPO preference-pair prep: completions synthesized from the
     corpus (prompt = doc_id % 97, score = n_chars as the stand-in
@@ -1799,6 +1823,7 @@ def llm_length_buckets(spark, sf):
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_bm25": llm_bm25,
+    "llm_rrf_fusion": llm_rrf_fusion,
     "llm_preference_pairs": llm_preference_pairs,
     "llm_length_buckets": llm_length_buckets,
     "llm_rep_signals": llm_rep_signals,
