@@ -104,6 +104,7 @@ HEADLINERS = [
     "llm_preference_pairs",
     "llm_rrf_fusion",
     "a38_weighted_median",
+    "g11_modularity",
 ]
 
 

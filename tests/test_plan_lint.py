@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "llm_dataset_card",     # single-row metric blocks broadcast (datasheet rollup)
     "llm_bm25",             # single-row (n_docs, avgdl) stats broadcast
     "llm_rrf_fusion",       # single-row query-vector broadcast + bm25 stats broadcast
+    "g11_modularity",       # single-row edge-count (m) broadcast
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;

@@ -170,3 +170,35 @@ def test_rrf_fuse_math_and_order(spark):
     # k dampening: larger k compresses the gap but keeps the order
     big_k = {r.doc_id: r.rrf_score for r in rrf_fuse([r1, r2], k=600).collect()}
     assert big_k[2] > big_k[1]
+
+
+def test_modularity_two_triangles(spark):
+    from uofi_payroll_etl_main_spark.graph import modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        ["src", "dst"],
+    )
+    com = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"),
+         ("d", "t2"), ("e", "t2"), ("f", "t2")],
+        ["node", "label"],
+    )
+    row = modularity(edges, com).collect()[0]
+    assert row.n_communities == 2 and row.m_edges == 7
+    # 2 * (3/7 - (7/14)^2) = 6/7 - 1/2
+    assert row.modularity == pytest.approx(6 / 7 - 0.5, abs=1e-6)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from uofi_payroll_etl_main_spark.graph import modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    com = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], ["node", "label"]
+    )
+    row = modularity(edges, com).collect()[0]
+    assert row.modularity == pytest.approx(0.0, abs=1e-6)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core", "personalized_pagerank", "adamic_adar"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core", "personalized_pagerank", "adamic_adar", "modularity"]
 
 
 def pagerank(
@@ -648,3 +648,75 @@ def adamic_adar(
     return fresh.orderBy(
         F.desc("aa_score"), F.asc("x"), F.asc("y")
     ).limit(int(k))
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a community partition over the undirected
+    simple graph -- the standard "was this clustering any good" score
+    for label_propagation / connected_components output:
+
+        Q = sum over communities c of  e_c/m - (d_c/(2m))^2
+
+    with m = |undirected edges|, e_c = intra-community edge count, d_c
+    = total degree of c's nodes.  Q in [-1/2, 1); random partitions
+    score ~0, strong community structure >0.3.
+
+    Shape at scale: two node-keyed joins tag each edge's endpoints with
+    their community, then every aggregate is community-cardinality;
+    m arrives as a single-row aggregate broadcast (no driver action).
+    All inputs are exact integers; each community term is rounded to 9
+    digits and DECIMAL-summed, so the composed SQL oracle (label CTE +
+    this arithmetic) hash-matches bit-for-bit.
+
+    Output: one row (n_communities, m_edges, modularity).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    com = communities.select(
+        F.col(node_col).alias("n"), F.col(community_col).alias("c")
+    ).persist()  # read three times (two endpoint tags + degree join);
+    # without it an iterative upstream (label_propagation) re-expands
+    # its whole join chain into each consumer's lineage
+    tagged = (
+        und.join(com.withColumnsRenamed({"n": "a", "c": "ca"}), "a")
+        .join(com.withColumnsRenamed({"n": "b", "c": "cb"}), "b")
+    )
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = deg.join(com, "n").groupBy("c").agg(F.sum("d").alias("d_c"))
+    m_row = und.agg(F.count(F.lit(1)).alias("m"))
+    per_c = (
+        dc.join(intra, "c", "left")
+        .withColumn("e_c", F.coalesce("e_c", F.lit(0)))
+        .crossJoin(F.broadcast(m_row))
+    )
+    ratio = F.col("d_c") / (F.lit(2) * F.col("m"))
+    term = F.round(F.col("e_c") / F.col("m") - ratio * ratio, 9).cast(
+        "decimal(20,9)"
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("m_edges"),
+        F.round(F.sum(term).cast("double"), 6).alias("modularity"),
+    )

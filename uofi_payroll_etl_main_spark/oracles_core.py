@@ -1739,3 +1739,73 @@ CORE_ORACLES["a38_weighted_median"] = """
     FROM c WHERE cum * 2 >= tot
     GROUP BY l_returnflag, l_linestatus
 """
+
+CORE_ORACLES["g11_modularity"] = """
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity > 48
+    ), bidir AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst, src FROM edges
+      )
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM bidir
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    ), c1 AS (
+      SELECT bd.a, l.label, count(*) AS c
+      FROM bidir bd JOIN l0 l ON bd.b = l.node
+      GROUP BY bd.a, l.label
+    ), l1 AS (
+      SELECT n.node, coalesce(b.label, n.node) AS label
+      FROM nodes n LEFT JOIN (
+        SELECT a, label FROM (
+          SELECT a, label,
+                 row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+          FROM c1
+        ) WHERE rk = 1
+      ) b ON n.node = b.a
+    ), c2 AS (
+      SELECT bd.a, l.label, count(*) AS c
+      FROM bidir bd JOIN l1 l ON bd.b = l.node
+      GROUP BY bd.a, l.label
+    ), lab AS (
+      SELECT n.node, coalesce(b.label, n.node) AS label
+      FROM nodes n LEFT JOIN (
+        SELECT a, label FROM (
+          SELECT a, label,
+                 row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rk
+          FROM c2
+        ) WHERE rk = 1
+      ) b ON n.node = b.a
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), m_t AS (
+      SELECT count(*) AS m FROM und
+    ), tagged AS (
+      SELECT la.label AS ca, lb.label AS cb
+      FROM und u JOIN lab la ON u.a = la.node JOIN lab lb ON u.b = lb.node
+    ), intra AS (
+      SELECT ca AS c, count(*) AS e_c FROM tagged WHERE ca = cb GROUP BY 1
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      GROUP BY 1
+    ), dc AS (
+      SELECT lab.label AS c, sum(d) AS d_c
+      FROM deg JOIN lab ON deg.n = lab.node GROUP BY 1
+    ), per_c AS (
+      SELECT dc.c, coalesce(e_c, 0) AS e_c, d_c, m
+      FROM dc LEFT JOIN intra ON dc.c = intra.c CROSS JOIN m_t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(m) AS BIGINT) AS m_edges,
+           round(CAST(sum(CAST(round(
+             e_c / m - (d_c / (2 * m)) * (d_c / (2 * m)),
+           9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS modularity
+    FROM per_c
+"""

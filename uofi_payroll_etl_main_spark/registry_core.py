@@ -876,6 +876,30 @@ def g9_personalized_pr(spark, sf):
     return out.select("node", F.round(F.col("rank"), 12).alias("rank"))
 
 
+def g11_modularity(spark, sf):
+    """Graph family -- Newman modularity of the 2-round label
+    propagation partition over the g2 sparse fulfillment graph: the
+    partition-quality scalar that closes the community-detection loop
+    (detect with g5, SCORE with g11).  Integer e_c/d_c/m +
+    DECIMAL-summed rounded terms -> the composed oracle (g5's unrolled
+    label CTE + the same arithmetic) matches bit-for-bit."""
+    from .graph import label_propagation, modularity
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return modularity(edges, label_propagation(edges, iterations=2))
+
+
 def a38_weighted_median(spark, sf):
     """A-family -- per-group weighted median (l_extendedprice weighted
     by l_quantity per returnflag/linestatus): DECIMAL-exact cumulative
@@ -2955,6 +2979,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g9_personalized_pr": g9_personalized_pr,
     "g10_adamic_adar": g10_adamic_adar,
     "a38_weighted_median": a38_weighted_median,
+    "g11_modularity": g11_modularity,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
