@@ -105,6 +105,7 @@ HEADLINERS = [
     "llm_rrf_fusion",
     "a38_weighted_median",
     "g11_modularity",
+    "llm_unigram_train",
 ]
 
 

@@ -1772,6 +1772,29 @@ def llm_bm25(spark, sf):
     return LT.bm25_topk(_t(spark, sf, "documents"), BM25_QUERY_TERMS, k=20)
 
 
+def llm_unigram_train(spark, sf):
+    """Unigram-LM tokenizer training (SentencePiece-style hard-EM, 2
+    iterations, vocab 300) over the corpus word counts -- rows-only
+    (iterative lattice DP is not SQL-expressible); exact equality with
+    a pure-Python replica is pytest-held (tests/test_unigram.py)."""
+    from .llm.unigram import unigram_train
+
+    return unigram_train(
+        _t(spark, sf, "documents"), vocab_size=300, n_iter=2, seed_size=1000
+    )
+
+
+def llm_unigram_tokenize(spark, sf):
+    """Viterbi tokenization fertility profile under the trained unigram
+    table (pieces-per-word, unk counts) -- rows-only, round-trip and
+    coverage pytest-held."""
+    from .llm.unigram import unigram_tokenize, unigram_train
+
+    docs = _t(spark, sf, "documents")
+    vocab = unigram_train(docs, vocab_size=300, n_iter=2, seed_size=1000)
+    return unigram_tokenize(docs, vocab)
+
+
 def llm_rrf_fusion(spark, sf):
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
     top-50 lexical ranking and the dense cosine top-50 for query
@@ -1824,6 +1847,8 @@ def llm_length_buckets(spark, sf):
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_bm25": llm_bm25,
     "llm_rrf_fusion": llm_rrf_fusion,
+    "llm_unigram_train": llm_unigram_train,
+    "llm_unigram_tokenize": llm_unigram_tokenize,
     "llm_preference_pairs": llm_preference_pairs,
     "llm_length_buckets": llm_length_buckets,
     "llm_rep_signals": llm_rep_signals,
