@@ -808,6 +808,44 @@ def test_check_expectations_single_scan(spark):
     assert rep.filter(~F.col("passed")).count() == 0
 
 
+def test_reconcile_hand_computed(spark):
+    from uofi_payroll_etl_main_spark.report import reconcile
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),
+            Row(k=2, a="y", b=None),   # b null both sides -> NOT a mismatch
+            Row(k=3, a="z", b=3.0),    # only_left
+            Row(k=4, a=None, b=4.0),   # a null vs non-null -> mismatch
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.5),    # b differs
+            Row(k=2, a="y", b=None),
+            Row(k=4, a="w", b=4.0),
+            Row(k=5, a="q", b=5.0),    # only_right
+        ]
+    )
+    rep = {(r.metric, r.column): r.n for r in reconcile(left, right, ["k"]).collect()}
+    assert rep[("only_left", "")] == 1
+    assert rep[("only_right", "")] == 1
+    assert rep[("matched", "")] == 3
+    assert rep[("mismatch", "a")] == 1   # k=4 null-vs-'w'
+    assert rep[("mismatch", "b")] == 1   # k=1; k=2 null==null is clean
+
+
+def test_reconcile_single_join_single_aggregate(spark):
+    """ONE full-outer join + ONE aggregate -- no per-column scans."""
+    from uofi_payroll_etl_main_spark.report import reconcile
+
+    left = spark.range(50).selectExpr("id as k", "id * 2 as v", "id * 3 as w")
+    right = spark.range(40).selectExpr("id as k", "id * 2 as v", "id * 5 as w")
+    out = reconcile(left, right, ["k"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+
+
 def test_snapshot_diff_classifies_and_roundtrips(spark):
     from uofi_payroll_etl_main_spark.io import snapshot_diff
 

@@ -1809,3 +1809,55 @@ CORE_ORACLES["g11_modularity"] = """
            9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS modularity
     FROM per_c
 """
+
+CORE_ORACLES["v10_reconcile"] = """
+    WITH ev AS (
+      SELECT event_id, event_type, value, props FROM events
+    ), l AS (
+      SELECT * FROM ev WHERE event_id % 103 <> 0
+    ), r AS (
+      SELECT event_id,
+             CASE WHEN event_id % 89 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 97 = 0 THEN value + 1 ELSE value END AS value,
+             props
+      FROM ev WHERE event_id % 101 <> 0
+    ), j AS (
+      SELECT l.event_id IS NOT NULL AS in_l, r.event_id IS NOT NULL AS in_r,
+             l.event_type AS lt, r.event_type AS rt,
+             l.value AS lv, r.value AS rv,
+             l.props AS lp, r.props AS rp
+      FROM l FULL OUTER JOIN r ON l.event_id = r.event_id
+    ), agg AS (
+      SELECT
+        sum(CASE WHEN in_l AND NOT in_r THEN 1 ELSE 0 END) AS only_left,
+        sum(CASE WHEN in_r AND NOT in_l THEN 1 ELSE 0 END) AS only_right,
+        sum(CASE WHEN in_l AND in_r THEN 1 ELSE 0 END) AS matched,
+        sum(CASE WHEN in_l AND in_r AND lt IS DISTINCT FROM rt THEN 1 ELSE 0 END) AS mm_et,
+        sum(CASE WHEN in_l AND in_r AND lv IS DISTINCT FROM rv THEN 1 ELSE 0 END) AS mm_v,
+        sum(CASE WHEN in_l AND in_r AND lp IS DISTINCT FROM rp THEN 1 ELSE 0 END) AS mm_p
+      FROM j
+    )
+    SELECT metric, "column", CAST(coalesce(n, 0) AS BIGINT) AS n FROM (
+      SELECT 'only_left' AS metric, '' AS "column", only_left AS n FROM agg
+      UNION ALL SELECT 'only_right', '', only_right FROM agg
+      UNION ALL SELECT 'matched', '', matched FROM agg
+      UNION ALL SELECT 'mismatch', 'event_type', mm_et FROM agg
+      UNION ALL SELECT 'mismatch', 'value', mm_v FROM agg
+      UNION ALL SELECT 'mismatch', 'props', mm_p FROM agg
+    ) ORDER BY metric, "column"
+"""
+
+CORE_ORACLES["e21_quarantine"] = """
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 17 = 0 THEN substring(props, 1, 4)
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN try_cast(p AS JSON) IS NULL
+                THEN 'quarantined:malformed_json' ELSE 'ok' END AS status,
+           CAST(CASE WHEN try_cast(p AS JSON) IS NULL THEN NULL
+                     ELSE json_extract(p, '$.k') END AS BIGINT) AS prop_k
+    FROM src
+"""

@@ -876,6 +876,63 @@ def g9_personalized_pr(spark, sf):
     return out.select("node", F.round(F.col("rank"), 12).alias("rank"))
 
 
+def v10_reconcile(spark, sf):
+    """V-family -- row-level reconciliation of two derived event
+    snapshots (deterministic synthetic drift: one side drops
+    event_id%103 rows, the other drops %101, perturbs value on %97 and
+    nulls event_type on %89): one full-outer key join + one aggregate,
+    unpivoted to a (metric, column, n) report (report.reconcile)."""
+    from .report import reconcile
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value", "props")
+    left = ev.filter(F.col("event_id") % 103 != 0)
+    right = (
+        ev.filter(F.col("event_id") % 101 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 97 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 89 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    return reconcile(left, right, ["event_id"])
+
+
+def e21_quarantine(spark, sf):
+    """E-family -- error-routing ingest: JSON props parsed with an
+    explicit schema; rows whose payload is (deterministically)
+    truncated fail the parse and are ROUTED with a reason instead of
+    poisoning the load -- the coerce-to-null house rule upgraded to a
+    quarantine lane.  Malformed detection is the canonical Spark
+    corrupt-record column (PERMISSIVE from_json fills `_corrupt` with
+    the raw payload instead of raising -- a null STRUCT is not emitted
+    for malformed input, the corrupt column is the contract);
+    try_cast(JSON) IS NULL is the DuckDB equivalent."""
+    ev = _t(spark, sf, "events")
+    p = F.when(
+        F.col("event_id") % 17 == 0, F.substring("props", 1, 4)
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        p,
+        "k int, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    bad = parsed.getField("_corrupt").isNotNull()
+    return ev.select(
+        "event_id",
+        F.when(bad, F.lit("quarantined:malformed_json"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.when(~bad, parsed.getField("k")).cast("long").alias("prop_k"),
+    )
+
+
 def g11_modularity(spark, sf):
     """Graph family -- Newman modularity of the 2-round label
     propagation partition over the g2 sparse fulfillment graph: the
@@ -2980,6 +3037,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g10_adamic_adar": g10_adamic_adar,
     "a38_weighted_median": a38_weighted_median,
     "g11_modularity": g11_modularity,
+    "v10_reconcile": v10_reconcile,
+    "e21_quarantine": e21_quarantine,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
