@@ -808,6 +808,64 @@ def test_check_expectations_single_scan(spark):
     assert rep.filter(~F.col("passed")).count() == 0
 
 
+def test_group_ols_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.aggregates import group_ols
+
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [1.0, 3.1, 4.9, 7.2, 8.8]
+    rows = [("a", x, y) for x, y in zip(xs, ys)]
+    rows += [("const_x", 2.0, float(v)) for v in (1, 2, 3)]   # vx=0 -> null fit
+    rows += [("const_y", float(v), 5.0) for v in (1, 2, 3)]   # vy=0 -> slope 0, r2 null
+    rows += [("single", 1.0, 1.0)]                            # n=1 -> null fit
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.k: r for r in group_ols(df, "k", "x", "y").collect()}
+
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(got["a"].slope - round(slope, 6)) < 1e-9
+    assert abs(got["a"].intercept - round(intercept, 6)) < 1e-9
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["a"].r2 - round(r * r, 6)) < 1e-9
+    assert got["const_x"].slope is None and got["const_x"].r2 is None
+    assert got["const_y"].slope == 0.0 and got["const_y"].r2 is None
+    assert got["single"].slope is None
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from uofi_payroll_etl_main_spark.report import k_anonymity
+
+    rows = [("US", "M")] * 5 + [("US", "F")] * 2 + [("FR", "M")]
+    df = spark.createDataFrame(rows, "country string, segment string")
+    got = {(r.country, r.segment): r for r in
+           k_anonymity(df, ["country", "segment"], k=3).collect()}
+    assert got[("US", "M")].class_size == 5 and not got[("US", "M")].at_risk
+    assert got[("US", "F")].class_size == 2 and got[("US", "F")].at_risk
+    assert got[("FR", "M")].class_size == 1 and got[("FR", "M")].at_risk
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        k_anonymity(df, ["country"], k=0)
+
+
+def test_pseudonymize_consistent_and_null_safe(spark):
+    import hashlib
+
+    from uofi_payroll_etl_main_spark.expressions import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, None), (4, "bob")],
+        "id long, name string",
+    )
+    got = {r.id: r.tok for r in
+           df.select("id", pseudonymize("name", "s3cret").alias("tok")).collect()}
+    expect = hashlib.sha256(b"s3cretalice").hexdigest()
+    assert got[1] == expect
+    assert got[1] == got[2]          # same input -> same token (joinable)
+    assert got[3] is None            # null stays null
+    assert got[4] != got[1]
+
+
 def test_reconcile_hand_computed(spark):
     from uofi_payroll_etl_main_spark.report import reconcile
 

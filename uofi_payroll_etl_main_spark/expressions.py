@@ -54,6 +54,7 @@ __all__ = [
     "ws_trim",
     "epoch_micros",
     "epoch_seconds",
+    "pseudonymize",
 ]
 
 _STRINGY = (T.StringType, T.VarcharType, T.CharType)
@@ -288,3 +289,18 @@ def finalize_output(
         else:
             out.append(ws_trim(c.try_cast("string")).alias(f.name))
     return df.select(*out)
+
+
+def pseudonymize(col: Column | str, salt: str) -> Column:
+    """Deterministic keyed pseudonymization of an identifier column:
+    sha2-256 over salt||value.  Same input -> same token, so joins and
+    groupBys on the pseudonym keep working after PII is stripped
+    (consistent tokenization, the release-safe sibling of
+    curation.redact_pii's destructive masking).  Null stays null.
+    Pure codegen projection -- scan speed, no shuffle.  The salt must
+    come from a secret store; a public salt reduces this to a
+    dictionary attack."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(), F.sha2(F.concat(F.lit(salt), c.cast("string")), 256)
+    )

@@ -1861,3 +1861,18 @@ CORE_ORACLES["e21_quarantine"] = """
                      ELSE json_extract(p, '$.k') END AS BIGINT) AS prop_k
     FROM src
 """
+
+CORE_ORACLES["v11_k_anonymity"] = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+"""
+
+CORE_ORACLES["e22_pseudonymize"] = """
+    SELECT c_custkey,
+           CASE WHEN c_name IS NOT NULL
+                THEN sha256('pepper-2024' || CAST(c_name AS VARCHAR)) END AS name_token
+    FROM customer
+"""

@@ -2168,3 +2168,32 @@ LLM_ORACLES["llm_rrf_fusion"] = f"""
     FROM fused GROUP BY doc_id
     ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
 """
+
+LLM_ORACLES["a42_group_ols"] = """
+    WITH src AS (
+      SELECT event_type,
+             CAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)
+                  AS DECIMAL(18,2)) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ), agg AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM src GROUP BY event_type
+    ), fin AS (
+      SELECT event_type, n,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n AS cov,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n AS vx,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n AS vy,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM agg
+    )
+    SELECT event_type, n,
+           round(CASE WHEN n > 1 AND vx > 0 THEN cov/vx END, 6) AS slope,
+           round(CASE WHEN n > 1 AND vx > 0
+                      THEN (syd - (cov/vx)*sxd)/n END, 6) AS intercept,
+           round(CASE WHEN n > 1 AND vx > 0 AND vy > 0
+                      THEN (cov*cov)/(vx*vy) END, 6) AS r2
+    FROM fin
+"""

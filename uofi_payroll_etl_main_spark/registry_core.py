@@ -933,6 +933,34 @@ def e21_quarantine(spark, sf):
     )
 
 
+def v11_k_anonymity(spark, sf):
+    """V-family -- k-anonymity release audit over the customer table
+    with quasi-identifiers (nationkey, mktsegment): equivalence classes
+    smaller than k=5 are re-identifiable by external linkage and get
+    flagged for suppression/generalization (report.k_anonymity).  One
+    map-side-combined groupBy; shuffle is class-cardinality-sized."""
+    from .report import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+def e22_pseudonymize(spark, sf):
+    """E-family -- deterministic keyed pseudonymization of PII columns
+    (expressions.pseudonymize): sha2-256 over salt||value, so the same
+    customer always maps to the same token and downstream joins/groupBys
+    survive PII removal -- the release-safe sibling of llm_redact's
+    destructive masking.  Pure codegen projection, scan speed."""
+    from .expressions import pseudonymize
+
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        pseudonymize("c_name", "pepper-2024").alias("name_token"),
+    )
+
+
 def g11_modularity(spark, sf):
     """Graph family -- Newman modularity of the 2-round label
     propagation partition over the g2 sparse fulfillment graph: the
@@ -3039,6 +3067,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g11_modularity": g11_modularity,
     "v10_reconcile": v10_reconcile,
     "e21_quarantine": e21_quarantine,
+    "v11_k_anonymity": v11_k_anonymity,
+    "e22_pseudonymize": e22_pseudonymize,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

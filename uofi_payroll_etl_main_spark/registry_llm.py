@@ -740,6 +740,22 @@ def a13_group_corr(spark, sf):
     return group_corr(ev, "event_type", "value", "hod")
 
 
+def a42_group_ols(spark, sf):
+    """Exact per-type OLS trend of event value over time (y ~ a+b*day,
+    x anchored at 2024-01-01): slope/intercept/R^2 finished from the
+    same decimal power sums as a13 -- the per-key drift detector, one
+    shuffle carrying 6 numbers per group."""
+    from .aggregates import group_ols
+
+    ev = _t(spark, sf, "events").withColumn(
+        "day_x",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))).cast(
+            "double"
+        ),
+    )
+    return group_ols(ev, "event_type", "day_x", "value")
+
+
 def a4_hll_distinct(spark, sf):
     """HLL distinct users per event type (rows-only: sketch estimates
     differ across engines; tolerance vs exact asserted in pytest)."""
@@ -1919,6 +1935,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j10c_asof_nearest": j10c_asof_nearest,
     "a11_group_stats": a11_group_stats,
     "a13_group_corr": a13_group_corr,
+    "a42_group_ols": a42_group_ols,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,

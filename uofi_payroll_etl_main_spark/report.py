@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile"]
+__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity"]
 
 
 @dataclass
@@ -354,3 +354,27 @@ def reconcile(
     return out.select(
         "metric", "column", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     ).orderBy("metric", "column")
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit before a training-data release: group rows by
+    the quasi-identifier combination and flag equivalence classes
+    smaller than k -- those rows are re-identifiable by linking the
+    quasi-identifiers to an external dataset (Sweeney's attack model).
+    Returns one row per class: the quasi values, class_size, and
+    at_risk.  Callers suppress or generalize the at_risk classes before
+    publishing.  ONE groupBy with map-side partial aggregation; shuffle
+    volume is the class cardinality, not the row count -- at 100 TB the
+    audit costs one scan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = list(quasi_cols)
+    return df.groupBy(*cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    ).select(
+        *cols,
+        "class_size",
+        (F.col("class_size") < k).alias("at_risk"),
+    )
