@@ -338,6 +338,38 @@ def test_zscore_anomalies_semantics(spark):
     assert abs(out[5].zscore - round(expect, 6)) < 1e-6
 
 
+def test_holt_linear_matches_python_recurrence(spark):
+    """The array-fold Holt smoother equals an independent sequential
+    Python implementation of the textbook recurrences, including the
+    trend state and one-step forecast; out-of-order input rows are
+    sorted by the order column first."""
+    from uofi_payroll_etl_main_spark.streaming.windows import holt_linear
+
+    series = {"a": [10.0, 12.0, 9.0, 14.0, 13.0, 16.0], "b": [5.0], "c": [7.0, 7.0]}
+    rows = [
+        (k, i, v)
+        for k, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    rows.reverse()  # feed out of order; holt_linear must sort by `o`
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    got = {r.k: r for r in holt_linear(df, "k", "o", "v", alpha=0.5, beta=0.25).collect()}
+
+    for k, vs in series.items():
+        l, t = vs[0], 0.0
+        for x in vs[1:]:
+            l_new = 0.5 * x + 0.5 * (l + t)
+            t = 0.25 * (l_new - l) + 0.75 * t
+            l = l_new
+        r = got[k]
+        assert r.n_points == len(vs)
+        assert abs(r.level - round(l, 6)) < 1e-9
+        assert abs(r.trend - round(t, 6)) < 1e-9
+        assert abs(r.forecast - round(l + t, 6)) < 1e-9
+    assert got["b"].trend == 0.0 and got["b"].level == 5.0  # n=1: init state
+    assert got["c"].trend == 0.0  # flat series learns no trend
+
+
 def test_ewma_matches_pandas_adjust_form(spark):
     """With the frame longer than the history, the bounded-frame EWMA
     equals pandas' infinite-history ewm(adjust=True) (decay a = 0.9 is

@@ -2197,3 +2197,25 @@ LLM_ORACLES["a42_group_ols"] = """
                       THEN (cov*cov)/(vx*vy) END, 6) AS r2
     FROM fin
 """
+
+LLM_ORACLES["w_holt"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type, list(v ORDER BY d) AS vs, count(*) AS n_points
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, n_points,
+             list_reduce(
+               list_transform(vs, x -> [x, CAST(0.0 AS DOUBLE)]),
+               (acc, e) -> [0.5*e[1] + 0.5*(acc[1] + acc[2]),
+                            0.25*(0.5*(e[1] - acc[1]) + 0.5*acc[2]) + 0.75*acc[2]]
+             ) AS st
+      FROM ser
+    )
+    SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast
+    FROM folded
+"""

@@ -901,6 +901,21 @@ def w_ewma(spark, sf):
     return ewma(_t(spark, sf, "events"), alpha=0.9, window_rows=20)
 
 
+def w_holt(spark, sf):
+    """Holt level+trend smoothing of daily event volume per type, with
+    the one-step-ahead forecast (streaming/windows.holt_linear): the
+    sequential recurrence runs as one array fold over the day-grain
+    aggregate -- series length = #days, metadata-scale."""
+    from .streaming.windows import holt_linear
+
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    return holt_linear(daily, "event_type", "d", "v", alpha=0.5, beta=0.25)
+
+
 def mm_image_dedup(spark, sf):
     """Image near-dup candidates by perceptual dHash: decode (PPM/PNG/
     JPEG) -> gray 9x8 difference hash -> 16-bit-chunk Hamming banding
@@ -1936,6 +1951,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a11_group_stats": a11_group_stats,
     "a13_group_corr": a13_group_corr,
     "a42_group_ols": a42_group_ols,
+    "w_holt": w_holt,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,

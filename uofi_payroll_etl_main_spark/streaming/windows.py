@@ -24,6 +24,7 @@ __all__ = [
     "resample_counts_filled",
     "resample_linear",
     "rolling_agg",
+    "holt_linear",
     "funnel_steps",
     "cohort_retention",
     "interval_coverage",
@@ -451,4 +452,73 @@ def resample_linear(
         F.col(by),
         interp.alias("v_interp"),
         has.alias("observed"),
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per key
+    over an ORDERED series, finishing with the one-step-ahead forecast
+    -- the capacity-planning primitive EWMA can't provide because EWMA
+    has no trend state.
+
+        l_i = alpha*v_i + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+
+    initialized l_0 = v_0, t_0 = 0.  The recurrence is inherently
+    sequential per key, so it runs as ONE array fold (F.aggregate) over
+    the key's sorted series -- pure Catalyst, one shuffle, no Python.
+
+    Scale contract: the input must already be an AGGREGATED series
+    (e.g. daily counts), so the per-key array is grain-cardinality
+    (metadata-scale), never raw-event-scale -- the same contract as
+    resample_counts_filled.  Feed raw events through a groupBy first.
+
+    Dyadic defaults (0.5, 0.25) keep every multiply exact in IEEE
+    doubles, so results are bit-identical across engines that fold in
+    the same order.
+    """
+    a = float(alpha)
+    b = float(beta)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(value_col).cast("double").alias("v"))
+        )
+    )
+    agg = df.groupBy(key_col).agg(
+        F.transform(ordered, lambda s: s.getField("v")).alias("__vs")
+    )
+    vs = F.col("__vs")
+    init = F.struct(
+        F.element_at(vs, 1).alias("l"), F.lit(0.0).alias("t")
+    )
+    rest = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+
+    def _step(acc, x):
+        # t uses the algebraic identity l_new - l = a*(x-l) + (1-a)*t so
+        # neither field repeats the other's subexpression -- keeps the
+        # fold shape expressible in engines whose lambda layer can't
+        # share subexpressions across struct fields (the DuckDB oracle
+        # folds the exact same operation order for bit parity).
+        l_prev, t_prev = acc.getField("l"), acc.getField("t")
+        l_new = F.lit(a) * x + F.lit(1.0 - a) * (l_prev + t_prev)
+        t_new = (
+            F.lit(b) * (F.lit(a) * (x - l_prev) + F.lit(1.0 - a) * t_prev)
+            + F.lit(1.0 - b) * t_prev
+        )
+        return F.struct(l_new.alias("l"), t_new.alias("t"))
+
+    st = F.aggregate(rest, init, _step)
+    return agg.select(
+        key_col,
+        F.size(vs).cast("long").alias("n_points"),
+        F.round(st.getField("l"), 6).alias("level"),
+        F.round(st.getField("t"), 6).alias("trend"),
+        F.round(st.getField("l") + st.getField("t"), 6).alias("forecast"),
     )
