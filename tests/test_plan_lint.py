@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "llm_dataset_card",     # single-row metric blocks broadcast (datasheet rollup)
     "llm_bm25",             # single-row (n_docs, avgdl) stats broadcast
     "llm_rrf_fusion",       # single-row query-vector broadcast + bm25 stats broadcast
+    "llm_mmr_diversify",    # broadcast query batch -> exact candidate pool (stage-1 tier is swappable for ANN)
     "g11_modularity",       # single-row edge-count (m) broadcast
 }
 

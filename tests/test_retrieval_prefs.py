@@ -202,3 +202,81 @@ def test_modularity_single_community_is_zero(spark):
     )
     row = modularity(edges, com).collect()[0]
     assert row.modularity == pytest.approx(0.0, abs=1e-6)
+
+
+def _mmr_replica(vecs, rel_by_id, lam, k):
+    """Pure-python greedy MMR: same rounding and tie-break as mmr_topk."""
+    import numpy as np
+
+    ids = sorted(rel_by_id)
+    m = np.array([vecs[i] for i in ids], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rel = np.array([rel_by_id[i] for i in ids])
+    ids_arr = np.array(ids)
+    selected, scores = [], []
+    max_red = np.full(len(ids), -np.inf)
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        score = lam * rel - (1.0 - lam) * max_red if selected else lam * rel
+        score = np.round(score, 6)
+        score[~remaining] = -np.inf
+        best = np.lexsort((ids_arr, -score))[0]
+        selected.append(int(ids_arr[best]))
+        scores.append(float(score[best]))
+        remaining[best] = False
+        max_red = np.maximum(max_red, np.round(mn @ mn[best], 6))
+    return selected, scores
+
+
+def test_mmr_diversifies_and_matches_replica(spark):
+    """Two near-duplicate highly-relevant docs: plain top-2 takes both;
+    MMR takes one of the pair plus the moderately-relevant distinct
+    doc.  Selection order and scores match the pure-python replica."""
+    from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, mmr_topk
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],            # query
+        1: [0.98, 0.2, 0.0],           # relevant
+        2: [0.97, 0.21, 0.0],          # near-dup of 1
+        3: [0.7, 0.0, 0.7],            # distinct, moderately relevant
+        4: [0.0, 1.0, 0.0],            # irrelevant
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") == 0)
+
+    plain = [r.neighbor_id for r in cosine_topk(df, k=2, queries=queries)
+             .orderBy("rank").collect()]
+    assert set(plain) == {1, 2}  # redundant pair
+
+    got = mmr_topk(df, queries, k=3, lam=0.5, pool=4).orderBy("rank").collect()
+    rel = {r.neighbor_id: r.similarity for r in
+           cosine_topk(df, k=4, queries=queries).collect()}
+    want_ids, want_scores = _mmr_replica(
+        {i: v for i, v in vecs.items() if i != 0}, rel, 0.5, 3
+    )
+    assert [r.neighbor_id for r in got] == want_ids
+    assert [r.mmr_score for r in got] == pytest.approx(want_scores, abs=1e-9)
+    assert got[1].neighbor_id == 3      # second pick is the DIVERSE doc
+    assert {got[0].neighbor_id} < {1, 2}  # first pick from the dup pair
+
+
+def test_mmr_lambda_one_equals_pure_relevance(spark):
+    """lam=1 disables the redundancy term: MMR order == cosine top-k
+    order."""
+    from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, mmr_topk
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 2)
+    mmr = mmr_topk(df, queries, k=5, lam=1.0, pool=10)
+    base = cosine_topk(df, k=5, queries=queries)
+    a = sorted((r.query_id, r.rank, r.neighbor_id) for r in mmr.collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id) for r in base.collect())
+    assert a == b
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(df, queries, lam=1.5)

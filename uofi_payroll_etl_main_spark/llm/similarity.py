@@ -44,6 +44,7 @@ __all__ = [
     "anchor_positives_lsh",
     "negative_pairs",
     "rrf_fuse",
+    "mmr_topk",
 ]
 
 ROUND_DIGITS = 6
@@ -1099,3 +1100,92 @@ def rrf_fuse(
         F.round(F.sum("__t").cast("double"), 6).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(int(topk))
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, select k results that balance relevance to the
+    query against redundancy with already-selected results --
+
+        MMR = argmax_d [ lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) ]
+
+    the standard diversification pass behind RAG retrieval (don't feed
+    the model k near-identical passages).
+
+    Two stages, both bounded: (1) an exact cosine top-`pool` candidate
+    fetch per query (broadcast queries, corpus never shuffles); (2) the
+    inherently sequential greedy selection runs per query group over at
+    most `pool` candidates -- one applyInPandas whose group size is
+    `pool`, never corpus-scale, so at 100 TB the quadratic term is
+    pool^2 per query, not n^2.  Swap stage 1 for ivf_topk/lsh_topk when
+    the corpus outgrows the exact tier; stage 2 is unchanged.
+
+    Greedy order is a pure function of rounded similarities with id
+    tie-breaks, so reruns and the pytest NumPy replica agree exactly.
+    Returns (query_id, neighbor_id, relevance, mmr_score, rank) with
+    rank 1..k in selection order.
+    """
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    id_t = _id_sql_type(corpus, id_col)
+    cands = cosine_topk(
+        corpus, k=pool, queries=queries, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("similarity").alias("relevance"))
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    staged = cands.join(vecs, "neighbor_id")
+
+    def select_group(key, pdf):
+        m = np.array(list(pdf["__nv"]), dtype=np.float64)
+        mn = _norm_rows(m)
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        ids_arr = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        take = min(k, n)
+        selected: list[int] = []
+        scores: list[float] = []
+        # max-sim-to-selected per remaining candidate, updated per pick
+        max_red = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(take):
+            if selected:
+                score = lam * rel - (1.0 - lam) * max_red
+            else:
+                score = lam * rel
+            score = np.round(score, ROUND_DIGITS)
+            score[~remaining] = -np.inf
+            # argmax with min-id tie-break: lexsort on (-score, id)
+            best = np.lexsort((ids_arr, -score))[0]
+            selected.append(int(best))
+            scores.append(float(score[best]))
+            remaining[best] = False
+            red = np.round(mn @ mn[best], ROUND_DIGITS)
+            max_red = np.maximum(max_red, red)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(pdf["query_id"].iloc[0], take),
+                "neighbor_id": ids_arr[selected],
+                "relevance": rel[selected],
+                "mmr_score": scores,
+                "rank": np.arange(1, take + 1, dtype="int64"),
+            }
+        )
+
+    return staged.groupBy("query_id").applyInPandas(
+        select_group,
+        schema=(
+            f"query_id {id_t}, neighbor_id {id_t}, relevance double, "
+            "mmr_score double, rank long"
+        ),
+    )

@@ -210,6 +210,18 @@ def llm_cosine_topk(spark, sf):
     return LS.cosine_topk(_t(spark, sf, "embeddings"), k=5)
 
 
+def llm_mmr_diversify(spark, sf):
+    """MMR-diversified retrieval (similarity.mmr_topk): per query,
+    k=5 results balancing relevance against redundancy with what's
+    already selected (lam=0.7) over a cosine top-20 candidate pool.
+    Rows-only: the greedy selection is inherently iterative (no SQL
+    oracle); an exact NumPy replica certifies it in
+    tests/test_retrieval_prefs.py."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return LS.mmr_topk(emb, queries, k=5, lam=0.7, pool=20)
+
+
 def llm_cosine_topk_fast(spark, sf):
     # self-mode full-corpus queries: valid ONLY under the row-count
     # guard (gate scale); the 100 TB path is llm_cosine_topk_sliced
@@ -1952,6 +1964,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_group_corr": a13_group_corr,
     "a42_group_ols": a42_group_ols,
     "w_holt": w_holt,
+    "llm_mmr_diversify": llm_mmr_diversify,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
