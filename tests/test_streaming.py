@@ -370,6 +370,46 @@ def test_holt_linear_matches_python_recurrence(spark):
     assert got["c"].trend == 0.0  # flat series learns no trend
 
 
+def test_cusum_detects_level_shift(spark):
+    """A flat series with a +sigma-scale step must alarm UP shortly
+    after the shift and never alarm DOWN; statistics match a pure
+    Python replica of Page's recurrences."""
+    from uofi_payroll_etl_main_spark.streaming.windows import cusum_alerts
+
+    vals = [10.0, 11.0, 10.0, 9.0, 10.0, 11.0, 10.0, 10.0,
+            16.0, 17.0, 16.0, 17.0, 16.0, 16.0, 17.0, 16.0]  # shift at i=9
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("flat", i, 5.0) for i in range(4)]  # std=0 -> null stats
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    got = {r.k: r for r in
+           cusum_alerts(df, "k", "o", "v", slack_k=0.5, threshold_h=2.0).collect()}
+
+    import statistics
+    mean, std = statistics.mean(vals), statistics.stdev(vals)
+    sp = sn = mp = mdn = 0.0
+    first_up = first_dn = None
+    for i, v in enumerate(vals, 1):
+        z = (v - mean) / std
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        mp, mdn = max(mp, sp), max(mdn, sn)
+        if first_up is None and sp > 2.0:
+            first_up = i
+        if first_dn is None and sn > 2.0:
+            first_dn = i
+    r = got["a"]
+    assert r.n_points == len(vals)
+    assert abs(r.cusum_max_up - round(mp, 6)) < 1e-9
+    assert abs(r.cusum_max_down - round(mdn, 6)) < 1e-9
+    assert r.first_alarm_up == first_up and first_up is not None
+    # global standardization puts pre-shift values below the mean, so
+    # the down side legitimately accumulates too -- replica must agree
+    assert r.first_alarm_down == first_dn
+
+    f = got["flat"]
+    assert f.cusum_max_up is None and f.first_alarm_up is None
+
+
 def test_ewma_matches_pandas_adjust_form(spark):
     """With the frame longer than the history, the bounded-frame EWMA
     equals pandas' infinite-history ewm(adjust=True) (decay a = 0.9 is

@@ -2219,3 +2219,51 @@ LLM_ORACLES["w_holt"] = """
            round(st[1] + st[2], 6) AS forecast
     FROM folded
 """
+
+LLM_ORACLES["w_cusum"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE)
+             + CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-21'
+                    THEN 50.0 ELSE 0.0 END AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), ser AS (
+      SELECT event_type, list(v ORDER BY d) AS vs, count(v) AS n,
+             sum(CAST(v AS DECIMAL(18,2))) AS sy,
+             sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS syy
+      FROM daily GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, vs, n,
+             CAST(sy AS DOUBLE) / n AS mean,
+             CASE WHEN n > 1
+                   AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)/(n - 1.0) > 0
+                  THEN sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)/(n - 1.0))
+             END AS std
+      FROM ser
+    ), folded AS (
+      SELECT event_type, len(vs) AS n_points,
+             CASE WHEN std IS NOT NULL THEN
+               list_reduce(
+                 list_prepend([0.0, 0.0, 0.0, 0.0, -1.0, -1.0, 0.0]::DOUBLE[],
+                              list_transform(vs, x -> [(x - mean)/std])),
+                 (acc, e) -> [
+                   greatest(0.0, acc[1] + e[1] - 0.5),
+                   greatest(0.0, acc[2] - e[1] - 0.5),
+                   greatest(acc[3], greatest(0.0, acc[1] + e[1] - 0.5)),
+                   greatest(acc[4], greatest(0.0, acc[2] - e[1] - 0.5)),
+                   CASE WHEN acc[5] < 0 AND greatest(0.0, acc[1] + e[1] - 0.5) > 4.0
+                        THEN acc[7] + 1.0 ELSE acc[5] END,
+                   CASE WHEN acc[6] < 0 AND greatest(0.0, acc[2] - e[1] - 0.5) > 4.0
+                        THEN acc[7] + 1.0 ELSE acc[6] END,
+                   acc[7] + 1.0
+                 ])
+             END AS st
+      FROM stats
+    )
+    SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+           round(st[3], 6) AS cusum_max_up,
+           round(st[4], 6) AS cusum_max_down,
+           CAST(CASE WHEN st[5] >= 0 THEN st[5] END AS BIGINT) AS first_alarm_up,
+           CAST(CASE WHEN st[6] >= 0 THEN st[6] END AS BIGINT) AS first_alarm_down
+    FROM folded
+"""

@@ -210,6 +210,28 @@ def llm_cosine_topk(spark, sf):
     return LS.cosine_topk(_t(spark, sf, "embeddings"), k=5)
 
 
+def w_cusum(spark, sf):
+    """Two-sided CUSUM drift alarm per event type over daily volume
+    (streaming/windows.cusum_alerts), with a deterministic synthetic
+    +50/day level shift injected from Jan 21 so the alarm math is
+    exercised: peak statistics + first-crossing indices per type."""
+    from .streaming.windows import cusum_alerts
+
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .withColumn(
+            "v",
+            F.col("v")
+            + F.when(
+                F.col("d") >= F.lit("2024-01-21").cast("date"), F.lit(50.0)
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return cusum_alerts(daily, "event_type", "d", "v", slack_k=0.5, threshold_h=4.0)
+
+
 def llm_mmr_diversify(spark, sf):
     """MMR-diversified retrieval (similarity.mmr_topk): per query,
     k=5 results balancing relevance against redundancy with what's
@@ -1965,6 +1987,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a42_group_ols": a42_group_ols,
     "w_holt": w_holt,
     "llm_mmr_diversify": llm_mmr_diversify,
+    "w_cusum": w_cusum,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,

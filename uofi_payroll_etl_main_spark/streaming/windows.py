@@ -25,6 +25,7 @@ __all__ = [
     "resample_linear",
     "rolling_agg",
     "holt_linear",
+    "cusum_alerts",
     "funnel_steps",
     "cohort_retention",
     "interval_coverage",
@@ -521,4 +522,85 @@ def holt_linear(
         F.round(st.getField("l"), 6).alias("level"),
         F.round(st.getField("t"), 6).alias("trend"),
         F.round(st.getField("l") + st.getField("t"), 6).alias("forecast"),
+    )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key (Page 1954): the
+    classic drift alarm for pipeline monitoring -- a level shift that
+    per-point z-score tests miss accumulates until the statistic
+    crosses h.
+
+    Each key's ordered series is standardized by its own mean/std
+    (decimal power sums -> IEEE finish, the group_stats discipline),
+    then folded through
+
+        sp_i = max(0, sp_{i-1} + z_i - k)     (upward shifts)
+        sn_i = max(0, sn_{i-1} - z_i - k)     (downward shifts)
+
+    with slack k and alarm threshold h, in ONE Catalyst array fold --
+    the same sequential-recurrence-as-fold shape as holt_linear, with
+    the same scale contract: input is an already-aggregated series
+    (grain-cardinality per key, never raw-event-scale).
+
+    Returns per key: n_points, cusum_max_up/down (the peak statistics)
+    and first_alarm_up/down (1-based series index of the first h
+    crossing, null if none).  Constant series (std = 0) yield null
+    statistics rather than dividing by zero.
+    """
+    kk = float(slack_k)
+    hh = float(threshold_h)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(value_col).cast("double").alias("v"))
+        )
+    )
+    x = F.col("__x")
+    agg = df.groupBy(key_col).agg(
+        F.transform(ordered, lambda s: s.getField("v")).alias("__vs"),
+        F.count(F.col(value_col)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__sy"),
+        F.sum(
+            F.col(value_col).cast("decimal(18,2)") * F.col(value_col).cast("decimal(18,2)")
+        ).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sy = F.col("__sy").cast("double")
+    syy = F.col("__syy").cast("double")
+    var = (syy - sy * sy / n) / (n - F.lit(1.0))
+    agg = agg.withColumn("__mean", sy / n).withColumn(
+        "__std", F.when((F.col("__n") > 1) & (var > 0), F.sqrt(var))
+    )
+    zs = F.transform(F.col("__vs"), lambda v: (v - F.col("__mean")) / F.col("__std"))
+    # state: [sp, sn, max_sp, max_sn, first_up, first_dn, i]
+    init = F.array(*[F.lit(0.0)] * 4, F.lit(-1.0), F.lit(-1.0), F.lit(0.0))
+
+    def _step(acc, z):
+        sp = F.greatest(F.lit(0.0), acc[0] + z - F.lit(kk))
+        sn = F.greatest(F.lit(0.0), acc[1] - z - F.lit(kk))
+        i = acc[6] + F.lit(1.0)
+        first_up = F.when((acc[4] < 0) & (sp > F.lit(hh)), i).otherwise(acc[4])
+        first_dn = F.when((acc[5] < 0) & (sn > F.lit(hh)), i).otherwise(acc[5])
+        return F.array(
+            sp, sn, F.greatest(acc[2], sp), F.greatest(acc[3], sn), first_up, first_dn, i
+        )
+
+    st = F.when(F.col("__std").isNotNull(), F.aggregate(zs, init, _step))
+    out = agg.withColumn("__st", st)
+    idx = lambda i: F.col("__st")[i]  # noqa: E731
+    as_alarm = lambda c: F.when(c >= 0, c.cast("long"))  # noqa: E731
+    return out.select(
+        key_col,
+        F.size(F.col("__vs")).cast("long").alias("n_points"),
+        F.round(idx(2), 6).alias("cusum_max_up"),
+        F.round(idx(3), 6).alias("cusum_max_down"),
+        as_alarm(idx(4)).alias("first_alarm_up"),
+        as_alarm(idx(5)).alias("first_alarm_down"),
     )
