@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from uofi_payroll_etl_main_spark.llm.multimodal import (
     FEATURE_DIM,
@@ -378,3 +379,46 @@ class TestAudioVad:
         # synthetic audio is loud throughout -> one segment per clip
         assert out and all(r.seg_start_ms == 0 for r in out)
         assert all(r.seg_end_ms > 0 and r.mean_db > -30 for r in out)
+
+
+class TestAudioFingerprint:
+    def _tone(self, freq, n=2000, rate=8000, amp=8000.0):
+        t = np.arange(n) / rate
+        return (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+    def test_gain_invariant_and_discriminative(self):
+        from uofi_payroll_etl_main_spark.llm.multimodal import audio_fp64
+
+        a = audio_fp64(self._tone(440), 8000)
+        # uniform gain change: identical fingerprint
+        assert audio_fp64(self._tone(440, amp=2000.0), 8000) == a
+        # mild requantization noise: nearby fingerprint
+        noisy = self._tone(440) + np.int16(3)
+        ham = bin((audio_fp64(noisy, 8000) ^ a) & (2**64 - 1)).count("1")
+        assert ham <= 3
+        # a chirp has a different spectral trajectory than a steady tone
+        t = np.arange(2000) / 8000.0
+        chirp = (8000 * np.sin(2 * np.pi * (200 + 1500 * t) * t)).astype(np.int16)
+        ham2 = bin((audio_fp64(chirp, 8000) ^ a) & (2**64 - 1)).count("1")
+        assert ham2 > 3
+        # too short to frame -> None
+        assert audio_fp64(np.zeros(10, dtype=np.int16), 8000) is None
+
+    def test_planted_duplicates_all_recalled(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            audio_dup_candidates, synth_media,
+        )
+
+        base = synth_media(spark, 30)
+        shifted = synth_media(spark, 30).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+        pairs = audio_dup_candidates(
+            base.unionByName(shifted), max_hamming=0
+        ).collect()
+        got = {(r.doc_a, r.doc_b) for r in pairs}
+        # audio rows are media_id % 3 == 1; every one has its +1000 twin
+        planted = {(i, i + 1000) for i in range(30) if i % 3 == 1
+                   and (64 + i % 97) >= 18}
+        assert planted <= got
+        assert all(r.hamming == 0 for r in pairs if (r.doc_a, r.doc_b) in planted)

@@ -57,6 +57,9 @@ __all__ = [
     "dhash64",
     "image_dhash",
     "image_dup_candidates",
+    "audio_fp64",
+    "audio_fingerprint",
+    "audio_dup_candidates",
     "vad_segments",
     "audio_vad",
 ]
@@ -706,3 +709,88 @@ def audio_vad(
             )
 
     return df.filter(F.col("kind") == "audio").mapInPandas(run, VAD_SCHEMA)
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fp64(samples: np.ndarray, rate: int) -> int | None:
+    """64-bit spectral fingerprint of an audio clip -- the audio
+    analogue of the image dHash: frame the clip into 9 equal time
+    slices, reduce each slice's power spectrum (|rfft|^2, DC dropped)
+    to 8 band energies, and take one bit per TIME-neighbor comparison
+    (band[t+1] > band[t]) -> 8x8 = 64 bits, MSB-first signed int64.
+
+    Amplitude-invariant by construction (uniform gain scales every
+    band by the same factor, so the comparisons are unchanged) and
+    stable under mild noise/requantization -- Hamming distance is the
+    near-dup metric, same contract as dhash64.  Clips shorter than 18
+    samples have no usable spectrum -> None.
+    """
+    if len(samples) < 18:
+        return None
+    x = samples.astype(np.float64) / 32768.0
+    flen = len(x) // 9
+    bands = np.empty((9, 8))
+    for t in range(9):
+        seg = x[t * flen : (t + 1) * flen]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        bands[t] = [float(c.sum()) for c in np.array_split(spec[1:], 8)]
+    bits = (bands[1:] > bands[:-1]).flatten()
+    h = np.uint64(0)
+    for b in bits:
+        h = np.uint64(h << np.uint64(1)) | np.uint64(bool(b))
+    return int(np.int64(h))
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Spectral 64-bit fingerprint per audio row: Arrow-batched WAV
+    decode -> framed band-energy difference hash (audio_fp64).
+    Undecodable/too-short payloads yield a null fingerprint.  Output
+    (media_id, afp); pair with dedup.hamming_candidates64 for banded
+    audio near-dup candidates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    decoded = decode_media(bytes(payload), kind)
+                    fps.append(audio_fp64(decoded["samples"], decoded["rate"]))
+                except Exception:  # noqa: BLE001 -- no codec / corrupt payload:
+                    # nothing to fingerprint; null drops the row from
+                    # candidate generation
+                    fps.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "afp": pd.array(fps, dtype="Int64")}
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, AFP_SCHEMA)
+
+
+def audio_dup_candidates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Audio near-dup candidates: spectral fingerprints banded into
+    16-bit chunks (llm/dedup.hamming_candidates64) -- pigeonhole recall
+    guarantee for hamming <= 3, shuffle carries only (id, 8-byte
+    fingerprint).  The audio half of the multimodal dedup story
+    (images: image_dup_candidates)."""
+    from .dedup import hamming_candidates64
+
+    sigs = audio_fingerprint(df, id_col=id_col).filter(F.col("afp").isNotNull())
+    return hamming_candidates64(
+        sigs,
+        id_col=id_col,
+        sig_col="afp",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

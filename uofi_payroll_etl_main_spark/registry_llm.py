@@ -977,6 +977,22 @@ def mm_audio_vad(spark, sf):
     return audio_vad(synth_media(spark, 64), frame_ms=5)
 
 
+def mm_audio_dedup(spark, sf):
+    """Audio near-dup candidates by 64-bit spectral fingerprint
+    (llm/multimodal.audio_dup_candidates: band-energy difference hash
+    -> 16-bit-chunk Hamming banding).  Corpus is synth_media plus an
+    id-shifted copy so every clip has one planted perceptual duplicate;
+    rows-only gate (Pandas-UDF decode), invariance + recall pinned by
+    pytest."""
+    from .llm.multimodal import audio_dup_candidates
+
+    base = synth_media(spark, 48)
+    shifted = synth_media(spark, 48).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    return audio_dup_candidates(base.unionByName(shifted), max_hamming=3)
+
+
 def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
@@ -1988,6 +2004,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_holt": w_holt,
     "llm_mmr_diversify": llm_mmr_diversify,
     "w_cusum": w_cusum,
+    "mm_audio_dedup": mm_audio_dedup,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
