@@ -866,6 +866,52 @@ def test_pseudonymize_consistent_and_null_safe(spark):
     assert got[4] != got[1]
 
 
+def test_psi_identical_slices_zero_and_shift_detected(spark):
+    import math
+
+    from uofi_payroll_etl_main_spark.report import psi_report
+
+    a = spark.range(1000).selectExpr("cast(id % 100 as double) as v")
+    same = psi_report(a, a, "v", nbins=10).collect()
+    assert sum(r.psi_term for r in same) == 0.0
+    assert all(r.share_a == r.share_b for r in same)
+
+    # slice B shifted up by 50: heavy mass moves to the upper bins
+    b = spark.range(1000).selectExpr("cast(id % 100 + 50 as double) as v")
+    rows = psi_report(a, b, "v", nbins=10).collect()
+    psi = sum(r.psi_term for r in rows)
+    assert psi > 0.25  # "investigate" territory
+    # hand-check one bin: combined range [0,149], width 14.9 -> bin 0 is
+    # [0,14.9): A has 150/1000, B has 0 (clamped to eps)
+    bin0 = {r.bin: r for r in rows}[0]
+    assert bin0.n_a == 150 and bin0.n_b == 0
+    assert bin0.share_b == 1e-6
+    expect = (0.15 - 1e-6) * math.log(0.15 / 1e-6)
+    assert abs(bin0.psi_term - round(expect, 6)) < 1e-9
+
+
+def test_benford_hand_distribution(spark):
+    import math
+
+    from uofi_payroll_etl_main_spark.report import benford_report
+
+    # 30 values starting with 1, 10 with 2, 10 with 9; zeros/negatives/
+    # nulls excluded
+    vals = [1.5] * 10 + [120.0] * 10 + [0.019] * 10 + [25.0] * 10 + [900.0] * 10
+    vals += [0.0, -7.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r.digit: r for r in benford_report(df, "v").collect()}
+    assert set(rows) == {1, 2, 9}
+    assert rows[1].n == 30 and rows[2].n == 10 and rows[9].n == 10
+    assert rows[1].observed_share == 0.6
+    exp1 = math.log10(2.0)
+    assert abs(rows[1].expected_share - round(exp1, 6)) < 1e-9
+    chi1 = 50 * (0.6 - exp1) ** 2 / exp1
+    assert abs(rows[1].chi2_term - round(chi1, 6)) < 1e-6
+    # digit 9 is wildly over-represented vs 4.6% expected
+    assert rows[9].observed_share > 4 * rows[9].expected_share
+
+
 def test_reconcile_hand_computed(spark):
     from uofi_payroll_etl_main_spark.report import reconcile
 

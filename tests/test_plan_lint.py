@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "llm_cosine_topk_q",    # brute-force on int8 arrays (same baseline)
     "llm_embed_dup",        # brute-force exact baseline BY DESIGN
     "a14_histogram",        # single-row (min,max) stats broadcast
+    "v12_psi",              # single-row bounds + totals broadcasts (histogram shape x2)
+    "v13_benford",          # single-row digit-total broadcast
     "s12_zorder_profile",   # single-row (min,max) z-range broadcast
     "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
     "w_decayed_counts",     # single-row max-ts reference broadcast

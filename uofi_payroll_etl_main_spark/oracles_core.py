@@ -1876,3 +1876,51 @@ CORE_ORACLES["e22_pseudonymize"] = """
                 THEN sha256('pepper-2024' || CAST(c_name AS VARCHAR)) END AS name_token
     FROM customer
 """
+
+CORE_ORACLES["v12_psi"] = """
+    WITH tagged AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS s
+      FROM events WHERE value IS NOT NULL
+    ), bounds AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM tagged
+    ), counts AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((v - lo) * 10 / (hi - lo)) AS BIGINT), 9)
+             END AS bin,
+             CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM tagged CROSS JOIN bounds
+      GROUP BY 1
+    ), totals AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts
+    )
+    SELECT bin, n_a, n_b,
+           round(greatest(CAST(n_a AS DOUBLE) / ta, 1e-6), 6) AS share_a,
+           round(greatest(CAST(n_b AS DOUBLE) / tb, 1e-6), 6) AS share_b,
+           round((greatest(CAST(n_a AS DOUBLE) / ta, 1e-6)
+                  - greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
+                 * ln(greatest(CAST(n_a AS DOUBLE) / ta, 1e-6)
+                      / greatest(CAST(n_b AS DOUBLE) / tb, 1e-6)), 6) AS psi_term
+    FROM counts CROSS JOIN totals
+"""
+
+CORE_ORACLES["v13_benford"] = """
+    WITH src AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE CAST(o_totalprice AS DOUBLE) > 0
+    ), counts AS (
+      SELECT CAST(floor(v / pow(10.0, floor(log10(v)))) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM src GROUP BY 1
+    ), totals AS (
+      SELECT sum(n) AS t FROM counts
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / t, 6) AS observed_share,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_share,
+           round(t * (CAST(n AS DOUBLE) / t - ln(1.0 + 1.0 / digit) / ln(10.0))
+                   * (CAST(n AS DOUBLE) / t - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
+    FROM counts CROSS JOIN totals
+"""

@@ -961,6 +961,31 @@ def e22_pseudonymize(spark, sf):
     )
 
 
+def v12_psi(spark, sf):
+    """V-family -- Population Stability Index drift report between the
+    first and second half of the event stream (report.psi_report):
+    shared equal-width bins over the combined range, eps-clamped
+    shares, per-bin PSI terms.  The model-monitoring twin of
+    v9_profile_drift."""
+    from .report import psi_report
+
+    ev = _t(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    a = ev.filter(F.col("ts").cast("date") < cut).select("value")
+    b = ev.filter(F.col("ts").cast("date") >= cut).select("value")
+    return psi_report(a, b, "value", nbins=10)
+
+
+def v13_benford(spark, sf):
+    """V-family -- Benford first-digit audit of order totals
+    (report.benford_report): observed vs log10(1+1/d) expected shares
+    plus chi-square terms, the forensic screen for fabricated
+    financial figures."""
+    from .report import benford_report
+
+    return benford_report(_t(spark, sf, "orders"), "o_totalprice")
+
+
 def g11_modularity(spark, sf):
     """Graph family -- Newman modularity of the 2-round label
     propagation partition over the g2 sparse fulfillment graph: the
@@ -3069,6 +3094,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e21_quarantine": e21_quarantine,
     "v11_k_anonymity": v11_k_anonymity,
     "e22_pseudonymize": e22_pseudonymize,
+    "v12_psi": v12_psi,
+    "v13_benford": v13_benford,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity"]
+__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity", "psi_report", "benford_report"]
 
 
 @dataclass
@@ -377,4 +377,105 @@ def k_anonymity(
         *cols,
         "class_size",
         (F.col("class_size") < k).alias("at_risk"),
+    )
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two slices of a numeric
+    column -- the standard model-monitoring drift metric (PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 investigate).  Bins are
+    equal-width over the COMBINED min/max so both slices share edges;
+    zero-count bins are clamped to `eps` share before the log (the
+    conventional finite-PSI guard).  Returns one row per bin:
+    (bin, n_a, n_b, share_a, share_b, psi_term); sum(psi_term) is the
+    index.
+
+    Scale: two scans (one per slice) reduced to nbins rows each with
+    map-side combine, one single-row bounds broadcast, one nbins-row
+    join -- the histogram shape twice; nothing fact-scale shuffles.
+    """
+    x_a = F.col(col).cast("double")
+    tagged = df_a.select(x_a.alias("__v"), F.lit(0).alias("__s")).unionByName(
+        df_b.select(x_a.alias("__v"), F.lit(1).alias("__s"))
+    ).filter(F.col("__v").isNotNull())
+    bounds = tagged.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    v = F.col("__v")
+    bin_expr = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("__lo")) * F.lit(nbins) / (F.col("__hi") - F.col("__lo"))),
+                F.lit(nbins - 1),
+            )
+        )
+        .cast("long")
+    )
+    counts = (
+        tagged.join(F.broadcast(bounds))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    e = F.lit(float(eps))
+    sa = F.greatest(F.col("n_a") / F.col("__ta"), e)
+    sb = F.greatest(F.col("n_b") / F.col("__tb"), e)
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(sa, 6).alias("share_a"),
+            F.round(sb, 6).alias("share_b"),
+            F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
+        )
+    )
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column --
+    the classic forensic screen for fabricated financial figures
+    (payment amounts, expense totals): naturally-occurring multi-scale
+    quantities put digit d first with probability log10(1 + 1/d);
+    fabricated data is usually too uniform.  Returns one row per digit
+    1-9: observed count/share, expected share, and the chi-square term
+    n_total*(obs-exp)^2/exp -- sum the terms and compare to the
+    chi-square(8 dof) critical value (15.5 at 5%).  Non-positive and
+    null values are excluded (they have no first significant digit).
+
+    ONE groupBy on a 9-value key with map-side combine; the digit is
+    pure arithmetic (floor/log10), no string casts in the hot path.
+    """
+    v = F.col(col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("long")
+    counts = (
+        df.filter(v > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.agg(F.sum("n").alias("__t"))
+    obs = F.col("n") / F.col("__t")
+    exp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_share"),
+            F.round(exp, 6).alias("expected_share"),
+            F.round(F.col("__t") * (obs - exp) * (obs - exp) / exp, 6).alias("chi2_term"),
+        )
     )
