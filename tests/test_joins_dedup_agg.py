@@ -1265,3 +1265,23 @@ class TestLinkageBanded:
             # threshold 0.4 is reachable without band agreement -> lossy
             linkage_pairs_banded(df, "blk", "id", ["seg"], ("bal", 25.0),
                                  threshold=0.4)
+
+
+def test_sketch_overlap_tracks_exact_intersections(spark):
+    from uofi_payroll_etl_main_spark.aggregates import sketch_overlap_distinct
+
+    # set A: users 0..999; set B: 500..1499 (overlap 500); set C: 2000..2099 (disjoint from A)
+    rows = [("A", u) for u in range(1000)]
+    rows += [("B", u) for u in range(500, 1500)]
+    rows += [("C", u) for u in range(2000, 2100)]
+    rows += [("A", u) for u in range(0, 300)]  # duplicates must not inflate
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    got = {(r.set_a, r.set_b): r for r in
+           sketch_overlap_distinct(df, "seg", "user_id").collect()}
+    ab = got[("A", "B")]
+    assert abs(ab.intersect_est - 500) <= 0.1 * 500
+    assert abs(ab.union_est - 1500) <= 0.1 * 1500
+    assert abs(ab.jaccard_est - 500 / 1500) < 0.05
+    ac = got[("A", "C")]
+    assert ac.intersect_est <= 0.05 * 1000  # disjoint: near-zero, clamped >= 0
+    assert ac.intersect_est >= 0

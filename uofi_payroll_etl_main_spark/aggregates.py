@@ -24,6 +24,7 @@ __all__ = [
     "group_stats",
     "group_corr",
     "group_ols",
+    "sketch_overlap_distinct",
     "histogram",
     "sketch_merge_distinct",
     "cms_build",
@@ -559,4 +560,60 @@ def weighted_median(
     )
     return crossed.groupBy(*key_list).agg(
         F.min(value_col).alias("weighted_median")
+    )
+
+
+def sketch_overlap_distinct(
+    df: DataFrame, set_col: str, key_col: str
+) -> DataFrame:
+    """Pairwise audience overlap between sets via mergeable HLL
+    sketches and inclusion-exclusion: for every unordered set pair,
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) and the Jaccard estimate
+    inter/union -- "how many users do segments A and B share" without
+    an exact distinct-pair join.
+
+    The 100 TB shape: the fact table reduces ONCE to one sketch per
+    set (map-side partial agg, sketch-bytes shuffle); the pair join
+    runs over |sets|² sketch rows -- set cardinality is segment-scale
+    (tens), never user-scale.  Exact pairwise overlap would shuffle
+    the key column once per pair; this never rescans the facts.
+    Estimates inherit HLL error (~2% per term, so small intersections
+    of large sets are noisy -- the standard inclusion-exclusion
+    caveat); intersection is clamped at 0.  Rows-only correctness:
+    tolerance vs exact intersections is pinned in pytest.
+    """
+    sk = df.groupBy(F.col(set_col).alias("set_name")).agg(
+        F.hll_sketch_agg(key_col).alias("__sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(key_col))
+        .cast("long")
+        .alias("est"),
+    )
+    a = sk.select(
+        F.col("set_name").alias("set_a"),
+        F.col("__sk").alias("__ska"),
+        F.col("est").alias("est_a"),
+    )
+    b = sk.select(
+        F.col("set_name").alias("set_b"),
+        F.col("__sk").alias("__skb"),
+        F.col("est").alias("est_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("set_a") < F.col("set_b"))
+    union_est = F.hll_sketch_estimate(
+        F.hll_union(F.col("__ska"), F.col("__skb"))
+    ).cast("long")
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - union_est, F.lit(0).cast("long")
+    )
+    return pairs.select(
+        "set_a",
+        "set_b",
+        "est_a",
+        "est_b",
+        union_est.alias("union_est"),
+        inter.alias("intersect_est"),
+        F.round(
+            F.when(union_est > 0, inter.cast("double") / union_est.cast("double")),
+            6,
+        ).alias("jaccard_est"),
     )

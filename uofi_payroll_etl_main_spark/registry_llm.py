@@ -790,6 +790,19 @@ def a42_group_ols(spark, sf):
     return group_ols(ev, "event_type", "day_x", "value")
 
 
+def a43_sketch_overlap(spark, sf):
+    """Pairwise distinct-user overlap between event types via HLL
+    inclusion-exclusion (aggregates.sketch_overlap_distinct): one
+    sketch per type, |sets|^2 sketch-row pair join -- the facts are
+    scanned once.  Rows-only (sketch estimates are engine-specific);
+    tolerance vs exact intersections pinned in pytest."""
+    from .aggregates import sketch_overlap_distinct
+
+    return sketch_overlap_distinct(
+        _t(spark, sf, "events"), "event_type", "user_id"
+    )
+
+
 def a4_hll_distinct(spark, sf):
     """HLL distinct users per event type (rows-only: sketch estimates
     differ across engines; tolerance vs exact asserted in pytest)."""
@@ -2005,6 +2018,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_mmr_diversify": llm_mmr_diversify,
     "w_cusum": w_cusum,
     "mm_audio_dedup": mm_audio_dedup,
+    "a43_sketch_overlap": a43_sketch_overlap,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
