@@ -1285,3 +1285,45 @@ def test_sketch_overlap_tracks_exact_intersections(spark):
     ac = got[("A", "C")]
     assert ac.intersect_est <= 0.05 * 1000  # disjoint: near-zero, clamped >= 0
     assert ac.intersect_est >= 0
+
+
+def test_sentence_split_boundaries_and_indices(spark):
+    from uofi_payroll_etl_main_spark.llm.text import sentence_split
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second two!  Third?! Fourth"),
+            (2, "no boundary here"),
+            (3, "Trailing dot."),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.doc_id, r.sent_idx, r.sentence, r.n_chars)
+           for r in sentence_split(df).orderBy("doc_id", "sent_idx").collect()]
+    assert got == [
+        (1, 0, "First one.", 10),
+        (1, 1, "Second two!", 11),
+        (1, 2, "Third?!", 7),
+        (1, 3, "Fourth", 6),
+        (2, 0, "no boundary here", 16),
+        (3, 0, "Trailing dot.", 13),
+    ]
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from uofi_payroll_etl_main_spark.report import l_diversity
+
+    rows = [("US", "cardio", "d1")] * 4          # k=4 but ONE diagnosis -> leak
+    rows += [("FR", "cardio", f"d{i}") for i in range(3)]  # 3 distinct -> ok
+    df = spark.createDataFrame(rows, "country string, ward string, diag string")
+    got = {(r.country, r.ward): r for r in
+           l_diversity(df, ["country", "ward"], "diag", l=3).collect()}
+    us = got[("US", "cardio")]
+    assert us.class_size == 4 and us.n_sensitive == 1 and us.at_risk
+    fr = got[("FR", "cardio")]
+    assert fr.n_sensitive == 3 and not fr.at_risk
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="l must be"):
+        l_diversity(df, ["country"], "diag", l=0)

@@ -45,6 +45,7 @@ __all__ = [
     "GOPHER_STOPWORDS",
     "bpe_train",
     "bm25_topk",
+    "sentence_split",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -945,3 +946,35 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(int(k))
+
+
+def sentence_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rule-based sentence segmentation: boundaries after runs of
+    [.!?] followed by whitespace (terminator stays with its sentence;
+    blank fragments dropped, whitespace trimmed).  The pre-chunking /
+    pre-translation text-prep primitive; deliberately rule-based --
+    abbreviation-aware splitting needs a language model and belongs in
+    a smarter kernel behind the same output contract.
+
+    Output (id, sent_idx, sentence, n_chars), sent_idx 0-based in
+    document order.  Pure codegen split+posexplode: scan-speed, the
+    only data growth is the sentence fan-out itself.
+    """
+    parts = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(parts).alias("sent_idx", "__raw")
+    )
+    sent = F.trim(F.col("__raw"))
+    return (
+        exploded.filter(sent != "")
+        .select(
+            id_col,
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            sent.alias("sentence"),
+            F.length(sent).cast("long").alias("n_chars"),
+        )
+    )

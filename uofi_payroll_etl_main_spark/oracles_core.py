@@ -1924,3 +1924,38 @@ CORE_ORACLES["v13_benford"] = """
                  / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
     FROM counts CROSS JOIN totals
 """
+
+CORE_ORACLES["v14_l_diversity"] = """
+    WITH src AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 3000.0) AS BIGINT) AS bal_bucket
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT bal_bucket) AS BIGINT) AS n_sensitive,
+           count(DISTINCT bal_bucket) < 3 AS at_risk
+    FROM src GROUP BY c_nationkey, c_mktsegment
+"""
+
+CORE_ORACLES["llm_sentence_split"] = """
+    WITH marked AS (
+      SELECT doc_id, replace(text, ' value ', '? ') AS text FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                          chr(1)) AS arr
+      FROM marked
+    ), exploded AS (
+      SELECT doc_id, CAST(s.ord - 1 AS BIGINT) AS sent_idx,
+             trim(s.part) AS sentence
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(arr, (x, i) -> struct_pack(part := x, ord := i))) AS s
+        FROM parts
+      )
+    )
+    SELECT doc_id, sent_idx, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM exploded WHERE sentence <> ''
+"""

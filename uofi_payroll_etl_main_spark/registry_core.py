@@ -986,6 +986,36 @@ def v13_benford(spark, sf):
     return benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def v14_l_diversity(spark, sf):
+    """V-family -- l-diversity audit (report.l_diversity), the
+    homogeneity-attack companion to v11: classes keyed by (nationkey,
+    mktsegment) must show >= 3 distinct coarse balance buckets or the
+    sensitive attribute leaks despite k-anonymity."""
+    from .report import l_diversity
+
+    c = _t(spark, sf, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 3000.0).cast("long")
+    )
+    return l_diversity(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=3
+    )
+
+
+def llm_sentence_split(spark, sf):
+    """Text-prep -- rule-based sentence segmentation (llm/text.
+    sentence_split): terminator-run boundaries, trimmed non-empty
+    fragments with document-order indices.  The synthetic corpus has
+    no punctuation, so deterministic boundaries are injected first
+    (' value ' -> '? ') -- identical literal replace in the oracle."""
+    from .llm.text import sentence_split
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" value "), F.lit("? ")).alias("text"),
+    )
+    return sentence_split(docs)
+
+
 def g11_modularity(spark, sf):
     """Graph family -- Newman modularity of the 2-round label
     propagation partition over the g2 sparse fulfillment graph: the
@@ -3096,6 +3126,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e22_pseudonymize": e22_pseudonymize,
     "v12_psi": v12_psi,
     "v13_benford": v13_benford,
+    "v14_l_diversity": v14_l_diversity,
+    "llm_sentence_split": llm_sentence_split,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

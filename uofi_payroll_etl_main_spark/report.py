@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity", "psi_report", "benford_report"]
+__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity", "psi_report", "benford_report", "l_diversity"]
 
 
 @dataclass
@@ -478,4 +478,32 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
             F.round(exp, 6).alias("expected_share"),
             F.round(F.col("__t") * (obs - exp) * (obs - exp) / exp, 6).alias("chi2_term"),
         )
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit, the companion to k_anonymity: a class can be
+    k-anonymous yet still leak the sensitive attribute if everyone in
+    it SHARES the value (homogeneity attack).  Flags equivalence
+    classes with fewer than l distinct sensitive values.  Returns one
+    row per class: quasi values, class_size, n_sensitive, at_risk.
+    Same single map-side-combined groupBy shape as k_anonymity; the
+    distinct count is exact (count_distinct inside the same aggregate).
+    """
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    cols = list(quasi_cols)
+    return df.groupBy(*cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("n_sensitive"),
+    ).select(
+        *cols,
+        "class_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < l).alias("at_risk"),
     )
