@@ -106,6 +106,14 @@ HEADLINERS = [
     "a38_weighted_median",
     "g11_modularity",
     "llm_unigram_train",
+    "v10_reconcile",
+    "w_holt",
+    "w_cusum",
+    "llm_mmr_diversify",
+    "v12_psi",
+    "llm_sentence_split",
+    "mm_audio_dedup",
+    "a43_sketch_overlap",
 ]
 
 

@@ -1327,3 +1327,29 @@ def test_l_diversity_flags_homogeneous_class(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="l must be"):
         l_diversity(df, ["country"], "diag", l=0)
+
+
+def test_normalize_unicode_nfc_and_nfkc(spark):
+    from uofi_payroll_etl_main_spark.llm.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [
+            (1, "café"),      # decomposed -> café
+            (2, "plain ascii"),     # unchanged
+            (3, "ﬁne"),        # ﬁ ligature: NFC keeps, NFKC folds
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert nfc[1].text_norm == "café" and nfc[1].changed
+    assert nfc[2].text_norm == "plain ascii" and not nfc[2].changed
+    assert nfc[3].text_norm == "ﬁne" and not nfc[3].changed
+    assert nfc[4].text_norm is None and not nfc[4].changed
+
+    nfkc = {r.doc_id: r for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[3].text_norm == "fine" and nfkc[3].changed
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")

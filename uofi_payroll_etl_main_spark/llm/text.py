@@ -46,6 +46,7 @@ __all__ = [
     "bpe_train",
     "bm25_topk",
     "sentence_split",
+    "normalize_unicode",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
@@ -977,4 +978,51 @@ def sentence_split(
             sent.alias("sentence"),
             F.length(sent).cast("long").alias("n_chars"),
         )
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization of a text column -- the corpus-hygiene
+    step that collapses visually-identical byte sequences (combining
+    marks vs precomposed, compatibility ligatures under NFKC) BEFORE
+    any hash-based dedup, or identical documents hash apart.
+
+    Arrow-batched mapInPandas kernel (pandas str.normalize over
+    unicodedata): scan-speed, no shuffle, nulls pass through.  Output
+    (id, text_norm, changed); `changed` feeds the normalization-rate
+    corpus report.  NFC is the lossless default; NFKC also folds
+    compatibility forms (ligatures, width variants) and is the usual
+    pre-tokenizer choice.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            src = pdf[text_col]
+            norm = src.map(
+                lambda s: unicodedata.normalize(form, s) if s is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_norm": norm,
+                    "changed": [
+                        (a is not None) and a != b for a, b in zip(src, norm)
+                    ],
+                }
+            )
+
+    id_t = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_t}, text_norm string, changed boolean"
     )

@@ -1959,3 +1959,15 @@ CORE_ORACLES["llm_sentence_split"] = """
            CAST(length(sentence) AS BIGINT) AS n_chars
     FROM exploded WHERE sentence <> ''
 """
+
+CORE_ORACLES["llm_nfc_normalize"] = """
+    WITH injected AS (
+      SELECT doc_id,
+             replace(text, ' spark ', ' spa' || chr(769) || 'rk ') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(text) AS text_norm,
+           nfc_normalize(text) <> text AS changed
+    FROM injected
+"""

@@ -1016,6 +1016,25 @@ def llm_sentence_split(spark, sf):
     return sentence_split(docs)
 
 
+def llm_nfc_normalize(spark, sf):
+    """Corpus hygiene -- Unicode NFC normalization (llm/text.
+    normalize_unicode, Arrow kernel over unicodedata) with a changed
+    flag per doc.  The synthetic corpus is ASCII (NFC-invariant), so
+    decomposed sequences are injected deterministically first
+    (' spark ' -> ' spa<combining-acute>rk ') -- the DuckDB oracle does
+    the same injection and normalizes with its native nfc_normalize,
+    certifying the kernel cross-engine."""
+    from .llm.text import normalize_unicode
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" spark "), F.lit(" spa\u0301rk ")
+        ).alias("text"),
+    )
+    return normalize_unicode(docs)
+
+
 def g11_modularity(spark, sf):
     """Graph family -- Newman modularity of the 2-round label
     propagation partition over the g2 sparse fulfillment graph: the
@@ -3128,6 +3147,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v13_benford": v13_benford,
     "v14_l_diversity": v14_l_diversity,
     "llm_sentence_split": llm_sentence_split,
+    "llm_nfc_normalize": llm_nfc_normalize,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
