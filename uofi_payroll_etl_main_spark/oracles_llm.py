@@ -2267,3 +2267,24 @@ LLM_ORACLES["w_cusum"] = """
            CAST(CASE WHEN st[6] >= 0 THEN st[6] END AS BIGINT) AS first_alarm_down
     FROM folded
 """
+
+
+from .oracles_core import CORE_ORACLES as _CORE
+
+LLM_ORACLES["v15_monitor"] = f"""
+    SELECT 'freshness_gap_days' AS metric,
+           CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS DOUBLE) AS value
+    FROM ({_CORE['v8_freshness']})
+    UNION ALL
+    SELECT 'psi_total',
+           round(CAST(sum(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE), 6)
+    FROM ({_CORE['v12_psi']})
+    UNION ALL
+    SELECT 'benford_chi2',
+           round(CAST(sum(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE), 6)
+    FROM ({_CORE['v13_benford']})
+    UNION ALL
+    SELECT 'cusum_alarmed_types',
+           CAST(sum(CASE WHEN first_alarm_up IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM ({LLM_ORACLES['w_cusum']})
+"""

@@ -2082,3 +2082,47 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_domain_stats": llm_domain_stats,
     "llm_quality_classifier": llm_quality_classifier,
 }
+
+
+def v15_monitor(spark, sf):
+    """V-family capstone -- ONE pipeline-health report row per canary:
+    freshness gap days (v8), total PSI drift (v12), Benford chi-square
+    (v13), and CUSUM-alarmed series count (w_cusum), each summarized to
+    a scalar and unioned as (metric, value).  The shape an on-call
+    dashboard actually reads; every underlying check keeps its own
+    detailed gate.  Rounded terms are summed through DECIMAL so the
+    report is shuffle-order-independent."""
+    from .registry_core import v8_freshness, v12_psi, v13_benford
+
+    def one(name, df_agg):
+        return df_agg.select(F.lit(name).alias("metric"), "value")
+
+    dec_sum = lambda c: F.round(  # noqa: E731
+        F.sum(c.cast("decimal(18,6)")).cast("double"), 6
+    )
+    gaps = one(
+        "freshness_gap_days",
+        v8_freshness(spark, sf).agg(
+            F.sum(F.col("is_gap").cast("int")).cast("double").alias("value")
+        ),
+    )
+    psi = one(
+        "psi_total",
+        v12_psi(spark, sf).agg(dec_sum(F.col("psi_term")).alias("value")),
+    )
+    ben = one(
+        "benford_chi2",
+        v13_benford(spark, sf).agg(dec_sum(F.col("chi2_term")).alias("value")),
+    )
+    cus = one(
+        "cusum_alarmed_types",
+        w_cusum(spark, sf).agg(
+            F.sum(F.col("first_alarm_up").isNotNull().cast("int"))
+            .cast("double")
+            .alias("value")
+        ),
+    )
+    return gaps.unionByName(psi).unionByName(ben).unionByName(cus)
+
+
+LLM_QUERIES["v15_monitor"] = v15_monitor
