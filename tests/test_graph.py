@@ -419,3 +419,29 @@ class TestPersonalizedPageRank:
             r = nxt
         for n in nodes:
             assert abs(got[n] - r[idx[n]]) < 1e-12, n
+
+
+def test_hits_star_graph_hub_and_authorities(spark):
+    import pytest
+
+    """One hub pointing at 3 sinks: the hub gets all hub mass; the
+    3 authorities split authority mass evenly.  A second weak hub
+    pointing at one of them shifts authority toward the shared sink."""
+    from uofi_payroll_etl_main_spark.graph import hits
+
+    edges = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z")], ["src", "dst"]
+    )
+    got = {r.node: r for r in hits(edges, iterations=2).collect()}
+    assert got["h"].hub == 1.0 and got["h"].authority == 0.0
+    for leaf in "xyz":
+        assert got[leaf].authority == pytest.approx(1 / 3, abs=1e-6)
+        assert got[leaf].hub == 0.0
+
+    edges2 = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z"), ("w", "x")], ["src", "dst"]
+    )
+    got2 = {r.node: r for r in hits(edges2, iterations=2).collect()}
+    assert got2["x"].authority > got2["y"].authority  # extra in-link wins
+    assert got2["h"].hub > got2["w"].hub  # 3-out hub beats 1-out hub
+    assert sum(r.authority for r in got2.values()) == pytest.approx(1.0, abs=1e-5)

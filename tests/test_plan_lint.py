@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "v13_benford",          # single-row digit-total broadcast
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows
+    "g12_hits",             # one-row L1-normalizer broadcast per half-iteration
     "s12_zorder_profile",   # single-row (min,max) z-range broadcast
     "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
     "w_decayed_counts",     # single-row max-ts reference broadcast

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core", "personalized_pagerank", "adamic_adar", "modularity"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core", "personalized_pagerank", "adamic_adar", "modularity", "hits"]
 
 
 def pagerank(
@@ -720,3 +720,70 @@ def modularity(
         F.max("m").cast("long").alias("m_edges"),
         F.round(F.sum(term).cast("double"), 6).alias("modularity"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list: a good HUB points at good authorities, a good AUTHORITY is
+    pointed at by good hubs -- the mutual-reinforcement twin of
+    PageRank, natural on bipartite graphs (suppliers->customers,
+    queries->documents).
+
+        h_i(u) = sum_{(u,v)} a_{i-1}(v);   a_i(v) = sum_{(u,v)} h_i(u)
+
+    each L1-normalized per iteration (sum-normalization instead of the
+    textbook L2: same fixpoint direction, but the normalizer is an
+    exact DECIMAL one-row aggregate, so the unrolled-SQL oracle can
+    match bit-for-bit -- the g1 discipline).  a_0 = 1 everywhere.
+
+    Scale: per iteration, two edge-keyed join+agg rounds (map-side
+    combined) and two one-row normalizer broadcasts; edge frame and
+    node frame persist across iterations.  Returns (node, hub,
+    authority) for every node, zeros where a side never scores.
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).persist()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    dec = "decimal(38,18)"
+    auth = nodes.withColumn("a", F.lit(1.0))
+    hubs = None
+    for _ in range(iterations):
+        hraw = (
+            e.join(auth, e["__dst"] == auth["node"])
+            .groupBy("__src")
+            .agg(F.sum(F.col("a").cast(dec)).alias("__hr"))
+        )
+        hsum = hraw.agg(F.sum("__hr").alias("__hs"))
+        hubs = hraw.crossJoin(F.broadcast(hsum)).select(
+            F.col("__src").alias("node"),
+            (F.col("__hr").cast("double") / F.col("__hs").cast("double")).alias("h"),
+        )
+        araw = (
+            e.join(hubs, e["__src"] == hubs["node"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("h").cast(dec)).alias("__ar"))
+        )
+        asum = araw.agg(F.sum("__ar").alias("__as"))
+        auth = araw.crossJoin(F.broadcast(asum)).select(
+            F.col("__dst").alias("node"),
+            (F.col("__ar").cast("double") / F.col("__as").cast("double")).alias("a"),
+        )
+    out = (
+        nodes.join(hubs.withColumnRenamed("node", "__hn"), F.col("node") == F.col("__hn"), "left")
+        .join(auth.withColumnRenamed("node", "__an"), F.col("node") == F.col("__an"), "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+    return out

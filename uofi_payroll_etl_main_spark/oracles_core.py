@@ -1971,3 +1971,49 @@ CORE_ORACLES["llm_nfc_normalize"] = """
            nfc_normalize(text) <> text AS changed
     FROM injected
 """
+
+CORE_ORACLES["g12_hits"] = """
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), a0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS a FROM nodes
+    ), h1raw AS (
+      SELECT e.src AS node, sum(CAST(a.a AS DECIMAL(38,18))) AS hr
+      FROM edges e JOIN a0 a ON e.dst = a.node GROUP BY e.src
+    ), h1s AS (SELECT sum(hr) AS hs FROM h1raw
+    ), h1 AS (
+      SELECT node, CAST(hr AS DOUBLE) / CAST(hs AS DOUBLE) AS h
+      FROM h1raw CROSS JOIN h1s
+    ), a1raw AS (
+      SELECT e.dst AS node, sum(CAST(h.h AS DECIMAL(38,18))) AS ar
+      FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst
+    ), a1s AS (SELECT sum(ar) AS asum FROM a1raw
+    ), a1 AS (
+      SELECT node, CAST(ar AS DOUBLE) / CAST(asum AS DOUBLE) AS a
+      FROM a1raw CROSS JOIN a1s
+    ), h2raw AS (
+      SELECT e.src AS node, sum(CAST(a.a AS DECIMAL(38,18))) AS hr
+      FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src
+    ), h2s AS (SELECT sum(hr) AS hs FROM h2raw
+    ), h2 AS (
+      SELECT node, CAST(hr AS DOUBLE) / CAST(hs AS DOUBLE) AS h
+      FROM h2raw CROSS JOIN h2s
+    ), a2raw AS (
+      SELECT e.dst AS node, sum(CAST(h.h AS DECIMAL(38,18))) AS ar
+      FROM edges e JOIN h2 h ON e.src = h.node GROUP BY e.dst
+    ), a2s AS (SELECT sum(ar) AS asum FROM a2raw
+    ), a2 AS (
+      SELECT node, CAST(ar AS DOUBLE) / CAST(asum AS DOUBLE) AS a
+      FROM a2raw CROSS JOIN a2s
+    )
+    SELECT n.node,
+           round(coalesce(h2.h, 0.0), 6) AS hub,
+           round(coalesce(a2.a, 0.0), 6) AS authority
+    FROM nodes n
+    LEFT JOIN h2 ON n.node = h2.node
+    LEFT JOIN a2 ON n.node = a2.node
+"""

@@ -1035,6 +1035,27 @@ def llm_nfc_normalize(spark, sf):
     return normalize_unicode(docs)
 
 
+def g12_hits(spark, sf):
+    """Graph family -- HITS hubs/authorities (2 L1-normalized
+    iterations) over the distinct supplier->customer fulfillment
+    graph (graph.hits): suppliers score as hubs, customers as
+    authorities.  DECIMAL-summed contributions and normalizers make
+    the unrolled 2-iteration SQL oracle bit-exact."""
+    from .graph import hits
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=2)
+
+
 def g11_modularity(spark, sf):
     """Graph family -- Newman modularity of the 2-round label
     propagation partition over the g2 sparse fulfillment graph: the
@@ -3148,6 +3169,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v14_l_diversity": v14_l_diversity,
     "llm_sentence_split": llm_sentence_split,
     "llm_nfc_normalize": llm_nfc_normalize,
+    "g12_hits": g12_hits,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
