@@ -314,3 +314,40 @@ class TestVersionChanges:
         delta = {r["id"]: r["change_type"]
                  for r in read_version_changes(spark, root, 1, 2, keys=["id"]).collect()}
         assert delta == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged -> absent
+
+
+def test_incremental_ingest_delta_only_and_commit(spark, tmp_path):
+    """Three arrival batches: each read sees ONLY uncommitted files;
+    commit makes them invisible; an empty delta returns (None, [])."""
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.io import (
+        commit_ingest,
+        list_unprocessed,
+        read_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    manifest = str(tmp_path / "manifest")
+
+    spark.createDataFrame([Row(k=1), Row(k=2)]).write.parquet(src + "/b1")
+    df1, files1 = read_incremental(spark, src, manifest)
+    assert sorted(r.k for r in df1.collect()) == [1, 2]
+    commit_ingest(spark, manifest, files1)
+    assert list_unprocessed(spark, src, manifest) == []
+    none_df, none_files = read_incremental(spark, src, manifest)
+    assert none_df is None and none_files == []
+
+    spark.createDataFrame([Row(k=3)]).write.parquet(src + "/b2")
+    df2, files2 = read_incremental(spark, src, manifest)
+    assert [r.k for r in df2.collect()] == [3]
+    assert set(files1).isdisjoint(files2)
+    # crash between read and commit: the next run reprocesses (at-least-once)
+    df2b, files2b = read_incremental(spark, src, manifest)
+    assert files2b == files2
+    commit_ingest(spark, manifest, files2)
+    assert read_incremental(spark, src, manifest)[1] == []
+    # remote roots rejected loudly (commit protocol is driver-local)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="local path"):
+        list_unprocessed(spark, "s3://bucket/x", manifest)

@@ -32,6 +32,9 @@ __all__ = [
     "load_table",
     "write_training_shards",
     "snapshot_diff",
+    "list_unprocessed",
+    "read_incremental",
+    "commit_ingest",
 ]
 
 
@@ -912,3 +915,65 @@ def write_version_checked(
     if failures:
         raise QualityGateError(failures)
     return write_version(df, root)
+
+
+def list_unprocessed(spark: SparkSession, src_dir: str, manifest_path: str) -> list[str]:
+    """File-level incremental-ingest discovery: the data files under
+    `src_dir` (non-recursive, *.parquet, committer sidecars excluded)
+    that the manifest has NOT recorded yet, sorted for deterministic
+    processing order.  Local-filesystem contract and rationale shared
+    with the versioned store (_local_store_root)."""
+    root = _local_store_root(src_dir)
+    files = sorted(
+        os.path.join(d, f)
+        for d, _dirs, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    seen: set[str] = set()
+    mroot = _local_store_root(manifest_path)
+    if os.path.isdir(mroot) and any(
+        f.endswith(".parquet") for f in os.listdir(mroot)
+    ):
+        seen = {r.file_path for r in spark.read.parquet(manifest_path).collect()}
+    return [f for f in files if f not in seen]
+
+
+def read_incremental(
+    spark: SparkSession, src_dir: str, manifest_path: str
+):
+    """Manifest-based incremental ingest: read ONLY the source files a
+    previous run hasn't committed -- the batch replacement for a
+    streaming file source when runs are scheduled, not continuous.
+
+    Discovery walks `src_dir` recursively at part-file granularity
+    (the unit a file sink appends), so an arrival "batch" can be a
+    whole spark-written directory or a single dropped file.
+
+    Returns (df, new_files); after the downstream write succeeds, call
+    commit_ingest(spark, manifest_path, new_files) to mark them done.
+    Crash between read and commit reprocesses the same files next run
+    (at-least-once at file granularity); pair with an idempotent sink
+    (merge_upsert / write_version) for exactly-once end-to-end --
+    the same recovery contract as the streaming foreachBatch sinks.
+
+    Scale: discovery is metadata-only (file listing + a file-path
+    manifest read); the data read is a plain parquet scan of just the
+    new files, so cost tracks the DELTA, not the accumulated corpus.
+    """
+    new_files = list_unprocessed(spark, src_dir, manifest_path)
+    if not new_files:
+        return None, []
+    return spark.read.parquet(*new_files), new_files
+
+
+def commit_ingest(spark: SparkSession, manifest_path: str, files: list[str]) -> None:
+    """Record processed files in the ingest manifest (append-only
+    parquet of file_path).  Append is atomic per task file; a torn
+    append re-lists at worst a missing entry -> reprocess, never a
+    skip."""
+    if not files:
+        return
+    spark.createDataFrame(
+        [(f,) for f in sorted(files)], "file_path string"
+    ).coalesce(1).write.mode("append").parquet(manifest_path)

@@ -2017,3 +2017,7 @@ CORE_ORACLES["g12_hits"] = """
     LEFT JOIN h2 ON n.node = h2.node
     LEFT JOIN a2 ON n.node = a2.node
 """
+
+CORE_ORACLES["s21_incremental_ingest"] = """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 2
+"""

@@ -605,6 +605,36 @@ def s16_time_travel(spark, sf):
     return prof1.unionByName(prof2).select("version", "lang", "n_docs", "n_chars")
 
 
+def s21_incremental_ingest(spark, sf):
+    """S-family -- manifest-based incremental file ingest
+    (io.read_incremental / commit_ingest).  Write-once staging lands
+    batch1 (doc_id%3 in {0,1}) and COMMITS it, then lands batch2
+    (doc_id%3 == 2) uncommitted; every invocation's ingest must return
+    exactly the batch2 rows -- the already-committed files stay
+    invisible, certifying delta-only discovery.  The second ingest is
+    deliberately never committed so the gate is invocation-idempotent."""
+    from .io import commit_ingest, read_incremental
+
+    root = _tagged_dir(sf, "documents", "docs_incr")
+    src = os.path.join(root, "src")
+    manifest = os.path.join(root, "manifest")
+    done = os.path.join(root, "_staged")
+    if not os.path.exists(done):
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        d.filter(F.col("doc_id") % 3 < 2).write.mode("overwrite").parquet(
+            os.path.join(src, "batch1")
+        )
+        _, files1 = read_incremental(spark, src, manifest)
+        commit_ingest(spark, manifest, files1)
+        d.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").parquet(
+            os.path.join(src, "batch2")
+        )
+        with open(done, "w") as fh:
+            fh.write("staged")
+    new_df, _files = read_incremental(spark, src, manifest)
+    return new_df.select("doc_id", "lang", "n_chars")
+
+
 def s14_compact(spark, sf):
     """S-family -- small-files compaction (io.compact).  The write-once
     base materializes a 48-file fragmented copy of a documents
@@ -3170,6 +3200,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_sentence_split": llm_sentence_split,
     "llm_nfc_normalize": llm_nfc_normalize,
     "g12_hits": g12_hits,
+    "s21_incremental_ingest": s21_incremental_ingest,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
