@@ -1353,3 +1353,24 @@ def test_normalize_unicode_nfc_and_nfkc(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(df, form="NFX")
+
+
+def test_cms_join_size_upper_bound_and_accuracy(spark):
+    from uofi_payroll_etl_main_spark.aggregates import cms_build, cms_join_size
+
+    # A: keys 0..199 once each + key 7 hot (x50); B: keys 100..299 twice
+    a_rows = [(k,) for k in range(200)] + [(7,)] * 50
+    b_rows = [(k,) for k in range(100, 300)] * 2
+    a = spark.createDataFrame(a_rows, "k long")
+    b = spark.createDataFrame(b_rows, "k long")
+    true_size = a.join(b, "k").count()  # 100 matched keys x 1 x 2 = 200
+    assert true_size == 200
+    est = cms_join_size(
+        cms_build(a, "k"), cms_build(b, "k")
+    ).first().join_size_est
+    assert est >= true_size              # CM inner product never underestimates
+    assert est <= true_size + 250 * 400 * 2.72 / 2048  # eps bound, generous
+    # disjoint sides: near-zero (collision noise only)
+    c = spark.createDataFrame([(k,) for k in range(10000, 10100)], "k long")
+    est0 = cms_join_size(cms_build(a, "k"), cms_build(c, "k")).first().join_size_est
+    assert est0 <= 30

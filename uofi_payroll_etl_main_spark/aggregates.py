@@ -30,6 +30,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_estimate",
+    "cms_join_size",
     "winsorize",
     "robust_zscore",
     "group_spearman",
@@ -617,3 +618,27 @@ def sketch_overlap_distinct(
             6,
         ).alias("jaccard_est"),
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    with the same (width, depth) over each side's join key: |A ⋈ B| =
+    Σ_k f_A(k)·f_B(k), estimated as the MIN over depth rows of the
+    cell-wise inner product (the classic CM inner-product bound:
+    overestimates by at most |A|·|B|·e/width w.h.p., never under).
+
+    The "should I broadcast / salt / bucket this join" planning number
+    WITHOUT running the join: both sketches are bounded (depth*width
+    cells), so the estimate costs a cell-keyed join of two sketch
+    tables -- at 100 TB the facts were already reduced to sketches by
+    cms_build's one scan each, and daily sketches fold via cms_merge,
+    so the estimate also works incrementally.  Returns one row
+    (join_size_est long).
+    """
+    prod = (
+        cms_a.withColumnRenamed("cnt", "__ca")
+        .join(cms_b.withColumnRenamed("cnt", "__cb"), ["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    return prod.agg(F.min("__dot").cast("long").alias("join_size_est"))

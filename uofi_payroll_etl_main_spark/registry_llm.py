@@ -803,6 +803,19 @@ def a43_sketch_overlap(spark, sf):
     )
 
 
+def a44_join_size_est(spark, sf):
+    """CMS inner-product join-size estimate (aggregates.cms_join_size)
+    for orders ⋈ lineitem on orderkey -- the broadcast/salt/bucket
+    planning number without running the join.  Rows-only (sketch
+    estimate); the never-underestimates bound and accuracy vs the true
+    join size are pinned in pytest."""
+    from .aggregates import cms_build, cms_join_size
+
+    o = cms_build(_t(spark, sf, "orders"), "o_orderkey")
+    li = cms_build(_t(spark, sf, "lineitem"), "l_orderkey")
+    return cms_join_size(o, li)
+
+
 def a4_hll_distinct(spark, sf):
     """HLL distinct users per event type (rows-only: sketch estimates
     differ across engines; tolerance vs exact asserted in pytest)."""
@@ -2019,6 +2032,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_cusum": w_cusum,
     "mm_audio_dedup": mm_audio_dedup,
     "a43_sketch_overlap": a43_sketch_overlap,
+    "a44_join_size_est": a44_join_size_est,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
