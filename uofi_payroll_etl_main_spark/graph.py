@@ -777,6 +777,11 @@ def hits(
             F.col("__dst").alias("node"),
             (F.col("__ar").cast("double") / F.col("__as").cast("double")).alias("a"),
         )
+        if iterations > 2:
+            # deep runs: truncate lineage per iteration or the plan tree
+            # nests one whole join round per iteration (k_core/bfs
+            # discipline); 2-iteration gates skip the checkpoint cost
+            auth = auth.localCheckpoint(eager=True)
     out = (
         nodes.join(hubs.withColumnRenamed("node", "__hn"), F.col("node") == F.col("__hn"), "left")
         .join(auth.withColumnRenamed("node", "__an"), F.col("node") == F.col("__an"), "left")
