@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "q22_dormant_wealthy",  # scalar avg-balance subquery (TPC-H shape)
     "w_resample_filled",    # buckets x groups spine (metadata-scale)
     "w_gap_linear",         # buckets x groups spine (metadata-scale)
+    "w_resample_locf",      # buckets x groups spine (metadata-scale)
     "llm_cosine_topk",      # brute-force exact baseline BY DESIGN
     "llm_cosine_topk_q",    # brute-force on int8 arrays (same baseline)
     "llm_embed_dup",        # brute-force exact baseline BY DESIGN

@@ -748,3 +748,47 @@ def test_streaming_dedup_index_sink(spark, tmp_path):
     idx = {r.fingerprint: r.keeper_id for r in spark.read.parquet(index).collect()}
     assert len(idx) == 5  # 2 seed + 3 fresh digests
     assert sorted(idx.values()) == [1, 2, 11, 21, 31]
+
+
+def test_time_weighted_avg_hand_case(spark):
+    """Value 10 held for 30s then 100 for 10s: TWAP = (10*30+100*10)/40
+    = 32.5 -- the arithmetic mean (40.0 over the 3 obs) over-weights
+    the burst.  Single-observation keys yield null."""
+    import datetime
+
+    from uofi_payroll_etl_main_spark.streaming.windows import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0, 10.0),
+        (2, "a", t0 + datetime.timedelta(seconds=30), 100.0),
+        (3, "a", t0 + datetime.timedelta(seconds=40), 7.0),   # last: weight 0
+        (4, "solo", t0, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    got = {r.event_type: r for r in time_weighted_avg(df).collect()}
+    assert got["a"].twap == 32.5 and got["a"].span_s == 40
+    assert got["a"].n_intervals == 2
+    assert "solo" not in got  # no intervals -> no row
+
+
+def test_resample_locf_carries_forward(spark):
+    import datetime
+
+    from uofi_payroll_etl_main_spark.streaming.windows import resample_locf
+
+    t = lambda d, h=0: datetime.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        (1, "a", t(1, 5), 10.0),
+        (2, "a", t(1, 9), 20.0),   # later same day: wins the bucket
+        (3, "a", t(4), 40.0),      # days 2-3 are gaps -> carry 20.0
+        (4, "b", t(2), 7.0),       # day 1 precedes b's first obs -> null
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    got = {(r.event_type, r.window_start.day): r.value_locf
+           for r in resample_locf(df, width="1 day").collect()}
+    assert got[("a", 1)] == 20.0
+    assert got[("a", 2)] == 20.0 and got[("a", 3)] == 20.0
+    assert got[("a", 4)] == 40.0
+    assert got[("b", 1)] is None
+    assert got[("b", 2)] == 7.0 and got[("b", 4)] == 7.0

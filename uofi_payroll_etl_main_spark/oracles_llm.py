@@ -2288,3 +2288,52 @@ LLM_ORACLES["v15_monitor"] = f"""
            CAST(sum(CASE WHEN first_alarm_up IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
     FROM ({LLM_ORACLES['w_cusum']})
 """
+
+LLM_ORACLES["w_twap"] = """
+    WITH src AS (
+      SELECT event_type, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             event_id, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), led AS (
+      SELECT event_type, v,
+             CAST(lead(s) OVER (PARTITION BY event_type ORDER BY s, event_id) - s
+                  AS DECIMAL(18,0)) AS dt
+      FROM src
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(CASE WHEN sum(dt) > 0
+                      THEN CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                 END, 6) AS twap,
+           CAST(sum(dt) AS BIGINT) AS span_s
+    FROM led WHERE dt IS NOT NULL
+    GROUP BY event_type
+"""
+
+LLM_ORACLES["w_resample_locf"] = """
+    WITH obs AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             CAST(value AS DOUBLE) AS v,
+             row_number() OVER (
+               PARTITION BY date_trunc('day', ts), event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ), per_bucket AS (
+      SELECT window_start, event_type, v FROM obs WHERE rn = 1
+    ), rng AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ), spine_times AS (
+      SELECT unnest(generate_series((SELECT lo FROM rng), (SELECT hi FROM rng),
+                                    INTERVAL 1 DAY)) AS window_start
+    ), spine AS (
+      SELECT s.window_start, g.event_type
+      FROM spine_times s CROSS JOIN (SELECT DISTINCT event_type FROM events) g
+    )
+    SELECT s.window_start, s.event_type,
+           round(last_value(p.v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_locf
+    FROM spine s LEFT JOIN per_bucket p
+      ON s.window_start = p.window_start AND s.event_type = p.event_type
+"""

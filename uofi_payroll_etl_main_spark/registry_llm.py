@@ -210,6 +210,25 @@ def llm_cosine_topk(spark, sf):
     return LS.cosine_topk(_t(spark, sf, "embeddings"), k=5)
 
 
+def w_twap(spark, sf):
+    """Time-weighted average event value per type (streaming/windows.
+    time_weighted_avg): observations weighted by seconds-until-next --
+    the correct mean for irregularly-sampled state series.  One key
+    shuffle; DECIMAL-exact weighted sums."""
+    from .streaming.windows import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf, "events"))
+
+
+def w_resample_locf(spark, sf):
+    """Gap-filled daily resample with last-observation-carried-forward
+    (streaming/windows.resample_locf) of each type's latest value --
+    the state-series fill policy completing zeros/linear/LOCF."""
+    from .streaming.windows import resample_locf
+
+    return resample_locf(_t(spark, sf, "events"), width="1 day")
+
+
 def w_cusum(spark, sf):
     """Two-sided CUSUM drift alarm per event type over daily volume
     (streaming/windows.cusum_alerts), with a deterministic synthetic
@@ -2033,6 +2052,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_dedup": mm_audio_dedup,
     "a43_sketch_overlap": a43_sketch_overlap,
     "a44_join_size_est": a44_join_size_est,
+    "w_twap": w_twap,
+    "w_resample_locf": w_resample_locf,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,

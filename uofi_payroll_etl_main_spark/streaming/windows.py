@@ -26,6 +26,8 @@ __all__ = [
     "rolling_agg",
     "holt_linear",
     "cusum_alerts",
+    "time_weighted_avg",
+    "resample_locf",
     "funnel_steps",
     "cohort_retention",
     "interval_coverage",
@@ -603,4 +605,110 @@ def cusum_alerts(
         F.round(idx(3), 6).alias("cusum_max_down"),
         as_alarm(idx(4)).alias("first_alarm_up"),
         as_alarm(idx(5)).alias("first_alarm_down"),
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    by: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Time-weighted average per key: each observation weighted by how
+    long it was the CURRENT value (seconds until the next observation)
+    -- the correct mean for state-like series sampled at irregular
+    times, where the arithmetic mean over-weights bursts (TWAP in
+    finance, time-in-state in telemetry).  The last observation per
+    key has no successor and carries zero weight (half-open interval
+    convention).
+
+    One shuffle on the key: lead() and the weighted sums ride the same
+    partition.  Weights are integer seconds times DECIMAL values, so
+    the sums are exact and order-independent; the division finishes in
+    IEEE double.  Keys with a single observation (no intervals) yield
+    null.
+    """
+    from pyspark.sql import Window
+
+    sec = E.epoch_seconds(ts)
+    w = Window.partitionBy(by).orderBy(sec, F.col("event_id"))
+    dt = (F.lead(sec).over(w) - sec).cast("decimal(18,0)")
+    v = F.col(value).cast("decimal(18,6)")
+    agg = (
+        events.select(F.col(by), dt.alias("__dt"), v.alias("__v"))
+        .filter(F.col("__dt").isNotNull())
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("__v") * F.col("__dt")).alias("__wsum"),
+            F.sum("__dt").alias("__tsum"),
+        )
+    )
+    twap = F.when(
+        F.col("__tsum") > 0,
+        F.col("__wsum").cast("double") / F.col("__tsum").cast("double"),
+    )
+    return agg.select(
+        by,
+        "n_intervals",
+        F.round(twap, 6).alias("twap"),
+        F.col("__tsum").cast("long").alias("span_s"),
+    )
+
+
+def resample_locf(
+    events: DataFrame,
+    width: str = "1 hour",
+    by: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Gap-filled resample with last-observation-carried-forward: every
+    (group, bucket) on the global spine gets the group's most recent
+    observed value at-or-before that bucket -- the state-series fill
+    policy (sensor readings, account balances) completing the family:
+    zeros (resample_counts_filled) / linear (resample_linear) / LOCF.
+
+    Per-bucket "last observation" is a max(struct(ts, event_id,
+    value)) aggregate (map-side combined, deterministic tie-break);
+    the carry-forward is one last(ignorenulls) window along the
+    metadata-scale spine, so the fill never touches fact rows.
+    Buckets before a group's first observation stay null.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.window(ts, width).getField("start").alias("window_start")
+    sec = E.epoch_seconds(ts)
+    per_bucket = (
+        events.groupBy(bucket, F.col(by))
+        .agg(
+            F.max(
+                F.struct(
+                    sec.alias("s"),
+                    F.col("event_id").alias("e"),
+                    F.col(value).cast("double").alias("v"),
+                )
+            ).getField("v").alias("__obs")
+        )
+    )
+    rng = events.agg(F.min(ts).alias("mn"), F.max(ts).alias("mx"))
+    rng = rng.select(F.window("mn", width).getField("start").alias("lo"), "mx")
+    rng = rng.select("lo", F.window("mx", width).getField("start").alias("hi"))
+    spine_times = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {width}"))).alias("window_start")
+    )
+    groups = events.select(F.col(by)).distinct()
+    spine = spine_times.crossJoin(F.broadcast(groups))
+    w = (
+        Window.partitionBy(by)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(per_bucket, ["window_start", by], "left")
+        .select(
+            "window_start",
+            F.col(by),
+            F.round(F.last("__obs", ignorenulls=True).over(w), 6).alias("value_locf"),
+        )
     )
