@@ -55,6 +55,14 @@ ANSI_PROBES = [
     "llm_perplexity_buckets",
     "llm_chat_render",
     "llm_leakage_safe_split",
+    # post-close: array-fold arithmetic (Holt/CUSUM recurrences),
+    # corrupt-record JSON routing, log/pow digit math, epoch-seconds
+    # interval weighting
+    "w_holt",
+    "w_cusum",
+    "e21_quarantine",
+    "v13_benford",
+    "w_twap",
 ]
 
 
