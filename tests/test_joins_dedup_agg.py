@@ -1374,3 +1374,30 @@ def test_cms_join_size_upper_bound_and_accuracy(spark):
     c = spark.createDataFrame([(k,) for k in range(10000, 10100)], "k long")
     est0 = cms_join_size(cms_build(a, "k"), cms_build(c, "k")).first().join_size_est
     assert est0 <= 30
+
+
+def test_mann_whitney_hand_computed(spark):
+    import math
+
+    from uofi_payroll_etl_main_spark.aggregates import mann_whitney_u
+
+    # no ties: A={1,2,3} all below B={4,5,6} -> U_a=0, r=-1
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0),
+         ("c", 99.0)],  # other groups ignored
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").first()
+    assert (r.n_a, r.n_b, r.u_stat, r.r_rb) == (3, 3, 0.0, -1.0)
+    assert abs(r.z - round(-4.5 / math.sqrt(9 * 7 / 12), 6)) < 1e-9
+
+    # ties: A={1,1,2}, B={2,3,3} -> mid-ranks 1.5/1.5/3.5 -> U_a=0.5,
+    # tie-corrected sigma^2 = (9/12)*(7 - 18/30) = 4.8
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    r2 = mann_whitney_u(df2, "g", "v", "a", "b").first()
+    assert r2.u_stat == 0.5
+    assert abs(r2.z - round((0.5 - 4.5) / math.sqrt(4.8), 6)) < 1e-9
+    assert abs(r2.r_rb - round(2 * 0.5 / 9 - 1, 6)) < 1e-9

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "v12_psi",              # single-row bounds + totals broadcasts (histogram shape x2)
     "v13_benford",          # single-row digit-total broadcast
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
+    "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows
     "g12_hits",             # one-row L1-normalizer broadcast per half-iteration
     "s12_zorder_profile",   # single-row (min,max) z-range broadcast

@@ -31,6 +31,7 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_join_size",
+    "mann_whitney_u",
     "winsorize",
     "robust_zscore",
     "group_spearman",
@@ -642,3 +643,79 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
     )
     return prod.agg(F.min("__dot").cast("long").alias("join_size_est"))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups --
+    the nonparametric A/B readout when values are skewed/ordinal and a
+    t-test's normality assumption is wrong.  Mid-ranks for ties, the
+    tie-corrected normal approximation for z, and the rank-biserial
+    effect size r = 1 - 2U/(n_a*n_b) (sign: positive means group_a
+    stochastically larger).
+
+    Exactness discipline: mid-ranks are computed as min-rank +
+    (ties-1)/2 -- multiples of 0.5, summed as DECIMAL(38,1), so the
+    rank sum is exact and order-independent; z finishes in IEEE double
+    from exact integer/decimal inputs.  One value-ordered window
+    (the rank) and two metadata-scale aggregates; the tie-correction
+    term aggregates per distinct value with map-side combine.  At
+    100 TB the global rank is the cost -- the standard swap is
+    bucketed range-partitioned ranking, same downstream math.
+    Returns ONE row: n_a, n_b, u_stat (U of group_a), z, r_rb.
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    w = Window.orderBy("__v")
+    ranked = two.withColumn("__minrank", F.rank().over(w)).withColumn(
+        "__ties", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+    )
+    # mid-rank = minrank + (ties-1)/2; summed as DOUBLED integers
+    # (2*minrank + ties - 1) so the aggregate is pure integer --
+    # decimal-division scale rules differ per engine, integers don't
+    mid2 = (
+        F.lit(2) * F.col("__minrank").cast("decimal(38,0)")
+        + F.col("__ties").cast("decimal(38,0)")
+        - F.lit(1)
+    )
+    sums = ranked.agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__g") == group_a, mid2)).alias("__ra2"),
+    )
+    ties = (
+        two.groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).alias("__tcorr")
+        )
+    )
+    j = sums.crossJoin(F.broadcast(ties))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("__ra2").cast("double") / 2.0 - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sigma2 = (na * nb / 12.0) * (
+        (n + 1.0) - F.col("__tcorr").cast("double") / (n * (n - 1.0))
+    )
+    z = F.when(sigma2 > 0, (u_a - mu) / F.sqrt(sigma2))
+    r_rb = F.lit(1.0) - F.lit(2.0) * (na * nb - u_a) / (na * nb)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(r_rb, 6).alias("r_rb"),
+    )

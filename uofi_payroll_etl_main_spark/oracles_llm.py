@@ -2337,3 +2337,46 @@ LLM_ORACLES["w_resample_locf"] = """
     FROM spine s LEFT JOIN per_bucket p
       ON s.window_start = p.window_start AND s.event_type = p.event_type
 """
+
+LLM_ORACLES["a45_mann_whitney"] = """
+    WITH two AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), ranked AS (
+      SELECT g, v,
+             rank() OVER (ORDER BY v) AS minrank,
+             count(*) OVER (PARTITION BY v) AS ties
+      FROM two
+    ), sums AS (
+      SELECT CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN g = 'click'
+                      THEN 2 * CAST(minrank AS DECIMAL(38,0)) + ties - 1 END) AS ra2
+      FROM ranked
+    ), tcorr AS (
+      SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tc FROM (
+        SELECT count(*) AS t FROM two GROUP BY v
+      )
+    )
+    SELECT n_a, n_b,
+           round(CAST(ra2 AS DOUBLE) / 2.0
+                 - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0, 6) AS u_stat,
+           round(CASE WHEN (CAST(n_a AS DOUBLE) * n_b / 12.0)
+                           * ((n_a + n_b + 1.0)
+                              - CAST(tc AS DOUBLE)
+                                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0))) > 0
+                      THEN (CAST(ra2 AS DOUBLE) / 2.0
+                            - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0
+                            - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                           / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                                  * ((n_a + n_b + 1.0)
+                                     - CAST(tc AS DOUBLE)
+                                       / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0))))
+                 END, 6) AS z,
+           round(1.0 - 2.0 * (CAST(n_a AS DOUBLE) * n_b
+                              - (CAST(ra2 AS DOUBLE) / 2.0
+                                 - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0))
+                       / (CAST(n_a AS DOUBLE) * n_b), 6) AS r_rb
+    FROM sums CROSS JOIN tcorr
+"""

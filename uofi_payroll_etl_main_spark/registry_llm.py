@@ -822,6 +822,18 @@ def a43_sketch_overlap(spark, sf):
     )
 
 
+def a45_mann_whitney(spark, sf):
+    """Nonparametric A/B readout: Mann-Whitney U between click and
+    purchase event values (aggregates.mann_whitney_u) -- mid-rank
+    ties, tie-corrected z, rank-biserial effect size.  Integer-exact
+    rank sums; one global value rank + metadata-scale aggregates."""
+    from .aggregates import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(spark, sf, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
 def a44_join_size_est(spark, sf):
     """CMS inner-product join-size estimate (aggregates.cms_join_size)
     for orders ⋈ lineitem on orderkey -- the broadcast/salt/bucket
@@ -2054,6 +2066,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a44_join_size_est": a44_join_size_est,
     "w_twap": w_twap,
     "w_resample_locf": w_resample_locf,
+    "a45_mann_whitney": a45_mann_whitney,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
