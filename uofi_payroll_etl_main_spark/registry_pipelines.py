@@ -476,3 +476,55 @@ PIPE_ORACLES: dict[str, str] = {
     "pipe_pua": PIPE_PUA_SQL,
     "pipe_cpa": PIPE_CPA_SQL,
 }
+
+
+def pipe_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed governance chain: quarantine-lane JSON parse (e21) ->
+    keyed PII pseudonymization (e22) -> per-type release summary.
+    Quarantined rows never contribute a token; the summary certifies
+    that bad payloads were ROUTED (counted) rather than dropped or
+    allowed to poison the load, and that the published distinct-user
+    counts are computed over tokens, not raw ids."""
+    from .expressions import pseudonymize
+
+    ev = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 17 == 0, F.substring("props", 1, 4)
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        p, "k int, _corrupt string", {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    bad = parsed.getField("_corrupt").isNotNull()
+    tagged = ev.select(
+        "event_type",
+        bad.alias("__q"),
+        pseudonymize(F.col("user_id"), "gov-2024").alias("__tok"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("__q"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum(F.when(F.col("__q"), 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.count_distinct(F.when(~F.col("__q"), F.col("__tok")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+PIPE_GOVERNANCE_SQL = """
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN event_id % 17 = 0 THEN substring(props, 1, 4)
+                  ELSE props END AS p,
+             sha256('gov-2024' || CAST(user_id AS VARCHAR)) AS tok
+      FROM events
+    ), tagged AS (
+      SELECT event_type, try_cast(p AS JSON) IS NULL AS q, tok FROM src
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN NOT q THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(count(DISTINCT CASE WHEN NOT q THEN tok END) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY event_type
+"""
+
+PIPE_QUERIES["pipe_governance"] = pipe_governance
+PIPE_ORACLES["pipe_governance"] = PIPE_GOVERNANCE_SQL
