@@ -351,3 +351,26 @@ def test_incremental_ingest_delta_only_and_commit(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="local path"):
         list_unprocessed(spark, "s3://bucket/x", manifest)
+
+
+def test_delete_rows_erases_subjects_atomically(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from uofi_payroll_etl_main_spark.io import delete_rows
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [Row(user_id=i, v=f"row{i}") for i in range(10)]
+    ).write.parquet(path)
+    subjects = spark.createDataFrame(
+        [Row(user_id=3), Row(user_id=7), Row(user_id=3),   # dup request rows ok
+         Row(user_id=99)]                                   # absent subject: no-op
+    )
+    out = delete_rows(spark, path, subjects, ["user_id"])
+    kept = sorted(r.user_id for r in out.collect())
+    assert kept == [0, 1, 2, 4, 5, 6, 8, 9]
+    # the on-disk dataset itself was rewritten (readers see the erasure)
+    assert sorted(r.user_id for r in spark.read.parquet(path).collect()) == kept
+    # idempotent: deleting again changes nothing
+    again = delete_rows(spark, path, subjects, ["user_id"])
+    assert again.count() == 8

@@ -35,6 +35,7 @@ __all__ = [
     "list_unprocessed",
     "read_incremental",
     "commit_ingest",
+    "delete_rows",
 ]
 
 
@@ -977,3 +978,40 @@ def commit_ingest(spark: SparkSession, manifest_path: str, files: list[str]) -> 
     spark.createDataFrame(
         [(f,) for f in sorted(files)], "file_path string"
     ).coalesce(1).write.mode("append").parquet(manifest_path)
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    subjects: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Targeted hard delete: remove every row of the parquet dataset at
+    `path` whose key appears in `subjects` -- the right-to-be-forgotten
+    / takedown primitive (GDPR art. 17, DMCA removal) that completes
+    the governance family: redact_pii masks, pseudonymize tokenizes,
+    delete_rows ERASES.
+
+    The delete is a broadcast LEFT ANTI join (the subject list is
+    request-scale, the table is not) followed by the same atomic
+    rewrite-and-swap merge_upsert uses, so readers see either the old
+    or the new dataset, never a partial one.  At 100 TB, partition by
+    a stable key range and rewrite only partitions containing subjects
+    (the anti-join's matched-partition set); table formats turn the
+    rewrite into a delete-vector commit, but the anti-join below is
+    the same.  Returns the surviving DataFrame (also written back).
+    """
+    import shutil
+
+    key_list = list(keys)
+    existing = spark.read.parquet(path)
+    kept = existing.join(F.broadcast(subjects.select(*key_list).distinct()), key_list, "left_anti")
+    tmp = path.rstrip("/") + ".__delete_tmp"
+    swap = path.rstrip("/") + ".__delete_old"
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+    kept.write.mode("overwrite").parquet(tmp)
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    return spark.read.parquet(path)

@@ -2021,3 +2021,12 @@ CORE_ORACLES["g12_hits"] = """
 CORE_ORACLES["s21_incremental_ingest"] = """
     SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 2
 """
+
+CORE_ORACLES["s22_forget"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % 37 <> 0
+    GROUP BY event_type
+"""

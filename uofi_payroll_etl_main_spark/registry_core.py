@@ -635,6 +635,31 @@ def s21_incremental_ingest(spark, sf):
     return new_df.select("doc_id", "lang", "n_chars")
 
 
+def s22_forget(spark, sf):
+    """S-family -- right-to-be-forgotten hard delete (io.delete_rows):
+    a copy of events loses every row of users with user_id % 37 == 0
+    via broadcast anti-join + atomic rewrite-and-swap; the gate
+    certifies the READ-BACK (per-type survivor counts + distinct
+    users), i.e. the erasure is on disk, not just in a returned frame."""
+    from .io import delete_rows
+
+    root = _tagged_dir(sf, "events", "events_forget")
+    tbl = os.path.join(root, "tbl")
+    done = os.path.join(root, "_deleted")
+    if not os.path.exists(done):
+        ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type")
+        ev.write.mode("overwrite").parquet(tbl)
+        subjects = ev.select("user_id").filter(F.col("user_id") % 37 == 0)
+        delete_rows(spark, tbl, subjects, ["user_id"])
+        with open(done, "w") as fh:
+            fh.write("deleted")
+    back = spark.read.parquet(tbl)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def s14_compact(spark, sf):
     """S-family -- small-files compaction (io.compact).  The write-once
     base materializes a 48-file fragmented copy of a documents
@@ -3201,6 +3226,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_nfc_normalize": llm_nfc_normalize,
     "g12_hits": g12_hits,
     "s21_incremental_ingest": s21_incremental_ingest,
+    "s22_forget": s22_forget,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
