@@ -280,3 +280,24 @@ def test_mmr_lambda_one_equals_pure_relevance(spark):
 
     with pytest.raises(ValueError, match="lam"):
         mmr_topk(df, queries, lam=1.5)
+
+
+def test_mmr_pluggable_candidates_equals_default(spark):
+    """Feeding mmr_topk the exact tier's own candidates through the
+    `candidates` parameter must reproduce the default path exactly --
+    the wiring contract the ANN-fed gate (llm_mmr_ann) relies on."""
+    import random
+
+    from uofi_payroll_etl_main_spark.llm.similarity import cosine_topk, mmr_topk
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3)
+    default = mmr_topk(df, queries, k=4, lam=0.6, pool=10)
+    fed = mmr_topk(
+        df, queries, k=4, lam=0.6,
+        candidates=cosine_topk(df, k=10, queries=queries),
+    )
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.mmr_score)  # noqa: E731
+    assert sorted(map(key, default.collect())) == sorted(map(key, fed.collect()))

@@ -1110,6 +1110,7 @@ def mmr_topk(
     pool: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): per query, select k results that balance relevance to the
@@ -1138,9 +1139,16 @@ def mmr_topk(
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     id_t = _id_sql_type(corpus, id_col)
-    cands = cosine_topk(
-        corpus, k=pool, queries=queries, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", F.col("similarity").alias("relevance"))
+    if candidates is None:
+        candidates = cosine_topk(
+            corpus, k=pool, queries=queries, id_col=id_col, vec_col=vec_col
+        )
+    # stage 1 is pluggable: any (query_id, neighbor_id, similarity)
+    # frame works -- ivf_topk / lsh_topk at corpus scale, the exact
+    # tier for gates.  Stage 2 below is unchanged either way.
+    cands = candidates.select(
+        "query_id", "neighbor_id", F.col("similarity").alias("relevance")
+    )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
     )

@@ -263,6 +263,18 @@ def llm_mmr_diversify(spark, sf):
     return LS.mmr_topk(emb, queries, k=5, lam=0.7, pool=20)
 
 
+def llm_mmr_ann(spark, sf):
+    """MMR diversification fed by the IVF-Flat ANN tier instead of the
+    exact candidate fetch -- the 100 TB wiring of llm_mmr_diversify
+    made concrete: stage 1 is ivf_topk's bucketed candidate pool,
+    stage 2 (greedy selection per query over <= pool rows) is
+    identical.  Rows-only; equivalence of the pluggable-stage wiring
+    vs the default path is pytest-held."""
+    emb = _t(spark, sf, "embeddings")
+    cands = LS.ivf_topk(emb, k=20, n_centroids=16, n_probe=4)
+    return LS.mmr_topk(emb, emb, k=5, lam=0.7, candidates=cands)
+
+
 def llm_cosine_topk_fast(spark, sf):
     # self-mode full-corpus queries: valid ONLY under the row-count
     # guard (gate scale); the 100 TB path is llm_cosine_topk_sliced
@@ -2067,6 +2079,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_twap": w_twap,
     "w_resample_locf": w_resample_locf,
     "a45_mann_whitney": a45_mann_whitney,
+    "llm_mmr_ann": llm_mmr_ann,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
