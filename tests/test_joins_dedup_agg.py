@@ -1401,3 +1401,20 @@ def test_mann_whitney_hand_computed(spark):
     assert r2.u_stat == 0.5
     assert abs(r2.z - round((0.5 - 4.5) / math.sqrt(4.8), 6)) < 1e-9
     assert abs(r2.r_rb - round(2 * 0.5 / 9 - 1, 6)) < 1e-9
+
+
+def test_chi_square_drift_hand_contingency(spark):
+    from uofi_payroll_etl_main_spark.report import chi_square_drift
+
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 10, "c string")
+    b = spark.createDataFrame([("x",)] * 10 + [("y",)] * 30, "c string")
+    rows = {r.category: r for r in chi_square_drift(a, b, "c").collect()}
+    # pooled expectation is 20 per cell; chi2 = 4 * (10^2/20) = 20
+    assert rows["x"].chi2_term == 10.0 and rows["y"].chi2_term == 10.0
+    assert rows["x"].share_a == 0.75 and rows["x"].share_b == 0.25
+
+    # identical slices -> zero statistic; nulls bucket as 'NULL'
+    c = spark.createDataFrame([("x",), (None,)], "c string")
+    same = chi_square_drift(c, c, "c").collect()
+    assert {r.category for r in same} == {"x", "NULL"}
+    assert all(r.chi2_term == 0.0 for r in same)

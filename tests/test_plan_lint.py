@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "a14_histogram",        # single-row (min,max) stats broadcast
     "v12_psi",              # single-row bounds + totals broadcasts (histogram shape x2)
     "v13_benford",          # single-row digit-total broadcast
+    "v16_chi_square_drift", # single-row totals broadcast (v13 shape)
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
     "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows

@@ -2030,3 +2030,29 @@ CORE_ORACLES["s22_forget"] = """
     WHERE user_id % 37 <> 0
     GROUP BY event_type
 """
+
+CORE_ORACLES["v16_chi_square_drift"] = """
+    WITH tagged AS (
+      SELECT coalesce(CAST(event_type AS VARCHAR), 'NULL') AS category,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS s
+      FROM events
+    ), counts AS (
+      SELECT category,
+             CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM tagged GROUP BY category
+    ), totals AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts
+    )
+    SELECT category, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / ta, 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / tb, 6) AS share_b,
+           round(
+             (n_a - CAST(ta AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE))
+             * (n_a - CAST(ta AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE))
+             / (CAST(ta AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE))
+             + (n_b - CAST(tb AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE))
+               * (n_b - CAST(tb AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE))
+               / (CAST(tb AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE)), 6) AS chi2_term
+    FROM counts CROSS JOIN totals
+"""

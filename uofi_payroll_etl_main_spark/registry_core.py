@@ -1041,6 +1041,20 @@ def v13_benford(spark, sf):
     return benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def v16_chi_square_drift(spark, sf):
+    """V-family -- chi-square homogeneity between the first and second
+    half of the event stream over event_type (report.chi_square_drift):
+    the categorical sibling of v12's PSI.  One category-cardinality
+    aggregate per slice + a single-row totals broadcast."""
+    from .report import chi_square_drift
+
+    ev = _t(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    a = ev.filter(F.col("ts").cast("date") < cut).select("event_type")
+    b = ev.filter(F.col("ts").cast("date") >= cut).select("event_type")
+    return chi_square_drift(a, b, "event_type")
+
+
 def v14_l_diversity(spark, sf):
     """V-family -- l-diversity audit (report.l_diversity), the
     homogeneity-attack companion to v11: classes keyed by (nationkey,
@@ -3227,6 +3241,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g12_hits": g12_hits,
     "s21_incremental_ingest": s21_incremental_ingest,
     "s22_forget": s22_forget,
+    "v16_chi_square_drift": v16_chi_square_drift,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

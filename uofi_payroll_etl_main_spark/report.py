@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity", "psi_report", "benford_report", "l_diversity"]
+__all__ = ["RunReport", "check_schema", "table_counts", "observe_counts", "check_expectations", "reconcile", "k_anonymity", "psi_report", "benford_report", "l_diversity", "chi_square_drift"]
 
 
 @dataclass
@@ -506,4 +506,54 @@ def l_diversity(
         "class_size",
         "n_sensitive",
         (F.col("n_sensitive") < l).alias("at_risk"),
+    )
+
+
+def chi_square_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Chi-square homogeneity test between two slices of a CATEGORICAL
+    column -- the categorical sibling of psi_report (PSI needs numeric
+    bins; category mixes need the contingency test).  Expected counts
+    come from the pooled distribution (E_sc = row_total_s *
+    cat_total_c / grand); each output row carries both slices' terms
+    for one category, so sum(chi2_term) over the report is the chi-
+    square statistic with (|categories|-1) dof.
+
+    One scan per slice reduced to category-cardinality rows with
+    map-side combine, one single-row totals broadcast -- the v13
+    shape.  Null categories count as their own 'NULL' bucket (a
+    category disappearing INTO null is exactly the drift this exists
+    to catch).
+    """
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("NULL"))
+    counts = (
+        df_a.select(cat.alias("category"), F.lit(0).alias("__s"))
+        .unionByName(df_b.select(cat.alias("category"), F.lit(1).alias("__s")))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    j = counts.join(F.broadcast(totals))
+    grand = (F.col("__ta") + F.col("__tb")).cast("double")
+    ea = F.col("__ta").cast("double") * (F.col("n_a") + F.col("n_b")) / grand
+    eb = F.col("__tb").cast("double") * (F.col("n_a") + F.col("n_b")) / grand
+    term = (
+        (F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+        + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb
+    )
+    return j.select(
+        "category",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / F.col("__ta"), 6).alias("share_a"),
+        F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
+        F.round(term, 6).alias("chi2_term"),
     )
