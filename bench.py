@@ -114,6 +114,13 @@ HEADLINERS = [
     "llm_sentence_split",
     "mm_audio_dedup",
     "a43_sketch_overlap",
+    "a45_mann_whitney",
+    "w_twap",
+    "w_resample_locf",
+    "pipe_governance",
+    "v16_chi_square_drift",
+    "llm_mmr_ann",
+    "s22_forget",
 ]
 
 
