@@ -734,8 +734,21 @@ def test_streaming_dedup_index_sink(spark, tmp_path):
         [Row(doc_id=30, text="gamma delta"),        # dup of seed doc 2
          Row(doc_id=31, text="fresh three")],
     ]
+    import glob as _glob
+    import os as _os
+
     for i, rows_in in enumerate(batches):
-        spark.createDataFrame(rows_in).write.parquet(f"{src}/f{i}")
+        # ONE part file per logical batch: maxFilesPerTrigger=1 triggers
+        # per PART file, so a multi-part write would split a batch's
+        # rows (incl. the in-batch dup pair) across micro-batches
+        spark.createDataFrame(rows_in).coalesce(1).write.parquet(f"{src}/f{i}")
+        # the file source orders micro-batches by modification time;
+        # back-to-back writes can land inside one mtime tick under
+        # load, which would randomize batch order -- pin distinct,
+        # increasing mtimes so batch order is the list order
+        stamp = 1_700_000_000 + i * 60
+        for part in _glob.glob(f"{src}/f{i}/*"):
+            _os.utime(part, (stamp, stamp))
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
