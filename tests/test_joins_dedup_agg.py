@@ -1418,3 +1418,27 @@ def test_chi_square_drift_hand_contingency(spark):
     same = chi_square_drift(c, c, "c").collect()
     assert {r.category for r in same} == {"x", "NULL"}
     assert all(r.chi2_term == 0.0 for r in same)
+
+
+def test_frequent_itemsets_hand_baskets(spark):
+    from uofi_payroll_etl_main_spark.aggregates import frequent_itemsets
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20, 30],
+        3: [10, 20],
+        4: [40],          # infrequent item: pruned at L1
+        5: [10, 40, 40],  # duplicate item rows collapse
+    }
+    rows = [(o, i) for o, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "o long, i long")
+    got = {(r.size, tuple(r.items)): r.support
+           for r in frequent_itemsets(df, "o", "i", min_support=2).collect()}
+    assert got[(1, (10,))] == 4 and got[(1, (20,))] == 3 and got[(1, (30,))] == 2
+    # 40 appears in baskets 4 and 5 (its in-basket duplicate collapses):
+    # support 2, frequent as a single item...
+    assert got[(1, (40,))] == 2
+    assert got[(2, (10, 20))] == 3
+    assert got[(2, (10, 30))] == 2 and got[(2, (20, 30))] == 2
+    assert got[(3, (10, 20, 30))] == 2
+    assert (2, (10, 40)) not in got                   # co-occurs only once

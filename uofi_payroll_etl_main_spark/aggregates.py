@@ -32,6 +32,7 @@ __all__ = [
     "cms_estimate",
     "cms_join_size",
     "mann_whitney_u",
+    "frequent_itemsets",
     "winsorize",
     "robust_zscore",
     "group_spearman",
@@ -718,4 +719,94 @@ def mann_whitney_u(
         F.round(u_a, 6).alias("u_stat"),
         F.round(z, 6).alias("z"),
         F.round(r_rb, 6).alias("r_rb"),
+    )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_size: int = 3,
+) -> DataFrame:
+    """Apriori frequent-itemset mining up to size 3: itemsets of
+    co-purchased/co-occurring items with support >= min_support -- the
+    market-basket classic behind "customers also bought" and feature
+    co-occurrence audits.
+
+    The scale story IS the Apriori property: every candidate is pruned
+    by its frequent subsets BEFORE counting.  Baskets first drop
+    infrequent items (an L1 semi-join -- the support threshold bounds
+    the frequent-item list, so it broadcasts); pairs count only over
+    pruned baskets; triples extend only L2-frequent pairs and are
+    semi-joined against L2 on BOTH added edges, so the 3-way join
+    space is the frequent-pair fan-out, never baskets x items^2.
+    Per-level cost: one basket-keyed self-join + one map-side-combined
+    count.  Returns (size, items sorted array, support).
+    """
+    if max_size not in (1, 2, 3):
+        raise ValueError(f"max_size must be 1..3, got {max_size}")
+    b = df.select(
+        F.col(basket_col).alias("__o"), F.col(item_col).alias("__i")
+    ).distinct()
+    l1 = b.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("support"))
+    l1 = l1.filter(F.col("support") >= min_support)
+    out = l1.select(
+        F.lit(1).cast("int").alias("size"),
+        F.array(F.col("__i")).alias("items"),
+        "support",
+    )
+    if max_size == 1:
+        return out
+    pruned = b.join(F.broadcast(l1.select("__i")), "__i", "left_semi")
+    x = pruned.select(F.col("__o"), F.col("__i").alias("__i1"))
+    y = pruned.select(F.col("__o"), F.col("__i").alias("__i2"))
+    pair_rows = x.join(y, "__o").filter(F.col("__i1") < F.col("__i2"))
+    l2 = (
+        pair_rows.groupBy("__i1", "__i2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = out.unionByName(
+        l2.select(
+            F.lit(2).cast("int").alias("size"),
+            F.array("__i1", "__i2").alias("items"),
+            "support",
+        )
+    )
+    if max_size == 2:
+        return out
+    # triples: only L2-frequent pairs extend, and both added edges
+    # (i1,i3) and (i2,i3) must also be L2-frequent (Apriori prune)
+    fp = pair_rows.join(F.broadcast(l2.select("__i1", "__i2")), ["__i1", "__i2"], "left_semi")
+    z = pruned.select(F.col("__o"), F.col("__i").alias("__i3"))
+    triple_rows = (
+        fp.join(z, "__o")
+        .filter(F.col("__i2") < F.col("__i3"))
+        .join(
+            F.broadcast(
+                l2.select(F.col("__i1"), F.col("__i2").alias("__i3"))
+            ),
+            ["__i1", "__i3"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                l2.select(F.col("__i1").alias("__i2"), F.col("__i2").alias("__i3"))
+            ),
+            ["__i2", "__i3"],
+            "left_semi",
+        )
+    )
+    l3 = (
+        triple_rows.groupBy("__i1", "__i2", "__i3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return out.unionByName(
+        l3.select(
+            F.lit(3).cast("int").alias("size"),
+            F.array("__i1", "__i2", "__i3").alias("items"),
+            "support",
+        )
     )

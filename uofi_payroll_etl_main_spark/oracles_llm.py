@@ -2380,3 +2380,29 @@ LLM_ORACLES["a45_mann_whitney"] = """
                        / (CAST(n_a AS DOUBLE) * n_b), 6) AS r_rb
     FROM sums CROSS JOIN tcorr
 """
+
+LLM_ORACLES["a46_itemsets"] = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ), l1 AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS support FROM b GROUP BY i
+      HAVING count(*) >= 2
+    ), pruned AS (
+      SELECT b.o, b.i FROM b SEMI JOIN l1 ON b.i = l1.i
+    ), l2 AS (
+      SELECT x.i AS i1, y.i AS i2, CAST(count(*) AS BIGINT) AS support
+      FROM pruned x JOIN pruned y ON x.o = y.o AND x.i < y.i
+      GROUP BY x.i, y.i HAVING count(*) >= 2
+    ), l3 AS (
+      SELECT x.i AS i1, y.i AS i2, z.i AS i3, CAST(count(*) AS BIGINT) AS support
+      FROM pruned x
+      JOIN pruned y ON x.o = y.o AND x.i < y.i
+      JOIN pruned z ON y.o = z.o AND y.i < z.i
+      GROUP BY x.i, y.i, z.i HAVING count(*) >= 2
+    )
+    SELECT CAST(1 AS INT) AS size, [i] AS items, support FROM l1
+    UNION ALL
+    SELECT 2, [i1, i2], support FROM l2
+    UNION ALL
+    SELECT 3, [i1, i2, i3], support FROM l3
+"""

@@ -846,6 +846,16 @@ def a45_mann_whitney(spark, sf):
     )
 
 
+def a46_itemsets(spark, sf):
+    """Apriori frequent itemsets (sizes 1-3, support >= 2) over the
+    order->part baskets (aggregates.frequent_itemsets): every
+    candidate level pruned by its frequent subsets before counting."""
+    from .aggregates import frequent_itemsets
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 def a44_join_size_est(spark, sf):
     """CMS inner-product join-size estimate (aggregates.cms_join_size)
     for orders ⋈ lineitem on orderkey -- the broadcast/salt/bucket
@@ -2080,6 +2090,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_resample_locf": w_resample_locf,
     "a45_mann_whitney": a45_mann_whitney,
     "llm_mmr_ann": llm_mmr_ann,
+    "a46_itemsets": a46_itemsets,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
