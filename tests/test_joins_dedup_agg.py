@@ -1442,3 +1442,21 @@ def test_frequent_itemsets_hand_baskets(spark):
     assert got[(2, (10, 30))] == 2 and got[(2, (20, 30))] == 2
     assert got[(3, (10, 20, 30))] == 2
     assert (2, (10, 40)) not in got                   # co-occurs only once
+
+
+def test_association_rules_confidence_and_lift(spark):
+    from uofi_payroll_etl_main_spark.aggregates import association_rules
+
+    # 4 baskets: {10,20} x3, {10} x1 -> rule 10->20 conf 3/4, 20->10 conf 1
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 10)]
+    df = spark.createDataFrame(rows, "o long, i long")
+    got = {(r.antecedent, r.consequent): r for r in
+           association_rules(df, "o", "i", min_support=2).collect()}
+    r = got[(10, 20)]
+    assert r.support == 3 and r.confidence == 0.75
+    assert r.lift == round(0.75 * 4 / 3, 6)  # P(20)=3/4 -> lift = 1
+    r2 = got[(20, 10)]
+    assert r2.confidence == 1.0 and r2.lift == 1.0
+    # min_confidence filters the weaker direction
+    strict = association_rules(df, "o", "i", min_support=2, min_confidence=0.9)
+    assert {(r.antecedent, r.consequent) for r in strict.collect()} == {(20, 10)}

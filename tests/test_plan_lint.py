@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "v16_chi_square_drift", # single-row totals broadcast (v13 shape)
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
     "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
+    "a47_assoc_rules",      # single-row n-baskets broadcast
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows
     "g12_hits",             # one-row L1-normalizer broadcast per half-iteration
     "s12_zorder_profile",   # single-row (min,max) z-range broadcast

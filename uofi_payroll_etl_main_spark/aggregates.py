@@ -33,6 +33,7 @@ __all__ = [
     "cms_join_size",
     "mann_whitney_u",
     "frequent_itemsets",
+    "association_rules",
     "winsorize",
     "robust_zscore",
     "group_spearman",
@@ -808,5 +809,64 @@ def frequent_itemsets(
             F.lit(3).cast("int").alias("size"),
             F.array("__i1", "__i2", "__i3").alias("items"),
             "support",
+        )
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Association rules X -> Y from the frequent pairs: confidence =
+    supp(X,Y)/supp(X) and lift = confidence / P(Y) -- the
+    recommendation readout on top of frequent_itemsets ("customers who
+    bought X also bought Y", flagging lift > 1 as real affinity vs
+    popularity).  Both directions of every frequent pair are emitted.
+
+    Pure post-processing of the mining output: the pair and item
+    supports are the L2/L1 aggregates (each map-side combined); the
+    rule table is frequent-pair-cardinality, joined to the broadcast
+    L1 support list twice.  n_baskets is a single-row broadcast.
+    Exact-long ratios finished in IEEE double, rounded for stability.
+    """
+    sets = frequent_itemsets(
+        df, basket_col, item_col, min_support=min_support, max_size=2
+    )
+    l1 = sets.filter(F.col("size") == 1).select(
+        F.element_at("items", 1).alias("item"), F.col("support").alias("s1")
+    )
+    pairs = sets.filter(F.col("size") == 2).select(
+        F.element_at("items", 1).alias("x"),
+        F.element_at("items", 2).alias("y"),
+        F.col("support").alias("s_xy"),
+    )
+    n_baskets = (
+        df.select(F.col(basket_col)).distinct().agg(F.count(F.lit(1)).alias("__n"))
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("y").alias("x"), F.col("x").alias("y"), "s_xy"
+        )
+    )
+    rules = (
+        both.join(F.broadcast(l1.withColumnRenamed("item", "x")
+                              .withColumnRenamed("s1", "s_x")), "x")
+        .join(F.broadcast(l1.withColumnRenamed("item", "y")
+                          .withColumnRenamed("s1", "s_y")), "y")
+        .join(F.broadcast(n_baskets))
+    )
+    conf = F.col("s_xy").cast("double") / F.col("s_x").cast("double")
+    lift = conf * F.col("__n").cast("double") / F.col("s_y").cast("double")
+    return (
+        rules.filter(conf >= F.lit(float(min_confidence)))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("s_xy").alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
         )
     )

@@ -2406,3 +2406,31 @@ LLM_ORACLES["a46_itemsets"] = """
     UNION ALL
     SELECT 3, [i1, i2, i3], support FROM l3
 """
+
+LLM_ORACLES["a47_assoc_rules"] = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ), l1 AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS s1 FROM b GROUP BY i
+      HAVING count(*) >= 3
+    ), pruned AS (
+      SELECT b.o, b.i FROM b SEMI JOIN l1 ON b.i = l1.i
+    ), l2 AS (
+      SELECT x.i AS i1, y.i AS i2, CAST(count(*) AS BIGINT) AS s_xy
+      FROM pruned x JOIN pruned y ON x.o = y.o AND x.i < y.i
+      GROUP BY x.i, y.i HAVING count(*) >= 3
+    ), dirs AS (
+      SELECT i1 AS x, i2 AS y, s_xy FROM l2
+      UNION ALL SELECT i2, i1, s_xy FROM l2
+    ), nb AS (
+      SELECT count(*) AS n FROM (SELECT DISTINCT o FROM b)
+    )
+    SELECT r.x AS antecedent, r.y AS consequent, r.s_xy AS support,
+           round(CAST(r.s_xy AS DOUBLE) / CAST(a.s1 AS DOUBLE), 6) AS confidence,
+           round(CAST(r.s_xy AS DOUBLE) / CAST(a.s1 AS DOUBLE)
+                 * CAST(nb.n AS DOUBLE) / CAST(c.s1 AS DOUBLE), 6) AS lift
+    FROM dirs r
+    JOIN l1 a ON r.x = a.i
+    JOIN l1 c ON r.y = c.i
+    CROSS JOIN nb
+"""

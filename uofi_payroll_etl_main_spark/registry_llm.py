@@ -856,6 +856,17 @@ def a46_itemsets(spark, sf):
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def a47_assoc_rules(spark, sf):
+    """Association rules over the order->part baskets
+    (aggregates.association_rules): X -> Y confidence and lift from
+    the L2/L1 supports, both directions, rule table is
+    frequent-pair-cardinality."""
+    from .aggregates import association_rules
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey", min_support=3)
+
+
 def a44_join_size_est(spark, sf):
     """CMS inner-product join-size estimate (aggregates.cms_join_size)
     for orders ⋈ lineitem on orderkey -- the broadcast/salt/bucket
@@ -2091,6 +2102,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a45_mann_whitney": a45_mann_whitney,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
+    "a47_assoc_rules": a47_assoc_rules,
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
