@@ -1460,3 +1460,38 @@ def test_association_rules_confidence_and_lift(spark):
     # min_confidence filters the weaker direction
     strict = association_rules(df, "o", "i", min_support=2, min_confidence=0.9)
     assert {(r.antecedent, r.consequent) for r in strict.collect()} == {(20, 10)}
+
+
+def test_spatial_radius_join_matches_brute_force(spark):
+    import random
+
+    from uofi_payroll_etl_main_spark.joins import spatial_radius_join
+
+    rnd = random.Random(5)
+    pa = [(i, rnd.uniform(0, 20), rnd.uniform(0, 20)) for i in range(120)]
+    pb = [(j, rnd.uniform(0, 20), rnd.uniform(0, 20)) for j in range(150)]
+    a = spark.createDataFrame(pa, "id_a long, x double, y double")
+    b = spark.createDataFrame(pb, "id_b long, x double, y double")
+    r = 1.7
+    got = {(row.id_a, row.id_b) for row in spatial_radius_join(a, b, r).collect()}
+    want = {
+        (i, j)
+        for i, xa, ya in pa
+        for j, xb, yb in pb
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    }
+    assert got == want and len(want) > 50  # dense enough to be a real check
+
+    # boundary: distance exactly == radius is INCLUDED; cell-boundary
+    # neighbors (different cells) are still found
+    a2 = spark.createDataFrame([(1, 0.0, 0.0)], "id_a long, x double, y double")
+    b2 = spark.createDataFrame(
+        [(1, 2.0, 0.0), (2, 2.0001, 0.0), (3, -1.999, 0.0)],
+        "id_b long, x double, y double",
+    )
+    got2 = {row.id_b for row in spatial_radius_join(a2, b2, 2.0).collect()}
+    assert got2 == {1, 3}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="radius"):
+        spatial_radius_join(a2, b2, 0)

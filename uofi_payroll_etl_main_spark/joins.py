@@ -41,6 +41,7 @@ __all__ = [
     "bloom_semi_join",
     "band_join",
     "FanOutWarning",
+    "spatial_radius_join",
 ]
 
 
@@ -774,4 +775,78 @@ def linkage_pairs_banded(
             score.alias("score"),
         )
         .filter(F.col("score") >= float(threshold))
+    )
+
+
+def spatial_radius_join(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radius: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Spatial radius join on a planar coordinate space: all (a, b)
+    pairs with euclidean distance <= radius -- the proximity-join
+    primitive (store-to-customer assignment, sensor correlation,
+    POI matching).
+
+    Never a cross join: both sides bucket into radius-sized grid
+    cells (floor(x/r), floor(y/r)); any pair within `radius` lands in
+    the same or an adjacent cell, so side B expands to its 3x3
+    neighbor cells (a bounded 9x map-side fan-out of (id, x, y)
+    tuples, not payloads) and candidates come from a cell-keyed EQUI
+    join, refined by the exact squared-distance predicate.  Shuffle
+    keys are cell ids; skew follows spatial density and AQE's skew
+    split applies.  For geodesic (lat/lon) inputs, project first or
+    swap the refine predicate for haversine -- the cell machinery is
+    unchanged (cell size then derives from the max meters-per-degree
+    at the latitude band).
+
+    Returns (id_a, id_b, dist) with dist rounded for cross-engine
+    stability.
+    """
+    r = float(radius)
+    if r <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    ax, ay = F.col("__ax"), F.col("__ay")
+    bx, by = F.col("__bx"), F.col("__by")
+    a = points_a.select(
+        F.col(id_a), F.col(x_col).alias("__ax"), F.col(y_col).alias("__ay"),
+        F.floor(F.col(x_col) / r).alias("__cx"),
+        F.floor(F.col(y_col) / r).alias("__cy"),
+    )
+    offsets = F.expr(
+        "array(-1,0,1)"
+    )
+    b = (
+        points_b.select(
+            F.col(id_b), F.col(x_col).alias("__bx"), F.col(y_col).alias("__by"),
+            F.floor(F.col(x_col) / r).alias("__bcx"),
+            F.floor(F.col(y_col) / r).alias("__bcy"),
+        )
+        .select(
+            id_b, "__bx", "__by",
+            F.explode(offsets).alias("__dx"), "__bcx", "__bcy",
+        )
+        .select(
+            id_b, "__bx", "__by",
+            (F.col("__bcx") + F.col("__dx")).alias("__cx"),
+            F.explode(offsets).alias("__dy"), "__bcy",
+        )
+        .select(
+            id_b, "__bx", "__by", "__cx",
+            (F.col("__bcy") + F.col("__dy")).alias("__cy"),
+        )
+    )
+    d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    return (
+        a.join(b, ["__cx", "__cy"])
+        .filter(d2 <= F.lit(r * r))
+        .select(
+            id_a,
+            id_b,
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
     )

@@ -2056,3 +2056,21 @@ CORE_ORACLES["v16_chi_square_drift"] = """
                / (CAST(tb AS DOUBLE) * (n_a + n_b) / CAST(ta + tb AS DOUBLE)), 6) AS chi2_term
     FROM counts CROSS JOIN totals
 """
+
+CORE_ORACLES["j22_spatial_join"] = """
+    WITH cust AS (
+      SELECT c_custkey AS id_a,
+             CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST(c_custkey * 61 % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer
+    ), supp AS (
+      SELECT s_suppkey AS id_b,
+             CAST(s_suppkey * 41 % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST(s_suppkey * 53 % 1000 AS DOUBLE) / 10.0 AS y
+      FROM supplier
+    )
+    SELECT c.id_a, s.id_b,
+           round(sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)), 6) AS dist
+    FROM cust c JOIN supp s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2.25
+"""

@@ -1104,6 +1104,26 @@ def llm_nfc_normalize(spark, sf):
     return normalize_unicode(docs)
 
 
+def j22_spatial_join(spark, sf):
+    """Spatial radius join (joins.spatial_radius_join): customers vs
+    suppliers on synthesized deterministic planar coordinates, all
+    pairs within radius 1.5 -- grid-cell bucketing + 3x3 neighbor
+    expansion + exact refine, never a cross join."""
+    from .joins import spatial_radius_join
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id_a"),
+        ((F.col("c_custkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 61 % 1000) / 10.0).alias("y"),
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id_b"),
+        ((F.col("s_suppkey") * 41 % 1000) / 10.0).alias("x"),
+        ((F.col("s_suppkey") * 53 % 1000) / 10.0).alias("y"),
+    )
+    return spatial_radius_join(cust, supp, radius=1.5)
+
+
 def g12_hits(spark, sf):
     """Graph family -- HITS hubs/authorities (2 L1-normalized
     iterations) over the distinct supplier->customer fulfillment
@@ -3242,6 +3262,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s21_incremental_ingest": s21_incremental_ingest,
     "s22_forget": s22_forget,
     "v16_chi_square_drift": v16_chi_square_drift,
+    "j22_spatial_join": j22_spatial_join,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
