@@ -63,6 +63,8 @@ ANSI_PROBES = [
     "e21_quarantine",
     "v13_benford",
     "w_twap",
+    "j22_spatial_join",
+    "a46_itemsets",
 ]
 
 
