@@ -759,7 +759,10 @@ def frequent_itemsets(
     )
     if max_size == 1:
         return out
-    pruned = b.join(F.broadcast(l1.select("__i")), "__i", "left_semi")
+    # pruned baskets feed BOTH sides of the pair join and the triple
+    # extension: persist so each level reads the L1-pruned frame
+    # instead of re-deriving the distinct+semi-join chain per branch
+    pruned = b.join(F.broadcast(l1.select("__i")), "__i", "left_semi").persist()
     x = pruned.select(F.col("__o"), F.col("__i").alias("__i1"))
     y = pruned.select(F.col("__o"), F.col("__i").alias("__i2"))
     pair_rows = x.join(y, "__o").filter(F.col("__i1") < F.col("__i2"))
