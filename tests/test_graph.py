@@ -445,3 +445,27 @@ def test_hits_star_graph_hub_and_authorities(spark):
     assert got2["x"].authority > got2["y"].authority  # extra in-link wins
     assert got2["h"].hub > got2["w"].hub  # 3-out hub beats 1-out hub
     assert sum(r.authority for r in got2.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    import pytest
+
+    from uofi_payroll_etl_main_spark.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    w1 = edges.withColumn("w", F.lit(7))  # uniform weights: same distribution
+    plain = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    weighted = {r.node: r.rank
+                for r in pagerank(w1, iterations=3, weight_col="w").collect()}
+    for n in plain:
+        assert weighted[n] == pytest.approx(plain[n], abs=1e-12)
+
+    # skewed weights steer the mass: a sends 9/10 of its vote to b
+    skew = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+        ["src", "dst", "w"],
+    )
+    s = {r.node: r.rank for r in pagerank(skew, iterations=3, weight_col="w").collect()}
+    assert s["b"] > weighted["b"]  # b gains vs the uniform split

@@ -39,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     redistribute_dangling: bool = False,
     tol: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list.
 
@@ -59,7 +60,13 @@ def pagerank(
     persists each iterate so the delta check doesn't recompute the
     chain; iterates are unpersisted as soon as superseded.
     """
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    cols = [F.col(src).alias("__src"), F.col(dst).alias("__dst")]
+    if weight_col is not None:
+        # weighted variant: an edge contributes rank * w / strength(u)
+        # (strength = summed out-weights) -- endorsement proportional to
+        # interaction volume instead of 1/outdeg
+        cols.append(F.col(weight_col).alias("__w"))
+    e = edges.select(*cols)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -69,7 +76,10 @@ def pagerank(
         # plan recomputes the edge build O(iterations) times
     )
     n = nodes.count()
-    deg = e.groupBy("__src").agg(F.count("*").alias("__od"))
+    if weight_col is None:
+        deg = e.groupBy("__src").agg(F.count("*").alias("__od"))
+    else:
+        deg = e.groupBy("__src").agg(F.sum("__w").alias("__od"))
     weighted = e.join(deg, "__src").persist()  # reused every iteration
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -78,7 +88,11 @@ def pagerank(
             weighted.join(ranks, weighted["__src"] == ranks["node"])
             .select(
                 F.col("__dst").alias("node"),
-                (F.col("rank") / F.col("__od")).cast("decimal(38,18)").alias("__c"),
+                (
+                    F.col("rank") / F.col("__od")
+                    if weight_col is None
+                    else F.col("rank") * F.col("__w") / F.col("__od")
+                ).cast("decimal(38,18)").alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
@@ -544,7 +558,13 @@ def personalized_pagerank(
     shuffle per iteration, scalar-only driver traffic); the oracle is
     the same unrolled SQL with the teleport vector swapped in.
     """
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    cols = [F.col(src).alias("__src"), F.col(dst).alias("__dst")]
+    if weight_col is not None:
+        # weighted variant: an edge contributes rank * w / strength(u)
+        # (strength = summed out-weights) -- endorsement proportional to
+        # interaction volume instead of 1/outdeg
+        cols.append(F.col(weight_col).alias("__w"))
+    e = edges.select(*cols)
     sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     n_seeds = sd.count()
     nodes = (
@@ -560,7 +580,10 @@ def personalized_pagerank(
         )
         .persist()
     )
-    deg = e.groupBy("__src").agg(F.count("*").alias("__od"))
+    if weight_col is None:
+        deg = e.groupBy("__src").agg(F.count("*").alias("__od"))
+    else:
+        deg = e.groupBy("__src").agg(F.sum("__w").alias("__od"))
     weighted = e.join(deg, "__src").persist()
     ranks = nodes.select("node", "__tele", F.col("__tele").alias("rank"))
     for _ in range(iterations):
@@ -568,7 +591,11 @@ def personalized_pagerank(
             weighted.join(ranks, weighted["__src"] == ranks["node"])
             .select(
                 F.col("__dst").alias("node"),
-                (F.col("rank") / F.col("__od")).cast("decimal(38,18)").alias("__c"),
+                (
+                    F.col("rank") / F.col("__od")
+                    if weight_col is None
+                    else F.col("rank") * F.col("__w") / F.col("__od")
+                ).cast("decimal(38,18)").alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
@@ -746,7 +773,13 @@ def hits(
     node frame persist across iterations.  Returns (node, hub,
     authority) for every node, zeros where a side never scores.
     """
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).persist()
+    cols = [F.col(src).alias("__src"), F.col(dst).alias("__dst")]
+    if weight_col is not None:
+        # weighted variant: an edge contributes rank * w / strength(u)
+        # (strength = summed out-weights) -- endorsement proportional to
+        # interaction volume instead of 1/outdeg
+        cols.append(F.col(weight_col).alias("__w"))
+    e = edges.select(*cols).persist()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))

@@ -2074,3 +2074,49 @@ CORE_ORACLES["j22_spatial_join"] = """
     FROM cust c JOIN supp s
       ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2.25
 """
+
+CORE_ORACLES["g13_weighted_pr"] = """
+    WITH edges AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+      SELECT count(*) AS cnt FROM nodes
+    ), deg AS (
+      SELECT src, sum(w) AS od FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / cnt AS pr FROM nodes CROSS JOIN nn
+    ), c1 AS (
+      SELECT e.dst AS node, sum(CAST(r.pr * e.w / d.od AS DECIMAL(38,18))) AS s
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n2.node,
+             (1.0 - 0.85) / nn.cnt
+             + 0.85 * coalesce(CAST(c1.s AS DOUBLE), 0.0) AS pr
+      FROM nodes n2 CROSS JOIN nn LEFT JOIN c1 ON n2.node = c1.node
+    ), c2 AS (
+      SELECT e.dst AS node, sum(CAST(r.pr * e.w / d.od AS DECIMAL(38,18))) AS s
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n2.node,
+             (1.0 - 0.85) / nn.cnt
+             + 0.85 * coalesce(CAST(c2.s AS DOUBLE), 0.0) AS pr
+      FROM nodes n2 CROSS JOIN nn LEFT JOIN c2 ON n2.node = c2.node
+    ), c3 AS (
+      SELECT e.dst AS node, sum(CAST(r.pr * e.w / d.od AS DECIMAL(38,18))) AS s
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT n2.node,
+             (1.0 - 0.85) / nn.cnt
+             + 0.85 * coalesce(CAST(c3.s AS DOUBLE), 0.0) AS pr
+      FROM nodes n2 CROSS JOIN nn LEFT JOIN c3 ON n2.node = c3.node
+    )
+    SELECT node, round(pr, 12) AS rank FROM r3
+"""

@@ -1124,6 +1124,28 @@ def j22_spatial_join(spark, sf):
     return spatial_radius_join(cust, supp, radius=1.5)
 
 
+def g13_weighted_pr(spark, sf):
+    """Weighted PageRank (3 iterations, d=0.85) over the supplier->
+    customer graph with edge weight = lineitem count per pair
+    (graph.pagerank(weight_col=...)): endorsement proportional to
+    interaction volume.  Same DECIMAL contribution discipline as g1,
+    so the unrolled weighted SQL oracle is bit-exact."""
+    from .graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    out = pagerank(edges, iterations=3, weight_col="w")
+    return out.select("node", F.round(F.col("rank"), 12).alias("rank"))
+
+
 def g12_hits(spark, sf):
     """Graph family -- HITS hubs/authorities (2 L1-normalized
     iterations) over the distinct supplier->customer fulfillment
@@ -3263,6 +3285,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s22_forget": s22_forget,
     "v16_chi_square_drift": v16_chi_square_drift,
     "j22_spatial_join": j22_spatial_join,
+    "g13_weighted_pr": g13_weighted_pr,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,
