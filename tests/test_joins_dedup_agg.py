@@ -1495,3 +1495,34 @@ def test_spatial_radius_join_matches_brute_force(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="radius"):
         spatial_radius_join(a2, b2, 0)
+
+
+def test_mask_shape_preserves_layout(spark):
+    from uofi_payroll_etl_main_spark.expressions import mask_shape
+
+    df = spark.createDataFrame(
+        [(1, "Acme-42 Corp."), (2, None), (3, "+1 (217) 555-0133")],
+        "id long, s string",
+    )
+    got = {r.id: r.m for r in df.select("id", mask_shape("s").alias("m")).collect()}
+    assert got[1] == "Xxxx-99 Xxxx."
+    assert got[2] is None
+    assert got[3] == "+9 (999) 999-9999"
+
+
+def test_lag_features_per_key_ordering(spark):
+    import datetime
+
+    from uofi_payroll_etl_main_spark.streaming.windows import lag_features
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, "a", t0 + datetime.timedelta(minutes=i), float(i)) for i in range(5)
+    ] + [(99, "b", t0, 42.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    got = {r.event_id: (r.lag_1, r.lag_3) for r in
+           lag_features(df, lags=(1, 3)).collect()}
+    assert got[0] == (None, None)       # series start: nulls, no wraparound
+    assert got[3] == (2.0, 0.0)
+    assert got[4] == (3.0, 1.0)
+    assert got[99] == (None, None)      # other key never leaks in

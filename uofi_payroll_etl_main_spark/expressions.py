@@ -55,6 +55,7 @@ __all__ = [
     "epoch_micros",
     "epoch_seconds",
     "pseudonymize",
+    "mask_shape",
 ]
 
 _STRINGY = (T.StringType, T.VarcharType, T.CharType)
@@ -304,3 +305,17 @@ def pseudonymize(col: Column | str, salt: str) -> Column:
     return F.when(
         c.isNotNull(), F.sha2(F.concat(F.lit(salt), c.cast("string")), 256)
     )
+
+
+def mask_shape(col: Column | str) -> Column:
+    """Format-preserving masking: digits -> 9, uppercase -> X,
+    lowercase -> x; length, punctuation, and layout survive.  The
+    safe-preview sibling of pseudonymize -- downstream format
+    validators (phone/ID shape checks, fixed-width parsers) still
+    pass, but the value itself is gone.  NOT reversible and NOT
+    joinable (use pseudonymize for that).  Pure codegen
+    regexp_replace chain, scan speed; null stays null."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c.cast("string"), "[0-9]", "9")
+    out = F.regexp_replace(out, "[A-Z]", "X")
+    return F.regexp_replace(out, "[a-z]", "x")

@@ -2120,3 +2120,23 @@ CORE_ORACLES["g13_weighted_pr"] = """
     )
     SELECT node, round(pr, 12) AS rank FROM r3
 """
+
+CORE_ORACLES["e23_mask_shape"] = """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             CAST(c_name AS VARCHAR), '[0-9]', '9', 'g'),
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g') AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(
+             CAST(c_mktsegment AS VARCHAR), '[0-9]', '9', 'g'),
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g') AS segment_masked
+    FROM customer
+"""
+
+CORE_ORACLES["w_lag_features"] = """
+    SELECT event_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           lag(CAST(value AS DOUBLE), 1) OVER w AS lag_1,
+           lag(CAST(value AS DOUBLE), 7) OVER w AS lag_7
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""

@@ -1124,6 +1124,29 @@ def j22_spatial_join(spark, sf):
     return spatial_radius_join(cust, supp, radius=1.5)
 
 
+def e23_mask_shape(spark, sf):
+    """E-family -- format-preserving masking of customer fields
+    (expressions.mask_shape): digits->9, upper->X, lower->x, layout
+    survives -- the safe-preview sibling of e22's joinable tokens."""
+    from .expressions import mask_shape
+
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        mask_shape("c_name").alias("name_masked"),
+        mask_shape("c_mktsegment").alias("segment_masked"),
+    )
+
+
+def w_lag_features(spark, sf):
+    """Per-type lag-feature matrix (streaming/windows.lag_features):
+    value at t-1 and t-7 in each type's event stream, all lags on ONE
+    window/shuffle."""
+    from .streaming.windows import lag_features
+
+    return lag_features(_t(spark, sf, "events"), lags=(1, 7))
+
+
 def g13_weighted_pr(spark, sf):
     """Weighted PageRank (3 iterations, d=0.85) over the supplier->
     customer graph with edge weight = lineitem count per pair
@@ -3286,6 +3309,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v16_chi_square_drift": v16_chi_square_drift,
     "j22_spatial_join": j22_spatial_join,
     "g13_weighted_pr": g13_weighted_pr,
+    "e23_mask_shape": e23_mask_shape,
+    "w_lag_features": w_lag_features,
     "j11_semi_join": j11_semi_join,
     "j12_anti_join": j12_anti_join,
     "j13_full_outer": j13_full_outer,

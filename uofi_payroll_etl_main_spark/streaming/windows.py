@@ -28,6 +28,7 @@ __all__ = [
     "cusum_alerts",
     "time_weighted_avg",
     "resample_locf",
+    "lag_features",
     "funnel_steps",
     "cohort_retention",
     "interval_coverage",
@@ -711,4 +712,30 @@ def resample_locf(
             F.col(by),
             F.round(F.last("__obs", ignorenulls=True).over(w), 6).alias("value_locf"),
         )
+    )
+
+
+def lag_features(
+    events: DataFrame,
+    by: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value: str = "value",
+    lags: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Per-key lag-feature matrix: for every observation, the value 1,
+    7, ... steps back in the SAME key's ordered series -- the
+    feature-engineering primitive behind autoregressive models and
+    "vs last period" dashboards.  ALL lags ride ONE window over ONE
+    key shuffle (Catalyst stacks the lag() calls on a single sort);
+    early rows get nulls, never wraparound.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(*[F.col(c) for c in order_cols])
+    v = F.col(value).cast("double")
+    return events.select(
+        "event_id",
+        F.col(by),
+        v.alias(value),
+        *[F.lag(v, int(k)).over(w).alias(f"lag_{k}") for k in lags],
     )
