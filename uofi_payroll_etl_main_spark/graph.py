@@ -545,6 +545,7 @@ def personalized_pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized (seed-teleport) PageRank: the random surfer
     restarts only into the SEED set, so rank measures proximity to the
@@ -773,13 +774,7 @@ def hits(
     node frame persist across iterations.  Returns (node, hub,
     authority) for every node, zeros where a side never scores.
     """
-    cols = [F.col(src).alias("__src"), F.col(dst).alias("__dst")]
-    if weight_col is not None:
-        # weighted variant: an edge contributes rank * w / strength(u)
-        # (strength = summed out-weights) -- endorsement proportional to
-        # interaction volume instead of 1/outdeg
-        cols.append(F.col(weight_col).alias("__w"))
-    e = edges.select(*cols).persist()
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).persist()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
