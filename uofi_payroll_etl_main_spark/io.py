@@ -484,10 +484,9 @@ def merge_upsert(
 
     Returns the merged DataFrame (also written back to `path`).
     """
-    import os
-    import shutil
-
     from pyspark.sql import Window
+
+    from . import fs
 
     existing = spark.read.parquet(path)
     # updates sort after existing at equal order -> updates win ties
@@ -500,21 +499,19 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+    path = fs.canon(path)
     tmp = path.rstrip("/") + ".__merge_tmp"
     swap = path.rstrip("/") + ".__merge_old"
     # clear debris from a previous crashed merge: a leftover swap dir
-    # would make os.rename(path, swap) fail outright; a leftover tmp is
+    # would make the retire rename fail outright; a leftover tmp is
     # simply overwritten by the write below
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
+    fs.delete(swap)
     merged.write.mode("overwrite").parquet(tmp)  # write IS the materialization
     # POSIX offers no atomic directory swap: a crash between the two
     # renames leaves the data at `swap` (recoverable by renaming back),
     # never deleted.  A table format (Delta/Iceberg) turns this window
     # into a metadata commit; for plain parquet this is the floor.
-    os.rename(path, swap)
-    os.rename(tmp, path)
-    shutil.rmtree(swap)
+    fs.atomic_swap(path, tmp, swap)
     return spark.read.parquet(path)
 
 
@@ -539,8 +536,7 @@ def merge_additive(
     Applying deltas in any grouping is associative, so two deltas fold
     to the same rollup as one combined recompute (pytest-asserted).
     """
-    import os
-    import shutil
+    from . import fs
 
     existing = spark.read.parquet(path)
     merged = (
@@ -548,14 +544,12 @@ def merge_additive(
         .groupBy(*[F.col(k) for k in keys])
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+    path = fs.canon(path)
     tmp = path.rstrip("/") + ".__merge_tmp"
     swap = path.rstrip("/") + ".__merge_old"
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
+    fs.delete(swap)
     merged.write.mode("overwrite").parquet(tmp)
-    os.rename(path, swap)
-    os.rename(tmp, path)
-    shutil.rmtree(swap)
+    fs.atomic_swap(path, tmp, swap)
     return spark.read.parquet(path)
 
 
@@ -569,20 +563,17 @@ def compact(spark: SparkSession, path: str, target_files: int) -> DataFrame:
     overhead once the file count outgrows split planning.  coalesce
     (no shuffle) when reducing file count; repartition only to grow.
     """
-    import os
-    import shutil
+    from . import fs
 
     df = spark.read.parquet(path)
     n_now = df.rdd.getNumPartitions()
     out = df.coalesce(target_files) if target_files <= n_now else df.repartition(target_files)
+    path = fs.canon(path)
     tmp = path.rstrip("/") + ".__compact_tmp"
     swap = path.rstrip("/") + ".__compact_old"
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
+    fs.delete(swap)
     out.write.mode("overwrite").parquet(tmp)
-    os.rename(path, swap)
-    os.rename(tmp, path)
-    shutil.rmtree(swap)
+    fs.atomic_swap(path, tmp, swap)
     return spark.read.parquet(path)
 
 
@@ -675,42 +666,24 @@ def snapshot_diff(
 # Versioned snapshot store (table-format-lite: publish + time travel)
 # ---------------------------------------------------------------------------
 
-def _local_store_root(root: str) -> str:
-    """Validate that a versioned-store root is a driver-local path.
-
-    The store's commit protocol lists directories with os.listdir, so
-    the root MUST live on the driver's local filesystem; an s3:// or
-    hdfs:// root would silently read as an empty store while
-    df.write.parquet happily wrote to the remote filesystem, splitting
-    the commit protocol from the data path.  `file://` URIs are
-    normalized to a plain path; any other scheme raises loudly.  (A
-    production edition would list via the Hadoop FileSystem API so
-    both halves share one filesystem abstraction.)
-    """
-    if root.startswith("file://"):
-        return root[len("file://"):]
-    if "://" in root:
-        raise ValueError(
-            f"versioned store root must be a local path, got {root!r}: "
-            "the version listing uses the driver's local filesystem"
-        )
-    return root
-
-
 def list_versions(root: str) -> list[int]:
     """Committed versions at `root`, ascending.  A version counts only
     once its Spark `_SUCCESS` marker exists -- half-written snapshots
-    (crashed writers) are invisible to every reader."""
-    import os
+    (crashed writers) are invisible to every reader.
+
+    All metadata ops go through the Hadoop FileSystem API of the
+    active session (see fs.py), so `root` may be any URI the data
+    path accepts -- local, file://, hdfs://, s3a:// -- and the commit
+    protocol and df.write.parquet share one filesystem."""
     import re as _re
 
-    root = _local_store_root(root)
-    if not os.path.isdir(root):
-        return []
+    from . import fs
+
+    root = fs.canon(root)
     out = []
-    for name in os.listdir(root):
+    for name in fs.listdir(root):
         m = _re.fullmatch(r"v=(\d+)", name)
-        if m and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+        if m and fs.exists(fs.join(root, name, "_SUCCESS")):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -742,32 +715,23 @@ def write_version(df: DataFrame, root: str, stale_after_s: float = 600.0) -> int
     loop write_version_if documents.  Committed versions are never
     touched.
     """
-    import os
-    import shutil
     import time
 
-    root = _local_store_root(root)
+    from . import fs
+
+    root = fs.canon(root)
     vs = list_versions(root)
     n = (vs[-1] + 1) if vs else 1
-    target = os.path.join(root, f"v={n}")
-    if os.path.isdir(target) and not os.path.exists(
-        os.path.join(target, "_SUCCESS")
-    ):
-        newest = max(
-            (
-                os.path.getmtime(os.path.join(dirpath, f))
-                for dirpath, _dirs, files in os.walk(target)
-                for f in files
-            ),
-            default=os.path.getmtime(target),
-        )
+    target = fs.join(root, f"v={n}")
+    if fs.is_dir(target) and not fs.exists(fs.join(target, "_SUCCESS")):
+        newest = fs.newest_mtime(target)
         if time.time() - newest < stale_after_s:
             raise ConcurrentWriteError(
                 f"uncommitted {target} was modified {time.time() - newest:.0f}s "
                 f"ago (< stale_after_s={stale_after_s:g}): another writer "
                 "appears in flight; back off and retry"
             )
-        shutil.rmtree(target)
+        fs.delete(target)
     df.write.mode("error").parquet(target)
     return n
 
@@ -778,7 +742,7 @@ def read_version(
     """Time-travel read: the given committed version, or the latest.
     Raises if the store is empty or the pinned version was never
     committed."""
-    import os
+    from . import fs
 
     vs = list_versions(root)
     if not vs:
@@ -786,7 +750,7 @@ def read_version(
     v = vs[-1] if version is None else int(version)
     if v not in vs:
         raise FileNotFoundError(f"version {v} not committed under {root} (have {vs})")
-    return spark.read.parquet(os.path.join(root, f"v={v}"))
+    return spark.read.parquet(fs.join(fs.canon(root), f"v={v}"))
 
 
 def write_version_if(
@@ -830,22 +794,21 @@ def vacuum_versions(root: str, keep_latest: int = 2) -> list[int]:
     keep_latest must be >= 1: the latest committed version is never
     deletable.
     """
-    import os
     import re as _re
-    import shutil
+
+    from . import fs
 
     if keep_latest < 1:
         raise ValueError("keep_latest must be >= 1")
-    root = _local_store_root(root)
+    root = fs.canon(root)
     committed = list_versions(root)
     keep = set(committed[-int(keep_latest):])
     deleted = []
-    if not os.path.isdir(root):
-        return deleted
-    # numeric order, not lexicographic: os.listdir sorts 'v=10' before
-    # 'v=2', which would break the documented ascending return order
+    # numeric order, not lexicographic: a name listing sorts 'v=10'
+    # before 'v=2', which would break the documented ascending return
+    # order
     candidates = []
-    for name in os.listdir(root):
+    for name in fs.listdir(root):
         m = _re.fullmatch(r"v=(\d+)", name)
         if m:
             candidates.append((int(m.group(1)), name))
@@ -856,7 +819,7 @@ def vacuum_versions(root: str, keep_latest: int = 2) -> list[int]:
         if (committed_v and v not in keep) or (
             not committed_v and keep and v < max(keep)
         ):
-            shutil.rmtree(os.path.join(root, name))
+            fs.delete(fs.join(root, name))
             if committed_v:
                 deleted.append(v)
     return deleted
@@ -920,21 +883,24 @@ def write_version_checked(
 
 def list_unprocessed(spark: SparkSession, src_dir: str, manifest_path: str) -> list[str]:
     """File-level incremental-ingest discovery: the data files under
-    `src_dir` (non-recursive, *.parquet, committer sidecars excluded)
+    `src_dir` (recursive, *.parquet, committer sidecars excluded)
     that the manifest has NOT recorded yet, sorted for deterministic
-    processing order.  Local-filesystem contract and rationale shared
-    with the versioned store (_local_store_root)."""
-    root = _local_store_root(src_dir)
-    files = sorted(
-        os.path.join(d, f)
-        for d, _dirs, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    processing order.  Listing goes through the Hadoop FileSystem API
+    (fs.py), same contract as the versioned store: any URI the data
+    path accepts works here."""
+    from . import fs
+
+    files = [
+        f
+        for f in fs.list_files(fs.canon(src_dir))
+        if f.endswith(".parquet")
+        and not os.path.basename(f).startswith(("_", "."))
+    ]
     seen: set[str] = set()
-    mroot = _local_store_root(manifest_path)
-    if os.path.isdir(mroot) and any(
-        f.endswith(".parquet") for f in os.listdir(mroot)
+    mroot = fs.canon(manifest_path)
+    if any(
+        f.endswith(".parquet") and not os.path.basename(f).startswith(("_", "."))
+        for f in fs.list_files(mroot)
     ):
         seen = {r.file_path for r in spark.read.parquet(manifest_path).collect()}
     return [f for f in files if f not in seen]
@@ -999,19 +965,19 @@ def delete_rows(
     a stable key range and rewrite only partitions containing subjects
     (the anti-join's matched-partition set); table formats turn the
     rewrite into a delete-vector commit, but the anti-join below is
-    the same.  Returns the surviving DataFrame (also written back).
+    the same.  Swap atomicity is per-scheme (fs.atomic_swap): on an
+    object store prefer a versioned publish.  Returns the surviving
+    DataFrame (also written back).
     """
-    import shutil
+    from . import fs
 
     key_list = list(keys)
     existing = spark.read.parquet(path)
     kept = existing.join(F.broadcast(subjects.select(*key_list).distinct()), key_list, "left_anti")
+    path = fs.canon(path)
     tmp = path.rstrip("/") + ".__delete_tmp"
     swap = path.rstrip("/") + ".__delete_old"
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
+    fs.delete(swap)
     kept.write.mode("overwrite").parquet(tmp)
-    os.rename(path, swap)
-    os.rename(tmp, path)
-    shutil.rmtree(swap)
+    fs.atomic_swap(path, tmp, swap)
     return spark.read.parquet(path)
