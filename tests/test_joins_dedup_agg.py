@@ -1495,6 +1495,78 @@ def test_spatial_radius_join_matches_brute_force(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="radius"):
         spatial_radius_join(a2, b2, 0)
+    with _pytest.raises(ValueError, match="metric"):
+        spatial_radius_join(a2, b2, 1.0, metric="manhattan")
+
+
+def _haversine_ref(lat1, lon1, lat2, lon2):
+    import math
+
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2.0
+    dl = math.radians(lon2 - lon1) / 2.0
+    h = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2.0 * r * math.asin(math.sqrt(min(1.0, h)))
+
+
+def test_spatial_haversine_matches_brute_force(spark):
+    import random
+
+    from uofi_payroll_etl_main_spark.joins import spatial_radius_join
+
+    rnd = random.Random(11)
+    pa = [
+        (i, rnd.uniform(-180, 180), rnd.uniform(-88, 88)) for i in range(150)
+    ]
+    pb = [
+        (j, rnd.uniform(-180, 180), rnd.uniform(-88, 88)) for j in range(150)
+    ]
+    a = spark.createDataFrame(pa, "id_a long, x double, y double")
+    b = spark.createDataFrame(pb, "id_b long, x double, y double")
+    r_km = 1500.0
+    got = {
+        (row.id_a, row.id_b)
+        for row in spatial_radius_join(a, b, r_km, metric="haversine").collect()
+    }
+    want = {
+        (i, j)
+        for i, lon_a, lat_a in pa
+        for j, lon_b, lat_b in pb
+        if _haversine_ref(lat_a, lon_a, lat_b, lon_b) <= r_km
+    }
+    assert got == want and len(want) > 100  # dense enough to be a real check
+
+
+def test_spatial_haversine_antimeridian_and_poles(spark):
+    from uofi_payroll_etl_main_spark.joins import spatial_radius_join
+
+    # antimeridian: lon +179.9 and -179.9 at the same latitude are ~17 km
+    # apart, an ocean away in naive lon arithmetic
+    a = spark.createDataFrame(
+        [(1, 179.9, 10.0), (2, 0.0, 89.9)], "id_a long, x double, y double"
+    )
+    b = spark.createDataFrame(
+        [
+            (10, -179.9, 10.0),   # wraps: ~21.9 km from a1
+            (11, 179.9, 10.5),    # same side, ~55.6 km from a1
+            (12, -179.9, -10.0),  # wrong hemisphere
+            (20, 180.0, 89.9),    # near-pole: 180 deg of longitude away,
+                                  # but only ~22 km over the top from a2
+            (21, -90.0, 89.95),   # near-pole, different meridian
+        ],
+        "id_b long, x double, y double",
+    )
+    got = {
+        (row.id_a, row.id_b): row.dist
+        for row in spatial_radius_join(a, b, 100.0, metric="haversine").collect()
+    }
+    assert set(got) == {(1, 10), (1, 11), (2, 20), (2, 21)}
+    for pair, dist in got.items():
+        a_row = {1: (179.9, 10.0), 2: (0.0, 89.9)}[pair[0]]
+        b_row = {10: (-179.9, 10.0), 11: (179.9, 10.5), 20: (180.0, 89.9), 21: (-90.0, 89.95)}[pair[1]]
+        want = _haversine_ref(a_row[1], a_row[0], b_row[1], b_row[0])
+        assert abs(dist - want) < 1e-5, (pair, dist, want)
 
 
 def test_mask_shape_preserves_layout(spark):

@@ -778,6 +778,21 @@ def linkage_pairs_banded(
     )
 
 
+_EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+_KM_PER_DEG_LAT = _EARTH_RADIUS_KM * 3.141592653589793 / 180.0  # ~111.195
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km between two (lat, lon) degree pairs
+    -- pure built-in trig, codegen-friendly."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2.0
+    dl = F.radians(lon2 - lon1) / 2.0
+    h = F.sin(dp) * F.sin(dp) + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    # clamp: float error can push h epsilon past 1 for near-antipodes
+    return 2.0 * _EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
 def spatial_radius_join(
     points_a: DataFrame,
     points_b: DataFrame,
@@ -786,23 +801,36 @@ def spatial_radius_join(
     id_b: str = "id_b",
     x_col: str = "x",
     y_col: str = "y",
+    metric: str = "euclidean",
 ) -> DataFrame:
-    """Spatial radius join on a planar coordinate space: all (a, b)
-    pairs with euclidean distance <= radius -- the proximity-join
-    primitive (store-to-customer assignment, sensor correlation,
-    POI matching).
+    """Spatial radius join: all (a, b) pairs within `radius` -- the
+    proximity-join primitive (store-to-customer assignment, sensor
+    correlation, POI matching).
+
+    metric="euclidean": planar coordinates, radius in the same unit.
+    metric="haversine": x_col = longitude deg, y_col = latitude deg,
+    radius in KILOMETERS, exact great-circle refine.
 
     Never a cross join: both sides bucket into radius-sized grid
-    cells (floor(x/r), floor(y/r)); any pair within `radius` lands in
-    the same or an adjacent cell, so side B expands to its 3x3
-    neighbor cells (a bounded 9x map-side fan-out of (id, x, y)
-    tuples, not payloads) and candidates come from a cell-keyed EQUI
-    join, refined by the exact squared-distance predicate.  Shuffle
-    keys are cell ids; skew follows spatial density and AQE's skew
-    split applies.  For geodesic (lat/lon) inputs, project first or
-    swap the refine predicate for haversine -- the cell machinery is
-    unchanged (cell size then derives from the max meters-per-degree
-    at the latitude band).
+    cells; any pair within `radius` lands in the same or an adjacent
+    cell, so side B expands to its 3x3 neighbor cells (a bounded 9x
+    map-side fan-out of (id, x, y) tuples, not payloads) and
+    candidates come from a cell-keyed EQUI join, refined by the exact
+    distance predicate.  Shuffle keys are cell ids; skew follows
+    spatial density and AQE's skew split applies.
+
+    Geodesic cells (metric="haversine"): latitude bands are uniform
+    (radius / km-per-degree-lat); longitude cell WIDTH derives from the
+    minimum cos(lat) of each latitude band (degrees-per-km grows
+    toward the poles), with the band's cell count floored so every
+    cell is at least one radius wide -- a pair can then never span
+    more than adjacent cells.  Longitude cells wrap modulo the band's
+    cell count, so antimeridian neighbors (lon 179.9 vs -179.9) land
+    in adjacent cells; a band whose edge reaches a pole collapses to
+    ONE longitude cell (cos -> 0 means all longitudes converge).
+    Neighbor expansion computes B's longitude cell under EACH probed
+    latitude band's own grid, keeping the key an equi-join across
+    bands with different cell widths.
 
     Returns (id_a, id_b, dist) with dist rounded for cross-engine
     stability.
@@ -810,6 +838,12 @@ def spatial_radius_join(
     r = float(radius)
     if r <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
+    if metric == "haversine":
+        return _spatial_radius_join_haversine(
+            points_a, points_b, r, id_a, id_b, x_col, y_col
+        )
+    if metric != "euclidean":
+        raise ValueError(f"unknown metric {metric!r}: euclidean|haversine")
     ax, ay = F.col("__ax"), F.col("__ay")
     bx, by = F.col("__bx"), F.col("__by")
     a = points_a.select(
@@ -849,4 +883,104 @@ def spatial_radius_join(
             id_b,
             F.round(F.sqrt(d2), 6).alias("dist"),
         )
+    )
+
+
+def _spatial_radius_join_haversine(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    r_km: float,
+    id_a: str,
+    id_b: str,
+    lon_col: str,
+    lat_col: str,
+) -> DataFrame:
+    """Geodesic grid-cell radius join (see spatial_radius_join docstring
+    for the cell-sizing proof sketch).  Latitude bands are uniform;
+    each band's longitude cell count n derives from the band's minimum
+    cos(lat) EXTENDED one band each side (neighbor probes read B's
+    cell under the probed band's grid) via the exact bound
+    delta_lambda <= 2*asin(min(1, r / (2*R*cos))) -- so a pair within
+    r km never spans more than adjacent cells, including across the
+    antimeridian (cells wrap mod n) and at the poles (n collapses to
+    a whole-band cell).  Candidate fan-out stays the bounded 3x3 of
+    the planar version; array_distinct collapses wrapped duplicates
+    map-side, so no dedup shuffle."""
+    import math
+
+    dlat = r_km / _KM_PER_DEG_LAT  # band height in degrees
+
+    def n_cells(band):
+        # worst |lat| edge over this band AND its probe neighbors
+        edge_deg = (
+            (F.greatest(F.abs(band), F.abs(band + F.lit(1))) + F.lit(1)).cast("double")
+            * F.lit(dlat)
+        )
+        c = F.cos(F.radians(F.least(edge_deg, F.lit(90.0))))
+        x = F.least(
+            F.lit(1.0),
+            F.lit(r_km) / (F.lit(2.0 * _EARTH_RADIUS_KM) * F.greatest(c, F.lit(1e-12))),
+        )
+        dl_max = 2.0 * F.asin(x)  # radians; widest lon gap a pair can have
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(2.0 * math.pi) / dl_max).cast("long"),
+        )
+
+    def cell(lon, n):
+        raw = F.floor((lon + F.lit(180.0)) * n.cast("double") / F.lit(360.0)).cast(
+            "long"
+        )
+        # lon == 180.0 exactly maps past the last cell; clamp
+        return F.least(F.greatest(raw, F.lit(0).cast("long")), n - F.lit(1))
+
+    a = (
+        points_a.select(
+            F.col(id_a),
+            F.col(lon_col).alias("__alon"),
+            F.col(lat_col).alias("__alat"),
+        )
+        .withColumn("__band", F.floor(F.col("__alat") / F.lit(dlat)).cast("long"))
+        .withColumn("__n", n_cells(F.col("__band")))
+        .withColumn("__cx", cell(F.col("__alon"), F.col("__n")))
+        .select(id_a, "__alon", "__alat", "__band", "__cx")
+    )
+    b = (
+        points_b.select(
+            F.col(id_b),
+            F.col(lon_col).alias("__blon"),
+            F.col(lat_col).alias("__blat"),
+        )
+        .withColumn("__b0", F.floor(F.col("__blat") / F.lit(dlat)).cast("long"))
+        .withColumn(
+            "__band",
+            F.explode(
+                F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1)
+            ),
+        )
+        .withColumn("__n", n_cells(F.col("__band")))
+        .withColumn("__c0", cell(F.col("__blon"), F.col("__n")))
+        # wrapped neighbors (mod n) collapse to the same cell when n is
+        # small; array_distinct dedups map-side, before any shuffle
+        .withColumn(
+            "__cx",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.pmod(F.col("__c0") - 1, F.col("__n")),
+                        F.col("__c0"),
+                        F.pmod(F.col("__c0") + 1, F.col("__n")),
+                    )
+                )
+            ),
+        )
+        .select(id_b, "__blon", "__blat", "__band", "__cx")
+    )
+    dist = _haversine_km(
+        F.col("__alat"), F.col("__alon"), F.col("__blat"), F.col("__blon")
+    )
+    return (
+        a.join(b, ["__band", "__cx"])
+        .filter(dist <= F.lit(r_km))
+        .select(id_a, id_b, F.round(dist, 6).alias("dist"))
     )

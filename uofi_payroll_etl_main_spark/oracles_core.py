@@ -2075,6 +2075,29 @@ CORE_ORACLES["j22_spatial_join"] = """
       ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2.25
 """
 
+CORE_ORACLES["j22b_spatial_haversine"] = """
+    WITH cust AS (
+      SELECT c_custkey AS id_a,
+             CAST(c_custkey * 37 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+             CAST(c_custkey * 61 % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+      FROM customer
+    ), supp AS (
+      SELECT s_suppkey AS id_b,
+             CAST(s_suppkey * 41 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+             CAST(s_suppkey * 53 % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+      FROM supplier
+    ), pairs AS (
+      SELECT c.id_a, s.id_b,
+             2.0 * 6371.0088 * asin(sqrt(least(1.0,
+               sin(radians(s.lat - c.lat) / 2.0) * sin(radians(s.lat - c.lat) / 2.0)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * sin(radians(s.lon - c.lon) / 2.0) * sin(radians(s.lon - c.lon) / 2.0)
+             ))) AS d
+      FROM cust c JOIN supp s ON TRUE
+    )
+    SELECT id_a, id_b, round(d, 6) AS dist FROM pairs WHERE d <= 200.0
+"""
+
 CORE_ORACLES["g13_weighted_pr"] = """
     WITH edges AS (
       SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -1124,6 +1124,27 @@ def j22_spatial_join(spark, sf):
     return spatial_radius_join(cust, supp, radius=1.5)
 
 
+def j22b_spatial_haversine(spark, sf):
+    """Geodesic spatial radius join (joins.spatial_radius_join with
+    metric='haversine'): customers vs suppliers on synthesized
+    deterministic lon/lat, all pairs within 200 km great-circle
+    distance -- latitude-band grid cells with per-band longitude cell
+    sizing, antimeridian wrap, pole collapse; exact haversine refine."""
+    from .joins import spatial_radius_join
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id_a"),
+        ((F.col("c_custkey") * 37 % 3600) / 10.0 - 180.0).alias("x"),
+        ((F.col("c_custkey") * 61 % 1700) / 10.0 - 85.0).alias("y"),
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id_b"),
+        ((F.col("s_suppkey") * 41 % 3600) / 10.0 - 180.0).alias("x"),
+        ((F.col("s_suppkey") * 53 % 1700) / 10.0 - 85.0).alias("y"),
+    )
+    return spatial_radius_join(cust, supp, radius=200.0, metric="haversine")
+
+
 def e23_mask_shape(spark, sf):
     """E-family -- format-preserving masking of customer fields
     (expressions.mask_shape): digits->9, upper->X, lower->x, layout
@@ -3308,6 +3329,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s22_forget": s22_forget,
     "v16_chi_square_drift": v16_chi_square_drift,
     "j22_spatial_join": j22_spatial_join,
+    "j22b_spatial_haversine": j22b_spatial_haversine,
     "g13_weighted_pr": g13_weighted_pr,
     "e23_mask_shape": e23_mask_shape,
     "w_lag_features": w_lag_features,
