@@ -1175,6 +1175,40 @@ LLM_ORACLES: dict[str, str] = {
          AND c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
+    "st_interval_join_outer": """
+        -- batch emulation of the watermark-drop LEFT OUTER emission:
+        -- matched rows always emit; an unmatched click emits its null
+        -- row only once the final watermark proves no match can still
+        -- arrive.  The final watermark is the MIN over the two sides'
+        -- watermark operators (each side = its own max event time minus
+        -- the 2h delay), and a click is provably unmatchable when its
+        -- joinable horizon (click_ts + 1h) lies below that watermark.
+        WITH wm AS (
+          SELECT least(
+                   max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'purchase')
+                 ) - INTERVAL 2 HOUR AS w
+          FROM events
+        ),
+        c AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT user_id AS pu, ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+          SELECT c.click_id, c.user_id, c.click_ts, p.purchase_ts, p.purchase_value
+          FROM c LEFT JOIN p
+            ON c.user_id = p.pu
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        SELECT click_id, user_id, click_ts, purchase_ts, purchase_value
+        FROM j, wm
+        WHERE purchase_ts IS NOT NULL OR (click_ts + INTERVAL 1 HOUR) < wm.w
+    """,
     "st_dedup": """
         SELECT event_id, user_id, event_type FROM events
     """,

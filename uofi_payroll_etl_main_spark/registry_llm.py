@@ -961,10 +961,12 @@ def st_interval_join(spark, sf):
 
 
 def st_interval_join_outer(spark, sf):
-    """LEFT OUTER watermarked stream-stream interval join (rows-only:
-    end-of-stream rows whose horizon the final watermark never passes
-    are withheld by design, so no batch SQL reproduces the emitted set;
-    containment vs the inner tier is asserted in pytest)."""
+    """LEFT OUTER watermarked stream-stream interval join.  Oracle:
+    batch left join filtered to the rows the final watermark proves
+    emittable -- matched rows, plus unmatched clicks whose joinable
+    horizon lies below min(per-side max ts) - watermark delay (the
+    end-of-stream rows the stream withholds are exactly the ones the
+    filter drops)."""
     from .streaming.streams import streaming_interval_join_outer
 
     run_to_memory(
