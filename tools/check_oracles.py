@@ -75,11 +75,78 @@ def frames_match(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
     return True, "ok"
 
 
+def run_gate(
+    spark,
+    sf_dir: str = SF_DIR,
+    names: list[str] | None = None,
+    filters: list[str] | None = None,
+    verbose: bool = True,
+) -> tuple[int, int, list[str]]:
+    """Run the oracle gate over the registry: every queries() entry on
+    Spark and its oracle_sql() on DuckDB, comparing rows + schema +
+    values.  `names` pins an exact query list; `filters` keeps entries
+    whose name contains any substring.  Returns
+    (n_pass, n_rowsonly, failing_names) -- reusable from pytest
+    (tests/test_oracle_gate.py) and from the CLI below."""
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+
+    def say(msg):
+        if verbose:
+            print(msg)
+
+    for name, fn in qs.items():
+        if names is not None and name not in names:
+            continue
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            say(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            n_rowsonly += 1
+            say(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            say(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
+            continue
+        ok, why = frames_match(sdf, ddf)
+        if ok:
+            n_pass += 1
+            say(f"pass  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            failures.append(name)
+            say(f"FAIL  {name}: {why}")
+    say(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if failures:
+        say("failing: " + " ".join(failures))
+    return n_pass, n_rowsonly, failures
+
+
 def main() -> int:
     args = sys.argv[1:]
     use_ansi = "--ansi" in args
     filters = [a for a in args if a != "--ansi"]
-    import __spark_entry__ as entrymod
 
     if use_ansi:
         from pyspark.sql import SparkSession
@@ -89,50 +156,8 @@ def main() -> int:
         from uofi_payroll_etl_main_spark.session import get_spark
 
         spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
-    failures = []
-    for name, fn in qs.items():
-        if filters and not any(f in name for f in filters):
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, SF_DIR).toPandas()
-        except Exception:
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
-            continue
-        if name not in oracles:
-            n_rowsonly += 1
-            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception:
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
-            continue
-        ok, why = frames_match(sdf, ddf)
-        if ok:
-            n_pass += 1
-            print(f"pass  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
-        else:
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL  {name}: {why}")
-    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
-    if failures:
-        print("failing:", " ".join(failures))
-    return 1 if n_fail else 0
+    _, _, failures = run_gate(spark, SF_DIR, filters=filters or None)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
