@@ -18,6 +18,7 @@ from uofi_payroll_etl_main_spark.llm.jpeg import (
     ZIGZAG,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from uofi_payroll_etl_main_spark.llm.multimodal import decode_media
 
@@ -90,12 +91,24 @@ def test_decode_media_dispatches_jpeg():
     assert np.abs(got["pixels"].astype(int) - px.astype(int)).max() <= 4
 
 
-def test_progressive_sof_raises():
+def test_invalid_progressive_header_raises():
+    # flipping a baseline SOF0 to SOF2 yields an ILLEGAL progressive
+    # stream (its SOS covers Ss=0..Se=63, which progressive forbids);
+    # the decoder must refuse rather than misread it
     px = _smooth(8, 8)
     payload = bytearray(encode_jpeg(px))
     i = payload.index(b"\xff\xc0")
     payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg(bytes(payload))
+
+
+def test_arithmetic_sof_raises():
+    px = _smooth(8, 8)
+    payload = bytearray(encode_jpeg(px))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(payload))
 
 
@@ -166,3 +179,136 @@ def test_encoder_emits_parseable_segments():
     assert payload.count(b"\xff\xdb") >= 2
     assert payload.count(b"\xff\xc4") >= 2
     assert payload.count(b"\xff\xda") == 1
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2): spectral selection + successive approximation
+# --------------------------------------------------------------------------
+
+def _textured(h: int, w: int, seed: int = 7, gray: bool = False) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (127 + 60 * np.sin(xx / 5.0) + 50 * np.cos(yy / 7.0)).clip(0, 255)
+    if gray:
+        return (base + rng.integers(-20, 20, base.shape)).clip(0, 255).astype(np.uint8)
+    px = np.stack([base, np.roll(base, 3, 0), np.roll(base, 5, 1)], axis=-1)
+    return (px + rng.integers(-20, 20, px.shape)).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape,sub,quality",
+    [
+        ((24, 40, 3), "444", 90),
+        ((24, 40, 3), "420", 90),
+        ((17, 31, 3), "444", 50),  # odd dims exercise padding + comp grids
+        ((17, 31, 3), "420", 50),  # 420 comp grid != MCU-padded grid
+        ((16, 16), "444", 90),     # grayscale
+        ((9, 13), "444", 75),
+    ],
+)
+def test_progressive_decodes_identical_to_baseline_twin(shape, sub, quality):
+    # same quant tables + same DCT => a progressive encode must decode
+    # to EXACTLY the coefficients of its baseline twin, hence identical
+    # pixels -- the strongest possible cross-check of both new halves
+    px = _textured(*shape[:2], gray=len(shape) == 2)
+    base = decode_jpeg(encode_jpeg(px, quality=quality, subsampling=sub))
+    prog_payload = encode_jpeg_progressive(px, quality=quality, subsampling=sub)
+    assert b"\xff\xc2" in prog_payload  # really SOF2
+    prog = decode_jpeg(prog_payload)
+    assert base[0] == prog[0] and base[1] == prog[1]
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_progressive_coefficient_fuzz_eobruns_and_refinement():
+    # Coefficient-level fuzz of the progressive AC codec: sparse random
+    # zigzag blocks force long EOB runs (many all-zero bands), ZRL
+    # inside refinement (gaps > 16 before a newly-nonzero +/-1), and
+    # correction-bit buffering across blocks.  Encode DC+AC at Al=1
+    # then refine to Al=0; decode must reproduce the blocks exactly.
+    from uofi_payroll_etl_main_spark.llm.jpeg import (
+        _AC_PROG_BITS,
+        _AC_PROG_SYMBOLS,
+        _BitReader,
+        _BitWriter,
+        _DC_BITS,
+        _DC_SYMBOLS,
+        _ProgEncState,
+        _ScanState,
+        _decode_block_prog,
+        _emit_eobrun,
+        _encode_ac_first,
+        _encode_ac_refine,
+        _encode_dc_first,
+        _encode_dc_refine,
+    )
+
+    rng = np.random.default_rng(13)
+    blocks = []
+    for i in range(120):
+        zz = np.zeros(64, dtype=np.int32)
+        zz[0] = int(rng.integers(-300, 300))
+        density = rng.choice([0, 1, 2, 5, 12])
+        for _ in range(density):
+            k = int(rng.integers(1, 64))
+            zz[k] = int(rng.integers(-40, 40))
+        if i % 7 == 0:  # isolated late +/-1: ZRL-in-refinement bait
+            zz[1:] = 0
+            zz[int(rng.integers(40, 64))] = int(rng.choice([-1, 1]))
+        blocks.append(zz)
+
+    def dec_table(bits, symbols):
+        table, code, k = {}, 0, 0
+        for li, cnt in enumerate(bits):
+            for _ in range(cnt):
+                table[(li + 1, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    dc_t = dec_table(_DC_BITS, _DC_SYMBOLS)
+    ac_t = dec_table(_AC_PROG_BITS, _AC_PROG_SYMBOLS)
+
+    scans = []  # (ss, se, ah, al) in a legal progression
+    scans.append((0, 0, 0, 1))   # DC first
+    scans.append((1, 20, 0, 1))  # AC first, low band
+    scans.append((21, 63, 0, 1)) # AC first, high band
+    scans.append((0, 0, 1, 0))   # DC refine
+    scans.append((1, 63, 1, 0))  # AC refine, full band
+
+    payloads = []
+    for ss, se, ah, al in scans:
+        bw = _BitWriter()
+        st = _ProgEncState()
+        pred = 0
+        for zz in blocks:
+            if ss == 0 and ah == 0:
+                pred = _encode_dc_first(bw, zz, al, pred)
+            elif ss == 0:
+                _encode_dc_refine(bw, zz, al)
+            elif ah == 0:
+                _encode_ac_first(bw, zz, ss, se, al, st)
+            else:
+                _encode_ac_refine(bw, zz, ss, se, al, st)
+        _emit_eobrun(bw, st)
+        bw.pad_to_byte()
+        payloads.append(bytes(bw.buf) + b"\xff\xd9")
+
+    out = [np.zeros(64, dtype=np.int32) for _ in blocks]
+    for (ss, se, ah, al), payload in zip(scans, payloads):
+        br = _BitReader(payload, 0)
+        st = _ScanState(1)
+        for zz in out:
+            _decode_block_prog(br, zz, 0, dc_t, ac_t, ss, se, ah, al, st)
+
+    for i, (want, got) in enumerate(zip(blocks, out)):
+        assert np.array_equal(want, got), (i, want.tolist(), got.tolist())
+
+
+def test_progressive_through_decode_media_and_synth_rotation():
+    from uofi_payroll_etl_main_spark.llm.jpeg import encode_jpeg_progressive as ejp
+
+    px = _textured(12, 18)
+    d = decode_media(ejp(px, quality=92), "image")
+    assert (d["width"], d["height"]) == (18, 12)
+    assert d["pixels"].shape == (12, 18, 3)

@@ -9,11 +9,12 @@ never row-at-a-time.
 
 Decode kernels: the self-contained codecs are REAL -- PPM (P6),
 uncompressed 24-bit BMP, PNG (8-bit gray/RGB/RGBA, all five scanline
-filters, via zlib), and baseline JPEG (SOF0/SOF1, any sampling
-factors, restart markers -- pure numpy, see llm/jpeg.py) for images;
-WAV audio via the stdlib ``wave`` module -- so features and resizes
-compute from actual pixels/samples.  Codecs that genuinely need
-third-party libs (progressive JPEG/MP3/video) raise
+filters, via zlib), and JPEG (baseline SOF0/SOF1 with any sampling
+factors and restart markers, plus progressive SOF2 with spectral
+selection + successive approximation -- pure numpy, see llm/jpeg.py)
+for images; WAV audio via the stdlib ``wave`` module -- so features
+and resizes compute from actual pixels/samples.  Codecs that genuinely
+need third-party libs (arithmetic-coded JPEG/MP3/video) raise
 NotImplementedError at the kernel; the surrounding Spark plumbing is
 identical either way, so swapping in PIL/soundfile/av at deployment
 touches only `decode_media`.
@@ -38,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .jpeg import decode_jpeg, encode_jpeg
+from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -327,8 +328,8 @@ def decode_media(payload: bytes, kind: str) -> dict:
         return {"rate": rate, "samples": samples}
     raise NotImplementedError(
         f"no decoder available for kind={kind!r} (magic={payload[:4]!r}): built-in "
-        "codecs cover PPM/BMP/PNG/baseline JPEG/WAV; install pillow/soundfile/av "
-        "for the rest."
+        "codecs cover PPM/BMP/PNG/JPEG (baseline + progressive)/WAV; install "
+        "pillow/soundfile/av for the rest."
     )
 
 
@@ -369,15 +370,21 @@ def synth_media(spark: SparkSession, n: int = 64, real_codecs: bool = True) -> D
                 if kind == "image":
                     w, h = 8 + mid % 9, 6 + mid % 5
                     px = _synth_pixels(w, h, mid)
-                    # rotate codecs so the PPM, PNG, and JPEG decode
-                    # paths all run end-to-end in every gate/test corpus
-                    rot = (mid // 3) % 3
+                    # rotate codecs so the PPM, PNG, baseline-JPEG, and
+                    # progressive-JPEG decode paths all run end-to-end
+                    # in every gate/test corpus
+                    rot = (mid // 3) % 4
                     if rot == 0:
                         payload, codec = encode_ppm(px), "ppm"
                     elif rot == 1:
                         payload, codec = encode_png(px), "png"
-                    else:
+                    elif rot == 2:
                         payload, codec = encode_jpeg(px, quality=92), "jpeg"
+                    else:
+                        payload, codec = (
+                            encode_jpeg_progressive(px, quality=92),
+                            "jpeg-progressive",
+                        )
                     meta = {"codec": codec, "width": str(w), "height": str(h)}
                 elif kind == "audio":
                     n_s = 64 + mid % 97
