@@ -312,3 +312,17 @@ def test_progressive_through_decode_media_and_synth_rotation():
     d = decode_media(ejp(px, quality=92), "image")
     assert (d["width"], d["height"]) == (18, 12)
     assert d["pixels"].shape == (12, 18, 3)
+
+
+@pytest.mark.parametrize("sub,ri", [("444", 1), ("444", 3), ("420", 2)])
+def test_progressive_restart_markers(sub, ri):
+    # restart markers inside PROGRESSIVE scans: entropy state (DC
+    # predictors AND EOB runs / correction-bit buffers) must reset at
+    # every RSTn in every scan of the script
+    px = _textured(24, 40, seed=3)
+    ref = decode_jpeg(encode_jpeg(px, quality=85, subsampling=sub))[2]
+    payload = encode_jpeg_progressive(
+        px, quality=85, subsampling=sub, restart_interval=ri
+    )
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    assert np.array_equal(decode_jpeg(payload)[2], ref)

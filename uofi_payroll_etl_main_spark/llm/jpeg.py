@@ -915,7 +915,10 @@ def _encode_ac_refine(
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB -- or (h, w) / (h, w, 1) grayscale --
     as a progressive (SOF2) JPEG with a fixed scan script exercising
@@ -986,6 +989,8 @@ def encode_jpeg_progressive(
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
     out += _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS)
     out += _dht_segment(1, 0, _AC_PROG_BITS, _AC_PROG_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     def sos_header(comp_idxs, ss, se, ah, al):
         seg = bytes([len(comp_idxs)])
@@ -994,67 +999,74 @@ def encode_jpeg_progressive(
         seg += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
 
-    # --- scan 1: DC first, interleaved, Al=1
-    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
-    bw = _BitWriter()
-    preds = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (sh, sv) in enumerate(samplings):
-                for by in range(sv):
-                    for bx in range(sh):
-                        preds[ci] = _encode_dc_first(
-                            bw, comp_blocks[ci][my * sv + by, mx * sh + bx], 1,
-                            preds[ci],
-                        )
-    bw.pad_to_byte()
-    out += bw.buf
+    def run_scan(comp_idxs, ss, se, ah, al):
+        """Emit one scan's entropy data, inserting RSTn every
+        `restart_interval` units (MCUs when interleaved, blocks when
+        non-interleaved) with full entropy-state reset, exactly the
+        boundaries the decoder resynchronizes on."""
+        bw = _BitWriter()
+        st = _ProgEncState()
+        preds = [0] * ncomp
+        rst = 0
+        unit = 0
 
-    # --- scans 2..: AC first passes, spectral selection, Al=1
-    ac_first_bands = []
+        def maybe_restart():
+            nonlocal rst, preds, st
+            if restart_interval and unit and unit % restart_interval == 0:
+                _emit_eobrun(bw, st)
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+                st = _ProgEncState()
+
+        if len(comp_idxs) > 1:  # interleaved: MCU order (DC scans)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci in comp_idxs:
+                        sh, sv = samplings[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                zz = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                                if ah == 0:
+                                    preds[ci] = _encode_dc_first(bw, zz, al, preds[ci])
+                                else:
+                                    _encode_dc_refine(bw, zz, al)
+                    unit += 1
+        else:
+            ci = comp_idxs[0]
+            gh, gw = grids[ci]
+            for by in range(gh):
+                for bx in range(gw):
+                    maybe_restart()
+                    zz = comp_blocks[ci][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            preds[ci] = _encode_dc_first(bw, zz, al, preds[ci])
+                        else:
+                            _encode_dc_refine(bw, zz, al)
+                    elif ah == 0:
+                        _encode_ac_first(bw, zz, ss, se, al, st)
+                    else:
+                        _encode_ac_refine(bw, zz, ss, se, al, st)
+                    unit += 1
+        _emit_eobrun(bw, st)
+        bw.pad_to_byte()
+        return sos_header(comp_idxs, ss, se, ah, al) + bw.buf
+
+    # scan script: DC first (interleaved, Al=1); per-component AC first
+    # passes with spectral selection; DC refine; per-component AC refine
+    all_comps = list(range(ncomp))
+    out += run_scan(all_comps if ncomp > 1 else [0], 0, 0, 0, 1)
     for ci in range(ncomp):
         if ci == 0 and not gray:
-            ac_first_bands += [(ci, 1, 5), (ci, 6, 63)]
+            out += run_scan([ci], 1, 5, 0, 1)
+            out += run_scan([ci], 6, 63, 0, 1)
         else:
-            ac_first_bands += [(ci, 1, 63)]
-    for ci, ss, se in ac_first_bands:
-        out += sos_header([ci], ss, se, 0, 1)
-        bw = _BitWriter()
-        st = _ProgEncState()
-        gh, gw = grids[ci]
-        for by in range(gh):
-            for bx in range(gw):
-                _encode_ac_first(bw, comp_blocks[ci][by, bx], ss, se, 1, st)
-        _emit_eobrun(bw, st)
-        bw.pad_to_byte()
-        out += bw.buf
-
-    # --- DC refinement, interleaved, Ah=1 -> Al=0
-    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
-    bw = _BitWriter()
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (sh, sv) in enumerate(samplings):
-                for by in range(sv):
-                    for bx in range(sh):
-                        _encode_dc_refine(
-                            bw, comp_blocks[ci][my * sv + by, mx * sh + bx], 0
-                        )
-    bw.pad_to_byte()
-    out += bw.buf
-
-    # --- AC refinement per component, Ah=1 -> Al=0
+            out += run_scan([ci], 1, 63, 0, 1)
+    out += run_scan(all_comps if ncomp > 1 else [0], 0, 0, 1, 0)
     for ci in range(ncomp):
-        out += sos_header([ci], 1, 63, 1, 0)
-        bw = _BitWriter()
-        st = _ProgEncState()
-        gh, gw = grids[ci]
-        for by in range(gh):
-            for bx in range(gw):
-                _encode_ac_refine(bw, comp_blocks[ci][by, bx], 1, 63, 0, st)
-        _emit_eobrun(bw, st)
-        bw.pad_to_byte()
-        out += bw.buf
+        out += run_scan([ci], 1, 63, 1, 0)
 
     out += b"\xff\xd9"
     return bytes(out)
