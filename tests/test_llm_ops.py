@@ -1112,3 +1112,73 @@ def test_encoding_quality_counts_mojibake_and_replacement(spark):
     assert out[2].n_replacement == 2 and out[2].bad_ratio > 0
     assert out[3].n_mojibake == 3  # one A-tilde digraph + two curly-quote prefixes
     assert out[4].n_chars == 0 and out[4].bad_ratio == 0.0
+
+
+def test_ivf_pq_refine_recovers_recall(spark):
+    """IVF-PQ on a clustered corpus: raw ADC scores are coarse (m
+    subvector codebooks), so exact refinement of the ADC candidate set
+    must recover recall toward IVF-Flat levels; codes are what shuffles
+    (m smallints per vector), never the full embedding."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.llm.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 32
+    centers = rng.randn(6, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for ci in range(6):
+        for _ in range(30):
+            v = centers[ci] + 0.15 * rng.randn(dim)
+            vecs.append(v / np.linalg.norm(v))
+    vecs = np.array(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "id long, embedding array<float>",
+    ).cache()
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, k=3, id_col="id").collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk(
+                df, k=3, n_centroids=6, n_probe=3, m_subvectors=8,
+                n_codes=16, refine_factor=refine, id_col="id",
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_raw, r_refined = recall(0), recall(3)
+    assert r_refined >= r_raw, (r_raw, r_refined)
+    assert r_refined >= 0.7, r_refined
+    # ranks are dense 1..k per query
+    out = ivf_pq_topk(
+        df, k=3, n_centroids=6, n_probe=3, m_subvectors=8, n_codes=16,
+        refine_factor=3, id_col="id",
+    )
+    ranks = {}
+    for r in out.collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_ivf_pq_validation(spark):
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_spark.llm.similarity import ivf_pq_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="must divide"):
+        ivf_pq_topk(df, m_subvectors=2, id_col="id")
+    with _pytest.raises(ValueError, match="n_codes"):
+        ivf_pq_topk(df, m_subvectors=3, n_codes=1, id_col="id")

@@ -1197,3 +1197,211 @@ def mmr_topk(
             "mmr_score double, rank long"
         ),
     )
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, n_iter: int = 8, seed: int = 42
+) -> np.ndarray:
+    """(m, n_codes, dsub) product-quantization codebooks: independent
+    k-means per subvector, trained driver-side on the bounded training
+    sample with deterministic seeded init (the standard PQ training
+    recipe; FAISS trains the same way on a sample)."""
+    n, dim = sample.shape
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        init = rng.choice(n, size=min(n_codes, n), replace=False)
+        cb = sub[init].copy()
+        if len(cb) < n_codes:  # tiny corpora: repeat rows to fill the book
+            cb = np.concatenate([cb] * (-(-n_codes // len(cb))))[:n_codes].copy()
+        for _ in range(n_iter):
+            # argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c); ||x||^2 constant
+            d = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            a = d.argmin(axis=1)
+            for c in range(n_codes):
+                pts = sub[a == c]
+                if len(pts):
+                    cb[c] = pts.mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    refine_factor: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_rows: int = 4096,
+) -> DataFrame:
+    """ANN cosine top-k via IVF-PQ: coarse IVF cells + product-quantized
+    corpus codes + per-query ADC lookup tables, optionally exact-refined.
+
+    THE memory-bounded 100 TB ANN layout: after encoding, the corpus
+    side of the shuffle carries (cell, m uint8 codes) per vector --
+    m bytes instead of dim*4 (64-dim float -> 8 bytes at m=8, a 32x
+    squeeze; a production edition would pack the codes into one binary
+    column).  Scoring inside each probed cell is asymmetric distance
+    computation: one (m x n_codes) inner-product lookup table per
+    query, then a fancy-index gather-sum over the cell's code matrix
+    -- no full-vector math touches the corpus side at all.
+
+    PQ here quantizes the unit-normalized vectors directly (FAISS
+    by_residual=false); codebooks train driver-side on a deterministic
+    hash-ordered sample of <= train_rows vectors (bounded collect, the
+    same discipline as the IVF centroid sample).
+
+    refine_factor > 0 re-ranks the top k*refine_factor ADC candidates
+    with EXACT cosine via a candidate-scale join back to the full
+    vectors (the FAISS IndexRefineFlat pattern) -- ADC error then only
+    costs recall when a true neighbor falls outside the candidate set,
+    not rank precision.  refine_factor=0 returns raw ADC scores.
+
+    Returns (query_id, neighbor_id, similarity, rank).  Approximate --
+    gate is rows-only; the recall-vs-exact floor is pytest-asserted.
+    """
+    import pandas as pd
+
+    first = corpus.select(vec_col).head(1)
+    if not first:
+        raise ValueError("empty corpus")
+    dim = len(first[0][0])
+    if dim % m_subvectors:
+        raise ValueError(f"m_subvectors={m_subvectors} must divide dim={dim}")
+    if not 2 <= n_codes <= 256:
+        raise ValueError(f"n_codes must be in [2, 256], got {n_codes}")
+    dsub = dim // m_subvectors
+
+    # coarse centroids + PQ training sample: one hash-ordered bounded
+    # collect each (deterministic, corpus-size-independent)
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cn = _norm_rows(np.array(_centroid_array(cent_rows, vec_col), dtype=np.float64))
+    train = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed)))
+        .limit(int(train_rows))
+        .collect()
+    )
+    tn = _norm_rows(np.array([list(r[0]) for r in train], dtype=np.float64))
+    books = _train_pq_codebooks(tn, m_subvectors, n_codes, seed=seed)
+
+    id_t = _id_sql_type(corpus, id_col)
+    empty_t = "int64" if id_t == "long" else "object"
+    ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+
+    def encode(batches):
+        """corpus pass: nearest cell + PQ codes, full vector DROPPED."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+            cells = (vm @ cn.T).argmax(axis=1).astype("int32")
+            codes = np.zeros((len(pdf), m_subvectors), dtype="int16")
+            for j in range(m_subvectors):
+                sub = vm[:, j * dsub : (j + 1) * dsub]
+                d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "cell": cells, "codes": list(codes)}
+            )
+
+    encoded = ids.mapInPandas(
+        encode, schema=f"vid {id_t}, cell int, codes array<smallint>"
+    )
+
+    def probe(batches):
+        """query pass: n_probe nearest cells, full vector kept."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+            scores = vm @ cn.T
+            take = min(n_probe, scores.shape[1])
+            order = np.argsort(-scores, axis=1)[:, :take]
+            qi = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy()[qi],
+                    "cell": order.ravel().astype("int32"),
+                    "vec": pdf["vec"].to_numpy()[qi],
+                }
+            )
+
+    probes = ids.mapInPandas(probe, schema=f"vid {id_t}, cell int, vec array<float>")
+    n_cand = (k * refine_factor if refine_factor else k) + 1  # +1 absorbs self
+
+    def cell_adc(key, probe_pdf, cell_pdf):
+        if not len(probe_pdf) or not len(cell_pdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []}).astype(
+                {"query_id": empty_t, "neighbor_id": empty_t, "adc": "float64"}
+            )
+        qm = _norm_rows(np.array(list(probe_pdf["vec"]), dtype=np.float64))
+        code_mat = np.array(list(cell_pdf["codes"]), dtype=np.int64)  # (n_c, m)
+        # ADC: per query, LUT[j, c] = q_sub_j . book_j[c]; sim = sum_j LUT[j, code_j]
+        sims = np.zeros((len(probe_pdf), len(cell_pdf)))
+        for j in range(m_subvectors):
+            lut = qm[:, j * dsub : (j + 1) * dsub] @ books[j].T  # (n_q, n_codes)
+            sims += lut[:, code_mat[:, j]]
+        sims = np.round(sims, ROUND_DIGITS)
+        q_ids = probe_pdf["vid"].to_numpy()
+        c_ids = cell_pdf["vid"].to_numpy()
+        take = min(n_cand, sims.shape[1])
+        idx = _topk_tiebroken(sims, c_ids, take)
+        qi = np.repeat(np.arange(sims.shape[0]), take)
+        ci = idx.ravel()
+        out = pd.DataFrame(
+            {"query_id": q_ids[qi], "neighbor_id": c_ids[ci], "adc": sims[qi, ci]}
+        )
+        return out[out.query_id != out.neighbor_id]
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(encoded.groupBy("cell"))
+        .applyInPandas(cell_adc, schema=f"query_id {id_t}, neighbor_id {id_t}, adc double")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    from pyspark.sql import Window
+
+    if refine_factor:
+        # exact re-rank of the candidate set: candidate-scale joins back
+        # to the full vectors, the IndexRefineFlat pattern
+        qv = corpus.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        nv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        )
+        scored = (
+            cand.join(qv, "query_id")
+            .join(nv, "neighbor_id")
+            .withColumn(
+                "similarity",
+                F.round(
+                    dot(F.col("__qv"), F.col("__nv"))
+                    / (l2_norm(F.col("__qv")) * l2_norm(F.col("__nv"))),
+                    ROUND_DIGITS,
+                ),
+            )
+            .drop("__qv", "__nv", "adc")
+        )
+    else:
+        scored = cand.withColumn("similarity", F.col("adc")).drop("adc")
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )

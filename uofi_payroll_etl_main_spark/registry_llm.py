@@ -308,6 +308,18 @@ def llm_ann_ivf(spark, sf):
     return LS.ivf_topk(_t(spark, sf, "embeddings"), k=5, n_centroids=32, n_probe=8)
 
 
+def llm_ann_ivfpq(spark, sf):
+    """IVF-PQ ANN (similarity.ivf_pq_topk): product-quantized corpus
+    codes + per-query ADC tables inside probed cells, exact-refined
+    candidate re-rank.  The memory-bounded 100 TB ANN tier (corpus
+    shuffles m smallint codes per vector, not the embedding); rows-only
+    gate, recall floor pytest-asserted vs exact cosine."""
+    return LS.ivf_pq_topk(
+        _t(spark, sf, "embeddings"), k=5, n_centroids=32, n_probe=8,
+        m_subvectors=8, n_codes=16, refine_factor=3,
+    )
+
+
 def llm_embed_dup(spark, sf):
     return LS.embed_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
 
@@ -2055,6 +2067,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_cosine_topk_sliced": llm_cosine_topk_sliced,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
+    "llm_ann_ivfpq": llm_ann_ivfpq,
     "llm_embed_dup": llm_embed_dup,
     "llm_embed_dup_lsh": llm_embed_dup_lsh,
     "llm_decontaminate": llm_decontaminate,
