@@ -35,6 +35,7 @@ HEADLINERS = [
     "llm_cosine_topk_fast",
     "llm_embed_dup_lsh",
     "llm_ann_ivf",
+    "llm_ann_ivfpq",
     "llm_tfidf",
     "llm_fuzzy_pairs",
     "w_tumbling",
@@ -113,6 +114,8 @@ HEADLINERS = [
     "v12_psi",
     "llm_sentence_split",
     "mm_audio_dedup",
+    "j22b_spatial_haversine",
+    "st_interval_join_outer",
     "a43_sketch_overlap",
     "a45_mann_whitney",
     "w_twap",
