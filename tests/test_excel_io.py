@@ -89,3 +89,55 @@ def test_shared_strings_reader(spark, tmp_path):
     assert got.columns == ["colA", "colB"]
     row = got.collect()[0]
     assert row["colA"] == "hello" and row["colB"] == "42"
+
+
+class TestXlsxDataSource:
+    def _books(self, spark, tmp_path, n_books=3):
+        from uofi_payroll_etl_main_spark.io import write_excel
+
+        df = spark.createDataFrame(
+            [(str(i), f"name_{i}", str(i % 4)) for i in range(12)],
+            "`id` string, `name` string, `grp` string",
+        )
+        rows = df.collect()
+        for b in range(n_books):
+            part = spark.createDataFrame(rows[b::n_books], df.schema)
+            write_excel(part, str(tmp_path / f"book{b}.xlsx"))
+        return sorted(tuple(r) for r in rows)
+
+    def test_distributed_multi_file_scan(self, spark, tmp_path):
+        from uofi_payroll_etl_main_spark.datasources import register_xlsx_source
+
+        want = self._books(spark, tmp_path)
+        register_xlsx_source(spark)
+        df = spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+        assert df.columns == ["id", "name", "grp"]
+        # one partition per workbook: the scan parallelizes to file count
+        assert df.rdd.getNumPartitions() == 3
+        assert sorted(tuple(r) for r in df.collect()) == want
+        # directory form loads the same files
+        df2 = spark.read.format("xlsx").load(str(tmp_path))
+        assert sorted(tuple(r) for r in df2.collect()) == want
+
+    def test_header_mismatch_fails_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.datasources import register_xlsx_source
+        from uofi_payroll_etl_main_spark.io import write_excel
+
+        self._books(spark, tmp_path)
+        rogue = spark.createDataFrame([("x", "y")], "`other` string, `cols` string")
+        write_excel(rogue, str(tmp_path / "zz_rogue.xlsx"))
+        register_xlsx_source(spark)
+        df = spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+        with _pytest.raises(Exception, match="does not match the"):
+            df.collect()
+
+    def test_missing_path_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.datasources import register_xlsx_source
+
+        register_xlsx_source(spark)
+        with _pytest.raises(Exception, match="no .xlsx files match"):
+            spark.read.format("xlsx").load(str(tmp_path / "nope_*.xlsx")).collect()

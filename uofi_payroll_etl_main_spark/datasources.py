@@ -1,0 +1,112 @@
+"""Spark 4 Python Data Source: distributed xlsx reader.
+
+The reference opens a Box folder of Excel workbooks one pandas
+`read_excel` at a time on a single machine (etl_payroll_pipeline.py:84).
+The driver-side stdlib reader (io.read_excel_stdlib) reproduces that
+for one file; THIS module makes the scan distributed: `xlsx` registers
+through the Spark 4 ``pyspark.sql.datasource`` API, so
+
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").load("/data/payroll/*.xlsx")
+
+plans ONE InputPartition PER FILE and each executor parses its own
+workbook with the shared stdlib kernel (io.parse_xlsx).  At the
+reference's real shape -- thousands of monthly workbooks in a shared
+folder -- the scan parallelizes to the file count instead of
+serializing through the driver.  Row-level splitting inside one
+workbook is not possible for xlsx (a zip container must be read
+whole), so file granularity is the correct partitioning unit, same as
+every production Excel connector.
+
+Schema: all-string columns taken from the FIRST file's header row (the
+reference's workbooks share one layout; a mismatched later file
+surfaces as a loud per-partition error, never silent column drift --
+each partition re-checks its own header against the planned schema).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+__all__ = ["XlsxDataSource", "register_xlsx_source"]
+
+
+def _expand_paths(path: str) -> list[str]:
+    """Glob / directory / single-file path forms -> sorted file list."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".xlsx") and not f.startswith((".", "_", "~"))
+        )
+    elif any(ch in path for ch in "*?["):
+        files = sorted(f for f in _glob.glob(path) if f.endswith(".xlsx"))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no .xlsx files match {path!r}")
+    return files
+
+
+class _XlsxPartition(InputPartition):
+    def __init__(self, file_path: str, sheet: int) -> None:
+        self.file_path = file_path
+        self.sheet = sheet
+
+
+class _XlsxReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_names = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        self.sheet = int(options.get("sheet", 0))
+        if not self.path:
+            raise ValueError("xlsx source requires a path (load(...))")
+
+    def partitions(self) -> list[InputPartition]:
+        return [_XlsxPartition(f, self.sheet) for f in _expand_paths(self.path)]
+
+    def read(self, partition: _XlsxPartition):
+        # executor-side: parse this partition's whole workbook with the
+        # same stdlib kernel the driver reader uses
+        from uofi_payroll_etl_main_spark.io import parse_xlsx
+
+        header, rows = parse_xlsx(partition.file_path, partition.sheet)
+        if header != self.schema_names:
+            raise ValueError(
+                f"{partition.file_path}: header {header} does not match the "
+                f"planned schema {self.schema_names} (schema comes from the "
+                "first file; fix or exclude the divergent workbook)"
+            )
+        width = len(self.schema_names)
+        for r in rows:
+            yield tuple(r[:width]) + (None,) * (width - len(r))
+
+
+class XlsxDataSource(DataSource):
+    """``spark.read.format("xlsx")`` -- see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xlsx source requires a path (load(...))")
+        sheet = int(self.options.get("sheet", 0))
+        from uofi_payroll_etl_main_spark.io import parse_xlsx
+
+        header, _rows = parse_xlsx(_expand_paths(path)[0], sheet)
+        return StructType([StructField(h, StringType()) for h in header])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _XlsxReader(schema, dict(self.options))
+
+
+def register_xlsx_source(spark) -> None:
+    """Idempotently register the xlsx Python Data Source on a session."""
+    spark.dataSource.register(XlsxDataSource)

@@ -173,16 +173,19 @@ def _xlsx_escape(s: str) -> str:
     )
 
 
-def read_excel_stdlib(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
-    """S3 -- xlsx scan with zipfile + xml.etree only.  First row =
-    header; supports inline strings, shared strings, and numeric cells
-    (numbers surface as their literal text, which is what the string-
-    typed pipeline contract wants).  Returns all-string columns."""
+def parse_xlsx(source, sheet: int = 0) -> tuple[list[str], list[tuple]]:
+    """xlsx parse kernel (zipfile + xml.etree only): (header, rows) of
+    all-string cells, first sheet row as header.  Supports inline
+    strings, shared strings, and numeric cells (numbers surface as
+    their literal text, the string-typed pipeline contract).  `source`
+    is a path or file-like; runs identically on the driver
+    (read_excel_stdlib) and on executors (the `xlsx` Python Data
+    Source in datasources.py)."""
     import io as _io
     import zipfile
     import xml.etree.ElementTree as ET
 
-    with zipfile.ZipFile(path) as zf:
+    with zipfile.ZipFile(source) as zf:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in zf.namelist():
             root = ET.parse(_io.BytesIO(zf.read("xl/sharedStrings.xml"))).getroot()
@@ -211,10 +214,19 @@ def read_excel_stdlib(spark: SparkSession, path: str, sheet: int = 0) -> DataFra
             width = max(cells) + 1 if cells else 0
             rows.append([cells.get(i) for i in range(width)])
     if not rows:
-        raise ValueError(f"empty worksheet in {path}")
+        raise ValueError(f"empty worksheet in {source!r}")
     header = [h if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
     width = len(header)
     data = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
+    return header, data
+
+
+def read_excel_stdlib(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
+    """S3 -- driver-side xlsx scan over one workbook (parse_xlsx
+    kernel).  For a FOLDER of workbooks, the registered `xlsx` Python
+    Data Source (datasources.py) runs the same kernel executor-side,
+    one partition per file."""
+    header, data = parse_xlsx(path, sheet)
     schema = ", ".join(f"`{h}` string" for h in header)
     return spark.createDataFrame(data, schema)
 

@@ -2075,6 +2075,23 @@ CORE_ORACLES["j22_spatial_join"] = """
       ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2.25
 """
 
+CORE_ORACLES["s23_xlsx_source"] = """
+    SELECT CAST(n_nationkey AS VARCHAR) AS nationkey,
+           n_name AS name,
+           CAST(n_regionkey AS VARCHAR) AS regionkey
+    FROM nation
+"""
+
+CORE_ORACLES["e24_variant_json"] = """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
 CORE_ORACLES["j22b_spatial_haversine"] = """
     WITH cust AS (
       SELECT c_custkey AS id_a,

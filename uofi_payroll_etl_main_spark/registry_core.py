@@ -502,6 +502,63 @@ def s3_excel_roundtrip(spark, sf):
     return read_excel_stdlib(spark, path)
 
 
+def s23_xlsx_source(spark, sf):
+    """S3 at folder scale -- the `xlsx` Python Data Source
+    (datasources.py): a folder of three workbooks scanned DISTRIBUTED
+    (one InputPartition per file, stdlib parse kernel executor-side).
+    Oracle reads the same projection from parquet cast to string; the
+    multi-file scan must union losslessly."""
+    import hashlib
+
+    from .datasources import register_xlsx_source
+    from .io import write_excel
+
+    register_xlsx_source(spark)
+    src = os.path.join(sf, "nation.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_mtime_ns}|{st.st_size}|v1"
+    except OSError:
+        sig = src
+    tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+    folder = os.path.join(SCRATCH, f"nation_books_{tag}")
+    marker = os.path.join(folder, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(folder, exist_ok=True)
+        frame = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("string").alias("nationkey"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").cast("string").alias("regionkey"),
+        )
+        rows = frame.collect()
+        for i in range(3):  # three workbooks, interleaved rows
+            part = spark.createDataFrame(rows[i::3], frame.schema)
+            write_excel(part, os.path.join(folder, f"book{i}.xlsx"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.format("xlsx").load(os.path.join(folder, "*.xlsx"))
+
+
+def e24_variant_json(spark, sf):
+    """Semi-structured analytics through Spark 4's VARIANT type: parse
+    events.props (a JSON string) with parse_json, extract the typed
+    path with variant_get, aggregate per event_type.  The shredded-JSON
+    path a 100 TB event lake uses instead of per-query string regex;
+    oracle is DuckDB's json_extract on the same strings."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("__v", F.parse_json(F.col("props")))
+        .withColumn("k", F.variant_get(F.col("__v"), "$.k", "int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def s7(spark, sf):
     from datetime import datetime
 
@@ -3302,6 +3359,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d6_merge_upsert": d6_merge_upsert,
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
+    "s23_xlsx_source": s23_xlsx_source,
+    "e24_variant_json": e24_variant_json,
     "s13_partition_prune": s13_partition_prune,
     "s14_compact": s14_compact,
     "s16_time_travel": s16_time_travel,
