@@ -464,3 +464,95 @@ def test_delete_rows_erases_subjects_atomically(spark, tmp_path):
     # idempotent: deleting again changes nothing
     again = delete_rows(spark, path, subjects, ["user_id"])
     assert again.count() == 8
+
+
+# --------------------------------------------------------------------------
+# Hilbert layout
+# --------------------------------------------------------------------------
+
+def _xy2d_classic(bits: int, x: int, y: int) -> int:
+    """Independent reference: the classic iterative Hilbert xy2d."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_classic_reference(spark):
+    import random
+
+    from uofi_payroll_etl_main_spark.layout import hilbert_key
+
+    rnd = random.Random(3)
+    pts = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(300)]
+    pts += [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.withColumn("h", hilbert_key("x", "y", 16)).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_classic(16, x, y), (x, y)
+
+
+def test_hilbert_locality_beats_zorder(spark):
+    # the locality claim, measured: average per-bucket bounding-box
+    # semi-perimeter of the Hilbert segments must not exceed Z-order's
+    # on the same data/bucket count (the curve never jumps; Morton's
+    # quadrant seams do)
+    from uofi_payroll_etl_main_spark.layout import hbucket_profile, zbucket_profile
+
+    n = 64
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+
+    def avg_span(profile):
+        rows = profile.collect()
+        spans = [(r.x_max - r.x_min) + (r.y_max - r.y_min) for r in rows]
+        return sum(spans) / len(spans)
+
+    h = avg_span(hbucket_profile(df, "x", "y", bits=6, n_buckets=32))
+    z = avg_span(zbucket_profile(df, "x", "y", bits=6, n_buckets=32))
+    assert h <= z, (h, z)
+
+
+def test_hilbert_write_clusters_files(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.layout import hilbert_write
+
+    rnd = random.Random(9)
+    n = 48
+    pts = [(x, y, rnd.random()) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long, payload double")
+    out = str(tmp_path / "hilbert")
+    hilbert_write(df, out, "x", "y", bits=6, n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == n * n
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    # every file's box must be a fraction of the full space on BOTH dims
+    narrow = sum(
+        1 for r in per_file
+        if (r.xmax - r.xmin) <= n // 2 and (r.ymax - r.ymin) <= n // 2
+    )
+    assert narrow >= len(per_file) // 2, per_file

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows
     "g12_hits",             # one-row L1-normalizer broadcast per half-iteration
     "s12_zorder_profile",   # single-row (min,max) z-range broadcast
+    "s24_hilbert_profile",  # single-row (min,max) hilbert-range broadcast
     "a24_quantile_sketch",  # single-row (min,max) bounds broadcast
     "w_decayed_counts",     # single-row max-ts reference broadcast
     "llm_hard_negatives",   # brute-force exact baseline BY DESIGN

@@ -6,7 +6,7 @@ nulls -- never use it where pandas `+` semantics are asserted);
 count/len/row_number are BIGINT (Spark sides cast to long to match).
 """
 
-from .layout import zorder_key_sql
+from .layout import hilbert_profile_sql, zorder_key_sql
 
 _Z = zorder_key_sql("l_partkey", "l_suppkey", 16)
 
@@ -2074,6 +2074,10 @@ CORE_ORACLES["j22_spatial_join"] = """
     FROM cust c JOIN supp s
       ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2.25
 """
+
+CORE_ORACLES["s24_hilbert_profile"] = hilbert_profile_sql(
+    "lineitem", "l_partkey", "l_suppkey", bits=16, n_buckets=64
+)
 
 CORE_ORACLES["s23_xlsx_source"] = """
     SELECT CAST(n_nationkey AS VARCHAR) AS nationkey,

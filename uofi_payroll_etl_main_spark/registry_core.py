@@ -2522,6 +2522,20 @@ def s12_zorder_profile(spark, sf):
     return zbucket_profile(li, "l_partkey", "l_suppkey", bits=16, n_buckets=64)
 
 
+def s24_hilbert_profile(spark, sf):
+    """Hilbert-curve layout locality profile (layout.hbucket_profile):
+    the Z-order twin with a strictly-connected curve -- every
+    contiguous key segment is ONE region, so per-file min/max stats
+    are at least as tight as Morton's.  The DFA walk folds via the
+    aggregate HOF (runtime loop, no UDF, no expression blowup); the
+    oracle re-derives the identical key with per-level nested
+    subqueries in DuckDB."""
+    from .layout import hbucket_profile
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return hbucket_profile(li, "l_partkey", "l_suppkey", bits=16, n_buckets=64)
+
+
 SQL3_TEXT = """
     WITH bulky AS (
       SELECT o_custkey, o_orderkey, o_totalprice
@@ -3360,6 +3374,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d7_merge_additive": d7_merge_additive,
     "s11_orc_roundtrip": s11_orc_roundtrip,
     "s23_xlsx_source": s23_xlsx_source,
+    "s24_hilbert_profile": s24_hilbert_profile,
     "e24_variant_json": e24_variant_json,
     "s13_partition_prune": s13_partition_prune,
     "s14_compact": s14_compact,
