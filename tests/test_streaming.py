@@ -544,6 +544,35 @@ def test_streaming_interval_join_outer_contains_inner(spark, sf_dir):
     assert null_ids.isdisjoint({cid for cid, _ in inner})  # never both
 
 
+def test_streaming_interval_join_full_is_both_outers(spark, sf_dir):
+    """FULL OUTER drain: the click side reproduces the left-outer tier
+    exactly, and the purchase side adds orphan purchases the watermark
+    proved unmatchable -- the two-sided audit view."""
+    import uofi_payroll_etl_main_spark.registry_llm as RL
+
+    left = {
+        (r.click_id, r.purchase_ts)
+        for r in RL.st_interval_join_outer(spark, sf_dir).collect()
+    }
+    full_rows = RL.st_interval_join_full(spark, sf_dir).collect()
+    click_side = {
+        (r.click_id, r.purchase_ts) for r in full_rows if r.click_id is not None
+    }
+    assert click_side == left
+    orphans = [r for r in full_rows if r.click_id is None]
+    assert orphans and all(
+        r.purchase_id is not None and r.purchase_ts is not None
+        and r.click_ts is None and r.user_id is not None
+        for r in orphans
+    )
+    # an orphan purchase never also appears matched
+    matched_pids = {
+        r.purchase_id for r in full_rows
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    assert matched_pids.isdisjoint({r.purchase_id for r in orphans})
+
+
 def test_resample_linear_interpolates_interior_gaps(spark):
     """Known 4-hour series with one empty interior bucket: the gap gets
     the straight-line value, edges stay null, observed flags are exact."""

@@ -1209,6 +1209,40 @@ LLM_ORACLES: dict[str, str] = {
         FROM j, wm
         WHERE purchase_ts IS NOT NULL OR (click_ts + INTERVAL 1 HOUR) < wm.w
     """,
+    "st_interval_join_full": """
+        -- two-sided watermark-drop emulation (see st_interval_join_outer):
+        -- an unmatched purchase is provably unmatchable once the final
+        -- watermark passes its own event time (no earlier click remains)
+        WITH wm AS (
+          SELECT least(
+                   max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'purchase')
+                 ) - INTERVAL 2 HOUR AS w
+          FROM events
+        ),
+        c AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT event_id AS purchase_id, user_id AS pu,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+          SELECT c.click_id, coalesce(c.user_id, p.pu) AS user_id,
+                 c.click_ts, p.purchase_id, p.purchase_ts, p.purchase_value
+          FROM c FULL JOIN p
+            ON c.user_id = p.pu
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        SELECT click_id, user_id, click_ts, purchase_id, purchase_ts, purchase_value
+        FROM j, wm
+        WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+           OR (purchase_id IS NULL AND (click_ts + INTERVAL 1 HOUR) < wm.w)
+           OR (click_id IS NULL AND purchase_ts < wm.w)
+    """,
     "st_dedup": """
         SELECT event_id, user_id, event_type FROM events
     """,

@@ -989,6 +989,22 @@ def st_interval_join_outer(spark, sf):
     return spark.table("st_interval_outer_out")
 
 
+def st_interval_join_full(spark, sf):
+    """FULL OUTER watermarked stream-stream interval join.  Oracle:
+    batch full join filtered to the watermark-emittable rows -- matched
+    always; unmatched clicks once click_ts + horizon clears the final
+    watermark; unmatched purchases once purchase_ts itself does (no
+    earlier click can still arrive)."""
+    from .streaming.streams import streaming_interval_join_full
+
+    run_to_memory(
+        streaming_interval_join_full(_event_stream(spark, sf), "1 hour"),
+        "st_interval_full_out",
+        output_mode="append",
+    )
+    return spark.table("st_interval_full_out")
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -2126,6 +2142,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_enrich": st_enrich,
     "st_interval_join": st_interval_join,
     "st_interval_join_outer": st_interval_join_outer,
+    "st_interval_join_full": st_interval_join_full,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,

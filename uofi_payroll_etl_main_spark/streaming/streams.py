@@ -31,6 +31,7 @@ __all__ = [
     "streaming_static_enrich",
     "streaming_interval_join",
     "streaming_interval_join_outer",
+    "streaming_interval_join_full",
     "run_to_memory",
     "streaming_dedup_index_sink",
 ]
@@ -226,6 +227,55 @@ def streaming_interval_join_outer(
         ),
         "leftOuter",
     ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def streaming_interval_join_full(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join: unconverted
+    clicks AND orphan purchases (no same-user click in the preceding
+    `horizon`) both keep a row -- the two-sided audit view of the
+    attribution join.  Either side's null row emits only once the
+    watermark proves no match can still arrive, so state stays bounded
+    exactly like the inner form; rows near end-of-stream whose horizon
+    the final watermark never passes are withheld (the oracle emulates
+    both emission conditions in batch SQL)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "fullOuter",
+    ).select(
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
 
 
 def streaming_interval_join(
