@@ -141,3 +141,23 @@ class TestXlsxDataSource:
         register_xlsx_source(spark)
         with _pytest.raises(Exception, match="no .xlsx files match"):
             spark.read.format("xlsx").load(str(tmp_path / "nope_*.xlsx")).collect()
+
+    def test_distributed_writer_roundtrip_and_commit(self, spark, tmp_path):
+        import os
+
+        from uofi_payroll_etl_main_spark.datasources import register_xlsx_source
+
+        register_xlsx_source(spark)
+        df = spark.createDataFrame(
+            [(str(i), f"n{i}") for i in range(20)], "`id` string, `name` string"
+        ).repartition(4)
+        out = str(tmp_path / "books")
+        df.write.format("xlsx").mode("append").save(out)
+        names = sorted(os.listdir(out))
+        # one committed workbook per partition + the success marker,
+        # and no leftover hidden tmp files
+        assert names == ["_SUCCESS"] + [f"part-0000{i}.xlsx" for i in range(4)]
+        back = spark.read.format("xlsx").load(out)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )

@@ -1,4 +1,4 @@
-"""Spark 4 Python Data Source: distributed xlsx reader.
+"""Spark 4 Python Data Source: distributed xlsx reader AND writer.
 
 The reference opens a Box folder of Excel workbooks one pandas
 `read_excel` at a time on a single machine (etl_payroll_pipeline.py:84).
@@ -10,7 +10,10 @@ through the Spark 4 ``pyspark.sql.datasource`` API, so
     df = spark.read.format("xlsx").load("/data/payroll/*.xlsx")
 
 plans ONE InputPartition PER FILE and each executor parses its own
-workbook with the shared stdlib kernel (io.parse_xlsx).  At the
+workbook with the shared stdlib kernel (io.parse_xlsx); the write half
+(`df.write.format("xlsx").save(dir)`) emits one workbook per partition
+through io.xlsx_payload with a rename-on-commit protocol (_XlsxWriter),
+so readers never observe half-written files.  At the
 reference's real shape -- thousands of monthly workbooks in a shared
 folder -- the scan parallelizes to the file count instead of
 serializing through the driver.  Row-level splitting inside one
@@ -29,7 +32,15 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 __all__ = ["XlsxDataSource", "register_xlsx_source"]
@@ -106,7 +117,61 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _XlsxReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
+        return _XlsxWriter(schema, dict(self.options), overwrite)
+
 
 def register_xlsx_source(spark) -> None:
     """Idempotently register the xlsx Python Data Source on a session."""
     spark.dataSource.register(XlsxDataSource)
+
+
+@dataclass
+class _XlsxCommit(WriterCommitMessage):
+    tmp_path: str
+    final_name: str
+    n_rows: int
+
+
+class _XlsxWriter(DataSourceWriter):
+    """One workbook per partition with a rename-on-commit protocol:
+    tasks write hidden ``.__tmp.*`` files (invisible to the reader's
+    listing filter), the driver-side commit renames all of them and
+    drops a ``_SUCCESS`` marker; abort removes the debris.  A reader
+    listing mid-write therefore never sees a half-written workbook --
+    the same visibility discipline as the versioned store."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        self.header = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("xlsx sink requires a path (save(...))")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_XlsxCommit":
+        from pyspark import TaskContext
+
+        from uofi_payroll_etl_main_spark.io import xlsx_payload
+
+        pid = TaskContext.get().partitionId()
+        rows = [tuple(r) for r in iterator]
+        payload = xlsx_payload(self.header, rows)
+        os.makedirs(self.path, exist_ok=True)
+        final_name = f"part-{pid:05d}.xlsx"
+        tmp = os.path.join(self.path, f".__tmp.{final_name}")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        return _XlsxCommit(tmp_path=tmp, final_name=final_name, n_rows=len(rows))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass

@@ -3,10 +3,11 @@
 Distributed formats (parquet, CSV) go through `spark.read`/`df.write` so
 scans are partitioned, column-pruned, and filter-pushed at any scale.
 Excel has no first-class distributed reader in core Spark; the reference
-uses it only for KB-scale extracts (etl_payroll_pipeline.py:84, :92), so
-it is implemented as a driver-edge pandas bridge, gated behind an
-import-try on openpyxl (not installed in this container -> raises a
-clear NotImplementedError at call time, never at import time).
+uses it only for KB-scale extracts (etl_payroll_pipeline.py:84, :92).
+Two tiers here: a driver-edge reader/writer for single small workbooks
+(this module), and the `xlsx` Spark 4 Python Data Source
+(datasources.py) that runs the same stdlib parse/emit kernels
+executor-side, one partition per workbook, for folder-scale Excel.
 """
 
 from __future__ import annotations
@@ -137,9 +138,10 @@ def write_csv_single(df: DataFrame, path: str) -> str:
 # numerics); the writer always uses the stdlib path (deterministic
 # output, inline strings, ISO datetimes).
 #
-# Driver-edge by design: reference Excel files are KB-sized extracts.
-# Large-scale Excel ingest should be converted to parquet at landing --
-# the engine will not fan xlsx parsing out to executors.
+# The helpers below are the driver-edge tier (single KB-scale workbook,
+# the reference's shape).  Folder-scale Excel fans out through the
+# registered `xlsx` Python Data Source (datasources.py), which reuses
+# parse_xlsx / xlsx_payload executor-side.
 # --------------------------------------------------------------------------
 
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -246,18 +248,16 @@ def read_excel(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
     return spark.createDataFrame(pdf.astype(object))
 
 
-def write_excel(df: DataFrame, path: str) -> str:
-    """S6 -- Excel sink (ref to_excel :410-417): a minimal valid xlsx
-    written with the stdlib.  Every value is an inline string (nulls ->
-    empty cell); timestamps/dates render ISO ('YYYY-MM-DD HH:MM:SS'),
-    matching the CSV sink's textual form so the two sinks are
-    equivalence-checkable.  Small outputs only (driver-edge)."""
+def xlsx_payload(header, body_rows) -> bytes:
+    """Minimal valid xlsx bytes from a header + row iterable -- the
+    stdlib zip+XML kernel shared by the driver-edge sink (write_excel)
+    and the distributed `xlsx` Data Source writer (datasources.py).
+    Every value is an inline string (nulls -> empty cell);
+    timestamps/dates render ISO ('YYYY-MM-DD HH:MM:SS'), matching the
+    CSV sink's textual form so the two sinks are equivalence-checkable."""
     import datetime as _dt
+    import io as _io
     import zipfile
-
-    n = df.count()
-    if n > 1_000_000:
-        raise ValueError(f"refusing driver-side Excel write of {n} rows")
 
     def cell_text(v) -> str | None:
         if v is None:
@@ -267,9 +267,6 @@ def write_excel(df: DataFrame, path: str) -> str:
         if isinstance(v, _dt.date):
             return v.strftime("%Y-%m-%d")
         return str(v)
-
-    header = df.columns
-    body_rows = df.collect()
 
     def row_xml(ri: int, values) -> str:
         cells = []
@@ -317,13 +314,29 @@ def write_excel(df: DataFrame, path: str) -> str:
         '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
         "</Relationships>"
     )
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", content_types)
         zf.writestr("_rels/.rels", rels)
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def write_excel(df: DataFrame, path: str) -> str:
+    """S6 -- Excel sink (ref to_excel :410-417): one workbook written
+    driver-side from a collected DataFrame (small outputs only).  For a
+    distributed many-workbook sink use df.write.format("xlsx")
+    (datasources.py), which runs the same xlsx_payload kernel one file
+    per partition with a rename-on-commit protocol."""
+    n = df.count()
+    if n > 1_000_000:
+        raise ValueError(f"refusing driver-side Excel write of {n} rows")
+    payload = xlsx_payload(df.columns, [tuple(r) for r in df.collect()])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(payload)
     return path
 
 
