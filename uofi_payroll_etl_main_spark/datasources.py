@@ -37,13 +37,19 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
-__all__ = ["XlsxDataSource", "register_xlsx_source"]
+__all__ = [
+    "XlsxDataSource",
+    "register_xlsx_source",
+    "SyntheticEventsDataSource",
+    "register_synthetic_events_source",
+]
 
 
 def _expand_paths(path: str) -> list[str]:
@@ -175,3 +181,118 @@ class _XlsxWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
             except OSError:
                 pass
+
+
+# --------------------------------------------------------------------------
+# Custom STREAMING source: deterministic synthetic event stream with
+# real offset tracking -- the Kafka-shaped seam, self-contained.
+# --------------------------------------------------------------------------
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+def _synth_event(i: int) -> tuple:
+    """Deterministic event i -- pure function of the offset, so any
+    replayed offset range reproduces identical rows (the property that
+    makes exactly-once recovery possible at all)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    etype = ("view", "click", "cart", "purchase")[(i * 2654435761) % 4]
+    return (
+        i,
+        base + _dt.timedelta(seconds=i * 7),
+        (i * 2654435761) % 997,
+        etype,
+        float(((i * 37) % 1000)) / 10.0,
+    )
+
+
+class _SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset-tracked micro-batch reader: offsets are {"i": N} row
+    counters; latestOffset advances by `rows_per_batch` per poll until
+    `n_total`, each batch splits into `n_parts` range partitions read
+    executor-side.  Replaying any (start, end] yields identical rows,
+    so checkpoint recovery is exactly-once end-to-end with an
+    idempotent sink -- the contract a real broker source (Kafka /
+    Kinesis) provides with its own offsets."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_total = int(options.get("n_total", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        self.n_parts = int(options.get("n_parts", 4))
+        # "bounded" (default): the whole log is already available --
+        # latestOffset reports the log end, so trigger(availableNow)
+        # drains everything and stops (the gate shape).  "incremental":
+        # the log grows rows_per_batch per poll -- pair with a
+        # processingTime trigger to exercise true multi-batch progress.
+        self.mode = options.get("mode", "bounded")
+        if self.mode not in ("bounded", "incremental"):
+            raise ValueError(f"mode must be bounded|incremental, got {self.mode!r}")
+        self._committed = 0
+        self._polls = 0
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        if self.mode == "bounded":
+            return {"i": self.n_total}
+        # the log grows with TIME (one micro-batch worth per poll),
+        # independent of consumer commits -- broker semantics
+        self._polls += 1
+        return {"i": min(self._polls * self.rows_per_batch, self.n_total)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["i"]), int(end["i"])
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _RangePartition(a, min(a + step, hi)) for a in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _synth_event(i)
+
+    def commit(self, end: dict) -> None:
+        self._committed = max(self._committed, int(end["i"]))
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events")`` -- see
+    _SyntheticEventsStreamReader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType as _Str,
+            TimestampType,
+        )
+
+        return StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", _Str()),
+                StructField("value", DoubleType()),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> "_SyntheticEventsStreamReader":
+        return _SyntheticEventsStreamReader(dict(self.options))
+
+
+def register_synthetic_events_source(spark) -> None:
+    """Idempotently register the synthetic event-stream source."""
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -1209,6 +1209,17 @@ LLM_ORACLES: dict[str, str] = {
         FROM j, wm
         WHERE purchase_ts IS NOT NULL OR (click_ts + INTERVAL 1 HOUR) < wm.w
     """,
+    "st_custom_source": """
+        -- regenerate the deterministic stream: rows are a pure function
+        -- of the offset (datasources._synth_event)
+        SELECT i AS event_id,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 SECOND AS ts,
+               (i * 2654435761) % 997 AS user_id,
+               (['view', 'click', 'cart', 'purchase'])[(i * 2654435761) % 4 + 1]
+                 AS event_type,
+               CAST((i * 37) % 1000 AS DOUBLE) / 10.0 AS value
+        FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    """,
     "st_interval_join_full": """
         -- two-sided watermark-drop emulation (see st_interval_join_outer):
         -- an unmatched purchase is provably unmatchable once the final

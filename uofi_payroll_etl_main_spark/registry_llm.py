@@ -1005,6 +1005,25 @@ def st_interval_join_full(spark, sf):
     return spark.table("st_interval_full_out")
 
 
+def st_custom_source(spark, sf):
+    """Custom Python streaming data source (datasources.py
+    SyntheticEventsDataSource): offset-tracked micro-batch reader
+    drained with trigger(availableNow) -- rows are a pure function of
+    the offset, so the DuckDB oracle regenerates the identical stream
+    from a range and the gate value-checks the whole drain."""
+    from .datasources import register_synthetic_events_source
+
+    register_synthetic_events_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_total", 2000)
+        .option("n_parts", 8)
+        .load()
+    )
+    run_to_memory(sdf, "st_custom_source_out", output_mode="append")
+    return spark.table("st_custom_source_out")
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -2143,6 +2162,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_interval_join": st_interval_join,
     "st_interval_join_outer": st_interval_join_outer,
     "st_interval_join_full": st_interval_join_full,
+    "st_custom_source": st_custom_source,
     "st_dedup": st_dedup,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,
