@@ -1598,3 +1598,54 @@ def test_lag_features_per_key_ordering(spark):
     assert got[3] == (2.0, 0.0)
     assert got[4] == (3.0, 1.0)
     assert got[99] == (None, None)      # other key never leaks in
+
+
+def test_bootstrap_ci_statistics(spark):
+    """Poisson-bootstrap CI: on a synthetic skewed sample the 95% CI
+    must bracket the true sample mean, be ordered, and shrink roughly
+    like 1/sqrt(n); the deterministic weights must average ~1 (they ARE
+    the resample)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.aggregates import bootstrap_ci
+
+    rnd = random.Random(7)
+    rows = [("g", i, rnd.lognormvariate(0.0, 0.7)) for i in range(400)]
+    rows += [("h", 10_000 + i, rnd.lognormvariate(0.0, 0.7)) for i in range(6400)]
+    df = spark.createDataFrame(rows, "grp string, rid long, val double")
+    out = {
+        r.grp: r
+        for r in bootstrap_ci(
+            df, "grp", "val", "rid", n_replicates=200
+        ).collect()
+    }
+    true_means = {}
+    for gname in ("g", "h"):
+        vals = [round(v, 2) for g, _, v in rows if g == gname]  # decimal(18,2) cast
+        true_means[gname] = sum(vals) / len(vals)
+    for gname, r in out.items():
+        assert r.ci_lo <= r.point_mean <= r.ci_hi, r
+        assert abs(r.point_mean - true_means[gname]) < 1e-4, r
+    # 16x the sample -> CI roughly 4x narrower (allow generous slack)
+    w_g = out["g"].ci_hi - out["g"].ci_lo
+    w_h = out["h"].ci_hi - out["h"].ci_lo
+    assert w_h < w_g / 2.0, (w_g, w_h)
+
+    # the md5-derived weights really are Poisson(1): mean ~= 1
+    from uofi_payroll_etl_main_spark.aggregates import _POISSON1_HEX
+
+    u = F.substring(F.md5(F.concat(F.col("rid").cast("string"), F.lit(":0"))), 1, 8)
+    w = None
+    for t in _POISSON1_HEX:
+        ind = F.when(u >= F.lit(t), 1).otherwise(0)
+        w = ind if w is None else (w + ind)
+    mean_w = df.select(F.avg(w).alias("m")).first().m
+    assert abs(mean_w - 1.0) < 0.05, mean_w
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo_rank"):
+        bootstrap_ci(df, "grp", "val", "rid", n_replicates=10, lo_rank=0)

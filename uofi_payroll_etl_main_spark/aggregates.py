@@ -38,6 +38,7 @@ __all__ = [
     "robust_zscore",
     "group_spearman",
     "quantile_sketch_merge",
+    "bootstrap_ci",
     "weighted_median",
 ]
 
@@ -871,5 +872,122 @@ def association_rules(
             F.col("s_xy").alias("support"),
             F.round(conf, 6).alias("confidence"),
             F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds as 8-hex-char md5-prefix cutoffs:
+# floor(cdf_k * 2^32) in lowercase hex.  Comparing a FIXED-LENGTH
+# lowercase hex prefix against these strings is the numeric comparison
+# u >= cdf_k, and both Spark and DuckDB evaluate it byte-identically --
+# the trick that makes the bootstrap weights cross-engine deterministic
+# with no float parsing at all.  Tail truncated at w=9 (P ~ 1.1e-6).
+_POISSON1_HEX = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f",
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    lo_rank: int = 5,
+    hi_rank: int = 196,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the per-group mean
+    via Poisson resampling: instead of materializing R resamples, every
+    row gets a deterministic Poisson(1) weight per replicate (the
+    standard large-n approximation of multinomial resampling -- one
+    pass, no data movement beyond the aggregation shuffle).
+
+    Weights derive from md5(id:replicate) hex prefixes compared against
+    precomputed CDF cutoffs (_POISSON1_HEX), so the oracle reproduces
+    the exact weights and the gate value-checks the CI bounds, not just
+    their shape.  Replicate means use DECIMAL sums (exact, order-free);
+    CI bounds are RANK-SELECTED from the sorted replicate means
+    (lo_rank/hi_rank of n_replicates, default the 2.5%/97.5% ranks of
+    R=200) -- integer rank selection, not interpolation, because
+    engines disagree on quantile interpolation rules.
+
+    At 100 TB: the explode multiplies rows by R BEFORE the shuffle but
+    after scan-side projection (id, group, value only); partial
+    aggregation combines map-side, so the shuffle carries
+    groups x replicates rows, not data x R.  Returns
+    (group, n_rows, point_mean, ci_lo, ci_hi).
+    """
+    if not 1 <= lo_rank <= hi_rank <= n_replicates:
+        raise ValueError(
+            f"need 1 <= lo_rank <= hi_rank <= n_replicates, got "
+            f"{lo_rank}/{hi_rank}/{n_replicates}"
+        )
+    g, v = F.col(group_col), F.col(value_col).cast("decimal(18,2)")
+    u = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col("__r").cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    w = None
+    for t in _POISSON1_HEX:
+        ind = F.when(u >= F.lit(t), 1).otherwise(0)
+        w = ind if w is None else (w + ind)
+    rep = (
+        df.select(
+            g.alias("__g"),
+            v.alias("__v"),
+            F.col(id_col).alias(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__r"),
+        )
+        .withColumn("__w", w.cast("decimal(10,0)"))
+        .groupBy("__g", "__r")
+        # exact DECIMAL sums (addition-order-free), then ONE double
+        # division -- both engines produce the identical IEEE quotient
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+            F.sum("__w").alias("__sw"),
+        )
+        .withColumn(
+            "__mean",
+            F.round(
+                F.when(
+                    F.col("__sw") > 0,
+                    F.col("__swv").cast("double") / F.col("__sw").cast("double"),
+                ),
+                6,
+            ),
+        )
+        .drop("__swv", "__sw")
+    )
+    rk = Window.partitionBy("__g").orderBy(F.asc("__mean"), F.asc("__r"))
+    ranked = rep.withColumn("__rk", F.row_number().over(rk))
+    bounds = (
+        ranked.groupBy("__g")
+        .agg(
+            F.max(F.when(F.col("__rk") == lo_rank, F.col("__mean"))).alias("ci_lo"),
+            F.max(F.when(F.col("__rk") == hi_rank, F.col("__mean"))).alias("ci_hi"),
+        )
+    )
+    point = df.groupBy(g.alias("__g")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # exact decimal sum / double division, same discipline as the
+        # replicate means
+        F.round(
+            F.sum(v).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("point_mean"),
+    )
+    return (
+        point.join(bounds, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_rows",
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
         )
     )

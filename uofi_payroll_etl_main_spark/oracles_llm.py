@@ -1209,6 +1209,49 @@ LLM_ORACLES: dict[str, str] = {
         FROM j, wm
         WHERE purchase_ts IS NOT NULL OR (click_ts + INTERVAL 1 HOUR) < wm.w
     """,
+    "a48_bootstrap_ci": """
+        -- deterministic Poisson-bootstrap replica: identical md5-hex
+        -- weight derivation, exact DECIMAL sums, one double division,
+        -- integer rank selection (5th / 196th of 200 replicate means)
+        WITH thresholds(t) AS (
+          SELECT unnest(['5e2d58d8','bc5ab1b1','eb715e1d','fb239797',
+                         'ff1025f5','ffd90f3b','fffa8b71','ffff540c','ffffed1f'])
+        ),
+        reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+        weighted AS (
+          SELECT o.o_orderpriority AS g, reps.r,
+                 CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+                 (SELECT count(*) FROM thresholds
+                  WHERE substring(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
+                                      CAST(reps.r AS VARCHAR)), 1, 8) >= t) AS w
+          FROM orders o CROSS JOIN reps
+        ),
+        rep_means AS (
+          SELECT g, r,
+                 round(CAST(sum(CAST(w AS DECIMAL(10,0)) * v) AS DOUBLE)
+                       / CAST(sum(CAST(w AS DECIMAL(10,0))) AS DOUBLE), 6) AS m
+          FROM weighted GROUP BY g, r
+          HAVING sum(w) > 0
+        ),
+        ranked AS (
+          SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m, r) AS rk
+          FROM rep_means
+        ),
+        bounds AS (
+          SELECT g,
+                 max(CASE WHEN rk = 5 THEN m END) AS ci_lo,
+                 max(CASE WHEN rk = 196 THEN m END) AS ci_hi
+          FROM ranked GROUP BY g
+        ),
+        point AS (
+          SELECT o_orderpriority AS g, count(*) AS n_rows,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS point_mean
+          FROM orders GROUP BY 1
+        )
+        SELECT point.g AS o_orderpriority, n_rows, point_mean, ci_lo, ci_hi
+        FROM point JOIN bounds ON point.g = bounds.g
+    """,
     "st_custom_source": """
         -- regenerate the deterministic stream: rows are a pure function
         -- of the offset (datasources._synth_event)

@@ -858,6 +858,23 @@ def a45_mann_whitney(spark, sf):
     )
 
 
+def a48_bootstrap_ci(spark, sf):
+    """Distributed bootstrap CI for per-priority mean order price
+    (aggregates.bootstrap_ci): deterministic Poisson(1) weights from
+    md5-hex CDF cutoffs -- one pass, R=200 replicates folded into the
+    aggregation shuffle, rank-selected 2.5%/97.5% bounds.  The oracle
+    reproduces the exact weights, so the CI VALUES are checked."""
+    from .aggregates import bootstrap_ci
+
+    return bootstrap_ci(
+        _t(spark, sf, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        n_replicates=200,
+    )
+
+
 def a46_itemsets(spark, sf):
     """Apriori frequent itemsets (sizes 1-3, support >= 2) over the
     order->part baskets (aggregates.frequent_itemsets): every
@@ -2150,6 +2167,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_twap": w_twap,
     "w_resample_locf": w_resample_locf,
     "a45_mann_whitney": a45_mann_whitney,
+    "a48_bootstrap_ci": a48_bootstrap_ci,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
