@@ -469,3 +469,89 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
     )
     s = {r.node: r.rank for r in pagerank(skew, iterations=3, weight_col="w").collect()}
     assert s["b"] > weighted["b"]  # b gains vs the uniform split
+
+
+def _brandes_reference(nodes, adj):
+    """Pure-Python Brandes (directed-pair counting, endpoints excluded)
+    -- the independent replica the distributed version must equal when
+    run from ALL sources."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        order = []
+        preds = {v: [] for v in nodes}
+        sigma = {v: 0 for v in nodes}
+        sigma[s] = 1
+        dist = {v: -1 for v in nodes}
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while order:
+            w = order.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_vs_reference(spark):
+    import random
+
+    from uofi_payroll_etl_main_spark.graph import betweenness_approx
+
+    rnd = random.Random(4)
+    n = 24
+    edges = set()
+    while len(edges) < 40:
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = _brandes_reference(list(range(n)), adj)
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_approx(edf, sdf, max_depth=n).collect()
+    }
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - want[v]) <= 1e-6, (v, got.get(v), want[v])
+
+
+def test_betweenness_sampling_and_depth_cap(spark):
+    # path graph 0-1-2-3-4: from source 0 only, deltas are 3,2,1 for
+    # nodes 1,2,3 (and 0 for endpoints); a depth cap of 2 truncates the
+    # walk so node 3 sees only the 0->3 contribution through depth<=2
+    from uofi_payroll_etl_main_spark.graph import betweenness_approx
+
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    s0 = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_approx(edf, s0, max_depth=10).collect()
+    }
+    assert got[1] == 3.0 and got[2] == 2.0 and got[3] == 1.0
+    assert got.get(0, 0.0) == 0.0 and got.get(4, 0.0) == 0.0
+    capped = {
+        r.node: r.betweenness
+        for r in betweenness_approx(edf, s0, max_depth=2).collect()
+    }
+    # only paths of length <= 2 exist: 0->1->2, so node 1 carries 1.0
+    assert capped[1] == 1.0 and capped.get(2, 0.0) == 0.0

@@ -3173,6 +3173,35 @@ def g6_bfs_hops(spark, sf):
     return bfs_hops(edges, sources, max_hops=4)
 
 
+def g14_betweenness(spark, sf):
+    """Sampled Brandes betweenness over the g6 fulfillment graph,
+    sources = suppliers with suppkey % 50 == 0, depth cap 4 -- the
+    standard source-sampled estimator; exact-by-construction per
+    source (pytest proves all-sources mode equals a pure-Python
+    Brandes).  Rows-only: the two-phase sigma/delta recurrence is not
+    expressible in non-recursive oracle SQL."""
+    from .graph import betweenness_approx
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 50 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return betweenness_approx(edges, sources, max_depth=4)
+
+
 def g7_shortest_paths(spark, sf):
     """Hop-capped (4) weighted shortest paths over the fulfillment
     graph; integer edge weights derived from the keys so min-cost sums
@@ -3405,6 +3434,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j22_spatial_join": j22_spatial_join,
     "j22b_spatial_haversine": j22b_spatial_haversine,
     "g13_weighted_pr": g13_weighted_pr,
+    "g14_betweenness": g14_betweenness,
     "e23_mask_shape": e23_mask_shape,
     "w_lag_features": w_lag_features,
     "j11_semi_join": j11_semi_join,
