@@ -1649,3 +1649,51 @@ def test_bootstrap_ci_statistics(spark):
 
     with _pytest.raises(ValueError, match="lo_rank"):
         bootstrap_ci(df, "grp", "val", "rid", n_replicates=10, lo_rank=0)
+
+
+def test_point_in_polygon_matches_reference(spark):
+    """Even-odd ray casting vs a pure-Python replica on a non-convex
+    polygon, including concavity pockets and outside-bbox points; the
+    Spark column expression and the shared SQL text must agree with
+    each other and the replica."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.joins import (
+        point_in_polygon,
+        point_in_polygon_sql,
+    )
+
+    poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 5.0), (0.0, 10.0)]
+
+    def ref(px, py):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                inside = not inside
+        return inside
+
+    rnd = random.Random(6)
+    pts = [(i, rnd.uniform(-2, 12), rnd.uniform(-2, 12)) for i in range(400)]
+    pts += [(1000, 5.0, 2.0), (1001, 5.0, 9.0), (1002, 1.0, 8.5), (1003, 8.0, 8.0)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r.id: r.inside for r in point_in_polygon(df, poly).collect()}
+    for i, x, y in pts:
+        assert got[i] == ref(x, y), (i, x, y)
+    # the concavity pocket between the two top lobes is OUTSIDE
+    assert got[1000] and not got[1001] and got[1002] and got[1003]
+    # the generated SQL text computes the identical flag in Spark SQL
+    sql_flag = point_in_polygon_sql(poly, "x", "y")
+    got_sql = {
+        r.id: r.f for r in df.selectExpr("id", f"{sql_flag} AS f").collect()
+    }
+    assert got_sql == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vertices"):
+        point_in_polygon(df, [(0, 0), (1, 1)])

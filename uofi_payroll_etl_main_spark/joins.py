@@ -42,6 +42,8 @@ __all__ = [
     "band_join",
     "FanOutWarning",
     "spatial_radius_join",
+    "point_in_polygon",
+    "point_in_polygon_sql",
 ]
 
 
@@ -984,3 +986,69 @@ def _spatial_radius_join_haversine(
         .filter(dist <= F.lit(r_km))
         .select(id_a, id_b, F.round(dist, 6).alias("dist"))
     )
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygon: Sequence[tuple],
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "inside",
+) -> DataFrame:
+    """Point-in-polygon containment flag via the even-odd ray-casting
+    rule: a horizontal ray from the point crosses the polygon boundary
+    an odd number of times iff the point is inside.
+
+    The polygon (a sequence of (x, y) vertices, closed implicitly) is a
+    PLAN-TIME constant: the crossing test unrolls to one boolean term
+    per edge XOR-folded in a single projection -- pure codegen, no UDF,
+    no join, so at 100 TB this is a zero-shuffle map over the points.
+    For MANY polygons, bucket by bounding-box grid cells first (the
+    spatial_radius_join machinery) and refine per candidate polygon.
+
+    Edge cases follow the classic half-open rule ((y1 > y) != (y2 > y)),
+    so boundary points on horizontal edges and shared vertices count
+    once, never twice.
+    """
+    verts = [(float(a), float(b)) for a, b in polygon]
+    if len(verts) < 3:
+        raise ValueError(f"polygon needs >= 3 vertices, got {len(verts)}")
+    px, py = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    inside = F.lit(False)
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge: the half-open rule never crosses it
+        crosses = (
+            ((F.lit(y1) > py) != (F.lit(y2) > py))
+            & (
+                px
+                < F.lit(x2 - x1) * (py - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+            )
+        )
+        inside = inside != crosses  # XOR fold: odd crossing count
+    return points.withColumn(out_col, inside)
+
+
+def point_in_polygon_sql(
+    polygon: Sequence[tuple], x: str, y: str
+) -> str:
+    """The identical even-odd test as engine-agnostic SQL text: one
+    0/1 crossing term per edge, summed, parity-checked (chained <>
+    XOR does not parse in SQL grammars) -- shared verbatim with the
+    DuckDB oracle, same discipline as zorder_key_sql."""
+    verts = [(float(a), float(b)) for a, b in polygon]
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"CAST(((({y1!r} > {y}) <> ({y2!r} > {y})) AND "
+            f"({x} < {x2 - x1!r} * ({y} - {y1!r}) / {y2 - y1!r} + {x1!r})) AS INTEGER)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

@@ -6,6 +6,7 @@ nulls -- never use it where pandas `+` semantics are asserted);
 count/len/row_number are BIGINT (Spark sides cast to long to match).
 """
 
+from .joins import point_in_polygon_sql
 from .layout import hilbert_profile_sql, zorder_key_sql
 
 _Z = zorder_key_sql("l_partkey", "l_suppkey", 16)
@@ -2078,6 +2079,17 @@ CORE_ORACLES["j22_spatial_join"] = """
 CORE_ORACLES["s24_hilbert_profile"] = hilbert_profile_sql(
     "lineitem", "l_partkey", "l_suppkey", bits=16, n_buckets=64
 )
+
+CORE_ORACLES["j23_point_in_polygon"] = f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST(c_custkey * 61 % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer
+    )
+    SELECT id, x, y FROM pts
+    WHERE {point_in_polygon_sql([(10, 10), (90, 15), (50, 45), (80, 85), (20, 80), (40, 50)], "x", "y")}
+"""
 
 CORE_ORACLES["s23_xlsx_source"] = """
     SELECT CAST(n_nationkey AS VARCHAR) AS nationkey,

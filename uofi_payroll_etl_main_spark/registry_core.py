@@ -1202,6 +1202,27 @@ def j22b_spatial_haversine(spark, sf):
     return spatial_radius_join(cust, supp, radius=200.0, metric="haversine")
 
 
+_J23_POLYGON = [(10, 10), (90, 15), (50, 45), (80, 85), (20, 80), (40, 50)]
+
+
+def j23_point_in_polygon(spark, sf):
+    """Point-in-polygon containment (joins.point_in_polygon): customers
+    on synthesized planar coordinates tested against a fixed non-convex
+    hexagon by even-odd ray casting -- one XOR-folded boolean term per
+    edge, zero shuffle, pure codegen.  The SQL text is shared verbatim
+    with the oracle (point_in_polygon_sql)."""
+    from .joins import point_in_polygon
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 61 % 1000) / 10.0).alias("y"),
+    )
+    return point_in_polygon(cust, _J23_POLYGON).filter(F.col("inside")).select(
+        "id", "x", "y"
+    )
+
+
 def e23_mask_shape(spark, sf):
     """E-family -- format-preserving masking of customer fields
     (expressions.mask_shape): digits->9, upper->X, lower->x, layout
@@ -3433,6 +3454,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v16_chi_square_drift": v16_chi_square_drift,
     "j22_spatial_join": j22_spatial_join,
     "j22b_spatial_haversine": j22b_spatial_haversine,
+    "j23_point_in_polygon": j23_point_in_polygon,
     "g13_weighted_pr": g13_weighted_pr,
     "g14_betweenness": g14_betweenness,
     "e23_mask_shape": e23_mask_shape,
