@@ -115,6 +115,9 @@ HEADLINERS = [
     "llm_sentence_split",
     "mm_audio_dedup",
     "j22b_spatial_haversine",
+    "j23_point_in_polygon",
+    "g14_betweenness",
+    "st_custom_source",
     "st_interval_join_outer",
     "a43_sketch_overlap",
     "a45_mann_whitney",
