@@ -118,6 +118,7 @@ HEADLINERS = [
     "j23_point_in_polygon",
     "g14_betweenness",
     "st_custom_source",
+    "a48_bootstrap_ci",
     "st_interval_join_outer",
     "a43_sketch_overlap",
     "a45_mann_whitney",

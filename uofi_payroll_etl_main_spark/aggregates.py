@@ -924,21 +924,30 @@ def bootstrap_ci(
             f"{lo_rank}/{hi_rank}/{n_replicates}"
         )
     g, v = F.col(group_col), F.col(value_col).cast("decimal(18,2)")
-    u = F.substring(
-        F.md5(
-            F.concat(
-                F.col(id_col).cast("string"), F.lit(":"), F.col("__r").cast("string")
-            )
-        ),
-        1,
-        8,
+    # one md5 serves FOUR replicates: its 32 hex chars are four
+    # independent 8-char uniforms (lane = r % 4 picks the slice), so
+    # the dominant per-row cost is R/4 hashes, not R
+    u = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.floor(F.col("__r") / 4).cast("long").cast("string"),
+        )
+    ).substr(
+        (F.pmod(F.col("__r"), F.lit(4)) * 8 + 1).cast("int"), F.lit(8)
     )
     w = None
     for t in _POISSON1_HEX:
         ind = F.when(u >= F.lit(t), 1).otherwise(0)
         w = ind if w is None else (w + ind)
+    # spread the compact input BEFORE the R-fold explode: a single-file
+    # scan would otherwise fan out R x rows inside one task (one small
+    # shuffle of the raw rows buys R-way parallel expression work)
+    spread = df.select(group_col, value_col, id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     rep = (
-        df.select(
+        spread.select(
             g.alias("__g"),
             v.alias("__v"),
             F.col(id_col).alias(id_col),

@@ -1223,7 +1223,8 @@ LLM_ORACLES: dict[str, str] = {
                  CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
                  (SELECT count(*) FROM thresholds
                   WHERE substring(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
-                                      CAST(reps.r AS VARCHAR)), 1, 8) >= t) AS w
+                                      CAST(reps.r // 4 AS VARCHAR)),
+                                  (reps.r % 4) * 8 + 1, 8) >= t) AS w
           FROM orders o CROSS JOIN reps
         ),
         rep_means AS (
