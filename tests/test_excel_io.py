@@ -161,3 +161,25 @@ class TestXlsxDataSource:
         assert sorted(tuple(r) for r in back.collect()) == sorted(
             tuple(r) for r in df.collect()
         )
+
+    def test_writer_overwrite_clears_stale_parts(self, spark, tmp_path):
+        import os
+
+        from uofi_payroll_etl_main_spark.datasources import register_xlsx_source
+
+        register_xlsx_source(spark)
+        out = str(tmp_path / "books")
+        wide = spark.createDataFrame(
+            [(str(i),) for i in range(12)], "`id` string"
+        ).repartition(4)
+        wide.write.format("xlsx").mode("append").save(out)
+        assert len([f for f in os.listdir(out) if f.endswith(".xlsx")]) == 4
+        # narrower overwrite: the two old extra parts must disappear
+        narrow = spark.createDataFrame(
+            [(str(i),) for i in range(6)], "`id` string"
+        ).repartition(2)
+        narrow.write.format("xlsx").mode("overwrite").save(out)
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".xlsx"))
+        assert parts == ["part-00000.xlsx", "part-00001.xlsx"]
+        back = spark.read.format("xlsx").load(out)
+        assert sorted(r.id for r in back.collect()) == sorted(str(i) for i in range(6))

@@ -170,6 +170,14 @@ class _XlsxWriter(DataSourceWriter):
         return _XlsxCommit(tmp_path=tmp, final_name=final_name, n_rows=len(rows))
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            # mode("overwrite"): retire the previous commit's workbooks
+            # BEFORE promoting the new ones, so stale parts from a wider
+            # earlier write can never mix into this dataset
+            fresh = {m.final_name for m in messages}
+            for name in os.listdir(self.path):
+                if name.endswith(".xlsx") and not name.startswith(".") and name not in fresh:
+                    os.remove(os.path.join(self.path, name))
         for m in messages:
             os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
