@@ -172,3 +172,22 @@ def test_salted_join_splits_hot_key(spark):
         assert hot == 8
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sliding_distinct_hll_tracks_exact_wau(spark, sf_dir):
+    """The HLL sliding-distinct tier must track the exact explode-based
+    WAU within sketch error (exact at these cardinalities: HLL sparse
+    mode) for every report day, with the same day coverage."""
+    import __spark_entry__ as m
+
+    est = {
+        r.day.date().isoformat(): r.wau_est
+        for r in m.queries()["w_wau_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["wau"]
+        for r in m.queries()["w_dau_wau"](spark, sf_dir).collect()
+    }
+    assert set(exact) <= set(est)
+    for d, n in exact.items():
+        assert abs(est[d] - n) <= max(1, 0.02 * n), (d, est[d], n)

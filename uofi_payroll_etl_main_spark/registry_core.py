@@ -2674,6 +2674,19 @@ def a16_group_sample(spark, sf):
     )
 
 
+def w_wau_hll(spark, sf):
+    """Scale tier of w_dau_wau: sliding-window distinct via per-day HLL
+    sketches merged across each trailing 7-day window
+    (streaming/windows.sliding_distinct_hll) -- sketches build once and
+    REUSE across overlapping windows, the incremental-rollup shape.
+    Rows-only (sketch estimate); pytest bounds it against the exact
+    tier."""
+    from .streaming.windows import sliding_distinct_hll
+
+    ev = _t(spark, sf, "events")
+    return sliding_distinct_hll(ev)
+
+
 def w_dau_wau(spark, sf):
     """Product stickiness: per day, the distinct active users that day
     (DAU), in the trailing 7-day window (WAU), and the DAU/WAU ratio.
@@ -3346,6 +3359,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_inter_event_stats": w_inter_event_stats,
     "w_hourly_profile": w_hourly_profile,
     "w_dau_wau": w_dau_wau,
+    "w_wau_hll": w_wau_hll,
     "w_top_types": w_top_types,
     "a14_histogram": a14_histogram,
     "g1_pagerank": g1_pagerank,

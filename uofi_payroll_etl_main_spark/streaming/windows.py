@@ -33,6 +33,7 @@ __all__ = [
     "cohort_retention",
     "interval_coverage",
     "sessionize",
+    "sliding_distinct_hll",
 ]
 
 
@@ -738,4 +739,56 @@ def lag_features(
         F.col(by),
         v.alias(value),
         *[F.lag(v, int(k)).over(w).alias(f"lag_{k}") for k in lags],
+    )
+
+
+def sliding_distinct_hll(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_slices: int = 7,
+) -> DataFrame:
+    """Sliding-window distinct count the way a 100 TB pipeline actually
+    computes it: ONE HLL sketch per day slice, each sketch merged into
+    the `window_slices` trailing windows it supports (hll_union_agg),
+    estimate per report day -- sketches are built once and REUSED
+    across overlapping windows, so daily incremental cost is one slice
+    scan + K sketch merges, never a rescan of the trailing week.
+
+    The exact sibling (w_dau_wau) explodes (user, day) activity into
+    its report days -- correct, but its shuffle carries user-grain
+    rows times K; this tier's merge stage moves only sketch bytes
+    (days x K rows).  Estimate error ~1% at the default sketch size;
+    the gate records rows-only and pytest bounds the estimate against
+    the exact tier.
+
+    Returns (day, wau_est) for every day with at least one active
+    slice in its trailing window.
+    """
+    per_slice = (
+        events.select(
+            F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("__slice"),
+            F.col(key_col),
+        )
+        .groupBy("__slice")
+        .agg(F.hll_sketch_agg(key_col).alias("__sk"))
+    )
+    contrib = per_slice.select(
+        F.col("__sk"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_slices) - 1))
+        ).alias("__off"),
+        F.col("__slice"),
+    ).select(
+        (F.col("__slice") + F.make_dt_interval(F.col("__off"))).alias("day"),
+        "__sk",
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+            .cast("long")
+            .alias("wau_est")
+        )
+        .orderBy("day")
     )
