@@ -556,3 +556,44 @@ def test_hilbert_write_clusters_files(spark, tmp_path):
         if (r.xmax - r.xmin) <= n // 2 and (r.ymax - r.ymin) <= n // 2
     )
     assert narrow >= len(per_file) // 2, per_file
+
+
+def test_snapshot_diff_images_round_trips_reversal(spark):
+    """Pre/post images make the diff REVERSIBLE: applying the inverse
+    delta (swap images, flip added/removed) onto v2 must reconstruct
+    v1 exactly -- the audit/undo property plain change_type rows lack."""
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.io import snapshot_diff_images
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, n long"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 25), (3, "c", 30), (4, "d", 40)], "id long, s string, n long"
+    )
+    d = snapshot_diff_images(v1, v2, ["id"])
+    rows = {r.id: r for r in d.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].change_type == "removed" and rows[1].new_s is None and rows[1].old_n == 10
+    assert rows[2].change_type == "changed" and (rows[2].old_n, rows[2].new_n) == (20, 25)
+    assert rows[4].change_type == "added" and rows[4].old_s is None and rows[4].new_n == 40
+
+    # reversal: drop 'added' keys from v2, restore old images for the rest
+    restored = (
+        v2.join(d.select("id", "change_type", "old_s", "old_n"), "id", "left")
+        .filter((F.col("change_type").isNull()) | (F.col("change_type") != "added"))
+        .select(
+            "id",
+            F.when(F.col("change_type") == "changed", F.col("old_s")).otherwise(F.col("s")).alias("s"),
+            F.when(F.col("change_type") == "changed", F.col("old_n")).otherwise(F.col("n")).alias("n"),
+        )
+        .unionByName(
+            d.filter(F.col("change_type") == "removed").select(
+                "id", F.col("old_s").alias("s"), F.col("old_n").alias("n")
+            )
+        )
+    )
+    assert sorted(tuple(r) for r in restored.collect()) == sorted(
+        tuple(r) for r in v1.collect()
+    )

@@ -831,6 +831,27 @@ CORE_ORACLES: dict[str, str] = {
         )
         SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
     """,
+    "s25_cdc_images": """
+        WITH v1 AS (
+          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        ), v2 AS (
+          SELECT doc_id, lang,
+                 n_chars + CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 ELSE 0 END AS n_chars
+          FROM documents WHERE doc_id % 3 = 0
+        ), j AS (
+          SELECT coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+                 v1.lang AS old_lang, v1.n_chars AS old_n_chars,
+                 v2.lang AS new_lang, v2.n_chars AS new_n_chars,
+                 CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.lang IS DISTINCT FROM v2.lang
+                        OR v1.n_chars IS DISTINCT FROM v2.n_chars THEN 'changed'
+                 END AS change_type
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT doc_id, old_lang, old_n_chars, new_lang, new_n_chars, change_type
+        FROM j WHERE change_type IS NOT NULL
+    """,
     "v9_profile_drift": """
         WITH a AS (SELECT o_orderstatus, o_custkey, o_orderpriority
                    FROM orders WHERE o_orderkey % 2 = 0),

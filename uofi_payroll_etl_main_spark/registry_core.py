@@ -907,6 +907,27 @@ def s20_version_changes(spark, sf):
     return read_version_changes(spark, root, 1, 2, keys=["doc_id"])
 
 
+def s25_cdc_images(spark, sf):
+    """S-family -- change data feed WITH pre/post images
+    (io.read_version_changes_images): the s20 version store read
+    through the full-fidelity sibling, so every added/removed/changed
+    key carries old_*/new_* column images -- the Delta-CDF contract a
+    reversal/audit consumer needs.  Reuses s20's committed store."""
+    from .io import list_versions, read_version_changes_images, write_version
+
+    root = _tagged_dir(sf, "documents", "docs_cdf")
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    if len(list_versions(root)) < 2:
+        write_version(d.filter(F.col("doc_id") % 2 == 0), root)
+        v2 = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 5).otherwise(F.lit(0)),
+        )
+        write_version(v2, root)
+    return read_version_changes_images(spark, root, 1, 2, keys=["doc_id"])
+
+
 def v9_profile_drift(spark, sf):
     """V-family -- snapshot-to-snapshot column profile drift: the exact
     facets of report.profile_table (rows/nulls/min/max; the HLL
@@ -3447,6 +3468,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s18_range_sorted": s18_range_sorted,
     "s19_vacuum": s19_vacuum,
     "s20_version_changes": s20_version_changes,
+    "s25_cdc_images": s25_cdc_images,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
