@@ -873,13 +873,19 @@ def betweenness_approx(
         .localCheckpoint()
     )
     levels = [lvl0]
-    seen = lvl0.select("s", "node").localCheckpoint()
     for _h in range(1, int(max_depth) + 1):
         frontier = levels[-1]
+        # in unweighted BFS a frontier node's neighbors sit at distance
+        # h-1, h, or h+1, so the already-seen check only needs the LAST
+        # TWO levels -- the anti-join input stays frontier-sized instead
+        # of accumulating O(V * depth)
+        recent = levels[-1].select("s", "node")
+        if len(levels) > 1:
+            recent = recent.union(levels[-2].select("s", "node"))
         nxt = (
             frontier.join(e, frontier["node"] == e["a"])
             .select("s", F.col("b").alias("node"), "sigma")
-            .join(seen, ["s", "node"], "left_anti")
+            .join(recent, ["s", "node"], "left_anti")
             .groupBy("s", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .localCheckpoint()
@@ -887,7 +893,6 @@ def betweenness_approx(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.union(nxt.select("s", "node")).localCheckpoint()
 
     # backward: delta starts 0 everywhere; fold from the deepest level up
     acc = [
