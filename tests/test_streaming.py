@@ -888,3 +888,75 @@ def test_custom_stream_source_incremental_and_replay(spark):
 
     with _pytest.raises(ValueError, match="mode"):
         _SyntheticEventsStreamReader({"mode": "bogus"})
+
+
+def test_jsonl_commitlog_sink_exactly_once(spark, tmp_path):
+    """Custom streaming sink (jsonl_commitlog): batch-id-keyed promote
+    with _SUCCESS markers -- rows land exactly once, and a RESTART from
+    the same checkpoint appends nothing (the offsets already
+    committed)."""
+    import json
+    import os
+    import time
+
+    from uofi_payroll_etl_main_spark.datasources import (
+        _synth_event,
+        register_jsonl_commitlog_sink,
+        register_synthetic_events_source,
+    )
+
+    register_synthetic_events_source(spark)
+    register_jsonl_commitlog_sink(spark)
+    out, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+
+    def rows_on_disk():
+        n = 0
+        if not os.path.isdir(out):
+            return 0
+        for d in os.listdir(out):
+            bd = os.path.join(out, d)
+            if d.startswith("batch=") and os.path.exists(os.path.join(bd, "_SUCCESS")):
+                for f in os.listdir(bd):
+                    if f.endswith(".jsonl"):
+                        n += sum(1 for _ in open(os.path.join(bd, f)))
+        return n
+
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_total", 600).option("rows_per_batch", 200)
+        .option("mode", "incremental").load()
+    )
+    q = (
+        sdf.writeStream.format("jsonl_commitlog").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    t0 = time.time()
+    while time.time() - t0 < 90 and rows_on_disk() < 600:
+        time.sleep(0.5)
+    q.stop()
+    assert rows_on_disk() == 600
+    got = []
+    for d in sorted(os.listdir(out)):
+        bd = os.path.join(out, d)
+        if d.startswith("batch="):
+            for f in sorted(os.listdir(bd)):
+                if f.endswith(".jsonl"):
+                    got += [json.loads(line) for line in open(os.path.join(bd, f))]
+    assert sorted(r["event_id"] for r in got) == list(range(600))
+    sample = next(r for r in got if r["event_id"] == 42)
+    want = _synth_event(42)
+    assert (sample["user_id"], sample["event_type"], sample["value"]) == (
+        want[2], want[3], want[4],
+    )
+    # restart from the SAME checkpoint: nothing new to consume
+    q2 = (
+        spark.readStream.format("synthetic_events")
+        .option("n_total", 600).option("rows_per_batch", 200)
+        .option("mode", "bounded").load()
+        .writeStream.format("jsonl_commitlog").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(60)
+    assert rows_on_disk() == 600

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -49,6 +50,8 @@ __all__ = [
     "register_xlsx_source",
     "SyntheticEventsDataSource",
     "register_synthetic_events_source",
+    "JsonlCommitLogDataSource",
+    "register_jsonl_commitlog_sink",
 ]
 
 
@@ -304,3 +307,98 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_events_source(spark) -> None:
     """Idempotently register the synthetic event-stream source."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --------------------------------------------------------------------------
+# Custom STREAMING sink: batch-id-keyed JSONL commit log -- the
+# exactly-once file-sink contract at the Data Source API level.
+# --------------------------------------------------------------------------
+
+@dataclass
+class _CommitLogMsg(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class _JsonlCommitLogWriter(DataSourceStreamWriter):
+    """Exactly-once streaming JSONL sink: tasks write their partition
+    to hidden tmp files, and commit(messages, batchId) promotes them
+    under ``batch=<id>/`` with a ``_SUCCESS`` marker.  A replayed
+    micro-batch (crash between sink write and checkpoint commit)
+    re-runs under the SAME batchId, so promotion overwrites the same
+    directory -- idempotent, the foreachBatch recovery contract
+    expressed as a reusable sink.  Readers take only ``_SUCCESS``-marked
+    batch dirs, so a half-written batch is never visible."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_commitlog sink requires a path")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> "_CommitLogMsg":
+        import json as _json
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".__tmp.{uuid.uuid4().hex}.p{pid:05d}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                rec = {k: _norm_json(v) for k, v in zip(self.fields, row)}
+                f.write(_json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _CommitLogMsg(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        bdir = os.path.join(self.path, f"batch={batchId}")
+        if os.path.isdir(bdir):  # replayed batch: overwrite, idempotent
+            shutil.rmtree(bdir)
+        os.makedirs(bdir)
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(m.tmp_path, os.path.join(bdir, f"part-{i:05d}.jsonl"))
+        with open(os.path.join(bdir, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+def _norm_json(v):
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+class JsonlCommitLogDataSource(DataSource):
+    """``df.writeStream.format("jsonl_commitlog")`` -- see
+    _JsonlCommitLogWriter."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commitlog"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _JsonlCommitLogWriter(schema, dict(self.options))
+
+
+def register_jsonl_commitlog_sink(spark) -> None:
+    """Idempotently register the commit-log streaming sink."""
+    spark.dataSource.register(JsonlCommitLogDataSource)
