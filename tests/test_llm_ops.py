@@ -1182,3 +1182,50 @@ def test_ivf_pq_validation(spark):
         ivf_pq_topk(df, m_subvectors=2, id_col="id")
     with _pytest.raises(ValueError, match="n_codes"):
         ivf_pq_topk(df, m_subvectors=3, n_codes=1, id_col="id")
+
+
+def test_soft_dedup_weights_properties(spark):
+    from uofi_payroll_etl_main_spark.llm.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "THE  cat   sat"),   # same content after normalization
+            (3, "the cat sat "),     # same again
+            (4, "a different doc"),
+            (5, "another one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs).collect()}
+    assert len(out) == 5                       # nothing dropped
+    assert out[1].content_hash == out[2].content_hash == out[3].content_hash
+    assert out[1].cluster_size == 3 and abs(out[1].weight - 1 / 3) < 1e-6
+    assert out[4].cluster_size == 1 and out[4].weight == 1.0
+    # equal total mass per distinct content
+    total = sum(r.weight for r in out.values())
+    assert abs(total - 3.0) < 1e-5             # 3 distinct contents
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """A corpus synthesized with count(rank) = round(C / rank^s) must
+    fit back slope ~ -s; the counts/types totals are exact."""
+    from uofi_payroll_etl_main_spark.llm.text import zipf_fit
+
+    s_true = 1.0
+    C = 2000
+    toks = []
+    for r in range(1, 101):
+        c = max(1, round(C / (r ** s_true)))
+        toks += [f"w{r:03d}"] * c
+    # pack tokens into documents of 50 tokens
+    docs = [
+        (i, " ".join(toks[i * 50 : (i + 1) * 50]))
+        for i in range(-(-len(toks) // 50))
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = zipf_fit(df).collect()[0]
+    assert row.n_types == 100
+    assert row.n_tokens == len(toks)
+    assert abs(row.slope - (-s_true)) < 0.1, row.slope
+    assert row.r2 > 0.98, row.r2

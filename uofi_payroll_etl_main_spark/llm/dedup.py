@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .text import normalize_text, tokens
 
 __all__ = [
+    "soft_dedup_weights",
     "exact_dedup_groups",
     "fingerprint_dedup",
     "word_shingles",
@@ -1096,4 +1097,33 @@ def substring_strip(
         clean.alias("text_clean"),
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def soft_dedup_weights(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft deduplication (the SoftDeDup idea: reweight, don't drop):
+    every document keeps its row but gets sampling weight
+    1 / |exact-duplicate cluster|, so a training sampler sees each
+    distinct CONTENT with equal total mass while retaining every copy's
+    metadata -- gentler than hard dedup when duplicates carry signal
+    (popularity, provenance).
+
+    Clusters are md5 digests of whitespace-normalized text (the
+    exact_dedup convention); the count is a window over the digest, so
+    the shuffle moves 16-byte keys and the payload never moves twice.
+    Returns (id, content_hash, cluster_size, weight).
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(_c(text_col)), r"\s+", " "))
+    digest = F.md5(norm)
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), digest.alias("content_hash"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("cluster_size").cast("double"), 6)
+        )
     )

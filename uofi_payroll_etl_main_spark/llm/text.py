@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "zipf_fit",
     "tokens",
     "token_count",
     "wordlike_token_count",
@@ -1025,4 +1026,65 @@ def normalize_unicode(
     id_t = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_t}, text_norm string, changed boolean"
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Zipf's-law diagnostic for a corpus: OLS fit of log(frequency) on
+    log(rank) over the whitespace-token unigram spectrum.  Natural text
+    sits near slope -1; a badly contaminated or templated corpus drifts
+    (boilerplate flattens the head, spam steepens the tail) -- a
+    one-number corpus-health probe next to the perplexity buckets.
+
+    One corpus scan to token counts (map-side combinable), one rank
+    window over the type vocabulary (types-scale, not corpus-scale),
+    one 6-sum aggregate for the fit.  log values quantize to
+    DECIMAL(28,12) before summing so the sums are addition-order-free
+    and the oracle reproduces them.  Returns one row
+    (n_types, n_tokens, slope, intercept, r2), slope/r2 rounded 6.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))).cast("long"),
+    )
+    # DECIMAL(18,12): ln values are < 30, and the (18,12)x(18,12)
+    # product stays inside both engines' 38-digit cap with the full
+    # 24-dp scale -- products of 12-dp operands are EXACT, so every sum
+    # is addition-order-free and engine-identical
+    lx = F.log(F.col("rank").cast("double")).cast("decimal(18,12)")
+    ly = F.log(F.col("cnt").cast("double")).cast("decimal(18,12)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(lx).alias("_sx"),
+        F.sum(ly).alias("_sy"),
+        F.sum(lx * ly).alias("_sxy"),
+        F.sum(lx * lx).alias("_sxx"),
+        F.sum(ly * ly).alias("_syy"),
+    )
+    n = F.col("n_types").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("_sxy").cast("double"),
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+    )
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    ok = (F.col("n_types") > 1) & (vx > 0)
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        F.round(F.when(ok, cov / vx), 6).alias("slope"),
+        F.round(F.when(ok, (sy - (cov / vx) * sx) / n), 6).alias("intercept"),
+        F.round(F.when(ok & (vy > 0), (cov * cov) / (vx * vy)), 6).alias("r2"),
     )

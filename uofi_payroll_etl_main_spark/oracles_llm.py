@@ -752,6 +752,49 @@ LLM_ORACLES: dict[str, str] = {
           FROM scored
         ) WHERE rank <= 3
     """,
+    "llm_soft_dedup": f"""
+        WITH h AS (
+          SELECT doc_id, md5({_NORM}) AS content_hash FROM documents
+        )
+        SELECT doc_id, content_hash,
+               CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+                 AS cluster_size,
+               round(1.0 / count(*) OVER (PARTITION BY content_hash), 6) AS weight
+        FROM h
+    """,
+    "llm_zipf_fit": f"""
+        WITH toks AS (
+          SELECT unnest(CASE WHEN length({_NORM}) = 0 THEN []
+                             ELSE string_split({_NORM}, ' ') END) AS tok
+          FROM documents
+        ), c AS (
+          SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), r AS (
+          SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+          FROM c
+        ), q AS (
+          SELECT cnt,
+                 CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,12)) AS lx,
+                 CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,12)) AS ly
+          FROM r
+        ), a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+                 CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+                 CAST(sum(lx * lx) AS DOUBLE) AS sxx,
+                 CAST(sum(ly * ly) AS DOUBLE) AS syy,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM q
+        )
+        SELECT n_types, n_tokens,
+               round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+               round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+                 AS intercept,
+               round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                     / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+        FROM a
+    """,
     "llm_top_ngrams": f"""
         WITH toks AS (
           SELECT CASE WHEN length({_NORM}) = 0 THEN []

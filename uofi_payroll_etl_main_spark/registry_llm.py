@@ -87,6 +87,24 @@ def llm_exact_dedup(spark, sf):
     return LD.exact_dedup_groups(_t(spark, sf, "documents"))
 
 
+def llm_soft_dedup(spark, sf):
+    """Soft deduplication (LD.soft_dedup_weights): 1/|cluster| sampling
+    weight per document over exact normalized-content clusters --
+    reweight instead of drop, each distinct content gets equal total
+    mass.  Full value oracle (md5 window count in DuckDB)."""
+    return LD.soft_dedup_weights(_t(spark, sf, "documents"))
+
+
+def llm_zipf_fit(spark, sf):
+    """Zipf-law corpus diagnostic (text.zipf_fit): OLS slope of
+    log-frequency on log-rank over the unigram spectrum -- natural text
+    sits near -1; templated/contaminated corpora drift.  Exact decimal
+    sums of 12-dp-quantized logs, so the oracle reproduces the fit."""
+    from .llm.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"))
+
+
 def llm_fingerprint_dedup(spark, sf):
     return LD.fingerprint_dedup(_t(spark, sf, "documents"))
 
@@ -2094,6 +2112,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_oov_rate": llm_oov_rate,
     "s8_jsonl_roundtrip": s8_jsonl_roundtrip,
     "llm_exact_dedup": llm_exact_dedup,
+    "llm_soft_dedup": llm_soft_dedup,
+    "llm_zipf_fit": llm_zipf_fit,
     "llm_fingerprint_dedup": llm_fingerprint_dedup,
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_containment_pairs": llm_containment_pairs,
