@@ -1,9 +1,12 @@
 """Benchmark runner (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the metric
+JSON {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} -- first the FULL record (also
+persisted to BENCH_FULL.json), then a compact final line sized to fit
+the driver's 2000-char stdout tail (slowest queries first,
+"queries_omitted" counts the rest).
 
 Headliners cover the engine's hot shapes: TPC-H-style aggregation and
 multi-join analytics (q1/q3/q5), the flagship reference slice, the
@@ -208,7 +211,33 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # The driver keeps only the LAST 2000 chars of stdout, and the full
+    # per-query dict (109 headliners) serializes to ~4KB -- r5/r6's
+    # "parsed": null was exactly this.  So: (1) persist the complete
+    # record to BENCH_FULL.json next to this script, (2) print it as an
+    # EARLY stdout line for the run log, (3) end with a compact final
+    # line guaranteed to fit the tail window, carrying the headline
+    # metric plus as many of the SLOWEST queries as the budget allows.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out))
+
+    compact = {k: out[k] for k in (
+        "metric", "value", "unit", "sf", "n_ok", "n_err", "reps", "agg",
+        "measurement",
+    )}
+    compact["queries_file"] = "BENCH_FULL.json"
+    compact["queries"] = {}
+    budget = 1800
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][name]
+            break
+    compact["queries_omitted"] = len(timings) - len(compact["queries"])
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

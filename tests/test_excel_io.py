@@ -133,6 +133,36 @@ class TestXlsxDataSource:
         with _pytest.raises(Exception, match="does not match the"):
             df.collect()
 
+    def test_wider_data_row_fails_loudly(self, spark, tmp_path):
+        # header matches the planned schema, but one DATA row carries an
+        # extra trailing cell: the reader must raise, not silently drop it
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.datasources import register_xlsx_source
+        from uofi_payroll_etl_main_spark.io import xlsx_payload
+
+        payload = xlsx_payload(["a", "b"], [("1", "2"), ("3", "4", "SURPRISE")])
+        (tmp_path / "w.xlsx").write_bytes(payload)
+        register_xlsx_source(spark)
+        with _pytest.raises(Exception, match="refusing"):
+            # schema inference parses the first workbook, so the drift
+            # already surfaces at load(); collect() for the general case
+            spark.read.format("xlsx").load(str(tmp_path / "w.xlsx")).collect()
+
+    def test_fs_open_write_creates_parents(self, tmp_path):
+        # the executor-side write path: pyarrow-backed, no JVM, parents
+        # created on demand; unknown schemes fail loudly
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark import fs as _fs
+
+        target = str(tmp_path / "deep" / "nest" / "x.bin")
+        _fs.write_bytes(target, b"payload")
+        with open(target, "rb") as f:
+            assert f.read() == b"payload"
+        with _pytest.raises(IOError):
+            _fs.open_write("bogus-scheme://bucket/x")
+
     def test_missing_path_raises(self, spark, tmp_path):
         import pytest as _pytest
 

@@ -533,6 +533,52 @@ def test_betweenness_exact_vs_reference(spark):
         assert abs(got.get(v, 0.0) - want[v]) <= 1e-6, (v, got.get(v), want[v])
 
 
+def test_betweenness_directed_cycle(spark):
+    # directed 3-cycle a->b->c->a: each node is the sole intermediate on
+    # exactly one shortest path, so betweenness is 1.0 per node.  This is
+    # the case the two-level seen-set shortcut corrupts (back-edges reach
+    # nodes at distance <= h-2), so directed mode must keep the full set.
+    from uofi_payroll_etl_main_spark.graph import betweenness_approx
+
+    edf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    sdf = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_approx(edf, sdf, max_depth=5, directed=True).collect()
+    }
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0}, got
+
+
+def test_betweenness_directed_random_vs_reference(spark):
+    import random
+
+    from uofi_payroll_etl_main_spark.graph import betweenness_approx
+
+    rnd = random.Random(11)
+    n = 16
+    edges = set()
+    while len(edges) < 34:
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b:
+            edges.add((a, b))  # directed: keep orientation
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+    want = _brandes_reference(list(range(n)), adj)
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_approx(
+            edf, sdf, max_depth=n, directed=True
+        ).collect()
+    }
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - want[v]) <= 1e-6, (v, got.get(v), want[v])
+
+
 def test_betweenness_sampling_and_depth_cap(spark):
     # path graph 0-1-2-3-4: from source 0 only, deltas are 3,2,1 for
     # nodes 1,2,3 (and 0 for endpoints); a depth cap of 2 truncates the

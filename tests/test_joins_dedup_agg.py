@@ -1651,6 +1651,57 @@ def test_bootstrap_ci_statistics(spark):
         bootstrap_ci(df, "grp", "val", "rid", n_replicates=10, lo_rank=0)
 
 
+def test_bootstrap_ci_tiny_group_drops_empty_replicates(spark):
+    """A 2-row group gets zero-total-weight replicates with probability
+    ~e^-2 per replicate (~27 of 200): those have NO mean and must be
+    DROPPED before ranking (the oracle's HAVING sum(w) > 0), not sorted
+    NULL-first, which would shift lo/hi onto the wrong replicate.
+    Asserted against a pure-Python replica of the md5 weight derivation."""
+    import hashlib
+
+    from uofi_payroll_etl_main_spark.aggregates import _POISSON1_HEX, bootstrap_ci
+
+    rows = [("t", 1, 10.0), ("t", 2, 30.0)]
+    df = spark.createDataFrame(rows, "grp string, rid long, val double")
+    got = bootstrap_ci(
+        df, "grp", "val", "rid", n_replicates=200, lo_rank=5, hi_rank=196
+    ).first()
+
+    def weight(rid, r):
+        hx = hashlib.md5(f"{rid}:{r // 4}".encode()).hexdigest()
+        u = hx[(r % 4) * 8:(r % 4) * 8 + 8]
+        return sum(1 for t in _POISSON1_HEX if u >= t)
+
+    means = []
+    n_empty = 0
+    for r in range(200):
+        sw = swv = 0
+        for rid, v in ((1, 10.0), (2, 30.0)):
+            w = weight(rid, r)
+            sw += w
+            swv += w * v
+        if sw == 0:
+            n_empty += 1
+            continue
+        means.append((round(swv / sw, 6), r))
+    assert n_empty > 0, "fixture must actually produce empty replicates"
+    means.sort()
+    assert got.ci_lo == means[4][0], (got, means[4], n_empty)
+    # here ~27 replicates die, so rank 196 of the survivors does not
+    # exist -- both engines agree the bound is NULL rather than a
+    # NULL-shifted wrong mean
+    if len(means) >= 196:
+        assert got.ci_hi == means[195][0], (got, means[195], n_empty)
+    else:
+        assert got.ci_hi is None, (got, len(means))
+    # a rank inside the surviving set is the survivors' order statistic
+    got2 = bootstrap_ci(
+        df, "grp", "val", "rid", n_replicates=200, lo_rank=5,
+        hi_rank=len(means) - 2,
+    ).first()
+    assert got2.ci_hi == means[len(means) - 3][0], (got2, n_empty)
+
+
 def test_point_in_polygon_matches_reference(spark):
     """Even-odd ray casting vs a pure-Python replica on a non-convex
     polygon, including concavity pockets and outside-bbox points; the

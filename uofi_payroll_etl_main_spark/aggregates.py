@@ -973,8 +973,16 @@ def bootstrap_ci(
         )
         .drop("__swv", "__sw")
     )
+    # a replicate whose total Poisson weight is 0 (probability e^-n per
+    # replicate -- material for groups with <~10 rows) has no mean;
+    # Spark's ascending row_number would sort that NULL FIRST and shift
+    # lo/hi onto the wrong replicate, so drop empty replicates before
+    # ranking (the DuckDB oracle does the same via HAVING sum(w) > 0);
+    # lo/hi ranks are then over SURVIVING replicates
     rk = Window.partitionBy("__g").orderBy(F.asc("__mean"), F.asc("__r"))
-    ranked = rep.withColumn("__rk", F.row_number().over(rk))
+    ranked = rep.filter(F.col("__mean").isNotNull()).withColumn(
+        "__rk", F.row_number().over(rk)
+    )
     bounds = (
         ranked.groupBy("__g")
         .agg(

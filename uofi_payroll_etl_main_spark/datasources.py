@@ -102,8 +102,17 @@ class _XlsxReader(DataSourceReader):
                 "first file; fix or exclude the divergent workbook)"
             )
         width = len(self.schema_names)
-        for r in rows:
-            yield tuple(r[:width]) + (None,) * (width - len(r))
+        for i, r in enumerate(rows):
+            if len(r) > width:
+                # a data row wider than the planned schema is column
+                # drift -- loud per-partition error, never silent cell
+                # loss (same contract as the header check above)
+                raise ValueError(
+                    f"{partition.file_path}: data row {i} has {len(r)} cells "
+                    f"but the planned schema has {width} columns; refusing "
+                    "to drop trailing cells"
+                )
+            yield tuple(r) + (None,) * (width - len(r))
 
 
 class XlsxDataSource(DataSource):
@@ -145,10 +154,15 @@ class _XlsxCommit(WriterCommitMessage):
 class _XlsxWriter(DataSourceWriter):
     """One workbook per partition with a rename-on-commit protocol:
     tasks write hidden ``.__tmp.*`` files (invisible to the reader's
-    listing filter), the driver-side commit renames all of them and
-    drops a ``_SUCCESS`` marker; abort removes the debris.  A reader
-    listing mid-write therefore never sees a half-written workbook --
-    the same visibility discipline as the versioned store."""
+    listing filter) AT THE DESTINATION FILESYSTEM through the
+    executor-safe pyarrow layer (fs.open_write -- no JVM gateway in a
+    Python worker), and the driver-side commit promotes them with the
+    Hadoop FileSystem helpers (fs.rename) and drops a ``_SUCCESS``
+    marker; abort removes the debris.  Driver and executors never need
+    a shared LOCAL disk -- only the destination URI, the normal cluster
+    contract (the FileOutputCommitter split).  A reader listing
+    mid-write therefore never sees a half-written workbook -- the same
+    visibility discipline as the versioned store."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
         self.header = [f.name for f in schema.fields]
@@ -160,36 +174,40 @@ class _XlsxWriter(DataSourceWriter):
     def write(self, iterator) -> "_XlsxCommit":
         from pyspark import TaskContext
 
+        from uofi_payroll_etl_main_spark import fs as _fs
         from uofi_payroll_etl_main_spark.io import xlsx_payload
 
         pid = TaskContext.get().partitionId()
         rows = [tuple(r) for r in iterator]
         payload = xlsx_payload(self.header, rows)
-        os.makedirs(self.path, exist_ok=True)
         final_name = f"part-{pid:05d}.xlsx"
-        tmp = os.path.join(self.path, f".__tmp.{final_name}")
-        with open(tmp, "wb") as f:
-            f.write(payload)
+        tmp = _fs.join(self.path, f".__tmp.{final_name}")
+        _fs.write_bytes(tmp, payload)
         return _XlsxCommit(tmp_path=tmp, final_name=final_name, n_rows=len(rows))
 
     def commit(self, messages) -> None:
+        from uofi_payroll_etl_main_spark import fs as _fs
+
         if self.overwrite:
             # mode("overwrite"): retire the previous commit's workbooks
             # BEFORE promoting the new ones, so stale parts from a wider
             # earlier write can never mix into this dataset
             fresh = {m.final_name for m in messages}
-            for name in os.listdir(self.path):
+            for name in _fs.listdir(self.path):
                 if name.endswith(".xlsx") and not name.startswith(".") and name not in fresh:
-                    os.remove(os.path.join(self.path, name))
+                    _fs.delete(_fs.join(self.path, name))
         for m in messages:
-            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            f.write("")
+            dst = _fs.join(self.path, m.final_name)
+            _fs.delete(dst)  # Hadoop rename refuses an existing dst
+            _fs.rename(m.tmp_path, dst)
+        _fs.write_bytes(_fs.join(self.path, "_SUCCESS"), b"")
 
     def abort(self, messages) -> None:
+        from uofi_payroll_etl_main_spark import fs as _fs
+
         for m in messages:
             try:
-                os.remove(m.tmp_path)
+                _fs.delete(m.tmp_path)
             except OSError:
                 pass
 
@@ -337,42 +355,46 @@ class _JsonlCommitLogWriter(DataSourceStreamWriter):
         self.fields = [f.name for f in schema.fields]
 
     def write(self, iterator) -> "_CommitLogMsg":
+        # executor-side: the tmp file goes to the DESTINATION filesystem
+        # via pyarrow (no JVM gateway in a Python worker); the driver's
+        # commit() promotes it -- no shared local disk assumed
         import json as _json
         import uuid
 
         from pyspark import TaskContext
 
+        from uofi_payroll_etl_main_spark import fs as _fs
+
         pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".__tmp.{uuid.uuid4().hex}.p{pid:05d}.jsonl")
+        tmp = _fs.join(self.path, f".__tmp.{uuid.uuid4().hex}.p{pid:05d}.jsonl")
         n = 0
-        with open(tmp, "w") as f:
+        with _fs.open_write(tmp) as f:
             for row in iterator:
                 rec = {k: _norm_json(v) for k, v in zip(self.fields, row)}
-                f.write(_json.dumps(rec, sort_keys=True) + "\n")
+                f.write((_json.dumps(rec, sort_keys=True) + "\n").encode())
                 n += 1
         return _CommitLogMsg(tmp_path=tmp, n_rows=n)
 
     def commit(self, messages, batchId: int) -> None:
-        import shutil
+        from uofi_payroll_etl_main_spark import fs as _fs
 
-        bdir = os.path.join(self.path, f"batch={batchId}")
-        if os.path.isdir(bdir):  # replayed batch: overwrite, idempotent
-            shutil.rmtree(bdir)
-        os.makedirs(bdir)
+        bdir = _fs.join(self.path, f"batch={batchId}")
+        _fs.delete(bdir)  # replayed batch: overwrite, idempotent (no-op if new)
+        _fs.mkdirs(bdir)
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            os.replace(m.tmp_path, os.path.join(bdir, f"part-{i:05d}.jsonl"))
-        with open(os.path.join(bdir, "_SUCCESS"), "w") as f:
-            f.write("")
+            _fs.rename(m.tmp_path, _fs.join(bdir, f"part-{i:05d}.jsonl"))
+        _fs.write_bytes(_fs.join(bdir, "_SUCCESS"), b"")
 
     def abort(self, messages, batchId: int) -> None:
+        from uofi_payroll_etl_main_spark import fs as _fs
+
         for m in messages:
             if m is None:
                 continue
             try:
-                os.remove(m.tmp_path)
+                _fs.delete(m.tmp_path)
             except OSError:
                 pass
 

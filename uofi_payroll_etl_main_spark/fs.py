@@ -58,6 +58,8 @@ __all__ = [
     "newest_mtime",
     "list_files",
     "mkdirs",
+    "open_write",
+    "write_bytes",
 ]
 
 
@@ -242,3 +244,47 @@ def mkdirs(path: str) -> None:
         return
     fs, jvm = h
     fs.mkdirs(_jpath(jvm, path))
+
+
+# --------------------------------------------------------------------------
+# Executor-safe writes.  The Hadoop helpers above ride spark._jvm, which
+# exists only in the DRIVER process; a Python Data Source's write() runs
+# in an executor-side Python worker with no JVM gateway at all.  pyarrow's
+# filesystem layer (LocalFileSystem / S3FileSystem / HadoopFileSystem via
+# FileSystem.from_uri) needs no gateway, so it is the one write path both
+# sides can share: tasks create their tmp files AT THE DESTINATION
+# FILESYSTEM, and the driver-side commit() promotes them with the Hadoop
+# rename/delete helpers -- the classic FileOutputCommitter split, with no
+# shared-local-disk assumption between driver and executors.
+# --------------------------------------------------------------------------
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, fs-relative path) for any URI.  Plain paths
+    and ``file:`` URIs map to LocalFileSystem; other schemes resolve via
+    ``FileSystem.from_uri`` (S3, HDFS-with-libhdfs, GCS...).  Unknown
+    schemes raise IOError -- loud, never a silent local write."""
+    from pyarrow import fs as pafs
+
+    p = canon(path)
+    if "://" in p:
+        try:
+            return pafs.FileSystem.from_uri(p)
+        except Exception as exc:
+            raise IOError(f"no pyarrow filesystem for {path!r}: {exc}") from None
+    return pafs.LocalFileSystem(), p
+
+
+def open_write(path: str):
+    """Binary output stream at `path`, creating parent directories;
+    usable from BOTH driver and executor processes (no JVM needed)."""
+    fsys, rel = _pa_fs(path)
+    parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+    if parent:
+        fsys.create_dir(parent, recursive=True)
+    return fsys.open_output_stream(rel)
+
+
+def write_bytes(path: str, payload: bytes) -> None:
+    with open_write(path) as f:
+        f.write(payload)

@@ -875,13 +875,22 @@ def betweenness_approx(
     levels = [lvl0]
     for _h in range(1, int(max_depth) + 1):
         frontier = levels[-1]
-        # in unweighted BFS a frontier node's neighbors sit at distance
-        # h-1, h, or h+1, so the already-seen check only needs the LAST
-        # TWO levels -- the anti-join input stays frontier-sized instead
-        # of accumulating O(V * depth)
-        recent = levels[-1].select("s", "node")
-        if len(levels) > 1:
-            recent = recent.union(levels[-2].select("s", "node"))
+        if directed:
+            # directed graphs admit back-edges to nodes at ANY shallower
+            # distance (a->b->c->a puts a's predecessor 2 levels up), so
+            # the seen set must be the full accumulation -- the two-level
+            # shortcut below is an undirected-only invariant
+            recent = levels[0].select("s", "node")
+            for fr in levels[1:]:
+                recent = recent.union(fr.select("s", "node"))
+        else:
+            # in unweighted UNDIRECTED BFS a frontier node's neighbors sit
+            # at distance h-1, h, or h+1, so the already-seen check only
+            # needs the LAST TWO levels -- the anti-join input stays
+            # frontier-sized instead of accumulating O(V * depth)
+            recent = levels[-1].select("s", "node")
+            if len(levels) > 1:
+                recent = recent.union(levels[-2].select("s", "node"))
         nxt = (
             frontier.join(e, frontier["node"] == e["a"])
             .select("s", F.col("b").alias("node"), "sigma")

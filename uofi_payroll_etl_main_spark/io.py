@@ -219,7 +219,17 @@ def parse_xlsx(source, sheet: int = 0) -> tuple[list[str], list[tuple]]:
         raise ValueError(f"empty worksheet in {source!r}")
     header = [h if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
     width = len(header)
-    data = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
+    data = []
+    for i, r in enumerate(rows[1:]):
+        if len(r) > width and any(v is not None for v in r[width:]):
+            # a VALUE past the header width is column drift -- loud
+            # error, never silent cell loss.  (Styled-but-empty trailing
+            # cells, which real spreadsheets carry routinely, pad away.)
+            raise ValueError(
+                f"data row {i} has non-empty cells past the {width}-column "
+                "header; refusing to drop trailing cells (column drift)"
+            )
+        data.append(tuple((r + [None] * width)[:width]))
     return header, data
 
 
