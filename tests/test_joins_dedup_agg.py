@@ -698,17 +698,17 @@ def test_cms_estimate_upper_bounds_exact_counts(spark):
     df = spark.createDataFrame(
         [Row(k=f"item{i % 37}") for i in range(2000)]
     )
-    cms = cms_build(df, "k", width=1024, depth=4)
+    cms = cms_build(df, "k", hex_chars=2, depth=4)  # 256 cells
     items = df.select("k").dropDuplicates()
-    est = {r.k: r.est for r in cms_estimate(cms, items, "k", width=1024, depth=4).collect()}
+    est = {r.k: r.est for r in cms_estimate(cms, items, "k", hex_chars=2, depth=4).collect()}
     exact = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     n_total = 2000
-    eps_bound = int(2.7182818 / 1024 * n_total) + 1
+    eps_bound = int(2.7182818 / 256 * n_total) + 1
     for k, true_n in exact.items():
         assert est[k] >= true_n                      # CMS never undercounts
         assert est[k] <= true_n + eps_bound * 4      # loose sanity ceiling
     # sketch is bounded regardless of input size
-    assert cms.count() <= 4 * 1024
+    assert cms.count() <= 4 * 256
 
 
 def test_cms_merge_equals_sketch_of_union(spark):
@@ -717,10 +717,10 @@ def test_cms_merge_equals_sketch_of_union(spark):
     a = spark.createDataFrame([Row(k=f"a{i % 11}") for i in range(300)])
     b = spark.createDataFrame([Row(k=f"a{i % 7}") for i in range(200)])
     merged = {(r.d, r.w): r.cnt for r in cms_merge(
-        cms_build(a, "k", width=256, depth=3), cms_build(b, "k", width=256, depth=3)
+        cms_build(a, "k", hex_chars=2, depth=3), cms_build(b, "k", hex_chars=2, depth=3)
     ).collect()}
     whole = {(r.d, r.w): r.cnt for r in cms_build(
-        a.unionByName(b), "k", width=256, depth=3).collect()}
+        a.unionByName(b), "k", hex_chars=2, depth=3).collect()}
     assert merged == whole
 
 

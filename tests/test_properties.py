@@ -340,9 +340,9 @@ def test_cms_never_undercounts(spark, vals):
     from uofi_payroll_etl_main_spark.aggregates import cms_build, cms_estimate
 
     df = spark.createDataFrame([Row(k=str(v)) for v in vals], "k string")
-    cms = cms_build(df, "k", width=128, depth=3)
+    cms = cms_build(df, "k", hex_chars=1, depth=3)  # 16 cells
     est = {r.k: r.est for r in cms_estimate(
-        cms, df.dropDuplicates(), "k", width=128, depth=3).collect()}
+        cms, df.dropDuplicates(), "k", hex_chars=1, depth=3).collect()}
     from collections import Counter
 
     for k, n in Counter(str(v) for v in vals).items():

@@ -27,6 +27,13 @@ __all__ = [
     "sketch_overlap_distinct",
     "histogram",
     "sketch_merge_distinct",
+    "hll_distinct",
+    "hll_md5_registers",
+    "hll_md5_estimate",
+    "hll_reg_sql",
+    "hll_rho_sql",
+    "hll_est_sql",
+    "cms_cell_sql",
     "cms_build",
     "cms_merge",
     "cms_estimate",
@@ -79,16 +86,98 @@ def count_rows(df: DataFrame) -> int:
     return df.count()
 
 
-def hll_distinct(df: DataFrame, key: str, col: str, rsd: float = 0.02) -> DataFrame:
-    """Approximate distinct count per key (HyperLogLog++).
+# --------------------------------------------------------------------------
+# md5-register HLL: a HyperLogLog whose registers derive from md5 hex
+# prefixes, so ANY engine that has md5() reproduces the sketch -- and the
+# estimate -- bit-for-bit.  That turns every sketch gate from rows-only
+# into a full DuckDB value oracle (the a48 Poisson-weight / s24 Hilbert
+# precedent).  Design: p=12 -> m=4096 registers addressed by the first 3
+# hex chars; rho comes from the next 13 hex chars (52 independent bits).
+# The harmonic sum uses exact DECIMAL arithmetic (every 2^(56-rho) term is
+# an integer), finished by ONE double division -- addition-order-free, so
+# shuffle order can't drift the estimate (the group_stats discipline).
+# Standard error ~1.04/sqrt(4096) = 1.6%.  Flajolet et al. 2007 formulas:
+# raw = alpha_m * m^2 / sum(2^-M_j); linear counting below 2.5m.
+# --------------------------------------------------------------------------
+
+HLL_M = 4096
+# alpha_m * m^2 * 2^56 as ONE literal so both engines parse the same double
+_HLL_NUM = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 2.0**56)
+_TWO56 = "72057594037927936"  # 2^56
+
+
+def hll_reg_sql(key_sql: str) -> str:
+    """Register index: first 3 hex chars of md5(key) -- 4096 registers."""
+    return f"substring(md5({key_sql}), 1, 3)"
+
+
+def hll_rho_sql(key_sql: str) -> str:
+    """rho = 1 + leading-zero-bits of the 52-bit tail (hex chars 4-16):
+    4 bits per leading '0' char, plus 0-3 from the first non-zero hex
+    digit ('1'->3, '2'-'3'->2, '4'-'7'->1, '8'-'f'->0); all-zero tail
+    -> 53.  Plain ANSI string ops -- runs verbatim on Spark and DuckDB."""
+    stripped = f"trim(LEADING '0' FROM substring(md5({key_sql}), 4, 13))"
+    return (
+        f"(4 * (13 - length({stripped})) + CASE substring({stripped}, 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END + 1)"
+    )
+
+
+def hll_est_sql(m_col: str = "__mj") -> str:
+    """Estimate as an AGGREGATE expression over one group's register rows
+    (each row one present register, `m_col` = max rho).  Absent registers
+    contribute 2^56 each to the exact-decimal harmonic sum; linear
+    counting (m*ln(m/V)) applies below 2.5m when zero registers remain."""
+    s = (
+        f"(sum(CAST(power(2.0, 56 - {m_col}) AS DECIMAL(38,0))) "
+        f"+ CAST({HLL_M} - count(*) AS DECIMAL(18,0)) "
+        f"* CAST({_TWO56} AS DECIMAL(20,0)))"
+    )
+    raw = f"({_HLL_NUM} / CAST({s} AS DOUBLE))"
+    return (
+        f"CAST(round(CASE WHEN {raw} <= {2.5 * HLL_M} AND count(*) < {HLL_M} "
+        f"THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - count(*))) "
+        f"ELSE {raw} END) AS BIGINT)"
+    )
+
+
+def hll_md5_registers(
+    df: DataFrame, group_cols: Sequence[str], key_col: str
+) -> DataFrame:
+    """Stage 1: the register table -- one row per (group, register) with
+    the max rho.  groupBy gets map-side partial max, so the shuffle
+    carries at most |groups| x 4096 rows no matter the input size; this
+    table IS the mergeable sketch (union = max per register)."""
+    k = f"CAST(`{key_col}` AS STRING)"
+    return (
+        df.selectExpr(
+            *[f"`{g}`" for g in group_cols],
+            f"{hll_reg_sql(k)} AS __reg",
+            f"{hll_rho_sql(k)} AS __rho",
+        )
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+
+
+def hll_md5_estimate(
+    regs: DataFrame, group_cols: Sequence[str], out_col: str = "distinct_est"
+) -> DataFrame:
+    """Stage 2: fold one group's register rows to the estimate."""
+    return regs.groupBy(*group_cols).agg(F.expr(hll_est_sql()).alias(out_col))
+
+
+def hll_distinct(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Approximate distinct count per key via the md5-register HLL.
 
     The sketch is fixed-size per group regardless of cardinality -- the
     100 TB substitute for countDistinct, whose exact form shuffles every
-    distinct value.  rsd = relative standard deviation (2% default).
-    """
-    return df.groupBy(key).agg(
-        F.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}")
-    )
+    distinct value.  Error ~1.6% (m=4096); deterministic across engines,
+    so the gate value-checks the estimates against DuckDB."""
+    regs = hll_md5_registers(df, [key], col)
+    return hll_md5_estimate(regs, [key], f"approx_distinct_{col}")
 
 
 def approx_quantiles(
@@ -264,32 +353,45 @@ def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
 def sketch_merge_distinct(
     df: DataFrame, part_col: str, group_col: str, key_col: str
 ) -> DataFrame:
-    """Mergeable-sketch distinct count: build an HLL sketch per
-    (group, partition slice), then UNION the sketches per group and
-    estimate.  This is the 100 TB shape for incremental distincts --
-    daily sketches persist and merge into weekly/monthly rollups
-    without ever rescanning history, which an exact count-distinct
-    cannot do.  Estimate error ~2%; both aggregation stages get
-    map-side partials and the merge stage moves only sketch bytes.
-    """
-    per_slice = df.groupBy(group_col, part_col).agg(
-        F.hll_sketch_agg(key_col).alias("__sk")
+    """Mergeable-sketch distinct count: build an md5-register HLL per
+    (group, partition slice), then UNION the sketches per group
+    (register-wise max) and estimate.  This is the 100 TB shape for
+    incremental distincts -- daily register tables persist and merge
+    into weekly/monthly rollups without ever rescanning history, which
+    an exact count-distinct cannot do.  Estimate error ~1.6%; both
+    aggregation stages get map-side partials and the merge stage moves
+    only register rows (<= slices x 4096 per group).  Deterministic
+    md5 registers -> the gate value-checks estimates against DuckDB."""
+    per_slice = hll_md5_registers(df, [group_col, part_col], key_col)
+    # union of sketches = register-wise MAX across slices, THEN estimate
+    merged_regs = per_slice.groupBy(group_col, "__reg").agg(
+        F.max("__mj").alias("__mj")
     )
-    return per_slice.groupBy(group_col).agg(
-        F.count("*").cast("long").alias("n_slices"),
-        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
-        .cast("long")
-        .alias("distinct_est"),
+    merged = hll_md5_estimate(merged_regs, [group_col], "distinct_est")
+    n_slices = per_slice.groupBy(group_col).agg(
+        F.count_distinct(part_col).cast("long").alias("n_slices")
+    )
+    return n_slices.join(merged, group_col).select(
+        group_col, "n_slices", "distinct_est"
     )
 
 
-def _cms_positions(item, width: int, depth: int):
-    """One (row, col) struct per hash row for a string item."""
+def cms_cell_sql(item_sql: str, d: int, hex_chars: int) -> str:
+    """Cell label of `item` in hash row `d`: the first `hex_chars` hex
+    chars of md5('<d>:' || item) -- a uniform map onto 16^hex_chars
+    cells that ANY md5-bearing engine reproduces verbatim (no integer
+    modulo, so no hex->int conversion is ever needed)."""
+    return f"substring(md5('{d}:' || {item_sql}), 1, {hex_chars})"
+
+
+def _cms_positions(hex_chars: int, depth: int):
+    """One (row, cell) struct per hash row; reads the string item from
+    the caller-provided ``__cms_item`` column."""
     return F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(item, F.lit(d)), F.lit(width)).alias("w"),
+                F.expr(cms_cell_sql("__cms_item", d, hex_chars)).alias("w"),
             )
             for d in range(depth)
         ]
@@ -297,11 +399,11 @@ def _cms_positions(item, width: int, depth: int):
 
 
 def cms_build(
-    df: DataFrame, col: str, width: int = 2048, depth: int = 4
+    df: DataFrame, col: str, hex_chars: int = 3, depth: int = 4
 ) -> DataFrame:
     """Count-min sketch of the frequency of `col` values, materialized
     as a sparse count table DataFrame (d, w, cnt) with at most
-    depth*width rows.
+    depth*16^hex_chars rows (hex_chars=3 -> 4096-cell rows).
 
     The sketch is a pure groupBy-count over hashed cells, so it gets
     map-side partial aggregation and shuffles at most depth*width rows
@@ -312,12 +414,14 @@ def cms_build(
     count table grows with cardinality, this never does).
 
     Estimates (`cms_estimate`) are upper bounds: est >= true count
-    always; est <= true + eps*N w.h.p. with eps = e/width.  All hashing
-    is fixed-seed xxhash64, so sketches are deterministic and
-    mergeable across runs and engines.
+    always; est <= true + eps*N w.h.p. with eps = e/width.  Cells are
+    md5-hex prefixes (cms_cell_sql), so sketches are deterministic and
+    mergeable across runs AND engines -- the gate value-checks the
+    estimates against a DuckDB replica of the same cells.
     """
-    item = F.col(col).cast("string")
-    cells = df.select(F.explode(_cms_positions(item, width, depth)).alias("__c"))
+    cells = df.select(F.col(col).cast("string").alias("__cms_item")).select(
+        F.explode(_cms_positions(hex_chars, depth)).alias("__c")
+    )
     return (
         cells.groupBy(F.col("__c.d").alias("d"), F.col("__c.w").alias("w"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -338,7 +442,7 @@ def cms_estimate(
     cms: DataFrame,
     items: DataFrame,
     col: str,
-    width: int = 2048,
+    hex_chars: int = 3,
     depth: int = 4,
     out_col: str = "est",
 ) -> DataFrame:
@@ -349,9 +453,10 @@ def cms_estimate(
     probe is a broadcast left join + groupBy-min -- items never
     shuffle against each other, only against their own depth cells.
     """
-    item = F.col(col).cast("string")
     probes = items.select(
-        F.col(col), F.explode(_cms_positions(item, width, depth)).alias("__c")
+        F.col(col), F.col(col).cast("string").alias("__cms_item")
+    ).select(
+        col, F.explode(_cms_positions(hex_chars, depth)).alias("__c")
     ).select(col, F.col("__c.d").alias("d"), F.col("__c.w").alias("w"))
     return (
         probes.join(F.broadcast(cms), ["d", "w"], "left")
@@ -519,7 +624,13 @@ def quantile_sketch_merge(
         one = hit.join(F.broadcast(bounds)).select(
             F.col(group_col),
             F.lit(float(q)).alias("q"),
-            (F.col("__lo") + est_rel * (F.col("__hi") - F.col("__lo"))).alias("est"),
+            # round 6: the arithmetic is pure IEEE double with a fixed op
+            # order, identical on any engine; rounding absorbs nothing
+            # today but keeps the value-oracle hash safe against future
+            # libm drift in downstream transforms
+            F.round(
+                F.col("__lo") + est_rel * (F.col("__hi") - F.col("__lo")), 6
+            ).alias("est"),
         )
         out = one if out is None else out.unionByName(one)
     return out
@@ -582,45 +693,59 @@ def sketch_overlap_distinct(
     runs over |sets|² sketch rows -- set cardinality is segment-scale
     (tens), never user-scale.  Exact pairwise overlap would shuffle
     the key column once per pair; this never rescans the facts.
-    Estimates inherit HLL error (~2% per term, so small intersections
+    Estimates inherit HLL error (~1.6% per term, so small intersections
     of large sets are noisy -- the standard inclusion-exclusion
-    caveat); intersection is clamped at 0.  Rows-only correctness:
-    tolerance vs exact intersections is pinned in pytest.
+    caveat); intersection is clamped at 0.  md5-register sketches ->
+    estimates are engine-deterministic and the gate value-checks them;
+    tolerance vs exact intersections additionally pinned in pytest.
     """
-    sk = df.groupBy(F.col(set_col).alias("set_name")).agg(
-        F.hll_sketch_agg(key_col).alias("__sk"),
-        F.hll_sketch_estimate(F.hll_sketch_agg(key_col))
-        .cast("long")
-        .alias("est"),
+    regs = df.select(F.col(set_col).alias("set_name"), F.col(key_col))
+    regs = hll_md5_registers(regs, ["set_name"], key_col)
+    ests = hll_md5_estimate(regs, ["set_name"], "est")
+    a = ests.select(
+        F.col("set_name").alias("set_a"), F.col("est").alias("est_a")
     )
-    a = sk.select(
-        F.col("set_name").alias("set_a"),
-        F.col("__sk").alias("__ska"),
-        F.col("est").alias("est_a"),
-    )
-    b = sk.select(
-        F.col("set_name").alias("set_b"),
-        F.col("__sk").alias("__skb"),
-        F.col("est").alias("est_b"),
+    b = ests.select(
+        F.col("set_name").alias("set_b"), F.col("est").alias("est_b")
     )
     pairs = a.join(F.broadcast(b), F.col("set_a") < F.col("set_b"))
-    union_est = F.hll_sketch_estimate(
-        F.hll_union(F.col("__ska"), F.col("__skb"))
-    ).cast("long")
-    inter = F.greatest(
-        F.col("est_a") + F.col("est_b") - union_est, F.lit(0).cast("long")
+    # union sketch per pair: register-wise max over both sets' register
+    # tables -- two equi-joins of the (tiny) pair list against the
+    # register table, never an OR-join (which would plan a nested loop)
+    pr = pairs.select("set_a", "set_b")
+    uni_regs = (
+        pr.join(regs, pr["set_a"] == regs["set_name"])
+        .select("set_a", "set_b", "__reg", "__mj")
+        .unionByName(
+            pr.join(regs, pr["set_b"] == regs["set_name"]).select(
+                "set_a", "set_b", "__reg", "__mj"
+            )
+        )
+        .groupBy("set_a", "set_b", "__reg")
+        .agg(F.max("__mj").alias("__mj"))
     )
-    return pairs.select(
-        "set_a",
-        "set_b",
-        "est_a",
-        "est_b",
-        union_est.alias("union_est"),
-        inter.alias("intersect_est"),
-        F.round(
-            F.when(union_est > 0, inter.cast("double") / union_est.cast("double")),
-            6,
-        ).alias("jaccard_est"),
+    uni = hll_md5_estimate(uni_regs, ["set_a", "set_b"], "union_est")
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("union_est"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        pairs.join(uni, ["set_a", "set_b"])
+        .select(
+            "set_a",
+            "set_b",
+            "est_a",
+            "est_b",
+            "union_est",
+            inter.alias("intersect_est"),
+            F.round(
+                F.when(
+                    F.col("union_est") > 0,
+                    inter.cast("double") / F.col("union_est").cast("double"),
+                ),
+                6,
+            ).alias("jaccard_est"),
+        )
     )
 
 

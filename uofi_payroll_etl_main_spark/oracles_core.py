@@ -6,6 +6,7 @@ nulls -- never use it where pandas `+` semantics are asserted);
 count/len/row_number are BIGINT (Spark sides cast to long to match).
 """
 
+from .aggregates import cms_cell_sql, hll_est_sql, hll_reg_sql, hll_rho_sql
 from .joins import point_in_polygon_sql
 from .layout import hilbert_profile_sql, zorder_key_sql
 
@@ -2216,4 +2217,106 @@ CORE_ORACLES["w_lag_features"] = """
            lag(CAST(value AS DOUBLE), 7) OVER w AS lag_7
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+# --------------------------------------------------------------------------
+# md5-register sketch oracles: the register/cell derivations come verbatim
+# from aggregates.hll_*_sql / cms_cell_sql, so DuckDB rebuilds the exact
+# sketch Spark builds and the estimates VALUE-check (the a48/s24 pattern).
+# --------------------------------------------------------------------------
+
+_HK = "CAST(user_id AS STRING)"
+
+CORE_ORACLES["a17_sketch_union"] = f"""
+    WITH regs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {hll_reg_sql(_HK)} AS reg, MAX({hll_rho_sql(_HK)}) AS m_j
+      FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, reg, MAX(m_j) AS m_j FROM regs GROUP BY 1, 2
+    ), n AS (
+      SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_slices
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, {hll_est_sql('m_j')} AS distinct_est
+      FROM merged GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_slices, est.distinct_est
+    FROM n JOIN est USING (event_type)
+"""
+
+CORE_ORACLES["w_wau_hll"] = f"""
+    WITH regs AS (
+      SELECT date_trunc('day', ts) AS sl,
+             {hll_reg_sql(_HK)} AS reg, MAX({hll_rho_sql(_HK)}) AS m_j
+      FROM events GROUP BY 1, 2
+    ), contrib AS (
+      SELECT sl + (o * INTERVAL 1 DAY) AS day, reg, m_j
+      FROM regs CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o)
+    ), win AS (
+      SELECT day, reg, MAX(m_j) AS m_j FROM contrib GROUP BY 1, 2
+    )
+    SELECT day, {hll_est_sql('m_j')} AS wau_est
+    FROM win GROUP BY day ORDER BY day
+"""
+
+_C19 = "\n        UNION ALL ".join(
+    f"SELECT {d} AS d, {cms_cell_sql(_HK, d, 3)} AS cell FROM events"
+    for d in range(4)
+)
+_P19 = "\n        UNION ALL ".join(
+    f"SELECT user_id, {d} AS d, {cms_cell_sql(_HK, d, 3)} AS cell FROM probes"
+    for d in range(4)
+)
+
+CORE_ORACLES["a19_cms_counts"] = f"""
+    WITH cells AS (
+      SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+        {_C19}
+      ) GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events
+    ), pcells AS (
+      {_P19}
+    )
+    SELECT p.user_id, MIN(c.cnt) AS est
+    FROM pcells p JOIN cells c USING (d, cell)
+    GROUP BY p.user_id
+"""
+
+CORE_ORACLES["a24_quantile_sketch"] = """
+    WITH bounds AS (
+      SELECT min(CAST(value AS DOUBLE)) AS lo,
+             max(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ), binned AS (
+      SELECT event_type,
+             CAST(least(floor(CASE WHEN hi > lo
+                  THEN (CAST(value AS DOUBLE) - lo) / (hi - lo)
+                  ELSE 0.0 END * 256), 255) AS INTEGER) AS bin
+      FROM events CROSS JOIN bounds
+    ), merged AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin)
+                  AS BIGINT) AS c,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM merged
+    ), hit AS (
+      SELECT event_type, q, bin, n, c, tot,
+             row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rk
+      FROM cum CROSS JOIN (
+        SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q
+      )
+      WHERE CAST(c AS DOUBLE) >= q * CAST(tot AS DOUBLE)
+    )
+    SELECT event_type, q,
+           round(lo + ((CAST(bin AS DOUBLE)
+                  + (q * CAST(tot AS DOUBLE) - CAST(c - n AS DOUBLE))
+                    / CAST(n AS DOUBLE))
+                 / 256.0) * (hi - lo), 6) AS est
+    FROM hit CROSS JOIN bounds
+    WHERE rk = 1
 """

@@ -2600,3 +2600,81 @@ LLM_ORACLES["a47_assoc_rules"] = """
     JOIN l1 c ON r.y = c.i
     CROSS JOIN nb
 """
+
+# --------------------------------------------------------------------------
+# md5-register sketch oracles (register/cell SQL shared verbatim with the
+# Spark implementations via aggregates.hll_*_sql / cms_cell_sql).
+# --------------------------------------------------------------------------
+
+from .aggregates import cms_cell_sql as _cms_cell_sql
+from .aggregates import hll_est_sql as _hll_est_sql
+from .aggregates import hll_reg_sql as _hll_reg_sql
+from .aggregates import hll_rho_sql as _hll_rho_sql
+
+_HK = "CAST(user_id AS STRING)"
+
+LLM_ORACLES["a4_hll_distinct"] = f"""
+    WITH regs AS (
+      SELECT event_type, {_hll_reg_sql(_HK)} AS reg,
+             MAX({_hll_rho_sql(_HK)}) AS m_j
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, {_hll_est_sql('m_j')} AS approx_distinct_user_id
+    FROM regs GROUP BY event_type
+"""
+
+LLM_ORACLES["a43_sketch_overlap"] = f"""
+    WITH regs AS (
+      SELECT event_type AS set_name, {_hll_reg_sql(_HK)} AS reg,
+             MAX({_hll_rho_sql(_HK)}) AS m_j
+      FROM events GROUP BY 1, 2
+    ), ests AS (
+      SELECT set_name, {_hll_est_sql('m_j')} AS est
+      FROM regs GROUP BY set_name
+    ), pairs AS (
+      SELECT a.set_name AS set_a, b.set_name AS set_b,
+             a.est AS est_a, b.est AS est_b
+      FROM ests a JOIN ests b ON a.set_name < b.set_name
+    ), uni AS (
+      SELECT p.set_a, p.set_b, r.reg, MAX(r.m_j) AS m_j
+      FROM pairs p JOIN regs r
+        ON r.set_name = p.set_a OR r.set_name = p.set_b
+      GROUP BY 1, 2, 3
+    ), uest AS (
+      SELECT set_a, set_b, {_hll_est_sql('m_j')} AS union_est
+      FROM uni GROUP BY set_a, set_b
+    )
+    SELECT p.set_a, p.set_b, p.est_a, p.est_b, u.union_est,
+           greatest(p.est_a + p.est_b - u.union_est, 0) AS intersect_est,
+           round(CASE WHEN u.union_est > 0 THEN
+             CAST(greatest(p.est_a + p.est_b - u.union_est, 0) AS DOUBLE)
+             / CAST(u.union_est AS DOUBLE) END, 6) AS jaccard_est
+    FROM pairs p JOIN uest u USING (set_a, set_b)
+"""
+
+_CA44 = "\n        UNION ALL ".join(
+    f"SELECT {d} AS d, {_cms_cell_sql('CAST(o_orderkey AS STRING)', d, 3)} AS cell "
+    "FROM orders"
+    for d in range(4)
+)
+_CB44 = "\n        UNION ALL ".join(
+    f"SELECT {d} AS d, {_cms_cell_sql('CAST(l_orderkey AS STRING)', d, 3)} AS cell "
+    "FROM lineitem"
+    for d in range(4)
+)
+
+LLM_ORACLES["a44_join_size_est"] = f"""
+    WITH ca AS (
+      SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+        {_CA44}
+      ) GROUP BY 1, 2
+    ), cb AS (
+      SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+        {_CB44}
+      ) GROUP BY 1, 2
+    ), prod AS (
+      SELECT ca.d, SUM(ca.cnt * cb.cnt) AS dot
+      FROM ca JOIN cb USING (d, cell) GROUP BY ca.d
+    )
+    SELECT CAST(MIN(dot) AS BIGINT) AS join_size_est FROM prod
+"""

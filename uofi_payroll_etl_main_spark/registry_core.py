@@ -2659,8 +2659,9 @@ def sql1_priority_revenue(spark, sf):
 
 def a17_sketch_union(spark, sf):
     """Mergeable HLL rollup: daily per-type user sketches unioned to a
-    whole-range distinct estimate (approximate -> rows-only gate;
-    tolerance vs exact asserted in tests)."""
+    whole-range distinct estimate.  md5-register sketches -> the DuckDB
+    oracle re-derives registers and VALUE-checks the estimates;
+    tolerance vs exact additionally asserted in tests."""
     from .aggregates import sketch_merge_distinct
 
     ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
@@ -2700,7 +2701,8 @@ def w_wau_hll(spark, sf):
     sketches merged across each trailing 7-day window
     (streaming/windows.sliding_distinct_hll) -- sketches build once and
     REUSE across overlapping windows, the incremental-rollup shape.
-    Rows-only (sketch estimate); pytest bounds it against the exact
+    md5-register sketches -> the DuckDB oracle VALUE-checks the
+    estimates; pytest additionally bounds them against the exact
     tier."""
     from .streaming.windows import sliding_distinct_hll
 
@@ -3075,8 +3077,10 @@ def j17_band_join(spark, sf):
 
 def a24_quantile_sketch(spark, sf):
     """Mergeable quantile rollup: per-(event_type, day) histogram
-    sketches folded to per-type p50/p95 estimates (rows-only: bin-width
-    error bound asserted vs exact percentiles in pytest)."""
+    sketches folded to per-type p50/p95 estimates.  Fixed-bin
+    arithmetic is pure IEEE double with a fixed op order, so the DuckDB
+    oracle replicates the binning and VALUE-checks the estimates; the
+    bin-width error bound vs exact percentiles stays in pytest."""
     from .aggregates import quantile_sketch_merge
 
     ev = load_table(spark, sf, "events").withColumn(
@@ -3087,16 +3091,17 @@ def a24_quantile_sketch(spark, sf):
 
 def a19_cms_counts(spark, sf):
     """Count-min sketch frequency estimation: per-user event counts
-    estimated from a bounded (4 x 8192)-cell sketch instead of an exact
-    per-key count table (rows-only: the sketch is approximate by
-    design; the est >= exact upper-bound property and merge law are
-    asserted in tests/test_joins_dedup_agg.py)."""
+    estimated from a bounded (4 x 4096)-cell md5-hex sketch instead of
+    an exact per-key count table.  Cells are md5 prefixes, so the
+    DuckDB oracle re-derives the sketch and VALUE-checks every
+    estimate; the est >= exact upper-bound property and merge law are
+    additionally asserted in tests/test_joins_dedup_agg.py."""
     from .aggregates import cms_build, cms_estimate
 
     ev = load_table(spark, sf, "events")
-    cms = cms_build(ev, "user_id", width=8192, depth=4)
+    cms = cms_build(ev, "user_id", hex_chars=3, depth=4)
     users = ev.select("user_id").dropDuplicates()
-    return cms_estimate(cms, users, "user_id", width=8192, depth=4)
+    return cms_estimate(cms, users, "user_id", hex_chars=3, depth=4)
 
 
 def a22_spearman(spark, sf):

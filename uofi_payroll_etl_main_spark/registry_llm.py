@@ -855,8 +855,9 @@ def a43_sketch_overlap(spark, sf):
     """Pairwise distinct-user overlap between event types via HLL
     inclusion-exclusion (aggregates.sketch_overlap_distinct): one
     sketch per type, |sets|^2 sketch-row pair join -- the facts are
-    scanned once.  Rows-only (sketch estimates are engine-specific);
-    tolerance vs exact intersections pinned in pytest."""
+    scanned once.  md5-register sketches -> the DuckDB oracle
+    VALUE-checks every estimate; tolerance vs exact intersections
+    additionally pinned in pytest."""
     from .aggregates import sketch_overlap_distinct
 
     return sketch_overlap_distinct(
@@ -917,9 +918,10 @@ def a47_assoc_rules(spark, sf):
 def a44_join_size_est(spark, sf):
     """CMS inner-product join-size estimate (aggregates.cms_join_size)
     for orders ⋈ lineitem on orderkey -- the broadcast/salt/bucket
-    planning number without running the join.  Rows-only (sketch
-    estimate); the never-underestimates bound and accuracy vs the true
-    join size are pinned in pytest."""
+    planning number without running the join.  md5-hex cells -> the
+    DuckDB oracle re-derives both sketches and VALUE-checks the
+    estimate; the never-underestimates bound and accuracy vs the true
+    join size are additionally pinned in pytest."""
     from .aggregates import cms_build, cms_join_size
 
     o = cms_build(_t(spark, sf, "orders"), "o_orderkey")
@@ -928,8 +930,10 @@ def a44_join_size_est(spark, sf):
 
 
 def a4_hll_distinct(spark, sf):
-    """HLL distinct users per event type (rows-only: sketch estimates
-    differ across engines; tolerance vs exact asserted in pytest)."""
+    """HLL distinct users per event type.  md5-register sketch
+    (aggregates.hll_distinct) -> deterministic across engines, so the
+    DuckDB oracle VALUE-checks the estimates; tolerance vs exact
+    additionally asserted in pytest."""
     from .aggregates import hll_distinct
 
     return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id")

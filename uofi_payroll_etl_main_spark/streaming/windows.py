@@ -763,32 +763,31 @@ def sliding_distinct_hll(
     the exact tier.
 
     Returns (day, wau_est) for every day with at least one active
-    slice in its trailing window.
+    slice in its trailing window.  Sketches are md5-register HLLs
+    (aggregates.hll_md5_registers), deterministic across engines, so
+    the gate value-checks the estimates against a DuckDB replica.
     """
-    per_slice = (
+    from ..aggregates import hll_md5_estimate, hll_md5_registers
+
+    per_slice = hll_md5_registers(
         events.select(
             F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("__slice"),
             F.col(key_col),
-        )
-        .groupBy("__slice")
-        .agg(F.hll_sketch_agg(key_col).alias("__sk"))
+        ),
+        ["__slice"],
+        key_col,
     )
     contrib = per_slice.select(
-        F.col("__sk"),
+        "__reg",
+        "__mj",
         F.explode(
             F.sequence(F.lit(0), F.lit(int(window_slices) - 1))
         ).alias("__off"),
         F.col("__slice"),
     ).select(
         (F.col("__slice") + F.make_dt_interval(F.col("__off"))).alias("day"),
-        "__sk",
+        "__reg",
+        "__mj",
     )
-    return (
-        contrib.groupBy("day")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("__sk"))
-            .cast("long")
-            .alias("wau_est")
-        )
-        .orderBy("day")
-    )
+    merged = contrib.groupBy("day", "__reg").agg(F.max("__mj").alias("__mj"))
+    return hll_md5_estimate(merged, ["day"], "wau_est").orderBy("day")
