@@ -370,9 +370,12 @@ def ivf_topk(
     nearest centroid, probe the `n_probe` nearest centroid cells per
     query, exact-re-rank inside the probed cells.
 
-    centroids="sample" (default): a deterministic hash-ordered sample
+    centroids="sample" (default): a deterministic md5-ordered sample
     of corpus vectors -- no extra corpus pass; on roughly balanced data
-    sampled centroids land in every cluster w.h.p.  centroids="kmeans":
+    sampled centroids land in every cluster w.h.p.  The md5 ordering,
+    ROUND_DIGITS-rounded assignment scores, and cell-index tie-breaks
+    make THIS mode fully DuckDB-derivable, so the llm_ann_ivf gate
+    value-checks it end-to-end.  centroids="kmeans":
     `kmeans_iter` Lloyd iterations (kmeans_assign -- distributed; the
     driver only ever sees k*dim cells per iteration) refine that
     placement, which matters on SKEWED corpora where hash sampling
@@ -398,7 +401,13 @@ def ivf_topk(
     elif centroids == "sample":
         cent_rows = (
             corpus.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .orderBy(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{int(seed)}")
+                    )
+                )
+            )
             .limit(n_centroids)
             .collect()
         )
@@ -415,9 +424,14 @@ def ivf_topk(
                 if not len(pdf):
                     continue
                 cm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
-                scores = cm @ cn.T  # (n, n_centroids)
+                # round BEFORE ranking and tie-break by cell index: the
+                # rounded score + index rule is engine-reproducible (the
+                # oracle re-derives it in SQL), where raw-ULP argsort ties
+                # would be arbitrary
+                scores = np.round(cm @ cn.T, ROUND_DIGITS)  # (n, n_centroids)
                 take = min(n_out, scores.shape[1])
-                order = np.argsort(-scores, axis=1)[:, :take]
+                cell_idx = np.arange(scores.shape[1])[None, :].repeat(len(pdf), 0)
+                order = np.lexsort((cell_idx, -scores), axis=1)[:, :take]
                 qi = np.repeat(np.arange(len(pdf)), take)
                 yield pd.DataFrame(
                     {

@@ -2678,3 +2678,49 @@ LLM_ORACLES["a44_join_size_est"] = f"""
     )
     SELECT CAST(MIN(dot) AS BIGINT) AS join_size_est FROM prod
 """
+
+# IVF-Flat ANN, sampled-centroid mode: centroids are the 32 corpus
+# vectors with the smallest md5(vec_id || ':42'); every vector joins its
+# best cell (rounded cosine, cell-index tie-break), queries probe their 8
+# best cells, candidates re-rank exactly.  Per-cell top-(k+1) pruning on
+# the Spark side is lossless for the global top-k (any candidate outside
+# its cell's top-(k+1) has k+1 better candidates in the union), so ALL
+# candidates ranked here give the identical result.  Embeddings cast to
+# DOUBLE[] to match NumPy's float64 math; round 6 absorbs summation-order
+# ULPs (similarity.ROUND_DIGITS).
+LLM_ORACLES["llm_ann_ivf"] = """
+    WITH ordered AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS STRING) || ':42')
+             ) AS rn
+      FROM embeddings
+    ), cents AS (
+      SELECT rn - 1 AS cell, vec AS cvec FROM ordered WHERE rn <= 32
+    ), scored AS (
+      SELECT e.vec_id, e.vec, c.cell,
+             round(list_cosine_similarity(e.vec, c.cvec), 6) AS s
+      FROM ordered e CROSS JOIN cents c
+    ), ranked AS (
+      SELECT vec_id, vec, cell,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, cell
+             ) AS rnk
+      FROM scored
+    ), assigned AS (
+      SELECT vec_id, vec, cell FROM ranked WHERE rnk = 1
+    ), probes AS (
+      SELECT vec_id, vec, cell FROM ranked WHERE rnk <= 8
+    ), cand AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.vec, a.vec), 6) AS similarity
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, similarity,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY similarity DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM cand
+    QUALIFY rank <= 5
+"""

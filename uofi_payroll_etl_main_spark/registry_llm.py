@@ -323,6 +323,11 @@ def llm_ann_lsh(spark, sf):
 
 
 def llm_ann_ivf(spark, sf):
+    """IVF-Flat ANN (similarity.ivf_topk, sampled-centroid mode):
+    md5-ordered centroid sample, rounded-cosine cell assignment with
+    index tie-breaks, per-cell exact re-rank.  Fully deterministic ->
+    the DuckDB oracle re-derives centroids/cells/top-k and VALUE-checks
+    the result; recall vs exact cosine additionally pytest-asserted."""
     return LS.ivf_topk(_t(spark, sf, "embeddings"), k=5, n_centroids=32, n_probe=8)
 
 
