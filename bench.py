@@ -131,6 +131,7 @@ HEADLINERS = [
     "v16_chi_square_drift",
     "llm_mmr_ann",
     "s22_forget",
+    "mm_decode_quarantine",
 ]
 
 

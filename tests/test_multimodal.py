@@ -422,3 +422,105 @@ class TestAudioFingerprint:
                    and (64 + i % 97) >= 18}
         assert planted <= got
         assert all(r.hamming == 0 for r in pairs if (r.doc_a, r.doc_b) in planted)
+
+
+class TestDecodeQuarantine:
+    """Corrupt-media quarantine lane: deliberately damaged fixtures per
+    format must land in status='quarantined' with the error recorded,
+    clean rows stay 'ok', unknown formats stay 'unsupported' -- and the
+    scan never raises (the 100 TB contract: one bad byte-string must
+    not kill a task)."""
+
+    def _df(self, spark, rows):
+        from uofi_payroll_etl_main_spark.llm.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_per_format_corruption_statuses(self, spark):
+        import hashlib
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _synth_pixels,
+            _synth_samples,
+            decode_quarantine,
+            encode_jpeg,
+            encode_png,
+            encode_ppm,
+            encode_wav,
+        )
+
+        px = _synth_pixels(8, 6, 3)
+        ppm = encode_ppm(px)
+        png = encode_png(px)
+        jpg = encode_jpeg(px, quality=92)
+        wav = encode_wav(_synth_samples(80, 3), rate=8000)
+        bad_png = bytearray(png)
+        bad_png[len(bad_png) // 2] ^= 0xFF  # corrupt inside IDAT
+        rows = [
+            (0, "image", ppm, {"codec": "ppm"}),
+            (1, "image", ppm[: len(ppm) // 2], {"codec": "ppm"}),  # truncated
+            (2, "image", png, {"codec": "png"}),
+            (3, "image", bytes(bad_png), {"codec": "png"}),        # bad IDAT byte
+            (4, "image", jpg, {"codec": "jpeg"}),
+            (5, "image", jpg[: len(jpg) - 40], {"codec": "jpeg"}),  # truncated scan
+            (6, "image", jpg[:2] + b"\xff\x01" + jpg[2:], {"codec": "jpeg"}),  # bad marker
+            (7, "audio", wav, {"codec": "wav"}),
+            (8, "audio", wav[:20], {"codec": "wav"}),              # truncated header
+            (9, "video", hashlib.sha256(b"v").digest(), {"codec": "synthetic"}),
+        ]
+        got = {
+            r.media_id: r
+            for r in decode_quarantine(self._df(spark, rows)).collect()
+        }
+        assert got[0].status == "ok" and got[0].error is None
+        assert got[2].status == "ok" and got[4].status == "ok"
+        assert got[7].status == "ok"
+        for mid in (1, 3, 5, 6, 8):
+            assert got[mid].status == "quarantined", (mid, got[mid])
+            assert got[mid].error, mid
+        assert got[9].status == "unsupported"
+        assert "NotImplementedError" in got[9].error
+        assert got[3].codec == "png" and got[3].n_bytes == len(png)
+
+    def test_corrupt_media_is_deterministic_and_selective(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            corrupt_media,
+            decode_quarantine,
+            synth_media,
+        )
+
+        media = corrupt_media(synth_media(spark, 60), every_n=5)
+        # untouched rows keep their exact payloads
+        clean = synth_media(spark, 60).withColumnRenamed("payload", "orig")
+        joined = media.join(clean.select("media_id", "orig"), "media_id")
+        same = joined.filter(
+            (F.pmod(F.col("media_id"), F.lit(5)) != 0)
+            & (F.col("payload") != F.col("orig"))
+        ).count()
+        assert same == 0
+        touched = joined.filter(
+            (F.pmod(F.col("media_id"), F.lit(5)) == 0)
+            & (F.col("payload") == F.col("orig"))
+        ).count()
+        assert touched == 0
+        # the quarantine scan is idempotent-deterministic: two runs agree
+        a = sorted(map(tuple, decode_quarantine(media).collect()))
+        b = sorted(map(tuple, decode_quarantine(media).collect()))
+        assert a == b
+        # damaged rows exist in BOTH failure lanes across the corpus
+        statuses = {r.status for r in decode_quarantine(media).collect()}
+        assert "quarantined" in statuses and "ok" in statuses
+
+    def test_quarantine_never_raises_on_garbage(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import decode_quarantine
+
+        rows = [
+            (0, "image", b"", {"codec": "empty"}),
+            (1, "image", b"P6", {"codec": "ppm"}),
+            (2, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, {"codec": "png"}),
+            (3, "audio", b"RIFFxxxxWAVE", {"codec": "wav"}),
+            (4, "image", b"\xff\xd8\xff", {"codec": "jpeg"}),
+        ]
+        out = decode_quarantine(self._df(spark, rows)).collect()
+        assert len(out) == 5
+        assert all(r.status in ("quarantined", "unsupported") for r in out)

@@ -63,6 +63,9 @@ __all__ = [
     "audio_dup_candidates",
     "vad_segments",
     "audio_vad",
+    "corrupt_media",
+    "decode_quarantine",
+    "QUARANTINE_SCHEMA",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -800,4 +803,94 @@ def audio_dup_candidates(
         sig_col="afp",
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
+    )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-media quarantine.  Real crawl corpora carry truncated and
+# malformed files; a decode kernel that raises inside mapInPandas would
+# fail the whole task (and, at 100 TB, the whole scan stage after 4
+# retries).  decode_quarantine routes per-row decode errors to a typed
+# status/error column instead -- the binary-media analog of the JSON
+# quarantine lane (e21_quarantine).
+# --------------------------------------------------------------------------
+
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("status", T.StringType()),  # ok | quarantined | unsupported
+        T.StructField("error", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_quarantine(df: DataFrame) -> DataFrame:
+    """Decode every payload, never fail the task: per row emit
+    status = 'ok' (decodes), 'unsupported' (no codec for the format --
+    the guarded NotImplementedError boundary), or 'quarantined' (a
+    codec STARTED and hit corrupt bytes), with the exception class +
+    message in `error`.  Arrow-batched mapInPandas; the happy path costs
+    exactly one decode, the quarantine path costs the partial parse that
+    failed -- no retries, no task death.  Downstream: filter
+    status='ok' for the clean lane, persist the rest for triage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            status, error = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload)
+                try:
+                    decode_media(raw, kind)
+                    status.append("ok")
+                    error.append(None)
+                except NotImplementedError as exc:
+                    status.append("unsupported")
+                    error.append(f"{type(exc).__name__}: {exc}"[:200])
+                except Exception as exc:  # noqa: BLE001 -- the quarantine contract
+                    status.append("quarantined")
+                    error.append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "codec": [
+                        (m or {}).get("codec", "unknown") for m in pdf["meta"]
+                    ],
+                    "status": status,
+                    "error": error,
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(run, QUARANTINE_SCHEMA)
+
+
+def corrupt_media(df: DataFrame, every_n: int = 5, offset: int = 0) -> DataFrame:
+    """Deterministically damage every `every_n`-th payload (by media_id),
+    rotating three real-world failure modes: hard truncation (network
+    cut), mid-file byte flip (bit rot / bad marker), and a lying magic
+    number (mislabeled format).  Pure column expressions -- the fixture
+    generator for quarantine tests and the mm_decode_quarantine gate."""
+    sel = F.pmod(F.col("media_id") + F.lit(int(offset)), F.lit(int(every_n))) == 0
+    # decorrelate the damage mode from kind (kind is media_id % 3 in the
+    # synthetic corpus): index by the selected row's ordinal, not the id
+    mode = F.pmod(F.floor(F.col("media_id") / F.lit(int(every_n))), F.lit(3))
+    n = F.length("payload")
+    truncated = F.expr("substring(payload, 1, greatest(int(length(payload) * 0.6), 4))")
+    flipped = F.concat(
+        F.expr("substring(payload, 1, int(length(payload) / 2))"),
+        F.lit(b"\xff\x00\xde\xad"),
+        F.expr("substring(payload, int(length(payload) / 2) + 5)"),
+    )
+    mislabeled = F.concat(F.lit(b"P6"), F.expr("substring(payload, 3)"))
+    damaged = (
+        F.when(mode == 0, truncated)
+        .when((mode == 1) & (n > 12), flipped)
+        .otherwise(mislabeled)
+    )
+    return df.withColumn(
+        "payload", F.when(sel, damaged).otherwise(F.col("payload"))
     )

@@ -1180,6 +1180,31 @@ def mm_resize(spark, sf):
     return resize_media(synth_media(spark, 64), width=64, height=64)
 
 
+def mm_decode_quarantine(spark, sf):
+    """Corrupt-media quarantine lane: the synthetic corpus with every
+    5th payload deterministically damaged (hard truncation / mid-file
+    byte flip / lying magic number -- llm/multimodal.corrupt_media),
+    decoded through decode_quarantine so failures land in a typed
+    status column instead of killing the task; per-(kind, codec,
+    status) counts.  Rows-only gate (binary media has no SQL oracle);
+    per-fixture status correctness pinned in pytest
+    (tests/test_multimodal.py)."""
+    from .llm.multimodal import corrupt_media, decode_quarantine
+
+    media = corrupt_media(synth_media(spark, 96), every_n=5)
+    return (
+        decode_quarantine(media)
+        .groupBy("kind", "codec", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("error").isNotNull(), 1))
+            .cast("long")
+            .alias("n_err"),
+        )
+        .orderBy("kind", "codec", "status")
+    )
+
+
 def w_funnel(spark, sf):
     """Ordered view->click->purchase funnel per user (strictly
     increasing timestamps between steps)."""
@@ -2173,6 +2198,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_features": mm_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
+    "mm_decode_quarantine": mm_decode_quarantine,
     "mm_image_dedup": mm_image_dedup,
     "mm_audio_vad": mm_audio_vad,
     "e17_json_extract": e17_json_extract,
