@@ -10,9 +10,30 @@ deep on a few queries; this goes wide across the whole driver surface:
                                one side is a single-row scalar
                                aggregate, a metadata-scale spine, or an
                                intentional brute-force baseline tier.
+  * Unpushed simple filter  -- a FileScan whose DataFilters contain a
+                               predicate over a BARE column while
+                               PushedFilters is empty: the parquet
+                               reader is decoding rows a pushed filter
+                               would have skipped.  Filters over
+                               computed expressions (concat, casts,
+                               regex...) are untranslatable by design
+                               and not flagged.
+  * Runaway same-path scans -- one input scanned more than
+                               MAX_SAME_PATH_SCANS times in a single
+                               plan signals lineage blowup (an
+                               iterative loop missing its per-round
+                               localCheckpoint).  Two-to-few scans are
+                               DELIBERATE at 100 TB -- recomputing a
+                               column-pruned scan beats caching
+                               terabytes -- so only gross repetition
+                               is flagged, with a documented allowlist
+                               for bounded-iteration algorithms.
 """
 
 from __future__ import annotations
+
+import collections
+import re
 
 import pytest
 
@@ -67,6 +88,40 @@ BNLJ_ALLOWED = {
 SKIP_PREFIXES = ("st_",)
 SKIP = {"llm_dup_clusters", "llm_near_dedup_corpus", "llm_near_dedup_keep_best"}
 
+# Bounded-iteration algorithms whose final frame legitimately references
+# every superstep's lineage (depth is a fixed parameter, and the heavy
+# per-round state IS localCheckpointed where it feeds two consumers);
+# plus composed pipelines that re-derive a small input several times by
+# design (cheaper than caching at scale).
+MANY_SCANS_ALLOWED = {
+    "a43_sketch_overlap",    # register table referenced per pair side
+    "a46_itemsets",          # L1/L2/L3 candidate levels re-read baskets
+    "a47_assoc_rules",       # rule table re-reads L1/L2 supports
+    "g10_adamic_adar",       # two-hop neighbor join re-reads edges
+    "g11_modularity",        # community x edge-end joins re-read edges
+    "g12_hits",              # per-half-iteration normalizer (bounded n_iter)
+    "g13_weighted_pr",       # bounded n_iter lineage
+    "g1_pagerank",           # bounded n_iter lineage
+    "g3_triangle_count",     # edge table joined 3 ways
+    "g5_label_propagation",  # bounded n_iter lineage
+    "g6_bfs_hops",           # per-level frontier lineage (depth-capped)
+    "g7_shortest_paths",     # per-level frontier lineage (depth-capped)
+    "g9_personalized_pr",    # bounded n_iter lineage
+    "llm_curation_pipeline", # composed funnel re-derives documents
+    "llm_perplexity_buckets",# train/held-out/vocab views of one corpus
+    "v12_psi",               # expected/actual histogram halves x bounds
+    "v15_monitor",           # composes v12/v13 shapes
+}
+MAX_SAME_PATH_SCANS = 6
+
+# A DataFilters predicate whose operand is a BARE attribute (col#123)
+# rather than a computed expression -- these ALWAYS have a parquet
+# translation, so an empty PushedFilters next to one is a regression.
+_SIMPLE_PRED = re.compile(
+    r"(?:isnotnull|isnull)\(\w+#\d+L?\)"
+    r"|\(\w+#\d+L? (?:=|>|<|>=|<=|IN)\s"
+)
+
 
 
 def _all_query_names():
@@ -89,3 +144,26 @@ def test_no_scale_antipatterns(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_ALLOWED, f"{name}: unexpected BNLJ\n{plan}"
+
+    # pushdown: a scan carrying a simple-column predicate must have
+    # pushed SOMETHING to the parquet reader
+    for m in re.finditer(
+        r"DataFilters: \[([^\]]*)\].*?PushedFilters: \[([^\]]*)\]", plan
+    ):
+        data, pushed = m.group(1).strip(), m.group(2).strip()
+        if data and not pushed and _SIMPLE_PRED.search(data):
+            raise AssertionError(
+                f"{name}: simple-column filter not pushed to parquet "
+                f"(DataFilters=[{data[:160]}], PushedFilters=[])"
+            )
+
+    # lineage blowup: the same input path scanned gross-many times
+    paths = re.findall(r"Location: InMemoryFileIndex\([^)]*\)\[([^\]]+)\]", plan)
+    counts = collections.Counter(p.split(",")[0] for p in paths)
+    for p, n in counts.items():
+        if n > MAX_SAME_PATH_SCANS and name not in MANY_SCANS_ALLOWED:
+            raise AssertionError(
+                f"{name}: {p.rsplit('/', 1)[-1]} scanned {n}x in one plan "
+                "-- lineage blowup? (localCheckpoint the loop state, or "
+                "allowlist with a reason)"
+            )
