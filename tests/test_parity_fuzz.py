@@ -1,0 +1,246 @@
+"""Seed-fuzzed end-to-end pipeline parity (PUA + CPA).
+
+The fixed-fixture suites (test_pua_duckdb_parity / test_cpa_duckdb_parity)
+pin each pandas-divergence quirk once; this tier HARDENS them by running
+randomized fixture corpora -- 20 seeds per pipeline -- through run_pua /
+run_cpa against the SAME composed DuckDB SQL chains.  Every seed draws
+from the documented quirk space (FIXTURES.md): 'nan'/''/null ADJ codes,
+trailing-.0 Excel floats, whitespace padding, unparseable dates,
+duplicate business keys racing keep-first, unmatched dim keys, tied
+mode groups, hyphen-less COLLEGE, out-of-fiscal-year and non-Apply rows,
+cross-source UIN-Job collisions.  Any semantic drift between the Spark
+pipeline and the reference contract shows up as a value diff on some
+seed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import Row
+
+from test_cpa_duckdb_parity import CERT_COLS, CERT_SCHEMA, CPA_SQL, SETUP_SQL
+from test_pua_duckdb_parity import DIM_SQL_SETUP, PUA_SQL
+
+from uofi_payroll_etl_main_spark.pipelines.cpa import CPA_OUTPUT_COLUMNS, run_cpa
+from uofi_payroll_etl_main_spark.pipelines.pua import run_pua
+
+N_SEEDS = 20
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype({c: "string" for c in df.columns if df[c].dtype == object})
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _assert_frames_equal(got: pd.DataFrame, expect: pd.DataFrame, seed: int):
+    assert sorted(got.columns) == sorted(expect.columns), seed
+    assert len(got) == len(expect), (seed, len(got), len(expect))
+    g, e = _canon(got), _canon(expect)
+    for c in g.columns:
+        for i, (x, y) in enumerate(zip(g[c], e[c])):
+            both_na = pd.isna(x) and pd.isna(y)
+            assert both_na or x == y, f"seed={seed} col={c} row={i}: spark={x!r} duck={y!r}"
+
+
+# ---------------------------------------------------------------------------
+# PUA fuzz
+# ---------------------------------------------------------------------------
+
+_PUA_COLS = [
+    "UIN", "Year", "Pay ID", "Pay #", "Seq #", "TS COA", "TS ORG",
+    "DEPT Code", "Department Name", "ECLS", "ECLS DESC", "TE M",
+    "Time Entry", "POSN", "SUFF", "College Code", "College Name",
+    "Earn Code", "DESCRIPTION", "ADj Reason Code", "ADJ Reason DESC",
+    "Calc Date",
+]
+
+
+def _pua_fuzz_rows(rnd: random.Random, n: int = 30) -> list[Row]:
+    rows = []
+    for _ in range(n):
+        uin = rnd.choice(["111111111", "222222222", "333333333", " 333333333 "])
+        coa = rnd.choice(["1", "9", None, " 1 "])
+        org = rnd.choice(["602", "603", "999"])
+        rows.append(Row(**{
+            "UIN": uin,
+            "Year": rnd.choice(["2025", " 2025"]),
+            "Pay ID": rnd.choice(["BW", "MN"]),
+            "Pay #": rnd.choice(["7", "14", "26"]),
+            "Seq #": rnd.choice(["0", "1"]),
+            "TS COA": coa,
+            "TS ORG": org,
+            "DEPT Code": rnd.choice(["123.0", "77.0", "55", " 123.0 "]),
+            "Department Name": rnd.choice(["Fallback Dept", "Other Dept", None]),
+            "ECLS": rnd.choice(["EA", "EB", "ZZ"]),
+            "ECLS DESC": rnd.choice(["DescA", "DescB"]),
+            "TE M": rnd.choice(["W", "B", "Q", None]),
+            "Time Entry": rnd.choice(["", None, "Manual", "nan", "Payload"]),
+            "POSN": rnd.choice(["U10000", "U20000", "12345.0"]),
+            "SUFF": rnd.choice(["0.0", "00", "1.0"]),
+            "College Code": rnd.choice(["KV", "LB"]),
+            "College Name": rnd.choice(["Engineering", "Liberal Arts"]),
+            "Earn Code": rnd.choice(["RGS", "OVT"]),
+            "DESCRIPTION": rnd.choice(["Regular", "Overtime"]),
+            "ADj Reason Code": rnd.choice(["nan", "", None, "RET", "NaN", " RET "]),
+            "ADJ Reason DESC": rnd.choice(["Retro", "x", None]),
+            "Calc Date": rnd.choice(
+                ["2025-01-15", "2025-03-01", "garbage", "", None]
+            ),
+        }))
+    return rows
+
+
+def _pua_fuzz_dims(rnd: random.Random, spark, d: str) -> None:
+    org_rows = [Row(**{"TS-Org Code": "1-602", "TS-Org Title": "Physics"}),
+                Row(**{"TS-Org Code": "1-603", "TS-Org Title": "Math"})]
+    if rnd.random() < 0.5:  # D1: duplicated dim row
+        org_rows.append(org_rows[0])
+    spark.createDataFrame(org_rows).write.parquet(f"{d}/ts_org.parquet")
+    dept_rows = [
+        ("1-123", "Engineering Dept"),
+        ("1-77", rnd.choice(["Small Dept", None])),
+    ]
+    spark.createDataFrame(
+        dept_rows, "`TS-Org Dept Code` string, `TS-Org Dept Title` string"
+    ).write.parquet(f"{d}/ts_dept.parquet")
+    ot_rows = [Row(**{"Job Eclass": "EA", "Pay ID": "BW",
+                      "Overtime FLSA": "Non-Exempt",
+                      "Job Detail E-Class Long Desc": "Academic"}),
+               Row(**{"Job Eclass": "EB", "Pay ID": "MN",
+                      "Overtime FLSA": "Exempt",
+                      "Job Detail E-Class Long Desc": "Monthly"})]
+    spark.createDataFrame(ot_rows).write.parquet(f"{d}/overtime.parquet")
+    te_rows = [
+        Row(**{"UIN Job": "a", "TE M": "W", "Time Entry Method": "Web Time",
+               "Time Entry Type": "Clock"}),
+        Row(**{"UIN Job": "b", "TE M": "W",
+               "Time Entry Method": rnd.choice(["Web Time", "Alpha Method"]),
+               "Time Entry Type": "Clock"}),
+        Row(**{"UIN Job": "c", "TE M": "B", "Time Entry Method": "Banner",
+               "Time Entry Type": "Batch"}),
+        # null-method row: pandas mode() dropna analog
+        Row(**{"UIN Job": "d", "TE M": "Q", "Time Entry Method": None,
+               "Time Entry Type": "Batch"}),
+    ]
+    spark.createDataFrame(te_rows).write.parquet(f"{d}/te_m.parquet")
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_pua_fuzz_parity(spark, tmp_path, seed):
+    rnd = random.Random(1000 + seed)
+    d = str(tmp_path)
+    rows = _pua_fuzz_rows(rnd)
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{d}/pua.parquet")
+    _pua_fuzz_dims(rnd, spark, d)
+
+    pua = spark.read.parquet(f"{d}/pua.parquet").coalesce(1)
+    out, _ = run_pua(
+        pua,
+        spark.read.parquet(f"{d}/ts_org.parquet"),
+        spark.read.parquet(f"{d}/ts_dept.parquet"),
+        spark.read.parquet(f"{d}/overtime.parquet"),
+        spark.read.parquet(f"{d}/te_m.parquet"),
+    )
+    got = out.toPandas()
+
+    con = duckdb.connect()
+    for stmt in DIM_SQL_SETUP.format(d=d).strip().split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+    expect = con.execute(PUA_SQL).df()
+    _assert_frames_equal(got, expect, seed)
+
+
+# ---------------------------------------------------------------------------
+# CPA fuzz
+# ---------------------------------------------------------------------------
+
+def _cert_fuzz(rnd: random.Random) -> Row:
+    base = {c: None for c in CERT_COLS}
+    uin = rnd.choice(["111111111", "222222222", "333333333", " 111111111"])
+    base.update(
+        UIN=uin,
+        PAY_YEAR="2025",
+        PAY_ID=rnd.choice(["BW", "MN"]),
+        PAY_NBR=rnd.choice(["7", "14"]),
+        PAY_SEQ="0",
+        TRAN_CREATE_DT=rnd.choice(
+            ["2024-09-15 10:00:00", "2025-06-29 23:59:59", "2023-01-01 00:00:00",
+             "2025-07-01 00:00:00", "not a date", None]
+        ),
+        JOB=rnd.choice(["U10000-00", "U20000-01"]),
+        JOB_TITLE=rnd.choice(["RA", "TA"]),
+        JOB_TS_COAS=rnd.choice(["1", "9"]),
+        JOB_TS_ORGN=rnd.choice(["602", "999"]),
+        JOB_ECLS=rnd.choice(["EA", "EB", "ZZ"]),
+        COLLEGE=rnd.choice(["KV-Engineering", "NOHYPHEN", "LB-Liberal Arts", None]),
+        ACTION=rnd.choice(["3 - Apply", "3 - Apply", "1 - Review"]),
+        LVL=rnd.choice(["x", " pad ", None]),
+    )
+    return Row(**{c: base[c] for c in CERT_COLS})
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_cpa_fuzz_parity(spark, tmp_path, seed):
+    rnd = random.Random(2000 + seed)
+    d = str(tmp_path)
+    bw_rows = [_cert_fuzz(rnd) for _ in range(rnd.randint(6, 14))]
+    mn_rows = [_cert_fuzz(rnd) for _ in range(rnd.randint(3, 8))]
+    if rnd.random() < 0.7:  # D3: exact duplicate inside one source
+        bw_rows.append(bw_rows[0])
+    spark.createDataFrame(bw_rows, CERT_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/bw.parquet"
+    )
+    spark.createDataFrame(mn_rows, CERT_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/mn.parquet"
+    )
+    org_rows = [Row(**{"TS-Org Code": "1-602", "TS-Org Title": "Physics"})]
+    if rnd.random() < 0.5:
+        org_rows.append(org_rows[0])  # D1 dup
+    spark.createDataFrame(org_rows).write.parquet(f"{d}/ts_org.parquet")
+    spark.createDataFrame(
+        [("1-602", rnd.choice(["Physics Dept", None]))],
+        "`TS-Org Dept Code` string, `TS-Org Dept Title` string",
+    ).write.parquet(f"{d}/ts_dept.parquet")
+    spark.createDataFrame(
+        [Row(**{"Job Eclass": "EA", "Pay ID": "BW", "Overtime FLSA": "Non-Exempt",
+                "Job Detail E-Class Long Desc": "Academic"}),
+         Row(**{"Job Eclass": "EB", "Pay ID": "MN", "Overtime FLSA": "Exempt",
+                "Job Detail E-Class Long Desc": "Monthly"})]
+    ).write.parquet(f"{d}/overtime.parquet")
+    te_rows = [
+        Row(**{"UIN Job": "111111111-U10000-00", "TE M": "W",
+               "Time Entry Method": "Web Time", "Time Entry Type": "Clock"}),
+        Row(**{"UIN Job": "222222222-U20000-01", "TE M": "B",
+               "Time Entry Method": "Banner", "Time Entry Type": "Batch"}),
+    ]
+    if rnd.random() < 0.5:  # V1 fan-out analog: duplicate join-key row
+        te_rows.append(te_rows[0])
+    spark.createDataFrame(te_rows).write.parquet(f"{d}/te_m.parquet")
+
+    out, _ = run_cpa(
+        spark.read.parquet(f"{d}/bw.parquet").coalesce(1),
+        spark.read.parquet(f"{d}/mn.parquet").coalesce(1),
+        spark.read.parquet(f"{d}/ts_org.parquet"),
+        spark.read.parquet(f"{d}/ts_dept.parquet"),
+        spark.read.parquet(f"{d}/overtime.parquet"),
+        spark.read.parquet(f"{d}/te_m.parquet"),
+        fy_end_year=2025,
+    )
+    assert out.columns == CPA_OUTPUT_COLUMNS
+    got = out.toPandas()
+
+    con = duckdb.connect()
+    for stmt in SETUP_SQL.format(d=d).strip().split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+    expect = con.execute(CPA_SQL).df()
+    _assert_frames_equal(got, expect, seed)

@@ -59,8 +59,16 @@ CREATE VIEW te_m_v AS SELECT * FROM read_parquet('{d}/te_m.parquet/*.parquet');
 
 PUA_SQL = """
 WITH derived AS (
+  -- trim discipline mirrors the reference EXACTLY: ensure_string trims
+  -- only the derive-key columns up front (ref :238-254); UIN / ECLS /
+  -- Time Entry / Earn Code / ADJ columns stay RAW through the joins and
+  -- the keep-first dedup, and are stripped only by the post-dedup
+  -- whole-frame ensure_string (ref :319-321) -- replicated by the TRIMs
+  -- in the final SELECT.  (Fuzz seed 1010 caught the early-trim variant
+  -- collapsing ' 333333333 ' into 333333333 BEFORE dedup, which the
+  -- reference does not do.)
   SELECT
-    TRIM(UIN) AS "UIN",
+    UIN AS "UIN",
     TRIM("Pay ID") AS "Pay ID",
     TRIM("Year") AS "Year",
     TRIM("Pay #") AS "Pay #",
@@ -72,8 +80,8 @@ WITH derived AS (
     TRIM("TS COA") || '-' || regexp_replace(TRIM("DEPT Code"), '\\.0$', '')
       AS "TS-Org Department Code",
     TRIM("Department Name") AS "Department Name",
-    TRIM("ECLS") AS "ECLS",
-    TRIM("ECLS DESC") AS "ECLS DESC",
+    "ECLS" AS "ECLS",
+    "ECLS DESC" AS "ECLS DESC",
     TRIM("Year") || TRIM("Pay ID") || TRIM("Pay #") || TRIM("Seq #") AS "Pay Event",
     regexp_replace(TRIM("POSN"), '\\.0$', '') || '-' ||
       regexp_replace(TRIM("SUFF"), '\\.0$', '') AS "Job Number",
@@ -81,11 +89,11 @@ WITH derived AS (
     TRIM("College Name") AS "College Name",
     TRIM("College Code") || '-' || TRIM("College Name") AS "College",
     TRIM("TE M") AS "TE M",
-    TRIM("Time Entry") AS "Time Entry",
-    TRIM("Earn Code") AS "Earn Code",
-    TRIM("DESCRIPTION") AS "DESCRIPTION",
-    TRIM("ADj Reason Code") AS "ADJ Reason Code",
-    TRIM("ADJ Reason DESC") AS "ADJ Reason DESC",
+    "Time Entry" AS "Time Entry",
+    "Earn Code" AS "Earn Code",
+    "DESCRIPTION" AS "DESCRIPTION",
+    "ADj Reason Code" AS "ADJ Reason Code",
+    "ADJ Reason DESC" AS "ADJ Reason DESC",
     "Calc Date",
     __ord
   FROM pua
@@ -133,16 +141,20 @@ defaulted AS (
   FROM deduped
 )
 SELECT
-  "UIN", "Pay ID", "Year", "Pay #", "Seq #", "Job Number",
+  -- post-dedup whole-frame strip (ref :319-321) + final normalization
+  TRIM("UIN") AS "UIN", "Pay ID", "Year", "Pay #", "Seq #", "Job Number",
   "College Code", "College Name", "College",
   "TS COA", "TS ORG",
-  "TS-Org Code", "TS-Org Title",
-  "DEPT Code" AS "Dept Code", "TS-Org Dept Code", "TS-Org Dept Title",
-  "ECLS" AS "E-Class Code", "ECLS DESC" AS "E-Class",
-  "TE M", "Time Entry Filled" AS "Time Entry", "Overtime",
-  "Earn Code", "DESCRIPTION" AS "Earn Code Description",
-  adj_code_f AS "Adjustment Reason Code",
-  adj_desc_f AS "Adjustment Reason Description",
+  "TS-Org Code", TRIM("TS-Org Title") AS "TS-Org Title",
+  "DEPT Code" AS "Dept Code", "TS-Org Dept Code",
+  TRIM("TS-Org Dept Title") AS "TS-Org Dept Title",
+  TRIM("ECLS") AS "E-Class Code", TRIM("ECLS DESC") AS "E-Class",
+  "TE M", TRIM("Time Entry Filled") AS "Time Entry",
+  TRIM("Overtime") AS "Overtime",
+  TRIM("Earn Code") AS "Earn Code",
+  TRIM("DESCRIPTION") AS "Earn Code Description",
+  TRIM(adj_code_f) AS "Adjustment Reason Code",
+  TRIM(adj_desc_f) AS "Adjustment Reason Description",
   TRY_CAST("Calc Date" AS TIMESTAMP) AS "Calc Date"
 FROM defaulted
 """
