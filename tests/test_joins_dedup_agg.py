@@ -487,23 +487,29 @@ def test_histogram_invariants(spark):
 
 def test_sketch_merge_distinct_tolerance(spark):
     """Merged daily sketches estimate whole-range distincts within ~5%
-    of exact, and slice counts are exact."""
-    from uofi_payroll_etl_main_spark.aggregates import sketch_merge_distinct
+    of exact, and slice counts are exact -- for BOTH tiers: the
+    md5-register (oracle-checked) and the native Datasketches
+    (byte-compact production) implementations."""
+    from uofi_payroll_etl_main_spark.aggregates import (
+        sketch_merge_distinct,
+        sketch_merge_distinct_native,
+    )
 
     df = spark.range(0, 20000).select(
         (F.col("id") % 7).alias("g"),
         (F.col("id") % 40).alias("slice"),
         (F.col("id") % 2311).alias("k"),
     )
-    got = {r["g"]: r for r in sketch_merge_distinct(df, "slice", "g", "k").collect()}
     exact = {
         r["g"]: r["n"]
         for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
     }
-    for g, n in exact.items():
-        est = got[g]["distinct_est"]
-        assert abs(est - n) / n < 0.05, (g, est, n)
-        assert got[g]["n_slices"] == 40
+    for fn in (sketch_merge_distinct, sketch_merge_distinct_native):
+        got = {r["g"]: r for r in fn(df, "slice", "g", "k").collect()}
+        for g, n in exact.items():
+            est = got[g]["distinct_est"]
+            assert abs(est - n) / n < 0.05, (fn.__name__, g, est, n)
+            assert got[g]["n_slices"] == 40
 
 
 def test_run_sql_matches_dataframe_twin(spark, sf_dir):

@@ -27,6 +27,7 @@ __all__ = [
     "sketch_overlap_distinct",
     "histogram",
     "sketch_merge_distinct",
+    "sketch_merge_distinct_native",
     "hll_distinct",
     "hll_md5_registers",
     "hll_md5_estimate",
@@ -178,6 +179,28 @@ def hll_distinct(df: DataFrame, key: str, col: str) -> DataFrame:
     so the gate value-checks the estimates against DuckDB."""
     regs = hll_md5_registers(df, [key], col)
     return hll_md5_estimate(regs, [key], f"approx_distinct_{col}")
+
+
+def sketch_merge_distinct_native(
+    df: DataFrame, part_col: str, group_col: str, key_col: str
+) -> DataFrame:
+    """Engine-native twin of sketch_merge_distinct: Spark's Datasketches
+    HLL (hll_sketch_agg / hll_union_agg).  Same semantics, different
+    trade: the native sketch is ONE ~1.5 KB binary row per (group,
+    slice) where the md5-register table is up to 4096 rows -- at very
+    high group cardinality the native merge shuffle is ~10x smaller, so
+    prefer THIS tier in production and the md5 tier where cross-engine
+    verifiability matters (its estimates are oracle-checked; these are
+    engine-specific).  Tolerance vs the md5 tier pinned in pytest."""
+    per_slice = df.groupBy(group_col, part_col).agg(
+        F.hll_sketch_agg(key_col).alias("__sk")
+    )
+    return per_slice.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_slices"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+        .cast("long")
+        .alias("distinct_est"),
+    )
 
 
 def approx_quantiles(
