@@ -2724,3 +2724,36 @@ LLM_ORACLES["llm_ann_ivf"] = """
     FROM cand
     QUALIFY rank <= 5
 """
+
+# int8-quantized cosine top-k: every arithmetic step after quantization
+# is INTEGER-valued (|q| <= 127, 64-dim dot <= ~1M), so summation order
+# cannot matter, and sqrt/divide/round-6 are single correctly-rounded
+# IEEE ops -- the whole tier is exactly SQL-derivable.  round() is
+# half-away-from-zero in both engines (verified: 2.5->3, -2.5->-3).
+LLM_ORACLES["llm_cosine_topk_q"] = """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS s
+      FROM base
+    ), q AS (
+      SELECT vec_id, list_transform(v, x -> round(x / s)) AS qv
+      FROM scaled
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.qv, b.qv)
+                   / (sqrt(list_dot_product(a.qv, a.qv))
+                      * sqrt(list_dot_product(b.qv, b.qv))), 6) AS similarity
+      FROM q a CROSS JOIN q b
+      WHERE a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, similarity,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY similarity DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+"""

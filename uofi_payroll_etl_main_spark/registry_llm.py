@@ -301,8 +301,10 @@ def llm_cosine_topk_fast(spark, sf):
 
 def llm_cosine_topk_q(spark, sf):
     """Int8-quantized cosine top-k (4x less vector data through the
-    pair join; rows-only -- rounding error vs the exact tier is
-    asserted as recall in tests/test_llm_ops.py)."""
+    pair join).  Every post-quantization term is integer-valued, so the
+    tier is exactly SQL-derivable and the DuckDB oracle VALUE-checks it;
+    recall vs the exact float tier additionally asserted in
+    tests/test_llm_ops.py."""
     return LS.cosine_topk_quantized(_t(spark, sf, "embeddings"), k=5)
 
 
