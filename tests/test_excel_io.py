@@ -149,6 +149,24 @@ class TestXlsxDataSource:
             # already surfaces at load(); collect() for the general case
             spark.read.format("xlsx").load(str(tmp_path / "w.xlsx")).collect()
 
+    def test_remote_uri_forms(self, spark, tmp_path):
+        # file:// URIs route through the pyarrow layer (the same path a
+        # remote scheme takes); remote globs fail loudly instead of
+        # silently matching nothing
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.datasources import (
+            _expand_paths,
+            register_xlsx_source,
+        )
+
+        want = self._books(spark, tmp_path)
+        register_xlsx_source(spark)
+        df = spark.read.format("xlsx").load(f"file://{tmp_path}")
+        assert sorted(tuple(r) for r in df.collect()) == want
+        with _pytest.raises(ValueError, match="glob patterns"):
+            _expand_paths("s3://bucket/prefix/*.xlsx")
+
     def test_fs_open_write_creates_parents(self, tmp_path):
         # the executor-side write path: pyarrow-backed, no JVM, parents
         # created on demand; unknown schemes fail loudly

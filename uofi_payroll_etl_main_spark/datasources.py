@@ -56,8 +56,32 @@ __all__ = [
 
 
 def _expand_paths(path: str) -> list[str]:
-    """Glob / directory / single-file path forms -> sorted file list."""
-    if os.path.isdir(path):
+    """Glob / directory / single-file path forms -> sorted file list.
+
+    Remote URIs (``s3://...``, ``hdfs://...``) list through the pyarrow
+    filesystem layer (fs.listdir_any) -- directory and exact-file forms
+    only; globbing a remote prefix raises rather than silently matching
+    nothing.  Local paths additionally support shell globs."""
+    from uofi_payroll_etl_main_spark import fs as _fs
+
+    path = _fs.canon(path)  # file:// URIs -> plain local paths
+    remote = "://" in path
+    if remote and any(ch in path for ch in "*?["):
+        raise ValueError(
+            f"glob patterns are not supported for remote URIs ({path!r}); "
+            "point at a directory or an exact file"
+        )
+    if remote:
+        names = _fs.listdir_any(path)
+        if names:
+            files = [
+                _fs.join(path, f)
+                for f in names
+                if f.endswith(".xlsx") and not f.startswith((".", "_", "~"))
+            ]
+        else:
+            files = [path]
+    elif os.path.isdir(path):
         files = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -91,10 +115,14 @@ class _XlsxReader(DataSourceReader):
 
     def read(self, partition: _XlsxPartition):
         # executor-side: parse this partition's whole workbook with the
-        # same stdlib kernel the driver reader uses
+        # same stdlib kernel the driver reader uses; bytes come through
+        # the pyarrow layer so any URI the writer can reach, the reader
+        # can too (no JVM gateway in a Python worker)
+        from uofi_payroll_etl_main_spark import fs as _fs
         from uofi_payroll_etl_main_spark.io import parse_xlsx
 
-        header, rows = parse_xlsx(partition.file_path, partition.sheet)
+        with _fs.open_read(partition.file_path) as f:
+            header, rows = parse_xlsx(f, partition.sheet)
         if header != self.schema_names:
             raise ValueError(
                 f"{partition.file_path}: header {header} does not match the "
@@ -127,9 +155,11 @@ class XlsxDataSource(DataSource):
         if not path:
             raise ValueError("xlsx source requires a path (load(...))")
         sheet = int(self.options.get("sheet", 0))
+        from uofi_payroll_etl_main_spark import fs as _fs
         from uofi_payroll_etl_main_spark.io import parse_xlsx
 
-        header, _rows = parse_xlsx(_expand_paths(path)[0], sheet)
+        with _fs.open_read(_expand_paths(path)[0]) as f:
+            header, _rows = parse_xlsx(f, sheet)
         return StructType([StructField(h, StringType()) for h in header])
 
     def reader(self, schema: StructType) -> DataSourceReader:

@@ -288,3 +288,25 @@ def open_write(path: str):
 def write_bytes(path: str, payload: bytes) -> None:
     with open_write(path) as f:
         f.write(payload)
+
+
+def open_read(path: str):
+    """Seekable binary input stream at `path`; executor-safe (pyarrow,
+    no JVM).  Works for plain paths, file:// URIs, and any scheme
+    pyarrow resolves (S3, GCS, HDFS-with-libhdfs)."""
+    fsys, rel = _pa_fs(path)
+    return fsys.open_input_file(rel)
+
+
+def listdir_any(path: str) -> list[str]:
+    """Sorted names of direct children of `path` via pyarrow -- the
+    executor-safe / sessionless sibling of `listdir` (which needs the
+    driver JVM for remote schemes).  [] when missing / not a dir."""
+    from pyarrow import fs as pafs
+
+    fsys, rel = _pa_fs(path)
+    info = fsys.get_file_info(rel)
+    if info.type != pafs.FileType.Directory:
+        return []
+    sel = pafs.FileSelector(rel, recursive=False)
+    return sorted(i.base_name for i in fsys.get_file_info(sel))
