@@ -78,6 +78,46 @@ def test_minhash_lsh_pairs_recall_and_precision(docs):
     assert not any(4 in p for p in got)  # exact-Jaccard verification: precision 1
 
 
+def test_minhash_md5_tier_matches_python_replica(docs):
+    """The verifiable md5 tier's candidate set equals a pure-Python
+    replica of the same algebra (normalize -> 3-gram shingles -> md5
+    hex-lane string mins -> 4x4 banding), and exact duplicates always
+    collide on every band."""
+    import hashlib
+    import re
+
+    got = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_md5(docs).collect()}
+    rows = docs.collect()
+
+    def shingles(text):
+        t = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(t) >= 3:
+            return set(" ".join(t[i:i + 3]) for i in range(len(t) - 2))
+        return {" ".join(t)}
+
+    def sig(text):
+        comps = []
+        for j in range(4):
+            for lane in range(4):
+                comps.append(min(
+                    hashlib.md5(f"{j}:{s}".encode()).hexdigest()[lane * 8:lane * 8 + 8]
+                    for s in shingles(text)
+                ))
+        return comps
+
+    sigs = {r.doc_id: sig(r.text) for r in rows}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            for band in range(4):
+                if sigs[a][band * 4:band * 4 + 4] == sigs[b][band * 4:band * 4 + 4]:
+                    want.add((a, b))
+                    break
+    assert got == want, (sorted(got), sorted(want))
+    assert (1, 2) in got  # exact duplicate: identical signature, all bands
+
+
 def test_simhash_hamming(docs):
     sigs = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
     assert sigs[1] == sigs[2]

@@ -43,6 +43,8 @@ __all__ = [
     "duplicate_clusters",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
+    "minhash_lane_sql",
+    "minhash_lsh_pairs_md5",
     "simhash64",
     "simhash_candidates",
     "hamming_candidates64",
@@ -398,6 +400,78 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_lane_sql(shingle_sql: str, j: int, lane: int) -> str:
+    """One MinHash permutation minimum's per-shingle value: 8 hex chars
+    of md5('<j>:' || shingle).  Each md5 serves FOUR permutations (its
+    32 hex chars are four independent 8-char uniforms), so 16
+    components cost 4 hashes per shingle.  The HEX STRING ordering is a
+    uniform random order, so a string MIN is a valid permutation
+    minimum -- and any md5-bearing engine reproduces it verbatim (no
+    hex->int conversion anywhere)."""
+    return f"substring(md5('{j}:' || {shingle_sql}), {lane * 8 + 1}, 8)"
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-engine-VERIFIABLE MinHash-LSH candidate pairs: 16
+    permutation minima taken as string MINs over md5 hex lanes
+    (minhash_lane_sql), banded 4x4 -- docs sharing any band's
+    concatenated 4-component bucket string become a candidate pair
+    (collision threshold ~ s^4 per band, ~0.7 Jaccard at 4 bands).
+
+    This tier exists for VERIFIABILITY: the DuckDB oracle re-derives
+    signatures, buckets, and the exact candidate set, so the banding
+    algebra is value-checked end-to-end -- something the xxhash64
+    production tiers (minhash_lsh_candidates/_pairs, ~8x cheaper per
+    shingle and bucket-size-capped) cannot offer.  Use those at 100 TB;
+    use this one to certify a deployment's LSH plumbing.
+
+    Plan shape: shingle explode -> one groupBy(doc) computing all 16
+    mins map-side -> 4-band explode -> (band, bucket) self-equi-join ->
+    distinct pair.  No cartesian anywhere (plan-linted).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)  # (doc, n_sh, shingle)
+    comps = [
+        F.min(F.expr(minhash_lane_sql("shingle", j, lane))).alias(f"__c{j * 4 + lane}")
+        for j in range(4)
+        for lane in range(4)
+    ]
+    sig = sh.groupBy("doc").agg(*comps)
+    # ONE band explode (not a 4-way union, which would re-derive the
+    # signature aggregation per band AND per self-join side -- 8 corpus
+    # scans; the lint rejects that shape).  The explode sits on top of
+    # the groupBy exchange, so the self-join's identical branches
+    # collapse into one ReusedExchange: the corpus is shingled once.
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"__c{b * 4 + r}") for r in range(4)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__bb"),
+    ).select("doc", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
+    a = bands.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b2 = bands.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 

@@ -2757,3 +2757,32 @@ LLM_ORACLES["llm_cosine_topk_q"] = """
     FROM pairs
     QUALIFY rank <= 5
 """
+
+# Verifiable MinHash-LSH: permutation minima = string MINs over md5 hex
+# lanes (llm/dedup.minhash_lane_sql -- SQL text shared verbatim with the
+# Spark tier), 4 bands x 4 rows, bucket = the band's concatenated
+# component strings.  The oracle re-derives the exact candidate set.
+from .llm.dedup import minhash_lane_sql as _mh_lane  # noqa: E402
+
+_MH_COMPS = ",\n           ".join(
+    f"min({_mh_lane('shingle', j, lane)}) AS c{j * 4 + lane}"
+    for j in range(4)
+    for lane in range(4)
+)
+_MH_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, c{b*4} || c{b*4+1} || c{b*4+2} || c{b*4+3} AS bucket FROM comp"
+    for b in range(4)
+)
+
+LLM_ORACLES["llm_minhash_lsh_md5"] = _SHINGLES + f"""
+    , comp AS (
+      SELECT doc_id,
+           {_MH_COMPS}
+      FROM ex GROUP BY doc_id
+    ), bands AS (
+      {_MH_BANDS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""

@@ -149,6 +149,15 @@ def llm_minhash_lsh(spark, sf):
     return LD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
 
+def llm_minhash_lsh_md5(spark, sf):
+    """Verifiable MinHash-LSH tier (llm/dedup.minhash_lsh_pairs_md5):
+    16 permutation minima as string MINs over md5 hex lanes, banded
+    4x4; the DuckDB oracle re-derives signatures, buckets, and the
+    exact candidate set -- the banding algebra is VALUE-checked, which
+    the ~8x-cheaper xxhash64 production tiers cannot offer."""
+    return LD.minhash_lsh_pairs_md5(_t(spark, sf, "documents"), n=3)
+
+
 def llm_minhash_lsh_fast(spark, sf):
     """Arrow signature tier of MinHash-LSH (bit-identical pairs to
     llm_minhash_lsh; equality asserted in tests/test_llm_ops.py)."""
@@ -2157,6 +2166,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_substring_search": llm_substring_search,
     "llm_containment_prefix": llm_containment_prefix,
     "llm_minhash_lsh": llm_minhash_lsh,
+    "llm_minhash_lsh_md5": llm_minhash_lsh_md5,
     "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
     "llm_token_stats": llm_token_stats,
