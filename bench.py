@@ -132,6 +132,8 @@ HEADLINERS = [
     "llm_mmr_ann",
     "s22_forget",
     "mm_decode_quarantine",
+    "llm_minhash_lsh_md5",
+    "w_wau_hll",
 ]
 
 
