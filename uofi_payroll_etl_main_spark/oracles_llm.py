@@ -2786,3 +2786,69 @@ LLM_ORACLES["llm_minhash_lsh_md5"] = _SHINGLES + f"""
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+# Sign-LSH embedding near-dup: the seeded Gaussian hyperplanes are
+# embedded as DOUBLE literals (repr round-trips binary64 exactly, and
+# DuckDB literal parsing returns the same nearest double), so bucket
+# assignment and the in-bucket exact-cosine verification replay in SQL.
+# Sign flips would need |dot| within ~1 ulp of 0 -- probability ~1e-13
+# per (vector, plane); round-6 absorbs ULP drift in the cosines.
+def _lsh_planes_sql(num_tables: int = 8, nbits: int = 6, dim: int = 64) -> str:
+    from .llm.similarity import _planes
+
+    pl = _planes(num_tables, nbits, dim)
+    rows = []
+    for t in range(num_tables):
+        for j in range(nbits):
+            arr = ", ".join(repr(float(x)) for x in pl[t, j])
+            rows.append(f"({t}, {1 << j}, [{arr}]::DOUBLE[])")
+    return ",\n      ".join(rows)
+
+
+LLM_ORACLES["llm_embed_dup_lsh"] = f"""
+    WITH planes(tbl, w, plane) AS (VALUES {_lsh_planes_sql()}),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    buck AS (
+      SELECT b.vec_id, p.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(b.v, p.plane) >= 0
+                           THEN p.w ELSE 0 END) AS BIGINT) AS bucket,
+             any_value(b.v) AS v
+      FROM base b CROSS JOIN planes p
+      GROUP BY b.vec_id, p.tbl
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM buck a JOIN buck b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+# Sign-LSH ANN top-k: same literal-plane replay as llm_embed_dup_lsh
+# (4 tables x 6 bits), then every co-bucketed pair re-ranks exactly.
+# The Spark side's per-bucket top-k truncation is lossless for the
+# global top-k (a candidate outside its bucket's top-k has k better
+# candidates in the union), so ranking ALL co-bucketed pairs here gives
+# the identical result.
+LLM_ORACLES["llm_ann_lsh"] = f"""
+    WITH planes(tbl, w, plane) AS (VALUES {_lsh_planes_sql(4, 6, 64)}),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    buck AS (
+      SELECT b.vec_id, p.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(b.v, p.plane) >= 0
+                           THEN p.w ELSE 0 END) AS BIGINT) AS bucket,
+             any_value(b.v) AS v
+      FROM base b CROSS JOIN planes p
+      GROUP BY b.vec_id, p.tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS similarity
+      FROM buck a JOIN buck b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, similarity,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY similarity DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM cand
+    QUALIFY rank <= 5
+"""

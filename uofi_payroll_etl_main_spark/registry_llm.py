@@ -329,7 +329,8 @@ def llm_ann_lsh(spark, sf):
     # 5000 rows); 2^10 buckets over 500 vectors left every bucket a
     # near-singleton and recall near zero.  Sign-LSH recall is bounded by
     # the collision-probability decay at this data's moderate cosines --
-    # llm_ann_ivf is the stronger scale path here.
+    # llm_ann_ivf is the stronger scale path here.  Literal-plane
+    # replay makes this a full value oracle (buckets + exact re-rank).
     return LS.lsh_topk(_t(spark, sf, "embeddings"), k=5, num_tables=4, nbits=6)
 
 
@@ -359,6 +360,10 @@ def llm_embed_dup(spark, sf):
 
 
 def llm_embed_dup_lsh(spark, sf):
+    """Sign-LSH embedding near-dup pairs.  The seeded hyperplanes embed
+    as DOUBLE literals in the oracle, so bucketing AND the in-bucket
+    exact-cosine verification replay in DuckDB -- full value oracle;
+    precision-1 property additionally pytest-pinned."""
     return LS.embed_dup_lsh(_t(spark, sf, "embeddings"), threshold=0.4, num_tables=8, nbits=6)
 
 
