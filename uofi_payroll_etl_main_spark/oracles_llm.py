@@ -2852,3 +2852,68 @@ LLM_ORACLES["llm_ann_lsh"] = f"""
     FROM cand
     QUALIFY rank <= 5
 """
+
+# Contrastive LSH miners: same literal-plane replay (16 tables x 3
+# bits); positives meet inside (label, table, bucket), negatives inside
+# (table, bucket) with the same-label mask as a join predicate.  The
+# Spark kernel's per-bucket top-k truncation is lossless for the global
+# per-anchor rank (k better candidates would be in the union), so
+# ranking ALL co-bucketed candidates here matches exactly.
+_LSH_MINE_PLANES = _lsh_planes_sql(16, 3, 64)
+
+LLM_ORACLES["llm_anchor_positives_lsh"] = f"""
+    WITH planes(tbl, w, plane) AS (VALUES {_LSH_MINE_PLANES}),
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    buck AS (
+      SELECT b.vec_id, any_value(b.label) AS label, p.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(b.v, p.plane) >= 0
+                           THEN p.w ELSE 0 END) AS BIGINT) AS bucket,
+             any_value(b.v) AS v
+      FROM base b CROSS JOIN planes p
+      GROUP BY b.vec_id, p.tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS cand_id,
+             round(list_cosine_similarity(a.v, c.v), 6) AS similarity
+      FROM buck a JOIN buck c
+        ON a.tbl = c.tbl AND a.bucket = c.bucket
+       AND a.label = c.label AND a.vec_id <> c.vec_id
+    )
+    SELECT anchor_id, anchor_label, cand_id AS pos_id, similarity
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY similarity DESC, cand_id
+      ) AS rk FROM cand
+    ) WHERE rk <= 1
+"""
+
+LLM_ORACLES["llm_hard_negatives_lsh"] = f"""
+    WITH planes(tbl, w, plane) AS (VALUES {_LSH_MINE_PLANES}),
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    buck AS (
+      SELECT b.vec_id, any_value(b.label) AS label, p.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(b.v, p.plane) >= 0
+                           THEN p.w ELSE 0 END) AS BIGINT) AS bucket,
+             any_value(b.v) AS v
+      FROM base b CROSS JOIN planes p
+      GROUP BY b.vec_id, p.tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             round(list_cosine_similarity(a.v, c.v), 6) AS similarity
+      FROM buck a JOIN buck c
+        ON a.tbl = c.tbl AND a.bucket = c.bucket
+       AND a.label <> c.label AND a.vec_id <> c.vec_id
+    )
+    SELECT anchor_id, anchor_label, cand_id AS neg_id,
+           cand_label AS neg_label, similarity, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY similarity DESC, cand_id
+      ) AS rk FROM cand
+    ) WHERE rk <= 2
+"""

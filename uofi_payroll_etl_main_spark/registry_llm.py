@@ -1698,20 +1698,21 @@ def llm_hard_negatives(spark, sf):
 
 
 def llm_anchor_positives_lsh(spark, sf):
-    """Positive-pair mining, LSH-bucketed SCALE tier (rows-only gate):
-    same contract as llm_anchor_positives but candidates meet only
-    inside (label, table, bucket) hyperplane groups -- no crossJoin
-    anywhere in the plan.  Recall vs the exact tier is pytest-bounded
-    (tests/test_negatives.py)."""
+    """Positive-pair mining, LSH-bucketed SCALE tier: same contract as
+    llm_anchor_positives but candidates meet only inside (label, table,
+    bucket) hyperplane groups -- no crossJoin anywhere in the plan.
+    Literal-plane replay makes this a full value oracle; recall vs the
+    exact tier additionally pytest-bounded (tests/test_negatives.py)."""
     out = LS.anchor_positives_lsh(_t(spark, sf, "embeddings"), k=1)
     return out.select("anchor_id", "anchor_label", F.col("cand_id").alias("pos_id"), "similarity")
 
 
 def llm_hard_negatives_lsh(spark, sf):
-    """Hard-negative mining, LSH-bucketed SCALE tier (rows-only gate):
-    same contract as llm_hard_negatives (k=2) with candidates met only
-    inside (table, bucket) groups, same-label pairs masked in-block.
-    Recall vs the exact tier is pytest-bounded."""
+    """Hard-negative mining, LSH-bucketed SCALE tier: same contract as
+    llm_hard_negatives (k=2) with candidates met only inside (table,
+    bucket) groups, same-label pairs masked in-block.  Literal-plane
+    replay makes this a full value oracle; recall vs the exact tier
+    additionally pytest-bounded."""
     out = LS.hard_negatives_lsh(_t(spark, sf, "embeddings"), k=2)
     return out.select(
         "anchor_id",
