@@ -216,9 +216,11 @@ def _mmr_replica(vecs, rel_by_id, lam, k):
     selected, scores = [], []
     max_red = np.full(len(ids), -np.inf)
     remaining = np.ones(len(ids), dtype=bool)
+    from uofi_payroll_etl_main_spark.llm.similarity import _mmr_scores_decimal
+
     for _ in range(min(k, len(ids))):
-        score = lam * rel - (1.0 - lam) * max_red if selected else lam * rel
-        score = np.round(score, 6)
+        # exact-decimal scoring, same as the kernel
+        score = _mmr_scores_decimal(lam, rel, max_red)
         score[~remaining] = -np.inf
         best = np.lexsort((ids_arr, -score))[0]
         selected.append(int(ids_arr[best]))

@@ -141,6 +141,34 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _mmr_scores_decimal(
+    lam: float, rel: np.ndarray, max_red: np.ndarray
+) -> np.ndarray:
+    """MMR step scores in EXACT decimal arithmetic: rel and max_red are
+    6-decimal values (round-6 cosines), so lam*rel - (1-lam)*max_red is
+    exact at <= 7+len(lam) decimals; quantize HALF_UP to 6.  Doubles
+    would put the score on a decimal .5 boundary ~half the time (a
+    product of a 6-decimal value by 0.7 ends in 5 whenever the last
+    digit is odd), where engines' round() semantics diverge (numpy:
+    binary banker's; Spark SQL: shortest-repr HALF_UP; DuckDB double:
+    binary half-away) -- decimal arithmetic sidesteps all of that and
+    matches a DECIMAL-typed oracle digit-for-digit.  Pool-bounded
+    arrays only: this is a Python loop."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    lam_d = Decimal(repr(float(lam)))
+    inv_d = Decimal(1) - lam_d
+    out = np.empty(len(rel), dtype=np.float64)
+    for i in range(len(rel)):
+        s = lam_d * Decimal(repr(float(rel[i])))
+        mr = float(max_red[i])
+        if np.isfinite(mr):
+            s -= inv_d * Decimal(repr(mr))
+        out[i] = float(s.quantize(q, rounding=ROUND_HALF_UP))
+    return out
+
+
 def _id_sql_type(df: DataFrame, id_col: str) -> str:
     """SQL type name for the id column in mapInPandas output schemas --
     long for integral ids, string otherwise (ids pass through either
@@ -1181,11 +1209,11 @@ def mmr_topk(
         max_red = np.full(n, -np.inf)
         remaining = np.ones(n, dtype=bool)
         for _ in range(take):
-            if selected:
-                score = lam * rel - (1.0 - lam) * max_red
-            else:
-                score = lam * rel
-            score = np.round(score, ROUND_DIGITS)
+            # EXACT decimal scoring (see _mmr_scores_decimal): double
+            # arithmetic would land on decimal .5 boundaries ~half the
+            # time and engines round those differently -- decimal keeps
+            # the greedy value-checkable against a DECIMAL-typed oracle
+            score = _mmr_scores_decimal(lam, rel, max_red)
             score[~remaining] = -np.inf
             # argmax with min-id tie-break: lexsort on (-score, id)
             best = np.lexsort((ids_arr, -score))[0]

@@ -2917,3 +2917,71 @@ LLM_ORACLES["llm_hard_negatives_lsh"] = f"""
       ) AS rk FROM cand
     ) WHERE rk <= 2
 """
+
+# MMR diversification, k=5 greedy UNROLLED: five select/update rounds as
+# plain CTE levels (k is a fixed parameter, so no recursion is needed).
+# Scores compute in exact DECIMAL -- rel and the max-redundancy are
+# 6-decimal values, so 0.7*rel - 0.3*mr is exact 7-decimal arithmetic;
+# the Spark kernel mirrors this (similarity._mmr_scores_decimal) because
+# double scoring lands on decimal .5 boundaries ~half the time, where
+# numpy / Spark SQL / DuckDB all round differently.
+def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    def cos(a: str, b: str) -> str:
+        return f"round(list_cosine_similarity({a}, {b}), 6)"
+
+    def dscore(with_mr: bool) -> str:
+        base = "0.7 * CAST(relevance AS DECIMAL(18,6))"
+        if with_mr:
+            base += " - (1 - 0.7) * CAST(mr AS DECIMAL(18,6))"
+        return f"CAST(round({base}, 6) AS DOUBLE)"
+
+    head = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cand AS (
+      SELECT query_id, neighbor_id, similarity AS relevance, v FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS v,
+               {cos('q.v', 'c.v')} AS similarity,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rk
+        FROM base q JOIN base c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+      ) WHERE rk <= {pool}
+    )"""
+    parts = [f""", sc1 AS (
+      SELECT query_id, neighbor_id, v, relevance, {dscore(False)} AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {dscore(False)} DESC, neighbor_id ASC) AS pick
+      FROM cand
+    ), s1 AS (SELECT * FROM sc1 WHERE pick = 1
+    ), m1 AS (
+      SELECT c.query_id, c.neighbor_id, c.v, c.relevance,
+             {cos('c.v', 's.v')} AS mr
+      FROM cand c JOIN s1 s USING (query_id)
+      WHERE c.neighbor_id <> s.neighbor_id
+    )"""]
+    for t in range(2, k + 1):
+        prev = f"m{t - 1}"
+        parts.append(f""", sc{t} AS (
+      SELECT query_id, neighbor_id, v, relevance, mr, {dscore(True)} AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {dscore(True)} DESC, neighbor_id ASC) AS pick
+      FROM {prev}
+    ), s{t} AS (SELECT * FROM sc{t} WHERE pick = 1
+    )""")
+        if t < k:
+            parts.append(f""", m{t} AS (
+      SELECT c.query_id, c.neighbor_id, c.v, c.relevance,
+             greatest(c.mr, {cos('c.v', 's.v')}) AS mr
+      FROM {prev} c JOIN s{t} s USING (query_id)
+      WHERE c.neighbor_id <> s.neighbor_id
+    )""")
+    final = "\n    UNION ALL\n    ".join(
+        f"SELECT query_id, neighbor_id, relevance, score AS mmr_score, "
+        f"CAST({t} AS BIGINT) AS rank FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return head + "".join(parts) + "\n    " + final
+
+
+LLM_ORACLES["llm_mmr_diversify"] = _mmr_oracle_sql(5, 20)

@@ -282,9 +282,10 @@ def llm_mmr_diversify(spark, sf):
     """MMR-diversified retrieval (similarity.mmr_topk): per query,
     k=5 results balancing relevance against redundancy with what's
     already selected (lam=0.7) over a cosine top-20 candidate pool.
-    Rows-only: the greedy selection is inherently iterative (no SQL
-    oracle); an exact NumPy replica certifies it in
-    tests/test_retrieval_prefs.py."""
+    Full value oracle: k is a fixed parameter, so the greedy UNROLLS
+    into 5 CTE levels with exact-DECIMAL scoring (no recursion, no
+    float rounding ambiguity); the pure-Python replica additionally
+    certifies it in tests/test_retrieval_prefs.py."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return LS.mmr_topk(emb, queries, k=5, lam=0.7, pool=20)
