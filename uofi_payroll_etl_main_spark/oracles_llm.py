@@ -2925,7 +2925,7 @@ LLM_ORACLES["llm_hard_negatives_lsh"] = f"""
 # the Spark kernel mirrors this (similarity._mmr_scores_decimal) because
 # double scoring lands on decimal .5 boundaries ~half the time, where
 # numpy / Spark SQL / DuckDB all round differently.
-def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, cand_sql: str | None = None) -> str:
     def cos(a: str, b: str) -> str:
         return f"round(list_cosine_similarity({a}, {b}), 6)"
 
@@ -2935,10 +2935,9 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
             base += " - (1 - 0.7) * CAST(mr AS DECIMAL(18,6))"
         return f"CAST(round({base}, 6) AS DOUBLE)"
 
-    head = f"""
-    WITH base AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), cand AS (
+    if cand_sql is None:
+        # default stage 1: exact cosine top-`pool` for the %50 query slice
+        cand_sql = f"""
       SELECT query_id, neighbor_id, similarity AS relevance, v FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS v,
                {cos('q.v', 'c.v')} AS similarity,
@@ -2946,7 +2945,11 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
                                   ORDER BY {cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rk
         FROM base q JOIN base c ON q.vec_id <> c.vec_id
         WHERE q.vec_id % 50 = 0
-      ) WHERE rk <= {pool}
+      ) WHERE rk <= {pool}"""
+    head = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cand AS ({cand_sql}
     )"""
     parts = [f""", sc1 AS (
       SELECT query_id, neighbor_id, v, relevance, {dscore(False)} AS score,
@@ -2985,3 +2988,57 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
 
 
 LLM_ORACLES["llm_mmr_diversify"] = _mmr_oracle_sql(5, 20)
+
+# MMR fed by the IVF ANN candidate tier: stage 1 replays ivf_topk
+# (16 md5-sampled centroids, 4 probed cells, global top-20 after the
+# lossless per-cell pruning) as the cand CTE; stage 2 is the same
+# unrolled exact-DECIMAL greedy.  Queries = the whole corpus.
+_MMR_ANN_CAND = """
+      SELECT query_id, neighbor_id, relevance, v FROM (
+        SELECT cd.query_id, cd.neighbor_id, cd.similarity AS relevance, nb.v,
+               row_number() OVER (
+                 PARTITION BY cd.query_id
+                 ORDER BY cd.similarity DESC, cd.neighbor_id
+               ) AS rk
+        FROM (
+          SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(p.v, a.v), 6) AS similarity
+          FROM (
+            SELECT vec_id, v, cell FROM (
+              SELECT e.vec_id, e.v, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                                c.cell
+                     ) AS rnk
+              FROM base e CROSS JOIN (
+                SELECT rn - 1 AS cell, v AS cvec FROM (
+                  SELECT vec_id, v, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS STRING) || ':42')
+                  ) AS rn FROM base
+                ) WHERE rn <= 16
+              ) c
+            ) WHERE rnk <= 4
+          ) p
+          JOIN (
+            SELECT vec_id, v, cell FROM (
+              SELECT e.vec_id, e.v, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                                c.cell
+                     ) AS rnk
+              FROM base e CROSS JOIN (
+                SELECT rn - 1 AS cell, v AS cvec FROM (
+                  SELECT vec_id, v, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS STRING) || ':42')
+                  ) AS rn FROM base
+                ) WHERE rn <= 16
+              ) c
+            ) WHERE rnk = 1
+          ) a USING (cell)
+          WHERE p.vec_id <> a.vec_id
+        ) cd JOIN base nb ON nb.vec_id = cd.neighbor_id
+      ) WHERE rk <= 20"""
+
+LLM_ORACLES["llm_mmr_ann"] = _mmr_oracle_sql(5, 20, cand_sql=_MMR_ANN_CAND)

@@ -296,8 +296,9 @@ def llm_mmr_ann(spark, sf):
     exact candidate fetch -- the 100 TB wiring of llm_mmr_diversify
     made concrete: stage 1 is ivf_topk's bucketed candidate pool,
     stage 2 (greedy selection per query over <= pool rows) is
-    identical.  Rows-only; equivalence of the pluggable-stage wiring
-    vs the default path is pytest-held."""
+    identical.  Full value oracle: the IVF candidate SQL composes as
+    the cand CTE of the unrolled exact-DECIMAL greedy; the
+    pluggable-stage wiring is additionally pytest-held."""
     emb = _t(spark, sf, "embeddings")
     cands = LS.ivf_topk(emb, k=20, n_centroids=16, n_probe=4)
     return LS.mmr_topk(emb, emb, k=5, lam=0.7, candidates=cands)
