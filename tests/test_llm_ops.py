@@ -118,6 +118,42 @@ def test_minhash_md5_tier_matches_python_replica(docs):
     assert (1, 2) in got  # exact duplicate: identical signature, all bands
 
 
+def test_simhash_md5_tier_matches_python_replica(docs):
+    """The verifiable md5 SimHash: candidate set + hammings equal a
+    pure-Python replica (md5 nibble bit-majority votes, 4x16 banding,
+    exact verify), and the exact duplicate lands at hamming 0."""
+    import hashlib
+    import re
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.simhash_md5_candidates(docs, max_hamming=3).collect()}
+    rows = docs.collect()
+
+    def sig_chunks(text):
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        ones = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                nib = int(hx[j // 4], 16)
+                ones[j] += (nib >> (j % 4)) & 1
+        n = len(toks)
+        bits = [1 if 2 * o > n else 0 for o in ones]
+        return [sum(bits[16 * c + j] << j for j in range(16)) for c in range(4)]
+
+    sigs = {r.doc_id: sig_chunks(r.text) for r in rows}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if any(sigs[a][c] == sigs[b][c] for c in range(4)):
+                h = sum(bin(sigs[a][c] ^ sigs[b][c]).count("1") for c in range(4))
+                if h <= 3:
+                    want[(a, b)] = h
+    assert got == want, (got, want)
+    assert got.get((1, 2)) == 0  # exact duplicate: all 64 bits agree
+
+
 def test_simhash_hamming(docs):
     sigs = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
     assert sigs[1] == sigs[2]

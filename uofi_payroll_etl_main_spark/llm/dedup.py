@@ -47,6 +47,10 @@ __all__ = [
     "minhash_lsh_pairs_md5",
     "simhash64",
     "simhash_candidates",
+    "simhash_md5_hex_sql",
+    "simhash_md5_bit_sql",
+    "simhash_md5_chunks",
+    "simhash_md5_candidates",
     "hamming_candidates64",
     "fuzzy_pairs_blocked",
     "compression_ratio",
@@ -529,6 +533,113 @@ def simhash_candidates(
     sig = _ensure_parallelism(df).select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
     return hamming_candidates64(
         sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def simhash_md5_hex_sql(tok_sql: str, c: int) -> str:
+    """Hex char c (0-15) of md5(token) -- the raw material for 4 SimHash
+    bit lanes; one md5 per token row serves all 64 bits."""
+    return f"substring(md5({tok_sql}), {c + 1}, 1)"
+
+
+def simhash_md5_bit_sql(hex_col: str, bit_in_nibble: int) -> str:
+    """Bit `bit_in_nibble` (0-3) of a hex char column: nibble value via
+    instr into the hex alphabet, then integer shift/mask spelled as
+    floor-divide + mod -- plain ANSI arithmetic both engines share."""
+    return (
+        f"(CAST(floor((instr('0123456789abcdef', {hex_col}) - 1) "
+        f"/ {2 ** bit_in_nibble}) AS INT) % 2)"
+    )
+
+
+def simhash_md5_chunks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Verifiable SimHash: 64 bit-majority votes over the token multiset
+    with bits drawn from md5 hex nibbles (simhash_md5_*_sql -- the SQL
+    text is shared verbatim with the oracle), emitted as FOUR 16-bit
+    chunk ints (the banding keys) instead of one signed 64-bit word, so
+    no engine-specific signed-shift semantics ever enter.  One token
+    explode, one md5 per token row, one groupBy(doc) carrying 64
+    map-side-combined sums."""
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(normalize_text(text_col))).alias("tok"),
+    )
+    hx = toks.selectExpr(
+        "doc", *[f"{simhash_md5_hex_sql('tok', c)} AS h{c}" for c in range(16)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(64):
+        aggs.append(
+            F.sum(F.expr(simhash_md5_bit_sql(f"h{j // 4}", j % 4))).alias(f"b{j}")
+        )
+    per = hx.groupBy("doc").agg(*aggs)
+    chunk_cols = []
+    for c in range(4):
+        expr = " + ".join(
+            f"(CASE WHEN 2 * b{16 * c + j} > n THEN {2 ** j} ELSE 0 END)"
+            for j in range(16)
+        )
+        chunk_cols.append(F.expr(f"CAST({expr} AS INT)").alias(f"c{c}"))
+    return per.select("doc", *chunk_cols)
+
+
+def simhash_md5_candidates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verifiable twin of simhash_candidates: same 4x16 chunk banding +
+    exact Hamming verify, on the md5-nibble signature -- the DuckDB
+    oracle re-derives signatures, buckets, AND the verified pair set.
+    Production stays on simhash64/xxhash64 (one hash vs sixteen
+    substring lanes per token); this tier certifies the banding +
+    verify algebra end-to-end.  Output (doc_a, doc_b, hamming)."""
+    sig = simhash_md5_chunks(df, id_col, text_col)
+    bands = sig.select(
+        "doc",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"), F.col(f"c{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("doc", "c0", "c1", "c2", "c3", "__bk.idx", "__bk.key")
+    a = bands.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"c{i}").alias(f"a{i}") for i in range(4)],
+        "idx",
+        "key",
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(4)],
+        "idx",
+        "key",
+    )
+    ham = None
+    for i in range(4):
+        term = F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+    return (
+        a.join(b, ["idx", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

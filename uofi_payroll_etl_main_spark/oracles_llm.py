@@ -3042,3 +3042,56 @@ _MMR_ANN_CAND = """
       ) WHERE rk <= 20"""
 
 LLM_ORACLES["llm_mmr_ann"] = _mmr_oracle_sql(5, 20, cand_sql=_MMR_ANN_CAND)
+
+# Verifiable SimHash: 64 bit-majority votes with bits from md5 hex
+# nibbles (llm/dedup.simhash_md5_*_sql -- text shared verbatim), four
+# 16-bit chunk keys, exact Hamming verify.  All-integer arithmetic, so
+# the oracle re-derives signatures, buckets, and the verified pair set.
+def _simhash_md5_oracle() -> str:
+    from .llm.dedup import simhash_md5_bit_sql, simhash_md5_hex_sql
+
+    hexes = ",\n             ".join(
+        f"{simhash_md5_hex_sql('tok', c)} AS h{c}" for c in range(16)
+    )
+    sums = ",\n             ".join(
+        f"SUM({simhash_md5_bit_sql(f'h{j // 4}', j % 4)}) AS b{j}"
+        for j in range(64)
+    )
+    chunks = ",\n             ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * b{16 * c + j} > n THEN {2 ** j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" AS INT) AS c{c}"
+        for c in range(4)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc, c0, c1, c2, c3, {i} AS idx, c{i} AS key FROM sig"
+        for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{i}, b.c{i}))" for i in range(4))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(CASE WHEN length({_NORM}) = 0 THEN []
+                         ELSE string_split({_NORM}, ' ') END) AS tok
+      FROM documents
+    ), hx AS (
+      SELECT doc, {hexes} FROM toks
+    ), agg AS (
+      SELECT doc, count(*) AS n, {sums} FROM hx GROUP BY doc
+    ), sig AS (
+      SELECT doc, {chunks} FROM agg
+    ), bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.idx = b.idx AND a.key = b.key AND a.doc < b.doc
+    WHERE {ham} <= 3
+    """
+
+
+LLM_ORACLES["llm_simhash_md5"] = _simhash_md5_oracle()

@@ -158,6 +158,15 @@ def llm_minhash_lsh_md5(spark, sf):
     return LD.minhash_lsh_pairs_md5(_t(spark, sf, "documents"), n=3)
 
 
+def llm_simhash_md5(spark, sf):
+    """Verifiable SimHash tier (llm/dedup.simhash_md5_candidates):
+    md5-nibble bit votes, 4x16 chunk banding, exact Hamming verify --
+    the DuckDB oracle re-derives signatures, buckets, and the verified
+    pair set (all-integer arithmetic).  Production stays on the
+    xxhash64 simhash64 tier (one hash per token vs sixteen lanes)."""
+    return LD.simhash_md5_candidates(_t(spark, sf, "documents"), max_hamming=3)
+
+
 def llm_minhash_lsh_fast(spark, sf):
     """Arrow signature tier of MinHash-LSH (bit-identical pairs to
     llm_minhash_lsh; equality asserted in tests/test_llm_ops.py)."""
@@ -2175,6 +2184,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_containment_prefix": llm_containment_prefix,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_minhash_lsh_md5": llm_minhash_lsh_md5,
+    "llm_simhash_md5": llm_simhash_md5,
     "llm_minhash_lsh_fast": llm_minhash_lsh_fast,
     "llm_simhash": llm_simhash,
     "llm_token_stats": llm_token_stats,
