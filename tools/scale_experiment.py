@@ -64,6 +64,16 @@ HEADLINERS = [
     "llm_chat_render",
     "llm_chat_stats",
     "llm_encoding_quality",
+    # round-7 md5-deterministic sketch/LSH family (events + documents
+    # scale; the register/cell tables stay bounded, so ratios should sit
+    # well under N)
+    "a4_hll_distinct",
+    "a17_sketch_union",
+    "w_wau_hll",
+    "a19_cms_counts",
+    "a24_quantile_sketch",
+    "llm_minhash_lsh_md5",
+    "llm_simhash_md5",
 ]
 
 SCALED = {

@@ -146,6 +146,11 @@ def llm_containment_prefix(spark, sf):
 
 
 def llm_minhash_lsh(spark, sf):
+    """Production MinHash-LSH tier (xxhash64 double hashing, ~8x
+    cheaper per shingle than md5 lanes, bucket-size caps).  Rows-only
+    by design; the banding algebra is value-checked through its md5
+    twin (llm_minhash_lsh_md5), and recall/precision vs exact Jaccard
+    is pytest-pinned."""
     return LD.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.4, n=3)
 
 
@@ -176,6 +181,9 @@ def llm_minhash_lsh_fast(spark, sf):
 
 
 def llm_simhash(spark, sf):
+    """Production SimHash tier (xxhash64: one hash per token).
+    Rows-only by design; the banding+verify algebra is value-checked
+    through its md5 twin (llm_simhash_md5)."""
     return LD.simhash_candidates(_t(spark, sf, "documents"), max_hamming=16)
 
 
