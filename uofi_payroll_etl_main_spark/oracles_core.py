@@ -2320,3 +2320,22 @@ CORE_ORACLES["a24_quantile_sketch"] = """
     FROM hit CROSS JOIN bounds
     WHERE rk = 1
 """
+
+CORE_ORACLES["s26_sketch_rollup"] = f"""
+    -- persisted-sketch rollup: merge-of-max over the day split equals
+    -- the global register max, so raw events re-derive the estimate;
+    -- n_hist_regs pins the PERSISTED artifact's content
+    WITH regs AS (
+      SELECT event_type, {hll_reg_sql(_HK)} AS reg, MAX({hll_rho_sql(_HK)}) AS m_j
+      FROM events GROUP BY 1, 2
+    ), hist AS (
+      SELECT event_type,
+             CAST(count(DISTINCT {hll_reg_sql(_HK)}) AS BIGINT) AS n_hist_regs
+      FROM events WHERE date_part('day', ts) <= 20 GROUP BY 1
+    ), est AS (
+      SELECT event_type, {hll_est_sql('m_j')} AS distinct_est
+      FROM regs GROUP BY event_type
+    )
+    SELECT h.event_type, h.n_hist_regs, e.distinct_est
+    FROM hist h JOIN est e USING (event_type)
+"""

@@ -907,6 +907,44 @@ def s20_version_changes(spark, sf):
     return read_version_changes(spark, root, 1, 2, keys=["doc_id"])
 
 
+def s26_sketch_rollup(spark, sf):
+    """S-family -- incremental distinct rollup over a PERSISTED sketch:
+    the history slice's md5-HLL register table (day-of-month <= 20) is
+    written to parquet ONCE (the nightly job), and every invocation
+    reads it back and merges it with the fresh slice's registers
+    (register-wise max) for a whole-range per-type distinct estimate --
+    history is NEVER rescanned, the property exact count-distinct
+    cannot offer.  The oracle re-derives the identical estimate and the
+    history register count from raw events, certifying persist + reload
+    + merge lossless end-to-end (merge-of-max == global max)."""
+    from .aggregates import hll_md5_estimate, hll_md5_registers
+
+    ev = load_table(spark, sf, "events")
+    root = _tagged_dir(sf, "events", "hll_rollup")
+    hist_path = os.path.join(root, "hist_regs.parquet")
+    if not os.path.exists(os.path.join(hist_path, "_SUCCESS")):
+        hist = ev.filter(F.dayofmonth("ts") <= 20)
+        hll_md5_registers(hist, ["event_type"], "user_id").write.mode(
+            "overwrite"
+        ).parquet(hist_path)
+    persisted = spark.read.parquet(hist_path)
+    fresh = hll_md5_registers(
+        ev.filter(F.dayofmonth("ts") > 20), ["event_type"], "user_id"
+    )
+    merged = (
+        persisted.unionByName(fresh)
+        .groupBy("event_type", "__reg")
+        .agg(F.max("__mj").alias("__mj"))
+    )
+    n_hist = persisted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist_regs")
+    )
+    est = hll_md5_estimate(merged, ["event_type"], "distinct_est")
+    return n_hist.join(est, "event_type").select(
+        "event_type", "n_hist_regs", "distinct_est"
+    )
+
+
 def s25_cdc_images(spark, sf):
     """S-family -- change data feed WITH pre/post images
     (io.read_version_changes_images): the s20 version store read
@@ -3474,6 +3512,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s19_vacuum": s19_vacuum,
     "s20_version_changes": s20_version_changes,
     "s25_cdc_images": s25_cdc_images,
+    "s26_sketch_rollup": s26_sketch_rollup,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
