@@ -1754,3 +1754,29 @@ def test_point_in_polygon_matches_reference(spark):
 
     with _pytest.raises(ValueError, match="vertices"):
         point_in_polygon(df, [(0, 0), (1, 1)])
+
+
+def test_kmv_set_ops_accuracy_and_exact_mode(spark):
+    """KMV set algebra: on planted overlapping sets the union /
+    intersection / difference estimates land within the bottom-k error
+    envelope (~1/sqrt(k-1)); sets smaller than k are EXACT."""
+    from uofi_payroll_etl_main_spark.aggregates import kmv_set_ops
+
+    rows = [("A", i) for i in range(800)] + [("B", i) for i in range(400, 1200)]
+    df = spark.createDataFrame(rows, "s string, k long")
+    r = kmv_set_ops(df, "s", "k", k=64).first()
+    # truth: |A|=|B|=800, union=1200, inter=400, diffs=400 each
+    assert abs(r.est_a - 800) / 800 < 0.25, r
+    assert abs(r.est_b - 800) / 800 < 0.25, r
+    assert abs(r.union_est - 1200) / 1200 < 0.25, r
+    assert abs(r.intersect_est - 400) / 400 < 0.45, r  # compounded error
+    assert abs(r.diff_ab_est - 400) / 400 < 0.6, r
+    assert abs(r.diff_ba_est - 400) / 400 < 0.6, r
+
+    tiny = spark.createDataFrame(
+        [("X", i) for i in range(10)] + [("Y", i) for i in range(5, 15)],
+        "s string, k long",
+    )
+    t = kmv_set_ops(tiny, "s", "k", k=64).first()
+    assert (t.est_a, t.est_b, t.union_est, t.intersect_est) == (10.0, 10.0, 15.0, 5.0), t
+    assert (t.diff_ab_est, t.diff_ba_est) == (5.0, 5.0), t

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "v13_benford",          # single-row digit-total broadcast
     "v16_chi_square_drift", # single-row totals broadcast (v13 shape)
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
+    "a49_kmv_set_ops",      # |sets|^2 KMV-estimate pair join (segment-scale, facts reduce once to k-integer sketches)
     "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
     "a47_assoc_rules",      # single-row n-baskets broadcast
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows

@@ -25,6 +25,8 @@ __all__ = [
     "group_corr",
     "group_ols",
     "sketch_overlap_distinct",
+    "kmv_set_ops",
+    "kmv_hash_sql",
     "histogram",
     "sketch_merge_distinct",
     "sketch_merge_distinct_native",
@@ -550,6 +552,118 @@ def robust_zscore(
             ).otherwise(F.lit(0.0)),
         )
         .drop("__med", "__mad")
+    )
+
+
+KMV_M = 1000000007  # Knuth-hash modulus (query_hash_slice recipe)
+
+
+def kmv_hash_sql(key_sql: str) -> str:
+    """Engine-portable uniform integer hash in [0, KMV_M): the Knuth
+    multiplicative recipe shared with a16_group_sample /
+    query_hash_slice -- plain integer arithmetic, identical in any
+    engine, and its ORDER is what KMV sketches sample."""
+    return (
+        f"pmod(pmod(CAST({key_sql} AS BIGINT), 2147483648) * 2654435761 "
+        f"+ 12345, {KMV_M})"
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame, set_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """KMV (bottom-k) sketch SET ALGEBRA per unordered set pair:
+    distinct union / intersection / BOTH difference estimates --
+    the capability HLL inclusion-exclusion cannot offer (sketch
+    differences), from sketches of k integers per set.
+
+    Estimator (Bar-Yossef et al. 2002 / Beyer et al. 2007): a set's
+    k-th smallest hash h_k gives est = (k-1) * M / h_k; for a pair,
+    the k smallest hashes of the sketch UNION estimate the union, and
+    the fraction m/kk of those union samples present in BOTH sketches
+    scales it to the intersection; differences follow by subtraction
+    (clamped at 0).  Sets with fewer than k distinct hashes are in
+    EXACT mode (the sketch IS the set).
+
+    Scale shape: the fact table reduces ONCE to |sets| x k integer
+    rows (two map-side-combined aggregations); every later join is
+    sketch-vs-sketch, segment-scale.  Integer hashes + one double
+    division per estimate -> deterministic in any engine; the gate
+    VALUE-checks all four estimates against DuckDB.
+
+    Output: (set_a, set_b, est_a, est_b, union_est, intersect_est,
+    diff_ab_est, diff_ba_est), estimates rounded 4.
+    """
+    h = F.expr(kmv_hash_sql(f"`{key_col}`"))
+    hashes = (
+        df.select(F.col(set_col).alias("set_name"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("set_name").orderBy(F.asc("h"))
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    sk = ranked.filter(F.col("rn") <= k)
+    per = sk.groupBy("set_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+        F.max("h").alias("h_k"),
+    )
+    # n_sk < k <=> the whole set fit in the sketch: exact mode
+    est = F.when(
+        F.col("n_sk") < k, F.col("n_sk").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(KMV_M)) / F.col("h_k").cast("double")
+    )
+    ests = per.select("set_name", F.round(est, 4).alias("est"))
+
+    a = ests.select(F.col("set_name").alias("set_a"), F.col("est").alias("est_a"))
+    b = ests.select(F.col("set_name").alias("set_b"), F.col("est").alias("est_b"))
+    pairs = a.join(F.broadcast(b), F.col("set_a") < F.col("set_b"))
+
+    # union sketch per pair: k smallest distinct hashes of A's + B's samples
+    pr = pairs.select("set_a", "set_b")
+    both = (
+        pr.join(sk, pr["set_a"] == sk["set_name"]).select("set_a", "set_b", "h")
+        .unionByName(
+            pr.join(sk, pr["set_b"] == sk["set_name"]).select("set_a", "set_b", "h")
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("set_a", "set_b").orderBy(F.asc("h"))
+    usamp = both.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    # membership of each union sample in each side's sketch
+    in_a = sk.select(F.col("set_name").alias("set_a"), "h").withColumn("__a", F.lit(1))
+    in_b = sk.select(F.col("set_name").alias("set_b"), "h").withColumn("__b", F.lit(1))
+    tagged = (
+        usamp.join(in_a, ["set_a", "h"], "left")
+        .join(in_b, ["set_b", "h"], "left")
+    )
+    upair = tagged.groupBy("set_a", "set_b").agg(
+        F.count(F.lit(1)).cast("long").alias("kk"),
+        F.max("h").alias("u_k"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("m"),
+    )
+    union_est = F.round(
+        F.when(F.col("kk") < k, F.col("kk").cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(KMV_M)) / F.col("u_k").cast("double")
+        ),
+        4,
+    )
+    out = pairs.join(upair, ["set_a", "set_b"]).withColumn("union_est", union_est)
+    inter = F.round(
+        F.col("m").cast("double") * F.col("union_est") / F.col("kk").cast("double"),
+        4,
+    )
+    out = out.withColumn("intersect_est", inter)
+    return out.select(
+        "set_a",
+        "set_b",
+        "est_a",
+        "est_b",
+        "union_est",
+        "intersect_est",
+        F.round(F.greatest(F.col("est_a") - F.col("intersect_est"), F.lit(0.0)), 4).alias("diff_ab_est"),
+        F.round(F.greatest(F.col("est_b") - F.col("intersect_est"), F.lit(0.0)), 4).alias("diff_ba_est"),
     )
 
 

@@ -3095,3 +3095,67 @@ def _simhash_md5_oracle() -> str:
 
 
 LLM_ORACLES["llm_simhash_md5"] = _simhash_md5_oracle()
+
+# KMV bottom-k set algebra: Knuth-hash samples (query_hash_slice recipe;
+# non-negative, so DuckDB's % equals Spark's pmod), k=64 smallest per
+# daily audience; (k-1)*M/h_k estimates, union samples' in-both fraction
+# scales to the intersection, differences by clamped subtraction.
+LLM_ORACLES["a49_kmv_set_ops"] = """
+    WITH hashes AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS set_name,
+             ((CAST(user_id AS BIGINT) % 2147483648) * 2654435761 + 12345)
+               % 1000000007 AS h
+      FROM events
+    ), ranked AS (
+      SELECT set_name, h,
+             row_number() OVER (PARTITION BY set_name ORDER BY h) AS rn
+      FROM hashes
+    ), sk AS (
+      SELECT set_name, h FROM ranked WHERE rn <= 64
+    ), per AS (
+      SELECT set_name, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS h_k
+      FROM sk GROUP BY 1
+    ), ests AS (
+      SELECT set_name,
+             round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+                        ELSE 63.0 * 1000000007.0 / CAST(h_k AS DOUBLE)
+                   END, 4) AS est
+      FROM per
+    ), pairs AS (
+      SELECT a.set_name AS set_a, b.set_name AS set_b,
+             a.est AS est_a, b.est AS est_b
+      FROM ests a JOIN ests b ON a.set_name < b.set_name
+    ), ub AS (
+      SELECT DISTINCT p.set_a, p.set_b, s.h
+      FROM pairs p JOIN sk s
+        ON s.set_name = p.set_a OR s.set_name = p.set_b
+    ), usamp AS (
+      SELECT set_a, set_b, h,
+             row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn
+      FROM ub
+    ), upair AS (
+      SELECT u.set_a, u.set_b, CAST(count(*) AS BIGINT) AS kk,
+             max(u.h) AS u_k,
+             CAST(SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM usamp u
+      LEFT JOIN sk ia ON ia.set_name = u.set_a AND ia.h = u.h
+      LEFT JOIN sk ib ON ib.set_name = u.set_b AND ib.h = u.h
+      WHERE u.rn <= 64
+      GROUP BY 1, 2
+    ), f0 AS (
+      SELECT p.set_a, p.set_b, p.est_a, p.est_b, u.kk, u.m,
+             round(CASE WHEN u.kk < 64 THEN CAST(u.kk AS DOUBLE)
+                        ELSE 63.0 * 1000000007.0 / CAST(u.u_k AS DOUBLE)
+                   END, 4) AS union_est
+      FROM pairs p JOIN upair u USING (set_a, set_b)
+    ), f1 AS (
+      SELECT *, round(CAST(m AS DOUBLE) * union_est / CAST(kk AS DOUBLE), 4)
+                  AS intersect_est
+      FROM f0
+    )
+    SELECT set_a, set_b, est_a, est_b, union_est, intersect_est,
+           round(greatest(est_a - intersect_est, 0.0), 4) AS diff_ab_est,
+           round(greatest(est_b - intersect_est, 0.0), 4) AS diff_ba_est
+    FROM f1
+"""

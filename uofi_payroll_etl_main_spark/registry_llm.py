@@ -905,6 +905,23 @@ def a43_sketch_overlap(spark, sf):
     )
 
 
+def a49_kmv_set_ops(spark, sf):
+    """KMV bottom-k sketch set algebra between DAILY audiences
+    (aggregates.kmv_set_ops): distinct union / intersection / BOTH
+    difference estimates per day pair -- "how many users did Tuesday
+    have that Monday didn't" without exact distinct joins.  Set
+    DIFFERENCES are the capability HLL inclusion-exclusion (a43)
+    cannot provide.  Knuth-hash samples are engine-portable integers,
+    so every estimate is VALUE-checked against DuckDB; accuracy vs
+    exact set ops pinned in pytest."""
+    from .aggregates import kmv_set_ops
+
+    ev = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return kmv_set_ops(ev, "day", "user_id", k=64)
+
+
 def a45_mann_whitney(spark, sf):
     """Nonparametric A/B readout: Mann-Whitney U between click and
     purchase event values (aggregates.mann_whitney_u) -- mid-rank
@@ -2256,6 +2273,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_cusum": w_cusum,
     "mm_audio_dedup": mm_audio_dedup,
     "a43_sketch_overlap": a43_sketch_overlap,
+    "a49_kmv_set_ops": a49_kmv_set_ops,
     "a44_join_size_est": a44_join_size_est,
     "w_twap": w_twap,
     "w_resample_locf": w_resample_locf,
