@@ -601,7 +601,10 @@ def kmv_set_ops(
     )
     w = Window.partitionBy("set_name").orderBy(F.asc("h"))
     ranked = hashes.withColumn("rn", F.row_number().over(w))
-    sk = ranked.filter(F.col("rn") <= k)
+    # the sketch table feeds FIVE consumers (per-set estimates, both
+    # union branches, both membership joins); checkpoint it so the fact
+    # scan runs ONCE -- the sketch is |sets| x k integers, pennies
+    sk = ranked.filter(F.col("rn") <= k).select("set_name", "h").localCheckpoint()
     per = sk.groupBy("set_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_sk"),
         F.max("h").alias("h_k"),
