@@ -134,6 +134,8 @@ HEADLINERS = [
     "mm_decode_quarantine",
     "llm_minhash_lsh_md5",
     "w_wau_hll",
+    "llm_simhash_md5",
+    "a49_kmv_set_ops",
 ]
 
 
