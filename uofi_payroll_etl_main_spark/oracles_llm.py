@@ -3159,3 +3159,21 @@ LLM_ORACLES["a49_kmv_set_ops"] = """
            round(greatest(est_b - intersect_est, 0.0), 4) AS diff_ba_est
     FROM f1
 """
+
+# Streaming bounded-state distinct: after an AvailableNow drain the
+# register state is exactly the batch register table, so the per-window
+# estimates re-derive from raw events (window('1 hour').start ==
+# date_trunc hour).
+from .aggregates import hll_est_sql as _hll_est_sql2  # noqa: E402
+from .aggregates import hll_reg_sql as _hll_reg_sql2  # noqa: E402
+from .aggregates import hll_rho_sql as _hll_rho_sql2  # noqa: E402
+
+LLM_ORACLES["st_distinct_hll"] = f"""
+    WITH regs AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             {_hll_reg_sql2(_HK)} AS reg, MAX({_hll_rho_sql2(_HK)}) AS m_j
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, {_hll_est_sql2('m_j')} AS distinct_est
+    FROM regs GROUP BY window_start
+"""

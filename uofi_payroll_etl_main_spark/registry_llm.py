@@ -1012,6 +1012,25 @@ def st_tumbling(spark, sf):
     return spark.table("st_tumbling_out")
 
 
+def st_distinct_hll(spark, sf):
+    """Streaming approximate distinct users per tumbling hour with
+    BOUNDED state (streaming/streams.streaming_distinct_hll): the
+    stream holds <= 4096 md5-HLL register rows per window instead of
+    every distinct key; the drained register sink folds to estimates
+    in one batch pass.  Deterministic end state -> the DuckDB oracle
+    re-derives the per-window estimates from raw events and
+    VALUE-checks them."""
+    from .aggregates import hll_md5_estimate
+    from .streaming.streams import streaming_distinct_hll
+
+    run_to_memory(
+        streaming_distinct_hll(_event_stream(spark, sf), "1 hour"),
+        "st_hll_regs_out",
+    )
+    regs = spark.table("st_hll_regs_out")
+    return hll_md5_estimate(regs, ["window_start"], "distinct_est")
+
+
 def st_sliding(spark, sf):
     """Streaming sliding windows drained AvailableNow -- same DuckDB
     oracle as the batch w_sliding (shared agg expressions)."""
@@ -2285,6 +2304,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_hll_distinct": a4_hll_distinct,
     "a5_approx_quantiles": a5_approx_quantiles,
     "st_tumbling": st_tumbling,
+    "st_distinct_hll": st_distinct_hll,
     "st_sliding": st_sliding,
     "st_session": st_session,
     "st_enrich": st_enrich,

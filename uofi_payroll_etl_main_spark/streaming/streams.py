@@ -23,6 +23,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
     "streaming_tumbling_counts",
+    "streaming_distinct_hll",
     "streaming_sliding_counts",
     "streaming_session_counts",
     "streaming_dedup",
@@ -73,6 +74,31 @@ def streaming_tumbling_counts(
             F.col("n_events"),
             F.col("sum_value"),
         )
+    )
+
+
+def streaming_distinct_hll(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Approximate distinct users per tumbling window with BOUNDED
+    state: the stream aggregates (window, md5-register) -> max rho, so
+    state per window is <= 4096 register rows regardless of user
+    cardinality -- where a streaming count_distinct would hold EVERY
+    key in the state store.  The watermark finalizes and drops windows
+    as usual; the register rows drained to the sink ARE the mergeable
+    sketch, folded to estimates by one batch pass over the sink
+    (streaming disallows chaining a second aggregation without an
+    intermediate sink -- and persisting registers is exactly what an
+    incremental rollup wants anyway, see s26)."""
+    from ..aggregates import hll_reg_sql, hll_rho_sql
+
+    k = "CAST(user_id AS STRING)"
+    return (
+        events.withWatermark("ts", watermark)
+        .selectExpr("ts", f"{hll_reg_sql(k)} AS __reg", f"{hll_rho_sql(k)} AS __rho")
+        .groupBy(F.window("ts", width).alias("w"), F.col("__reg"))
+        .agg(F.max("__rho").alias("__mj"))
+        .select(F.col("w.start").alias("window_start"), "__reg", "__mj")
     )
 
 
