@@ -2339,3 +2339,35 @@ CORE_ORACLES["s26_sketch_rollup"] = f"""
     SELECT h.event_type, h.n_hist_regs, e.distinct_est
     FROM hist h JOIN est e USING (event_type)
 """
+
+CORE_ORACLES["g8_kcore"] = """
+    -- k-core peel as a recursive CTE: the working table IS the current
+    -- surviving edge set, so each round only needs window degrees over
+    -- the previous iteration (the cumulative removed set is never
+    -- consulted).  Peel is monotone and idempotent, so iteration 50
+    -- (the Spark gate's max_iter) equals the fixpoint; rows simply
+    -- re-copy themselves after convergence.
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), und AS (
+      SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+    ), peel(a, b, it) AS (
+      SELECT a, b, 0 FROM und
+      UNION ALL
+      SELECT a, b, it + 1 FROM (
+        SELECT a, b, it,
+               count(*) OVER (PARTITION BY a) AS da,
+               count(*) OVER (PARTITION BY b) AS db
+        FROM peel
+      )
+      WHERE da >= 3 AND db >= 3 AND it < 50
+    )
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM peel WHERE it = 50
+    GROUP BY a
+    HAVING count(*) >= 3
+"""

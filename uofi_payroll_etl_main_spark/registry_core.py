@@ -1001,10 +1001,12 @@ def v9_profile_drift(spark, sf):
 def g8_kcore(spark, sf):
     """Graph family -- k-core peel (k=3) of the undirected
     supplier<->customer fulfillment graph: the dense-subgraph
-    cohesion primitive.  Rows-only gate (unbounded-depth iterative
-    removal is not recursive-CTE-expressible -- each round needs the
-    CUMULATIVE removed set, which SQL recursion cannot see); exactness
-    vs a pure-Python peel is pytest-asserted (tests/test_graph.py)."""
+    cohesion primitive.  Full value oracle: the peel IS
+    recursive-CTE-expressible -- the working table carries the current
+    surviving edge set, and one round = window degrees over it (the
+    removed set is never consulted); the oracle runs the peel to the
+    same max_iter=50 horizon (idempotent past the fixpoint).  Exactness
+    vs a pure-Python peel is also pytest-asserted (tests/test_graph.py)."""
     from .graph import k_core
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
