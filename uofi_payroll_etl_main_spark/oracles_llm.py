@@ -2386,6 +2386,45 @@ LLM_ORACLES["w_holt"] = """
     FROM folded
 """
 
+LLM_ORACLES["w_holt_winters"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type, list(v ORDER BY d) AS vs, count(*) AS n_points
+      FROM daily GROUP BY event_type
+    ), seeded AS (
+      SELECT event_type, vs, n_points,
+             list_reduce(vs[1:7], (a, b) -> a + b) / 7.0 AS mean0
+      FROM ser
+    ), folded AS (
+      SELECT event_type, n_points,
+        CASE WHEN n_points > 7 THEN
+          list_reduce(
+            list_prepend(
+              list_concat([mean0, CAST(0.0 AS DOUBLE)],
+                          list_transform(vs[1:7], x -> x - mean0)),
+              list_transform(vs[8:], x -> [x])
+            ),
+            (acc, e) -> list_concat(
+              [0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2]),
+               0.25*((0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2])) - acc[1])
+                 + 0.75*acc[2]],
+              acc[4:9],
+              [0.5*(e[1] - (0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2])))
+                 + 0.5*acc[3]]
+            )
+          )
+        END AS st
+      FROM seeded
+    )
+    SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[3], 6) AS season_next,
+           round(st[1] + st[2] + st[3], 6) AS forecast
+    FROM folded
+"""
+
 LLM_ORACLES["w_cusum"] = """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,

@@ -1204,6 +1204,24 @@ def w_holt(spark, sf):
     return holt_linear(daily, "event_type", "d", "v", alpha=0.5, beta=0.25)
 
 
+def w_holt_winters(spark, sf):
+    """Additive Holt-Winters (level + trend + weekly seasonal profile)
+    of daily event volume per type, with the one-step-ahead forecast
+    (streaming/windows.holt_winters): init from the first 7 days, then
+    one array fold per key over the remaining days -- series length =
+    #days, metadata-scale; full DuckDB value oracle (same fold order)."""
+    from .streaming.windows import holt_winters
+
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    return holt_winters(
+        daily, "event_type", "d", "v", period=7, alpha=0.5, beta=0.25, gamma=0.5
+    )
+
+
 def mm_image_dedup(spark, sf):
     """Image near-dup candidates by perceptual dHash: decode (PPM/PNG/
     JPEG) -> gray 9x8 difference hash -> 16-bit-chunk Hamming banding
@@ -2288,6 +2306,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_group_corr": a13_group_corr,
     "a42_group_ols": a42_group_ols,
     "w_holt": w_holt,
+    "w_holt_winters": w_holt_winters,
     "llm_mmr_diversify": llm_mmr_diversify,
     "w_cusum": w_cusum,
     "mm_audio_dedup": mm_audio_dedup,

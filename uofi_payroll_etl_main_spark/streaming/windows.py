@@ -25,6 +25,7 @@ __all__ = [
     "resample_linear",
     "rolling_agg",
     "holt_linear",
+    "holt_winters",
     "cusum_alerts",
     "time_weighted_avg",
     "resample_locf",
@@ -526,6 +527,102 @@ def holt_linear(
         F.round(st.getField("l"), 6).alias("level"),
         F.round(st.getField("t"), 6).alias("trend"),
         F.round(st.getField("l") + st.getField("t"), 6).alias("forecast"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Additive Holt-Winters triple-exponential smoothing per key over
+    an ORDERED series: level + linear trend + a length-`period`
+    additive seasonal profile -- what `holt_linear` can't model when
+    the series has a weekly/diurnal cycle.
+
+        l_i = alpha*(v_i - s_{i-m}) + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+        s_i = gamma*(v_i - l_i) + (1-gamma)*s_{i-m}
+
+    initialized from the first full season: l = mean(v_1..v_m), t = 0,
+    s_j = v_j - mean(v_1..v_m).  The recurrence is inherently
+    sequential per key, so it runs as ONE array fold (F.aggregate) over
+    the sorted series with a flat double-array state
+    [l, t, s_next, ..., s_next+m-1] rotated one slot per step -- pure
+    Catalyst, one shuffle, no Python, no window over windows.
+
+    Scale contract: identical to holt_linear -- the input must already
+    be an AGGREGATED series (e.g. daily counts), so each key's array is
+    grain-cardinality (metadata-scale), never raw-event-scale.
+
+    Keys with n_points <= period emit NULL smoothing fields (not
+    enough data to seed the seasonal profile).  Dyadic defaults
+    (0.5, 0.25, 0.5) keep every multiply exact in IEEE doubles; the
+    init mean divides by the period, so bit parity with the DuckDB
+    oracle additionally relies on both engines folding the init sum
+    and every step in the same order (they do -- the lambda bodies are
+    transliterations).
+    """
+    a, b, g, m = float(alpha), float(beta), float(gamma), int(period)
+    if m < 2:
+        raise ValueError("holt_winters: period must be >= 2 (use holt_linear)")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(value_col).cast("double").alias("v"))
+        )
+    )
+    agg = df.groupBy(key_col).agg(
+        F.transform(ordered, lambda s: s.getField("v")).alias("__vs")
+    )
+    vs = F.col("__vs")
+    # Init from the first season: left-fold sum starting at 0.0 (IEEE:
+    # 0.0 + v1 == v1, so the chain matches DuckDB's no-init list_reduce).
+    mean0 = F.aggregate(
+        F.slice(vs, 1, m), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(float(m))
+    init = F.concat(
+        F.array(mean0, F.lit(0.0)),
+        F.transform(F.slice(vs, 1, m), lambda x: x - mean0),
+    )
+    rest = F.slice(vs, m + 1, F.greatest(F.size(vs) - m, F.lit(0)))
+
+    def _step(acc, x):
+        # State layout (1-based): [1]=l, [2]=t, [3..m+2]=seasonals with
+        # [3] the one this step consumes.  l_new is inlined into t_new
+        # and s_new (no struct-field CSE assumed) so the DuckDB oracle
+        # can fold the exact same operation order for bit parity.
+        l_prev, t_prev, s_cur = (
+            F.element_at(acc, 1),
+            F.element_at(acc, 2),
+            F.element_at(acc, 3),
+        )
+
+        def l_new():
+            return F.lit(a) * (x - s_cur) + F.lit(1.0 - a) * (l_prev + t_prev)
+
+        t_new = F.lit(b) * (l_new() - l_prev) + F.lit(1.0 - b) * t_prev
+        s_new = F.lit(g) * (x - l_new()) + F.lit(1.0 - g) * s_cur
+        return F.concat(
+            F.array(l_new(), t_new),
+            F.slice(acc, 4, m - 1),
+            F.array(s_new),
+        )
+
+    st = F.when(F.size(vs) > m, F.aggregate(rest, init, _step))
+    return agg.select(
+        key_col,
+        F.size(vs).cast("long").alias("n_points"),
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(F.element_at(st, 3), 6).alias("season_next"),
+        F.round(
+            F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 3), 6
+        ).alias("forecast"),
     )
 
 
