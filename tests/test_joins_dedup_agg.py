@@ -1780,3 +1780,36 @@ def test_kmv_set_ops_accuracy_and_exact_mode(spark):
     t = kmv_set_ops(tiny, "s", "k", k=64).first()
     assert (t.est_a, t.est_b, t.union_est, t.intersect_est) == (10.0, 10.0, 15.0, 5.0), t
     assert (t.diff_ab_est, t.diff_ba_est) == (5.0, 5.0), t
+
+
+def test_skew_agg_exact_and_salted(spark):
+    """skew_agg: exact vs plain groupBy on a planted hot key (one key
+    holds 90% of rows, null members and null values mixed in), and the
+    phase-1 plan really groups by (key, salt) -- the hot key is spread
+    over many reducers before the merge."""
+    from uofi_payroll_etl_main_spark.aggregates import skew_agg
+
+    rows = [("hot", i % 50, float(i % 7)) for i in range(900)]
+    rows += [("cold%d" % (i % 5), i, float(i)) for i in range(100)]
+    rows += [("hot", None, 1.0), ("nullval", 1, None)]
+    df = spark.createDataFrame(rows, "k string, m long, v double")
+
+    got = {r["k"]: r for r in skew_agg(df, "k", "v", "m", salt_buckets=8).collect()}
+    want = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.countDistinct("m").cast("long").alias("n_members"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_rows"] == want[k]["n_rows"], k
+        assert got[k]["n_members"] == want[k]["n_members"], k
+        assert abs((got[k]["total_value"] or 0) - (want[k]["total_value"] or 0)) < 1e-9, k
+
+    plan = skew_agg(df, "k", "v", "m", salt_buckets=8)._jdf.queryExecution().toString()
+    assert "__salt" in plan  # phase 1 really salts the grouping key

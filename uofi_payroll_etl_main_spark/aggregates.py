@@ -1273,3 +1273,56 @@ def bootstrap_ci(
             "ci_hi",
         )
     )
+
+
+def skew_agg(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    member_col: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation over a hot-keyed column.
+
+    At 100 TB a plain ``groupBy(key)`` funnels every row of a hot key
+    through ONE reducer task; this rewrite spreads each key over
+    ``salt_buckets`` reducers by salting the grouping key with a
+    deterministic row hash (phase 1), then merges the bounded per-salt
+    partials (phase 2) -- sum and count merge losslessly, so the result
+    is exact, and the phase-2 shuffle carries at most
+    ``n_keys * salt_buckets`` rows regardless of input size.  The exact
+    per-key distinct goes through a (key, member) pre-dedup whose
+    shuffle key includes the member and therefore never concentrates on
+    a hot key (the classic skew-safe count-distinct rewrite; also
+    avoids Spark's expand-based distinct-aggregate path).
+
+    Value sums route through DECIMAL(18,6) so partial-merge order can't
+    change the result (cross-engine exact vs the DuckDB oracle).
+
+    Beyond-reference scale operator; the reference's only aggregation
+    is a tiny in-memory mode-map (etl_payroll_pipeline.py:264-276).
+    """
+    k = F.col(key)
+    salt = F.pmod(
+        F.xxhash64(F.col(member_col), F.col(value_col)), F.lit(salt_buckets)
+    )
+    partials = (
+        df.groupBy(k.alias("__k"), salt.alias("__salt"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sv"),
+        )
+    )
+    merged = partials.groupBy("__k").agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum("__sv").cast("double").alias("total_value"),
+    )
+    distinct = (
+        df.select(k.alias("__k"), F.col(member_col).alias("__m"))
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count("__m").cast("long").alias("n_members"))
+    )
+    return merged.join(distinct, "__k").select(
+        F.col("__k").alias(key), "n_rows", "total_value", "n_members"
+    )

@@ -3216,3 +3216,12 @@ LLM_ORACLES["st_distinct_hll"] = f"""
     SELECT window_start, {_hll_est_sql2('m_j')} AS distinct_est
     FROM regs GROUP BY window_start
 """
+
+LLM_ORACLES["a50_skew_agg"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_members
+    FROM events
+    GROUP BY event_type
+"""

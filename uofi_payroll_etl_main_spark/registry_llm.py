@@ -922,6 +922,20 @@ def a49_kmv_set_ops(spark, sf):
     return kmv_set_ops(ev, "day", "user_id", k=64)
 
 
+def a50_skew_agg(spark, sf):
+    """Skew-safe two-phase aggregation (aggregates.skew_agg): hot
+    event types are salted over 32 reducers for the sum/count phase
+    and the exact distinct goes through a (key, user) pre-dedup --
+    the rewrites that keep a hot key from funneling 100 TB through
+    one task.  Exact (DECIMAL-summed), so fully VALUE-checked."""
+    from .aggregates import skew_agg
+
+    return skew_agg(
+        _t(spark, sf, "events"), "event_type", "value", "user_id",
+        salt_buckets=32,
+    )
+
+
 def a45_mann_whitney(spark, sf):
     """Nonparametric A/B readout: Mann-Whitney U between click and
     purchase event values (aggregates.mann_whitney_u) -- mid-rank
@@ -2317,6 +2331,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_resample_locf": w_resample_locf,
     "a45_mann_whitney": a45_mann_whitney,
     "a48_bootstrap_ci": a48_bootstrap_ci,
+    "a50_skew_agg": a50_skew_agg,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
