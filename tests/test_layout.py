@@ -597,3 +597,50 @@ def test_snapshot_diff_images_round_trips_reversal(spark):
     assert sorted(tuple(r) for r in restored.collect()) == sorted(
         tuple(r) for r in v1.collect()
     )
+
+
+def test_bucketed_table_join_is_exchange_free(spark, tmp_path):
+    """bucketed_table: the co-located join runs as a SortMergeJoin with
+    ZERO Exchange (the shuffle was paid at write time), values match a
+    plain join, and a catalog-less re-registration (fresh session
+    simulation) reads the same bucketed files exchange-free too."""
+    from uofi_payroll_etl_main_spark.io import bucketed_table
+
+    left = spark.createDataFrame(
+        [(i % 100, float(i)) for i in range(1000)], "k long, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, "g%d" % (i % 7)) for i in range(100)], "k long, g string"
+    )
+    lt = bucketed_table(
+        spark, left, str(tmp_path / "l"), "tbkt_left", "k", buckets=4
+    ).withColumnRenamed("k", "lk")
+    rt = bucketed_table(
+        spark, right, str(tmp_path / "r"), "tbkt_right", "k", buckets=4
+    )
+    j = lt.hint("merge").join(rt, lt["lk"] == rt["k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    got = j.groupBy("g").agg(F.sum("v").alias("sv")).collect()
+    want = {
+        r["g"]: r["sv"]
+        for r in left.join(right, "k").groupBy("g").agg(F.sum("v").alias("sv")).collect()
+    }
+    assert {r["g"]: r["sv"] for r in got} == want
+
+    # fresh-session path: drop the catalog entries, re-register from files
+    spark.sql("DROP TABLE tbkt_left")
+    spark.sql("DROP TABLE tbkt_right")
+    lt2 = bucketed_table(
+        spark, left, str(tmp_path / "l"), "tbkt_left", "k", buckets=4
+    ).withColumnRenamed("k", "lk")
+    rt2 = bucketed_table(
+        spark, right, str(tmp_path / "r"), "tbkt_right", "k", buckets=4
+    )
+    j2 = lt2.hint("merge").join(rt2, lt2["lk"] == rt2["k"])
+    plan2 = j2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
+    assert j2.count() == 1000
+    spark.sql("DROP TABLE tbkt_left")
+    spark.sql("DROP TABLE tbkt_right")

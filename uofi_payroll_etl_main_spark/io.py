@@ -1088,3 +1088,51 @@ def read_version_changes_images(
         keys,
         compare_cols,
     )
+
+
+def bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    table: str,
+    key: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Write-once bucketed parquet table, registered as an external
+    table in the session catalog, returned as a catalog-backed
+    DataFrame.
+
+    Bucketing is THE co-located-join layout at 100 TB: both sides of a
+    recurring join are hash-clustered into the same number of buckets
+    on the join key at WRITE time, so every subsequent join matches
+    bucket i to bucket i with zero Exchange in the plan -- the shuffle
+    is paid once when the table lands, not on every query
+    (tests/test_layout.py asserts the exchange-free SortMergeJoin).
+
+    The data lives at ``path`` (bucket ids are encoded in the file
+    names Spark writes); the catalog entry is per-session, so a fresh
+    session re-registers the existing files with
+    ``CREATE TABLE .. CLUSTERED BY .. LOCATION`` instead of rewriting.
+    Beyond-reference scale operator (the reference joins pandas frames
+    in memory, etl_payroll_pipeline.py:186-210).
+    """
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    elif not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(table)

@@ -2371,3 +2371,12 @@ CORE_ORACLES["g8_kcore"] = """
     GROUP BY a
     HAVING count(*) >= 3
 """
+
+CORE_ORACLES["s27_bucketed_join"] = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""

@@ -849,6 +849,45 @@ def s18_range_sorted(spark, sf):
     )
 
 
+def s27_bucketed_join(spark, sf):
+    """S-family -- bucketed-table layout + exchange-free co-located
+    join (io.bucketed_table): lineitem and orders are each written
+    ONCE hash-clustered into 8 buckets on the order key (sorted within
+    buckets), so this join -- and every future join on that key --
+    runs bucket-to-bucket with ZERO Exchange in the physical plan (the
+    shuffle was paid at write time; asserted in tests/test_layout.py).
+    The merge hint keeps the small sf0.01 side from broadcasting so
+    the gate exercises the layout, exactly as a 100 TB fact-fact join
+    would.  Revenue through DECIMAL keeps the oracle hash exact."""
+    from .io import bucketed_table
+
+    buckets = 8
+    li_path = _tagged_dir(sf, "lineitem", "bkt_li")
+    o_path = _tagged_dir(sf, "orders", "bkt_ord")
+    tag = li_path.rsplit("_", 1)[-1]
+    li = bucketed_table(
+        spark,
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_path, f"bkt_lineitem_{tag}", "l_orderkey", buckets,
+    )
+    o = bucketed_table(
+        spark,
+        _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+        o_path, f"bkt_orders_{tag}", "o_orderkey", buckets,
+    )
+    j = li.hint("merge").join(o, li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).cast("double").alias("revenue"),
+    )
+
+
 def s19_vacuum(spark, sf):
     """S-family -- versioned-store retention (io.vacuum_versions): four
     snapshots publish into a FRESH scratch store (deterministic slices
@@ -3515,6 +3554,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s20_version_changes": s20_version_changes,
     "s25_cdc_images": s25_cdc_images,
     "s26_sketch_rollup": s26_sketch_rollup,
+    "s27_bucketed_join": s27_bucketed_join,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
