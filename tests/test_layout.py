@@ -644,3 +644,33 @@ def test_bucketed_table_join_is_exchange_free(spark, tmp_path):
     assert j2.count() == 1000
     spark.sql("DROP TABLE tbkt_left")
     spark.sql("DROP TABLE tbkt_right")
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, tmp_path):
+    """Dynamic partition pruning: with the dim materialized to its own
+    parquet, the fact-dim join's fact scan carries a dynamicpruning
+    PartitionFilter (runtime pruning, not a statically folded
+    predicate), and results match the unpartitioned join."""
+    fact = spark.createDataFrame(
+        [(i, "p%d" % (i % 10), float(i)) for i in range(2000)],
+        "id long, pk string, v double",
+    )
+    fact.write.mode("overwrite").partitionBy("pk").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [("p%d" % i, "keep" if i < 3 else "drop") for i in range(10)],
+        "pk string, cat string",
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("cat") == "keep")
+    j = f.join(d, "pk").groupBy("pk").agg(F.sum("v").alias("sv"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["pk"]: r["sv"] for r in j.collect()}
+    want = {
+        r["pk"]: r["sv"]
+        for r in fact.join(dim.filter(F.col("cat") == "keep"), "pk")
+        .groupBy("pk").agg(F.sum("v").alias("sv")).collect()
+    }
+    assert got == want and len(got) == 3

@@ -2380,3 +2380,12 @@ CORE_ORACLES["s27_bucketed_join"] = """
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
 """
+
+CORE_ORACLES["s28_dpp_join"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE length(event_type) <= 5
+    GROUP BY event_type
+"""

@@ -888,6 +888,47 @@ def s27_bucketed_join(spark, sf):
     )
 
 
+def s28_dpp_join(spark, sf):
+    """S-family -- dynamic partition pruning: events are written ONCE
+    Hive-partitioned by event_type; the category dimension is written
+    to its OWN parquet (so the planner cannot fold the dim predicate
+    into a static partition filter), and the fact-dim join then prunes
+    fact partitions AT RUNTIME from the broadcasted dim filter result
+    -- the scan's PartitionFilters carry a dynamicpruning subquery
+    (asserted in tests/test_layout.py).  At 100 TB this is the
+    difference between scanning every date partition and scanning the
+    three the dim selected.  DECIMAL value sums keep the oracle exact."""
+    from .io import write_partitioned
+
+    fact_root = _tagged_dir(sf, "events", "dpp_fact")
+    dim_root = _tagged_dir(sf, "events", "dpp_dim")
+    ev = _t(spark, sf, "events")
+    if not os.path.exists(os.path.join(fact_root, "_SUCCESS")):
+        write_partitioned(ev, fact_root, by=["event_type"])
+    if not os.path.exists(os.path.join(dim_root, "_SUCCESS")):
+        (
+            ev.select("event_type").distinct()
+            .withColumn(
+                "category",
+                F.when(F.length("event_type") <= 5, F.lit("short"))
+                .otherwise(F.lit("long")),
+            )
+            .write.mode("overwrite").parquet(dim_root)
+        )
+    fact = spark.read.parquet(fact_root)
+    dim = spark.read.parquet(dim_root).filter(F.col("category") == "short")
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
 def s19_vacuum(spark, sf):
     """S-family -- versioned-store retention (io.vacuum_versions): four
     snapshots publish into a FRESH scratch store (deterministic slices
@@ -3555,6 +3596,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s25_cdc_images": s25_cdc_images,
     "s26_sketch_rollup": s26_sketch_rollup,
     "s27_bucketed_join": s27_bucketed_join,
+    "s28_dpp_join": s28_dpp_join,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
