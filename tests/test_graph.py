@@ -601,3 +601,43 @@ def test_betweenness_sampling_and_depth_cap(spark):
     }
     # only paths of length <= 2 exist: 0->1->2, so node 1 carries 1.0
     assert capped[1] == 1.0 and capped.get(2, 0.0) == 0.0
+
+
+def test_scc_matches_tarjan(spark):
+    """strongly_connected_components vs a brute-force mutual-
+    reachability closure on a graph with nested cycles, a DAG tail,
+    cross-SCC edges to smaller ids, a self-loop, and a pure-DAG pair."""
+    from uofi_payroll_etl_main_spark.graph import strongly_connected_components
+
+    E = [
+        (5, 6), (6, 5),              # 2-cycle with a smaller ancestor
+        (1, 5),                      # ancestor outside the SCC
+        (2, 3), (3, 4), (4, 2),      # 3-cycle
+        (4, 7), (7, 8),              # DAG tail
+        (8, 9), (9, 10), (10, 8),    # cycle fed by the tail
+        (10, 2),                     # back-edge: merges 2..10 into one SCC? (closure decides)
+        (11, 11),                    # self-loop
+        (12, 13),                    # pure DAG pair
+    ]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(df).collect()
+    }
+
+    # brute-force transitive closure (obviously correct on 13 nodes)
+    nodes = sorted({v for e in E for v in e})
+    reach = {v: {w for a, w in E if a == v} for v in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for v in nodes:
+            ext = set().union(*(reach[w] for w in reach[v])) if reach[v] else set()
+            if not ext <= reach[v]:
+                reach[v] |= ext
+                changed = True
+    want = {
+        v: min([v] + [w for w in nodes if w in reach[v] and v in reach[w]])
+        for v in nodes
+    }
+    assert got == want, (got, want)

@@ -947,3 +947,106 @@ def betweenness_approx(
         .groupBy("node")
         .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 30,
+    max_prop_rounds: int = 60,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by iterated
+    forward/backward min-label propagation (the distributed "coloring"
+    peel -- Orzan 2004; the label-propagation half of FW-BW SCC).
+    Returns (node, scc_id) with scc_id = the minimum node id in each
+    SCC.
+
+    Each peel round computes, over the still-unassigned subgraph,
+      fwd(v) = min id over {v} + ancestors(v)   (labels flow ALONG edges)
+      bwd(v) = min id over {v} + descendants(v) (labels flow AGAINST edges)
+    fwd(v) == bwd(v) == m certifies m reaches v AND v reaches m, so
+    those nodes are exactly SCC(m); they settle and their edges drop
+    out.  The SCC of the globally minimal unassigned node settles every
+    round (usually far more do), so the peel terminates; acyclic
+    regions settle as singletons in the round their neighborhood
+    cycles are gone.
+
+    Scale shape: every step is an equi-join/groupBy on node ids over
+    the shrinking edge set -- no closure materialization (the oracle's
+    reachability-pair blowup is exactly what this avoids); per-round
+    driver traffic is one scalar change-count; localCheckpoint
+    truncates the per-round lineage.  Rounds are bounded by the
+    unassigned subgraph's diameter per propagation, peels by the SCC
+    condensation depth; both driver-bounded via max_* args.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("s").alias("node"))
+        .union(e0.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    node_type = dict(nodes.dtypes)["node"]
+    assigned = spark.createDataFrame(
+        [], f"node {node_type}, scc_id {node_type}"
+    )
+
+    def _min_reach(active_nodes: DataFrame, ed: DataFrame, forward: bool) -> DataFrame:
+        # fixpoint min-label propagation; returns (node, label)
+        a, b = ("s", "d") if forward else ("d", "s")
+        lab = active_nodes.select("node", F.col("node").alias("label"))
+        for _ in range(max_prop_rounds):
+            pushed = (
+                ed.join(lab, ed[a] == lab["node"])
+                .groupBy(ed[b].alias("node"))
+                .agg(F.min("label").alias("__in"))
+            )
+            new = (
+                lab.join(pushed, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("__in", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("__in", F.col("label")) < F.col("label"))
+                    .cast("int").alias("__chg"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
+            lab = new.drop("__chg")
+            if changed == 0:
+                break
+        return lab
+
+    active = nodes
+    ed = e0
+    for _ in range(max_peels):
+        if active.isEmpty():
+            break
+        fwd = _min_reach(active, ed, forward=True)
+        bwd = _min_reach(active, ed, forward=False).withColumnRenamed(
+            "label", "blabel"
+        )
+        both = fwd.join(bwd, "node")
+        settled = both.filter(F.col("label") == F.col("blabel")).select(
+            "node", F.col("label").alias("scc_id")
+        )
+        assigned = assigned.unionByName(settled).localCheckpoint(eager=True)
+        active = (
+            both.filter(F.col("label") != F.col("blabel"))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        ed = (
+            ed.join(active.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(active.withColumnRenamed("node", "d"), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return assigned

@@ -2389,3 +2389,31 @@ CORE_ORACLES["s28_dpp_join"] = """
     WHERE length(event_type) <= 5
     GROUP BY event_type
 """
+
+CORE_ORACLES["g15_scc"] = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity > 48
+      UNION
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity < 3
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), reach AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT reach.a, edges.dst AS b FROM reach JOIN edges ON reach.b = edges.src
+    ), mutual AS (
+      SELECT r1.a AS node, r1.b AS m
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    )
+    SELECT node, min(m) AS scc_id FROM (
+      SELECT node, node AS m FROM nodes
+      UNION ALL
+      SELECT node, m FROM mutual
+    ) GROUP BY node
+"""

@@ -929,6 +929,30 @@ def s28_dpp_join(spark, sf):
     )
 
 
+def g15_scc(spark, sf):
+    """Strongly connected components (graph.strongly_connected_components:
+    iterated forward/backward min-label peel) over the directed
+    fulfillment graph -- supplier->customer edges where quantity > 48,
+    customer->supplier RETURN edges where quantity < 3, so cycles are
+    real.  The Spark side never materializes reachability; the oracle
+    replays it as a recursive-CTE closure + mutual-reach self-join."""
+    from .graph import strongly_connected_components
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    fwd = j.filter(F.col("l_quantity") > 48).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    back = j.filter(F.col("l_quantity") < 3).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(back).distinct()
+    return strongly_connected_components(edges)
+
+
 def s19_vacuum(spark, sf):
     """S-family -- versioned-store retention (io.vacuum_versions): four
     snapshots publish into a FRESH scratch store (deterministic slices
@@ -3597,6 +3621,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s26_sketch_rollup": s26_sketch_rollup,
     "s27_bucketed_join": s27_bucketed_join,
     "s28_dpp_join": s28_dpp_join,
+    "g15_scc": g15_scc,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
