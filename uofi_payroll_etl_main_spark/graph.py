@@ -974,11 +974,15 @@ def strongly_connected_components(
 
     Scale shape: every step is an equi-join/groupBy on node ids over
     the shrinking edge set -- no closure materialization (the oracle's
-    reachability-pair blowup is exactly what this avoids); per-round
-    driver traffic is one scalar change-count; localCheckpoint
-    truncates the per-round lineage.  Rounds are bounded by the
-    unassigned subgraph's diameter per propagation, peels by the SCC
-    condensation depth; both driver-bounded via max_* args.
+    reachability-pair blowup is exactly what this avoids); the two
+    directions propagate SIMULTANEOUSLY in one label frame, so each
+    synchronous round costs two shuffle pushes but only ONE
+    materialization + one scalar change-count collect, and the loop
+    length is max(fwd diameter, bwd diameter) rather than their sum.
+    localCheckpoint truncates the per-round lineage.  Rounds are
+    bounded by the unassigned subgraph's diameter per propagation,
+    peels by the SCC condensation depth; both driver-bounded via
+    max_* args.
     """
     e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -998,25 +1002,44 @@ def strongly_connected_components(
         [], f"node {node_type}, scc_id {node_type}"
     )
 
-    def _min_reach(active_nodes: DataFrame, ed: DataFrame, forward: bool) -> DataFrame:
-        # fixpoint min-label propagation; returns (node, label)
-        a, b = ("s", "d") if forward else ("d", "s")
-        lab = active_nodes.select("node", F.col("node").alias("label"))
+    def _min_reach_both(active_nodes: DataFrame, ed: DataFrame) -> DataFrame:
+        # simultaneous fixpoint min-label propagation along (flabel)
+        # and against (blabel) the edges; returns (node, flabel, blabel)
+        lab = active_nodes.select(
+            "node",
+            F.col("node").alias("flabel"),
+            F.col("node").alias("blabel"),
+        )
         for _ in range(max_prop_rounds):
-            pushed = (
-                ed.join(lab, ed[a] == lab["node"])
-                .groupBy(ed[b].alias("node"))
-                .agg(F.min("label").alias("__in"))
+            fpush = (
+                ed.join(
+                    lab.select("node", "flabel"), ed["s"] == F.col("node")
+                )
+                .groupBy(ed["d"].alias("node"))
+                .agg(F.min("flabel").alias("__fin"))
+            )
+            bpush = (
+                ed.join(
+                    lab.select("node", "blabel"), ed["d"] == F.col("node")
+                )
+                .groupBy(ed["s"].alias("node"))
+                .agg(F.min("blabel").alias("__bin"))
             )
             new = (
-                lab.join(pushed, "node", "left")
+                lab.join(fpush, "node", "left")
+                .join(bpush, "node", "left")
                 .select(
                     "node",
                     F.least(
-                        F.col("label"), F.coalesce("__in", F.col("label"))
-                    ).alias("label"),
-                    (F.coalesce("__in", F.col("label")) < F.col("label"))
-                    .cast("int").alias("__chg"),
+                        F.col("flabel"), F.coalesce("__fin", F.col("flabel"))
+                    ).alias("flabel"),
+                    F.least(
+                        F.col("blabel"), F.coalesce("__bin", F.col("blabel"))
+                    ).alias("blabel"),
+                    (
+                        (F.coalesce("__fin", F.col("flabel")) < F.col("flabel"))
+                        | (F.coalesce("__bin", F.col("blabel")) < F.col("blabel"))
+                    ).cast("int").alias("__chg"),
                 )
             ).localCheckpoint(eager=True)
             changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
@@ -1030,17 +1053,13 @@ def strongly_connected_components(
     for _ in range(max_peels):
         if active.isEmpty():
             break
-        fwd = _min_reach(active, ed, forward=True)
-        bwd = _min_reach(active, ed, forward=False).withColumnRenamed(
-            "label", "blabel"
-        )
-        both = fwd.join(bwd, "node")
-        settled = both.filter(F.col("label") == F.col("blabel")).select(
-            "node", F.col("label").alias("scc_id")
+        both = _min_reach_both(active, ed)
+        settled = both.filter(F.col("flabel") == F.col("blabel")).select(
+            "node", F.col("flabel").alias("scc_id")
         )
         assigned = assigned.unionByName(settled).localCheckpoint(eager=True)
         active = (
-            both.filter(F.col("label") != F.col("blabel"))
+            both.filter(F.col("flabel") != F.col("blabel"))
             .select("node")
             .localCheckpoint(eager=True)
         )

@@ -938,18 +938,21 @@ def g15_scc(spark, sf):
     replays it as a recursive-CTE closure + mutual-reach self-join."""
     from .graph import strongly_connected_components
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    # one pass over the fact join: the quantity predicate pushes to the
+    # lineitem scan and each surviving row becomes a directed edge by
+    # its band (forward sale edge vs return edge)
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_quantity") > 48) | (F.col("l_quantity") < 3)
+    ).select("l_orderkey", "l_suppkey", "l_quantity")
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
-    fwd = j.filter(F.col("l_quantity") > 48).select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
-    )
-    back = j.filter(F.col("l_quantity") < 3).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    edges = fwd.unionByName(back).distinct()
+    sup = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    cus = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    is_fwd = F.col("l_quantity") > 48
+    edges = j.select(
+        F.when(is_fwd, sup).otherwise(cus).alias("src"),
+        F.when(is_fwd, cus).otherwise(sup).alias("dst"),
+    ).distinct()
     return strongly_connected_components(edges)
 
 
