@@ -3225,3 +3225,62 @@ LLM_ORACLES["a50_skew_agg"] = """
     FROM events
     GROUP BY event_type
 """
+
+# Greedy longest-match tokenization replayed exactly in SQL: the
+# per-(word, position) longest vocab match is precomputed with a
+# substr equi-join, then a recursive CTE advances every DISTINCT word
+# one greedy step per iteration (the per-word loop is single-path, so
+# each word yields exactly one terminal row); per-doc counts re-attach
+# by word multiplicity.  Mirrors llm/text.py::tokenize_greedy
+# (vocab = top-50 of vocab_coverage, subword cap 12, char-UNK).
+LLM_ORACLES["llm_tokenize"] = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), counts AS (
+      SELECT w AS tok, count(*) AS cnt FROM words GROUP BY w
+    ), vocab AS (
+      SELECT tok FROM counts ORDER BY cnt DESC, tok ASC LIMIT 50
+    ), distinct_words AS (
+      SELECT DISTINCT w FROM words
+    ), positions AS (
+      SELECT w, unnest(generate_series(1, length(w))) AS pos
+      FROM distinct_words
+    ), matches AS (
+      SELECT p.w, p.pos, max(length(v.tok)) AS len
+      FROM positions p JOIN vocab v
+        ON length(v.tok) <= 12
+       AND substr(p.w, p.pos, length(v.tok)) = v.tok
+      GROUP BY p.w, p.pos
+    ), walk AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos,
+             CAST(0 AS BIGINT) AS subs, CAST(0 AS BIGINT) AS unk
+      FROM distinct_words
+      UNION ALL
+      SELECT walk.w,
+             walk.pos + coalesce(m.len, 1),
+             walk.subs + CASE WHEN m.len IS NOT NULL THEN 1 ELSE 0 END,
+             walk.unk  + CASE WHEN m.len IS NULL THEN 1 ELSE 0 END
+      FROM walk LEFT JOIN matches m ON m.w = walk.w AND m.pos = walk.pos
+      WHERE walk.pos <= length(walk.w)
+    ), final AS (
+      SELECT w, subs, unk FROM walk WHERE pos > length(w)
+    ), per_doc AS (
+      SELECT words.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(f.subs) AS BIGINT) AS n_subwords,
+             CAST(sum(f.unk) AS BIGINT) AS n_unk
+      FROM words JOIN final f ON words.w = f.w
+      GROUP BY words.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_subwords, 0) AS n_subwords,
+           coalesce(p.n_unk, 0) AS n_unk
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

@@ -1729,8 +1729,9 @@ def llm_mixture_apply(spark, sf):
 def llm_tokenize(spark, sf):
     """Greedy longest-match subword tokenization against the corpus's
     own induced top-50 vocabulary (vocab_coverage), character-UNK
-    fallback.  Arrow mapInPandas kernel -- rows-only gate; exactness vs
-    a pure-Python model is pytest-asserted."""
+    fallback.  Arrow mapInPandas kernel -- VALUE-checked: the oracle
+    precomputes per-(word, pos) longest vocab matches with a substr
+    equi-join and replays the greedy walk as a recursive CTE."""
     d = _t(spark, sf, "documents")
     vocab = [r["tok"] for r in LT.vocab_coverage(d, top_v=50).collect()]
     return LT.tokenize_greedy(d, vocab)
