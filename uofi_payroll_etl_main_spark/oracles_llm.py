@@ -3284,3 +3284,55 @@ LLM_ORACLES["llm_tokenize"] = r"""
            coalesce(p.n_unk, 0) AS n_unk
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
+
+# First-fit-decreasing sequence packing replayed exactly in SQL: the
+# recursive CTE advances every source group one doc per iteration in
+# (n_tokens DESC, doc ASC) order, carrying the open-bin capacity
+# vector as BIGINT[] state; first-fit = 1-based list_position of the
+# first capacity >= n_tokens (DuckDB returns 0, not NULL, on no fit).
+# Mirrors llm/curation.py::pack_sequences (budget 256, oversize
+# singleton bins).
+LLM_ORACLES["llm_pack_sequences"] = r"""
+    WITH RECURSIVE sized AS (
+      SELECT source AS grp, doc_id AS doc,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), ordered AS (
+      SELECT grp, doc, n_tokens,
+             row_number() OVER (
+               PARTITION BY grp ORDER BY n_tokens DESC, doc ASC) AS rn
+      FROM sized
+    ), groups AS (
+      SELECT DISTINCT grp FROM ordered
+    ), step AS (
+      SELECT grp, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc,
+             CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+             CAST(NULL AS BOOLEAN) AS oversize, CAST([] AS BIGINT[]) AS bins
+      FROM groups
+      UNION ALL
+      SELECT s.grp, o.rn, o.doc, o.n_tokens,
+             CASE WHEN o.n_tokens > 256 THEN len(s.bins)
+                  WHEN list_position(
+                         list_transform(s.bins, b -> b >= o.n_tokens), true) > 0
+                    THEN list_position(
+                         list_transform(s.bins, b -> b >= o.n_tokens), true) - 1
+                  ELSE len(s.bins) END AS bin_id,
+             o.n_tokens > 256 AS oversize,
+             CASE WHEN o.n_tokens > 256
+                    THEN list_append(s.bins, CAST(0 AS BIGINT))
+                  WHEN list_position(
+                         list_transform(s.bins, b -> b >= o.n_tokens), true) > 0
+                    THEN list_transform(s.bins, (b, i) ->
+                           CASE WHEN i = list_position(
+                                  list_transform(s.bins, b2 -> b2 >= o.n_tokens),
+                                  true)
+                                THEN b - o.n_tokens ELSE b END)
+                  ELSE list_append(s.bins, CAST(256 AS BIGINT) - o.n_tokens)
+             END AS bins
+      FROM step s JOIN ordered o ON o.grp = s.grp AND o.rn = s.rn + 1
+    )
+    SELECT grp AS source, doc AS doc_id, n_tokens, bin_id, oversize
+    FROM step WHERE rn >= 1
+"""

@@ -535,9 +535,10 @@ def llm_curation_pipeline(spark, sf):
 
 
 def llm_pack_sequences(spark, sf):
-    """Greedy FFD sequence packing per source (rows-only: the greedy
-    fold is not SQL-expressible; invariants asserted in
-    tests/test_llm_ops.py)."""
+    """Greedy FFD sequence packing per source -- VALUE-checked: the
+    oracle replays the fold as a recursive CTE carrying the open-bin
+    capacity vector as list state, one doc per group per iteration
+    (invariants additionally asserted in tests/test_llm_ops.py)."""
     from .llm.curation import pack_sequences
 
     return pack_sequences(_t(spark, sf, "documents"), budget=256)
