@@ -3336,3 +3336,132 @@ LLM_ORACLES["llm_pack_sequences"] = r"""
     SELECT grp AS source, doc AS doc_id, n_tokens, bin_id, oversize
     FROM step WHERE rn >= 1
 """
+
+def _bpe_stages_sql(n_merges: int) -> str:
+    """Unrolled BPE-training stages (the g1-pagerank unrolled-SQL
+    technique): stage k counts weighted adjacent symbol pairs over the
+    distinct-word segmentation seg{k-1} (overlaps included, like the
+    Spark transform/explode), picks the argmax with the (cnt DESC, l
+    ASC, r ASC) tie-break gated on min_pair_count=2, and applies the
+    merge as a list_reduce fold over the symbol list -- the exact
+    leftmost-non-overlapping semantics of text._bpe_merge_expr (the
+    fold tests only the LAST accumulated symbol, so a just-merged
+    symbol never re-merges as its own left half).  chr(31) is the
+    symbol separator inside the fold accumulator (never occurs in
+    corpus words or the </w> marker)."""
+    parts = ["""words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
+               ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END) AS w
+        FROM documents
+      ) GROUP BY w
+    ), seg0 AS MATERIALIZED (
+      SELECT w, n,
+             list_append(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), '</w>') AS sym
+      FROM words
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", pairs{k} AS MATERIALIZED (
+      SELECT z[1] AS l, z[2] AS r, CAST(sum(n) AS BIGINT) AS cnt
+      FROM (SELECT n, unnest(list_zip(sym, sym[2:])) AS z FROM seg{k-1})
+      WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), best{k} AS MATERIALIZED (
+      SELECT l, r, l || r AS m, cnt FROM pairs{k}
+      WHERE cnt >= 2
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ), seg{k} AS MATERIALIZED (
+      SELECT s.w, s.n,
+             CASE WHEN b.l IS NULL THEN s.sym
+                  ELSE string_split(
+                    list_reduce(s.sym, (acc, x) ->
+                      CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, chr(31) || b.l))
+                           THEN CASE WHEN acc = b.l THEN b.m
+                                ELSE substr(acc, 1, length(acc) - length(b.l) - 1)
+                                     || chr(31) || b.m END
+                           ELSE acc || chr(31) || x END),
+                    chr(31)) END AS sym
+      FROM seg{k-1} s LEFT JOIN best{k} b ON true
+    )""")
+    return "".join(parts)
+
+
+def _bpe_merge_rows_sql(n_merges: int) -> str:
+    rows = [
+        f"SELECT CAST({k - 1} AS BIGINT) AS rank, l AS \"left\", r AS \"right\","
+        f" m AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return " UNION ALL ".join(rows)
+
+
+LLM_ORACLES["llm_bpe_train"] = (
+    "WITH " + _bpe_stages_sql(12) + "\n    " + _bpe_merge_rows_sql(12)
+)
+
+
+def _bpe_vocab_rows_sql(n_merges: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT m FROM best{k}" for k in range(1, n_merges + 1)
+    )
+
+
+# Composed train->deploy replay: the 12 unrolled BPE stages derive the
+# merge vocabulary (merged symbols with </w> stripped + single chars,
+# mirroring registry_llm.llm_bpe_tokenize), which feeds the SAME
+# recursive greedy-walk tokenizer used by the llm_tokenize oracle.
+LLM_ORACLES["llm_bpe_tokenize"] = (
+    "WITH RECURSIVE " + _bpe_stages_sql(12) + r""", vocab AS (
+      SELECT DISTINCT replace(m, '</w>', '') AS tok FROM (
+        """ + _bpe_vocab_rows_sql(12) + r"""
+      ) WHERE replace(m, '</w>', '') <> ''
+      UNION
+      SELECT chr(CAST(c AS INTEGER)) FROM (SELECT unnest(generate_series(97, 122)) AS c)
+      UNION
+      SELECT CAST(d AS VARCHAR) FROM (SELECT unnest(generate_series(0, 9)) AS d)
+    ), tok_words AS (
+      SELECT doc_id, unnest(
+        CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN []
+             ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        END) AS w
+      FROM documents
+    ), distinct_tok_words AS (
+      SELECT DISTINCT w FROM tok_words
+    ), positions AS (
+      SELECT w, unnest(generate_series(1, length(w))) AS pos
+      FROM distinct_tok_words
+    ), matches AS (
+      SELECT p.w, p.pos, max(length(v.tok)) AS len
+      FROM positions p JOIN vocab v
+        ON length(v.tok) <= 12
+       AND substr(p.w, p.pos, length(v.tok)) = v.tok
+      GROUP BY p.w, p.pos
+    ), walk AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos,
+             CAST(0 AS BIGINT) AS subs, CAST(0 AS BIGINT) AS unk
+      FROM distinct_tok_words
+      UNION ALL
+      SELECT walk.w,
+             walk.pos + coalesce(m.len, 1),
+             walk.subs + CASE WHEN m.len IS NOT NULL THEN 1 ELSE 0 END,
+             walk.unk  + CASE WHEN m.len IS NULL THEN 1 ELSE 0 END
+      FROM walk LEFT JOIN matches m ON m.w = walk.w AND m.pos = walk.pos
+      WHERE walk.pos <= length(walk.w)
+    ), final AS (
+      SELECT w, subs, unk FROM walk WHERE pos > length(w)
+    ), per_doc AS (
+      SELECT tok_words.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(f.subs) AS BIGINT) AS n_subwords,
+             CAST(sum(f.unk) AS BIGINT) AS n_unk
+      FROM tok_words JOIN final f ON tok_words.w = f.w
+      GROUP BY tok_words.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_subwords, 0) AS n_subwords,
+           coalesce(p.n_unk, 0) AS n_unk
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+)

@@ -1869,8 +1869,11 @@ def llm_bpe_train(spark, sf):
     iterations (llm/text.py bpe_train; iteration count is gate-budget,
     production runs thousands -- per-iteration cost is vocab-scale and
     flat).  Rows-only gate (iterative
-    argmax is not SQL-expressible); exactness vs an independent pure-
-    Python BPE reference is pytest-asserted (tests/test_llm_ops.py)."""
+    argmax replays as 12 UNROLLED materialized SQL stages -- pair
+    counts, tie-broken argmax, list_reduce merge fold -- so the merge
+    table is VALUE-checked bit-for-bit); exactness vs an independent
+    pure-Python BPE reference additionally pytest-asserted
+    (tests/test_llm_ops.py)."""
     merges, _ = LT.bpe_train(_t(spark, sf, "documents"), n_merges=12)
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
@@ -1910,8 +1913,9 @@ def llm_bpe_tokenize(spark, sf):
     subword vocabulary (merged symbols + single characters, </w>
     markers stripped for the greedy matcher), then tokenize the SAME
     corpus with greedy longest-match inference -- the full
-    train->deploy loop of a subword tokenizer as one dataflow.
-    Rows-only gate; both halves are independently pytest-exact."""
+    train->deploy loop of a subword tokenizer as one dataflow,
+    VALUE-checked end-to-end (unrolled training stages feed the
+    recursive greedy-walk tokenizer in ONE oracle SQL)."""
     d = _t(spark, sf, "documents")
     merges, _ = LT.bpe_train(d, n_merges=12)
     vocab = sorted({m["merged"].replace("</w>", "") for m in merges}
