@@ -853,8 +853,8 @@ def betweenness_approx(
     Endpoints are excluded per the classic definition; sources
     contribute no dependency to themselves.  Returns (node,
     betweenness) for every node reached, betweenness rounded 6.
-    Rows-only gate: the two-phase recurrence is not expressible in
-    non-recursive oracle SQL at useful depths.
+    The g14 gate VALUE-checks this against DuckDB: the depth cap makes
+    both recurrences unrollable into materialized per-level CTEs.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:

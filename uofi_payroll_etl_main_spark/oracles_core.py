@@ -2417,3 +2417,94 @@ CORE_ORACLES["g15_scc"] = """
       SELECT node, m FROM mutual
     ) GROUP BY node
 """
+
+# Sampled Brandes betweenness replayed exactly: the depth cap (4) makes
+# the two-phase recurrence UNROLLABLE -- four forward BFS/sigma levels
+# (two-level seen check, valid for the undirected edge set) and four
+# backward dependency folds, all materialized CTEs; mirrors
+# graph.betweenness_approx for the g14 gate inputs.
+CORE_ORACLES["g14_betweenness"] = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity > 48
+    ), bedges AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    ), lvl0 AS MATERIALIZED (
+      SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(1 AS DOUBLE) AS sigma
+      FROM supplier WHERE s_suppkey % 50 = 0
+    ), lvl1 AS MATERIALIZED (
+      SELECT f.s, e.b AS node, sum(f.sigma) AS sigma
+      FROM lvl0 f JOIN bedges e ON f.node = e.a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT s, node FROM lvl0) seen
+        WHERE seen.s = f.s AND seen.node = e.b
+      )
+      GROUP BY f.s, e.b
+    ), lvl2 AS MATERIALIZED (
+      SELECT f.s, e.b AS node, sum(f.sigma) AS sigma
+      FROM lvl1 f JOIN bedges e ON f.node = e.a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT s, node FROM lvl1 UNION ALL SELECT s, node FROM lvl0) seen
+        WHERE seen.s = f.s AND seen.node = e.b
+      )
+      GROUP BY f.s, e.b
+    ), lvl3 AS MATERIALIZED (
+      SELECT f.s, e.b AS node, sum(f.sigma) AS sigma
+      FROM lvl2 f JOIN bedges e ON f.node = e.a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT s, node FROM lvl2 UNION ALL SELECT s, node FROM lvl1) seen
+        WHERE seen.s = f.s AND seen.node = e.b
+      )
+      GROUP BY f.s, e.b
+    ), lvl4 AS MATERIALIZED (
+      SELECT f.s, e.b AS node, sum(f.sigma) AS sigma
+      FROM lvl3 f JOIN bedges e ON f.node = e.a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT s, node FROM lvl3 UNION ALL SELECT s, node FROM lvl2) seen
+        WHERE seen.s = f.s AND seen.node = e.b
+      )
+      GROUP BY f.s, e.b
+    ), acc4 AS MATERIALIZED (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta FROM lvl4), contrib3 AS MATERIALIZED (
+      SELECT c.s, c.node, sum((c.sigma / a.sigma) * (1.0 + a.delta)) AS delta
+      FROM lvl3 c JOIN bedges e ON c.node = e.a
+      JOIN acc4 a ON a.s = c.s AND a.node = e.b
+      GROUP BY c.s, c.node
+    ), acc3 AS MATERIALIZED (
+      SELECT c.s, c.node, c.sigma, coalesce(x.delta, 0.0) AS delta
+      FROM lvl3 c LEFT JOIN contrib3 x ON x.s = c.s AND x.node = c.node
+    ), contrib2 AS MATERIALIZED (
+      SELECT c.s, c.node, sum((c.sigma / a.sigma) * (1.0 + a.delta)) AS delta
+      FROM lvl2 c JOIN bedges e ON c.node = e.a
+      JOIN acc3 a ON a.s = c.s AND a.node = e.b
+      GROUP BY c.s, c.node
+    ), acc2 AS MATERIALIZED (
+      SELECT c.s, c.node, c.sigma, coalesce(x.delta, 0.0) AS delta
+      FROM lvl2 c LEFT JOIN contrib2 x ON x.s = c.s AND x.node = c.node
+    ), contrib1 AS MATERIALIZED (
+      SELECT c.s, c.node, sum((c.sigma / a.sigma) * (1.0 + a.delta)) AS delta
+      FROM lvl1 c JOIN bedges e ON c.node = e.a
+      JOIN acc2 a ON a.s = c.s AND a.node = e.b
+      GROUP BY c.s, c.node
+    ), acc1 AS MATERIALIZED (
+      SELECT c.s, c.node, c.sigma, coalesce(x.delta, 0.0) AS delta
+      FROM lvl1 c LEFT JOIN contrib1 x ON x.s = c.s AND x.node = c.node
+    ), contrib0 AS MATERIALIZED (
+      SELECT c.s, c.node, sum((c.sigma / a.sigma) * (1.0 + a.delta)) AS delta
+      FROM lvl0 c JOIN bedges e ON c.node = e.a
+      JOIN acc1 a ON a.s = c.s AND a.node = e.b
+      GROUP BY c.s, c.node
+    ), acc0 AS MATERIALIZED (
+      SELECT c.s, c.node, c.sigma, coalesce(x.delta, 0.0) AS delta
+      FROM lvl0 c LEFT JOIN contrib0 x ON x.s = c.s AND x.node = c.node
+    )
+    SELECT node, round(sum(delta), 6) AS betweenness
+    FROM (SELECT s, node, delta FROM acc0 UNION ALL SELECT s, node, delta FROM acc1 UNION ALL SELECT s, node, delta FROM acc2 UNION ALL SELECT s, node, delta FROM acc3 UNION ALL SELECT s, node, delta FROM acc4) d
+    WHERE s <> node
+    GROUP BY node
+"""

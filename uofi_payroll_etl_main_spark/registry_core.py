@@ -3385,8 +3385,9 @@ def g14_betweenness(spark, sf):
     sources = suppliers with suppkey % 50 == 0, depth cap 4 -- the
     standard source-sampled estimator; exact-by-construction per
     source (pytest proves all-sources mode equals a pure-Python
-    Brandes).  Rows-only: the two-phase sigma/delta recurrence is not
-    expressible in non-recursive oracle SQL."""
+    Brandes).  VALUE-checked: the depth cap unrolls the sigma/delta
+    recurrence into four forward + four backward materialized SQL
+    stages (see oracles_core.py)."""
     from .graph import betweenness_approx
 
     li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
