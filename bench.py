@@ -136,6 +136,11 @@ HEADLINERS = [
     "w_wau_hll",
     "llm_simhash_md5",
     "a49_kmv_set_ops",
+    "a50_skew_agg",
+    "s27_bucketed_join",
+    "s28_dpp_join",
+    "g15_scc",
+    "llm_bpe_tokenize",
 ]
 
 
