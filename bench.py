@@ -141,6 +141,7 @@ HEADLINERS = [
     "s28_dpp_join",
     "g15_scc",
     "llm_bpe_tokenize",
+    "llm_kmeans_int",
 ]
 
 

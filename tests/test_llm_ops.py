@@ -1305,3 +1305,68 @@ def test_zipf_fit_recovers_known_slope(spark):
     assert row.n_tokens == len(toks)
     assert abs(row.slope - (-s_true)) < 0.1, row.slope
     assert row.r2 > 0.98, row.r2
+
+
+def test_kmeans_int_matches_python_replica(spark):
+    """kmeans_int vs a pure-Python all-integer Lloyd replica on planted
+    clusters: identical assignments and distances (every quantity an
+    integer, so equality is exact), and the planted structure is
+    recovered (one cluster per blob)."""
+    import hashlib
+
+    from uofi_payroll_etl_main_spark.llm.similarity import kmeans_int
+
+    blobs = {0: (100, 0, 0), 1: (0, 100, 0), 2: (0, 0, 100)}
+    rows = []
+    for vid in range(60):
+        cx = blobs[vid % 3]
+        vec = [float(cx[j] + (vid * 7 + j * 3) % 5) for j in range(3)]
+        rows.append((vid, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist2"])
+        for r in kmeans_int(df, k=3, n_iter=2).collect()
+    }
+
+    # replica
+    def quant(v):
+        amax = max(abs(x) for x in v)
+        s = amax / 127.0 if amax > 0 else 1.0
+        # python round is half-even like Spark/DuckDB round-half-up only
+        # differs at exact .5 -- mirror Spark by rounding via floor(x+0.5)
+        # on positives / ceil(x-0.5) on negatives
+        out = []
+        for x in v:
+            y = x / s
+            out.append(int(y + 0.5) if y >= 0 else -int(-y + 0.5))
+        return out
+
+    q = {vid: quant(v) for vid, v in rows}
+    order = sorted(q, key=lambda vid: hashlib.md5(f"{vid}:42".encode()).hexdigest())
+    cents = {i: q[v] for i, v in enumerate(order[:3])}
+
+    def assign():
+        a = {}
+        for vid, qv in q.items():
+            best = min(
+                (sum((x - c[j]) ** 2 for j, x in enumerate(qv)), cid)
+                for cid, c in cents.items()
+            )
+            a[vid] = best
+        return a
+
+    import math
+    for _ in range(2):
+        a = assign()
+        sums = {}
+        for vid, (d2, cid) in a.items():
+            s0, n0 = sums.get(cid, ([0, 0, 0], 0))
+            sums[cid] = ([s0[j] + q[vid][j] for j in range(3)], n0 + 1)
+        for cid, (s0, n0) in sums.items():
+            cents[cid] = [math.floor(s0[j] / n0) for j in range(3)]
+    final = assign()
+    want = {vid: (cid, d2) for vid, (d2, cid) in final.items()}
+    assert got == want
+    # planted blobs recovered: each blob maps to exactly one cluster
+    for b in range(3):
+        assert len({want[vid][0] for vid in range(60) if vid % 3 == b}) == 1

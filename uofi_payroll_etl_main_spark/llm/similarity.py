@@ -1447,3 +1447,93 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def kmeans_int(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ALL-INTEGER Lloyd iterations over int8-quantized vectors -- the
+    value-checked twin of `kmeans_assign` (the pattern of the md5 LSH
+    twins: a production float tier plus a cross-engine-exact sibling
+    that certifies the algorithm end-to-end).
+
+    Quantize (the llm_cosine_topk_q scheme, already oracle-proven) ->
+    init = the k md5-ordered corpus rows (ivf_topk's sampled-centroid
+    trick) -> per iteration: assign each vector to the centroid with
+    the smallest INTEGER squared-L2 distance (ties -> smaller centroid
+    index), then update each centroid component to floor(mean) of its
+    members (empty clusters keep their previous centroid).  Every
+    quantity is an integer, so the DuckDB oracle replays the unrolled
+    iterations bit-for-bit -- no float drift, no ordering sensitivity.
+
+    Scale shape identical to kmeans_assign: the corpus is scanned once
+    per iteration against a BROADCAST k x dim centroid table; the
+    driver sees only the k x dim centroid cells per iteration.
+    Returns (vec_id, cluster_id, dist2) under the FINAL centroids.
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    q = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("__vid"),
+        F.col("qvec").cast("array<long>").alias("__qv"),
+    ).localCheckpoint(eager=True)
+
+    cent_rows = (
+        q.withColumn(
+            "__h", F.md5(F.concat(F.col("__vid").cast("string"), F.lit(f":{int(seed)}")))
+        )
+        .orderBy("__h")
+        .limit(int(k))
+        .collect()
+    )
+    cents = [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(cent_rows)]
+    dim = len(cents[0][1])
+
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("__vid").orderBy("dist2", "cluster_id")
+
+    def _assign(centroids):
+        cdf = spark.createDataFrame(
+            centroids, "cluster_id long, __cv array<long>"
+        )
+        return (
+            q.crossJoin(F.broadcast(cdf))
+            .withColumn("dist2", d2)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__vid", "__qv", "cluster_id", "dist2")
+        )
+
+    for _ in range(int(n_iter)):
+        best = _assign(cents)
+        comp = (
+            best.select("cluster_id", F.posexplode("__qv").alias("__i", "__x"))
+            .groupBy("cluster_id", "__i")
+            .agg(
+                F.floor(
+                    F.sum("__x").cast("double") / F.count(F.lit(1)).cast("double")
+                ).cast("long").alias("__c")
+            )
+            .collect()  # k x dim cells, the kmeans_assign discipline
+        )
+        upd: dict = {}
+        for r in comp:
+            upd.setdefault(int(r["cluster_id"]), {})[int(r["__i"])] = int(r["__c"])
+        cents = [
+            (cid, [upd[cid][i] for i in range(dim)] if cid in upd else old)
+            for cid, old in cents
+        ]
+
+    return _assign(cents).select(
+        F.col("__vid").alias(id_col), "cluster_id", "dist2"
+    )

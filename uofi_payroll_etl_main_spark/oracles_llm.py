@@ -3465,3 +3465,84 @@ LLM_ORACLES["llm_bpe_tokenize"] = (
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 )
+
+# All-integer k-means replay: quantization per the proven
+# llm_cosine_topk_q scheme, md5-ordered init per llm_ann_ivf, then the
+# two Lloyd iterations UNROLLED (integer argmin assignment with
+# centroid-index tie-break; floor-mean centroid updates; empty
+# clusters keep the previous centroid) -- mirrors
+# llm/similarity.py::kmeans_int bit-for-bit.
+LLM_ORACLES["llm_kmeans_int"] = """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS s
+      FROM base
+    ), q AS MATERIALIZED (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qv
+      FROM scaled
+    ), init AS (
+      SELECT vec_id, qv,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS STRING) || ':42')) AS rn
+      FROM q
+    ), cent0 AS MATERIALIZED (
+      SELECT rn - 1 AS cid, qv AS cv FROM init WHERE rn <= 8
+    ), a1 AS MATERIALIZED (
+      SELECT vec_id, qv, cluster_id, dist2 FROM (
+        SELECT e.vec_id, e.qv, c.cid AS cluster_id,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+        FROM q e CROSS JOIN cent0 c
+      ) WHERE rn = 1
+    ), u1 AS MATERIALIZED (
+      SELECT cluster_id, list(c ORDER BY i) AS cv FROM (
+        SELECT cluster_id, i, CAST(floor(sum(x) / count(*)) AS BIGINT) AS c
+        FROM (
+          SELECT cluster_id, z[1] AS x, z[2] AS i
+          FROM (SELECT cluster_id,
+                       unnest(list_zip(qv, generate_series(1, len(qv)))) AS z
+                FROM a1)
+        ) GROUP BY cluster_id, i
+      ) GROUP BY cluster_id
+    ), cent1 AS MATERIALIZED (
+      SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+      FROM cent0 p LEFT JOIN u1 u ON u.cluster_id = p.cid
+    ), a2 AS MATERIALIZED (
+      SELECT vec_id, qv, cluster_id, dist2 FROM (
+        SELECT e.vec_id, e.qv, c.cid AS cluster_id,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+        FROM q e CROSS JOIN cent1 c
+      ) WHERE rn = 1
+    ), u2 AS MATERIALIZED (
+      SELECT cluster_id, list(c ORDER BY i) AS cv FROM (
+        SELECT cluster_id, i, CAST(floor(sum(x) / count(*)) AS BIGINT) AS c
+        FROM (
+          SELECT cluster_id, z[1] AS x, z[2] AS i
+          FROM (SELECT cluster_id,
+                       unnest(list_zip(qv, generate_series(1, len(qv)))) AS z
+                FROM a2)
+        ) GROUP BY cluster_id, i
+      ) GROUP BY cluster_id
+    ), cent2 AS MATERIALIZED (
+      SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+      FROM cent1 p LEFT JOIN u2 u ON u.cluster_id = p.cid
+    )
+    SELECT e.vec_id, f.cluster_id, f.dist2 FROM (
+      SELECT e.vec_id AS vid, c.cid AS cluster_id,
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist2,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+      FROM q e CROSS JOIN cent2 c
+    ) f JOIN q e ON e.vec_id = f.vid
+    WHERE f.rn = 1
+"""

@@ -1359,6 +1359,19 @@ def llm_kmeans(spark, sf):
     )
 
 
+
+def llm_kmeans_int(spark, sf):
+    """All-integer k-means twin (similarity.kmeans_int): int8-quantized
+    vectors, md5-sampled init, 2 Lloyd iterations with integer
+    squared-L2 argmin and floor-mean centroid updates -- every quantity
+    an integer, so the oracle replays BOTH unrolled iterations exactly
+    (the clustering family's first full value oracle; the float tier
+    llm_kmeans keeps its NumPy-replica pytest)."""
+    from .llm.similarity import kmeans_int
+
+    return kmeans_int(_t(spark, sf, "embeddings"), k=8, n_iter=2)
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2338,6 +2351,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a45_mann_whitney": a45_mann_whitney,
     "a48_bootstrap_ci": a48_bootstrap_ci,
     "a50_skew_agg": a50_skew_agg,
+    "llm_kmeans_int": llm_kmeans_int,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
