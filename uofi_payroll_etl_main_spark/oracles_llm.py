@@ -3546,3 +3546,16 @@ LLM_ORACLES["llm_kmeans_int"] = """
     ) f JOIN q e ON e.vec_id = f.vid
     WHERE f.rn = 1
 """
+
+LLM_ORACLES["st_topk"] = """
+    SELECT window_start, event_type, n_events,
+           CAST(row_number() OVER (
+             PARTITION BY window_start
+             ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    QUALIFY rank <= 3
+"""

@@ -1027,6 +1027,22 @@ def st_tumbling(spark, sf):
     return spark.table("st_tumbling_out")
 
 
+def st_topk(spark, sf):
+    """Streaming per-window top-k event types: watermarked tumbling
+    counts maintain bounded (window x key) state; the drained sink is
+    finished by a deterministic rank (streams.topk_finish) -- the
+    standard streaming-top-k split, VALUE-checked against the batch
+    SQL."""
+    from .streaming.streams import topk_finish
+
+    run_to_memory(
+        streaming_tumbling_counts(_event_stream(spark, sf), "1 hour"),
+        "st_topk_out",
+    )
+    return topk_finish(spark.table("st_topk_out").select(
+        "window_start", "event_type", "n_events"), k=3)
+
+
 def st_distinct_hll(spark, sf):
     """Streaming approximate distinct users per tumbling hour with
     BOUNDED state (streaming/streams.streaming_distinct_hll): the
@@ -2352,6 +2368,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a48_bootstrap_ci": a48_bootstrap_ci,
     "a50_skew_agg": a50_skew_agg,
     "llm_kmeans_int": llm_kmeans_int,
+    "st_topk": st_topk,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,

@@ -542,3 +542,24 @@ def streaming_dedup_index_sink(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def topk_finish(agg: DataFrame, k: int = 3) -> DataFrame:
+    """Finish a drained streaming (window, key, count) sink into the
+    per-window top-k -- the streaming-top-k split: the STREAM maintains
+    bounded per-(window, key) counts under the watermark (state is
+    windows x keys, never events), and the rank runs at sink-read time
+    because Structured Streaming disallows chaining a window function
+    after a streaming aggregation (same drain-then-finish shape as
+    streaming_distinct_hll -> hll_md5_estimate).  Deterministic:
+    count DESC, key ASC tie-break."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("window_start", "event_type", "n_events", "rank")
+    )
