@@ -1370,3 +1370,28 @@ def test_kmeans_int_matches_python_replica(spark):
     # planted blobs recovered: each blob maps to exactly one cluster
     for b in range(3):
         assert len({want[vid][0] for vid in range(60) if vid % 3 == b}) == 1
+
+
+def test_semantic_dedup_int_planted_duplicates(spark):
+    """semantic_dedup_int: planted near-identical vectors collapse to
+    one kept exemplar; well-separated vectors all survive; every
+    dropped row points at a higher-ranked exemplar in its cluster."""
+    from uofi_payroll_etl_main_spark.llm.similarity import semantic_dedup_int
+
+    rows = []
+    # 5 near-identical copies around (100, 0, 0) -- should keep 1
+    for i in range(5):
+        rows.append((i, [100.0 + i * 0.01, 0.0, 0.0]))
+    # well-separated singletons
+    rows += [(10, [0.0, 100.0, 0.0]), (11, [0.0, 0.0, 100.0]),
+             (12, [70.0, 70.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup_int(df, threshold=0.95, k=3).collect()}
+    dup_kept = [v for v in range(5) if out[v]["keep"]]
+    assert len(dup_kept) == 1, out
+    for v in range(5):
+        if not out[v]["keep"]:
+            ex = out[v]["exemplar_id"]
+            assert out[ex]["cluster_id"] == out[v]["cluster_id"]
+    for v in (10, 11, 12):
+        assert out[v]["keep"], out[v]

@@ -1537,3 +1537,76 @@ def kmeans_int(
     return _assign(cents).select(
         F.col("__vid").alias(id_col), "cluster_id", "dist2"
     )
+
+
+def semantic_dedup_int(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Closed-form SemDeDup twin, fully value-checkable: cluster with
+    the all-integer `kmeans_int`, rank members within each cluster by
+    (integer centroid dist2, id), and drop a vector iff ANY
+    higher-ranked member of its cluster has quantized cosine >=
+    threshold (exemplar = the highest-ranked such member).
+
+    This is the EARLIER-NEIGHBOR policy -- unlike `semantic_dedup`'s
+    greedy kept-set chain it is order-free given the rank (a plain
+    within-cluster self-join, no sequential state), so Spark stays
+    entirely JVM-side and the DuckDB oracle replays it exactly; it may
+    drop strictly more rows than the greedy chain (a shadowed row can
+    still shadow others), a documented, deterministic policy choice.
+    Pairwise work stays cluster-bounded exactly like the float tier.
+
+    Returns (vec_id, cluster_id, keep, exemplar_id) -- exemplar_id is
+    the row's own id when kept.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_int(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    q = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("__vid"),
+        F.col("qvec").cast("array<long>").alias("__qv"),
+    )
+    t = assigned.withColumnRenamed(id_col, "__vid").join(q, "__vid")
+    w = Window.partitionBy("cluster_id").orderBy("dist2", "__vid")
+    ranked = t.withColumn("__rnk", F.row_number().over(w)).select(
+        "__vid", "cluster_id", "__rnk", "__qv"
+    ).localCheckpoint(eager=True)
+
+    a = ranked.select(
+        F.col("__vid").alias("vid_a"), F.col("cluster_id"),
+        F.col("__rnk").alias("rnk_a"), F.col("__qv").alias("qa"),
+    )
+    b = ranked.select(
+        F.col("__vid").alias("vid_b"), F.col("cluster_id"),
+        F.col("__rnk").alias("rnk_b"), F.col("__qv").alias("qb"),
+    )
+    cos = F.round(
+        dot(F.col("qa"), F.col("qb"))
+        / (l2_norm(F.col("qa")) * l2_norm(F.col("qb"))),
+        ROUND_DIGITS,
+    )
+    shadows = (
+        a.join(b, "cluster_id")
+        .filter(F.col("rnk_b") < F.col("rnk_a"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .groupBy("vid_a")
+        .agg(F.min(F.struct("rnk_b", "vid_b")).alias("__ex"))
+        .select(F.col("vid_a").alias("__vid"), F.col("__ex.vid_b").alias("__exid"))
+    )
+    return (
+        ranked.join(shadows, "__vid", "left")
+        .select(
+            F.col("__vid").alias(id_col),
+            "cluster_id",
+            F.col("__exid").isNull().alias("keep"),
+            F.coalesce("__exid", F.col("__vid")).alias("exemplar_id"),
+        )
+    )

@@ -3559,3 +3559,97 @@ LLM_ORACLES["st_topk"] = """
     )
     QUALIFY rank <= 3
 """
+
+# Closed-form SemDeDup twin: the kmeans_int chain (same generator as
+# llm_kmeans_int) plus a within-cluster (dist2, id) rank and the
+# earlier-neighbor shadow self-join on quantized cosine; mirrors
+# llm/similarity.py::semantic_dedup_int.
+LLM_ORACLES["llm_semantic_dedup_int"] = """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS s
+      FROM base
+    ), q AS MATERIALIZED (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qv
+      FROM scaled
+    ), init AS (
+      SELECT vec_id, qv,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS STRING) || ':42')) AS rn
+      FROM q
+    ), cent0 AS MATERIALIZED (
+      SELECT rn - 1 AS cid, qv AS cv FROM init WHERE rn <= 8
+    ), a1 AS MATERIALIZED (
+      SELECT vec_id, qv, cluster_id, dist2 FROM (
+        SELECT e.vec_id, e.qv, c.cid AS cluster_id,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+        FROM q e CROSS JOIN cent0 c
+      ) WHERE rn = 1
+    ), u1 AS MATERIALIZED (
+      SELECT cluster_id, list(c ORDER BY i) AS cv FROM (
+        SELECT cluster_id, i, CAST(floor(sum(x) / count(*)) AS BIGINT) AS c
+        FROM (
+          SELECT cluster_id, z[1] AS x, z[2] AS i
+          FROM (SELECT cluster_id,
+                       unnest(list_zip(qv, generate_series(1, len(qv)))) AS z
+                FROM a1)
+        ) GROUP BY cluster_id, i
+      ) GROUP BY cluster_id
+    ), cent1 AS MATERIALIZED (
+      SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+      FROM cent0 p LEFT JOIN u1 u ON u.cluster_id = p.cid
+    ), a2 AS MATERIALIZED (
+      SELECT vec_id, qv, cluster_id, dist2 FROM (
+        SELECT e.vec_id, e.qv, c.cid AS cluster_id,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+        FROM q e CROSS JOIN cent1 c
+      ) WHERE rn = 1
+    ), u2 AS MATERIALIZED (
+      SELECT cluster_id, list(c ORDER BY i) AS cv FROM (
+        SELECT cluster_id, i, CAST(floor(sum(x) / count(*)) AS BIGINT) AS c
+        FROM (
+          SELECT cluster_id, z[1] AS x, z[2] AS i
+          FROM (SELECT cluster_id,
+                       unnest(list_zip(qv, generate_series(1, len(qv)))) AS z
+                FROM a2)
+        ) GROUP BY cluster_id, i
+      ) GROUP BY cluster_id
+    ), cent2 AS MATERIALIZED (
+      SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+      FROM cent1 p LEFT JOIN u2 u ON u.cluster_id = p.cid
+    ), afinal AS MATERIALIZED (
+      SELECT vec_id, qv, cluster_id, dist2 FROM (
+        SELECT e.vec_id, e.qv, c.cid AS cluster_id,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(e.qv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+        FROM q e CROSS JOIN cent2 c
+      ) WHERE rn = 1
+    ), ranked AS MATERIALIZED (
+      SELECT vec_id, cluster_id, qv,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY dist2, vec_id) AS rnk
+      FROM afinal
+    ), shadows AS (
+      SELECT a.vec_id AS vid, arg_min(b.vec_id, b.rnk) AS exid
+      FROM ranked a JOIN ranked b
+        ON a.cluster_id = b.cluster_id AND b.rnk < a.rnk
+      WHERE round(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) / (sqrt(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))), 6) >= 0.95
+      GROUP BY a.vec_id
+    )
+    SELECT r.vec_id, r.cluster_id,
+           s.exid IS NULL AS keep,
+           coalesce(s.exid, r.vec_id) AS exemplar_id
+    FROM ranked r LEFT JOIN shadows s ON s.vid = r.vec_id
+"""

@@ -1388,6 +1388,18 @@ def llm_kmeans_int(spark, sf):
     return kmeans_int(_t(spark, sf, "embeddings"), k=8, n_iter=2)
 
 
+
+def llm_semantic_dedup_int(spark, sf):
+    """Closed-form SemDeDup twin (similarity.semantic_dedup_int):
+    integer k-means clusters + within-cluster earlier-neighbor shadow
+    rule on quantized cosine -- entirely JVM-side Spark and fully
+    VALUE-checked (the float greedy tier llm_semantic_dedup keeps its
+    NumPy-replica pytest)."""
+    from .llm.similarity import semantic_dedup_int
+
+    return semantic_dedup_int(_t(spark, sf, "embeddings"), threshold=0.95)
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2369,6 +2381,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a50_skew_agg": a50_skew_agg,
     "llm_kmeans_int": llm_kmeans_int,
     "st_topk": st_topk,
+    "llm_semantic_dedup_int": llm_semantic_dedup_int,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
