@@ -1813,3 +1813,28 @@ def test_skew_agg_exact_and_salted(spark):
 
     plan = skew_agg(df, "k", "v", "m", salt_buckets=8)._jdf.queryExecution().toString()
     assert "__salt" in plan  # phase 1 really salts the grouping key
+
+
+def test_dp_counts_noise_shape_and_determinism(spark):
+    """dp_counts: the md5-Laplace noise is deterministic across runs,
+    zero-centered with scale ~ sensitivity/epsilon over many keys, and
+    the release never exposes the true count column."""
+    from uofi_payroll_etl_main_spark.report import dp_counts
+
+    rows = [("k%04d" % (i % 500), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = dp_counts(df, "k", epsilon=1.0)
+    assert set(out.columns) == {"k", "noisy_count", "epsilon"}
+    a = {r["k"]: r["noisy_count"] for r in out.collect()}
+    b = {r["k"]: r["noisy_count"] for r in dp_counts(df, "k", epsilon=1.0).collect()}
+    assert a == b  # deterministic noise
+    noises = [v - 10.0 for v in a.values()]  # every key has true count 10
+    n = len(noises)
+    mean = sum(noises) / n
+    mad = sum(abs(x) for x in noises) / n  # E|Laplace(b)| = b = 1.0
+    assert abs(mean) < 0.25, mean
+    assert 0.7 < mad < 1.4, mad
+    # tighter epsilon -> proportionally larger noise
+    wide = {r["k"]: r["noisy_count"] for r in dp_counts(df, "k", epsilon=0.1).collect()}
+    mad10 = sum(abs(v - 10.0) for v in wide.values()) / n
+    assert 6.0 < mad10 < 15.0, mad10

@@ -2508,3 +2508,14 @@ CORE_ORACLES["g14_betweenness"] = """
     WHERE s <> node
     GROUP BY node
 """
+
+from .report import dp_noise_sql as _dp_noise_sql
+
+CORE_ORACLES["v17_dp_counts"] = f"""
+    SELECT event_type,
+           round(count(*) + {_dp_noise_sql("event_type", epsilon=1.0, seed=7)}, 6)
+             AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM events
+    GROUP BY event_type
+"""

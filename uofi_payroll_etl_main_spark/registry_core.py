@@ -1256,6 +1256,18 @@ def v12_psi(spark, sf):
     return psi_report(a, b, "value", nbins=10)
 
 
+def v17_dp_counts(spark, sf):
+    """V-family -- differentially-private count release
+    (report.dp_counts): per-event-type Laplace-noised counts,
+    epsilon=1, md5-deterministic noise (audit-reproducible seam; a
+    production release swaps in true randomness).  The oracle runs the
+    IDENTICAL portable noise SQL, so the full release is
+    VALUE-checked."""
+    from .report import dp_counts
+
+    return dp_counts(_t(spark, sf, "events"), "event_type", epsilon=1.0)
+
+
 def v13_benford(spark, sf):
     """V-family -- Benford first-digit audit of order totals
     (report.benford_report): observed vs log10(1+1/d) expected shares
@@ -3626,6 +3638,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s27_bucketed_join": s27_bucketed_join,
     "s28_dpp_join": s28_dpp_join,
     "g15_scc": g15_scc,
+    "v17_dp_counts": v17_dp_counts,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,

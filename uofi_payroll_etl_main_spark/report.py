@@ -557,3 +557,62 @@ def chi_square_drift(
         F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
         F.round(term, 6).alias("chi2_term"),
     )
+
+
+def _hex6_val_sql(h_sql: str) -> str:
+    """Integer value of the first 6 hex chars of `h_sql` as a plain
+    ANSI CASE chain -- runs verbatim on Spark and DuckDB (neither
+    needs conv()/from_hex parity this way)."""
+    digits = []
+    for i in range(1, 7):
+        c = f"substring({h_sql}, {i}, 1)"
+        case = (
+            "CASE " + c + " "
+            + " ".join(f"WHEN '{x}' THEN {int(x, 16)}" for x in "0123456789abcdef")
+            + " END"
+        )
+        digits.append(f"({case}) * {16 ** (6 - i)}")
+    return "(" + " + ".join(digits) + ")"
+
+
+def dp_noise_sql(
+    key_sql: str, epsilon: float = 1.0, sensitivity: float = 1.0, seed: int = 7
+) -> str:
+    """Laplace-mechanism noise as ONE portable SQL expression: u =
+    (first 6 md5 hex chars + 0.5) / 16^6 in (0,1), noise = the Laplace
+    inverse CDF b*sign-log transform with b = sensitivity/epsilon,
+    rounded 6 (absorbs any last-ulp ln() divergence between engines).
+
+    The md5-derived uniform makes the noise DETERMINISTIC -- a testing
+    and audit-reproducibility seam, the same trick as the md5-HLL
+    registers and Poisson-bootstrap weights.  A real privacy release
+    MUST swap the md5 uniform for true randomness (deterministic noise
+    keyed on public group labels provides zero privacy); the mechanism,
+    sensitivity accounting, and release shape are what this certifies.
+    """
+    h = f"md5({key_sql} || ':{seed}')"
+    u = f"(({_hex6_val_sql(h)} + 0.5) / 16777216.0)"
+    b = float(sensitivity) / float(epsilon)
+    return (
+        f"round(CASE WHEN {u} < 0.5 THEN {b} * ln(2.0 * {u}) "
+        f"ELSE -({b}) * ln(2.0 - 2.0 * {u}) END, 6)"
+    )
+
+
+def dp_counts(
+    df: DataFrame, key: str, epsilon: float = 1.0, seed: int = 7
+) -> DataFrame:
+    """Differentially-private group-count release (Laplace mechanism,
+    sensitivity 1 for count queries): the released table carries ONLY
+    the noised counts, never the true ones.  Noise is md5-derived and
+    deterministic (see dp_noise_sql -- an audit/testing seam, not a
+    production privacy guarantee).  One aggregation shuffle; the noise
+    is a scalar expression on the group row, so the release costs the
+    same as the plain count."""
+    g = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    noise = dp_noise_sql(key, epsilon=epsilon, seed=seed)
+    return g.select(
+        key,
+        F.expr(f"round(__n + {noise}, 6)").alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
