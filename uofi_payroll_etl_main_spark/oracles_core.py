@@ -2519,3 +2519,42 @@ CORE_ORACLES["v17_dp_counts"] = f"""
     FROM events
     GROUP BY event_type
 """
+
+CORE_ORACLES["w_seasonal_decompose"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, value FROM events
+    ), o AS (
+      SELECT event_type,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS m
+      FROM ev GROUP BY event_type
+    ), h AS (
+      SELECT ev.event_type, ev.hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(value AS DECIMAL(18,6))) AS hs
+      FROM ev GROUP BY ev.event_type, ev.hour
+    ), h2 AS (
+      SELECT h.event_type, h.hour, h.n_events,
+             round(CAST(hs AS DOUBLE) / n_events - o.m, 6) AS hour_effect
+      FROM h JOIN o ON h.event_type = o.event_type
+    ), rows_r AS (
+      SELECT ev.event_type, ev.hour,
+             round(ev.value - o.m - h2.hour_effect, 6) AS r
+      FROM ev
+      JOIN o ON ev.event_type = o.event_type
+      JOIN h2 ON ev.event_type = h2.event_type AND ev.hour = h2.hour
+    ), sig AS (
+      SELECT event_type,
+             round(sqrt(CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE)
+                        / count(*)), 6) AS sg
+      FROM rows_r GROUP BY event_type
+    ), anom AS (
+      SELECT r.event_type, r.hour,
+             CAST(sum(CASE WHEN abs(r.r) > 2 * sig.sg THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_anomalies
+      FROM rows_r r JOIN sig ON r.event_type = sig.event_type
+      GROUP BY r.event_type, r.hour
+    )
+    SELECT h2.event_type, h2.hour, h2.n_events, h2.hour_effect, anom.n_anomalies
+    FROM h2 JOIN anom ON h2.event_type = anom.event_type AND h2.hour = anom.hour
+"""

@@ -1268,6 +1268,71 @@ def v17_dp_counts(spark, sf):
     return dp_counts(_t(spark, sf, "events"), "event_type", epsilon=1.0)
 
 
+def w_seasonal_decompose(spark, sf):
+    """Seasonal decomposition with anomaly counts: value = type mean +
+    hour-of-day effect + residual; per (type, hour) the effect, volume,
+    and the count of residuals beyond 2 sigma -- the classical
+    seasonal-adjustment screen, fully deterministic (DECIMAL-summed
+    means, rounded components).  Three bounded aggregates + broadcast
+    joins of type-scalar and (type, hour) frames back onto one event
+    scan; nothing beyond group cardinality shuffles twice."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour"),
+        "value",
+    )
+    o = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__mean")
+    )
+    h = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__hs"),
+    )
+    h2 = h.join(F.broadcast(o), "event_type").withColumn(
+        "hour_effect",
+        F.round(
+            F.col("__hs").cast("double") / F.col("n_events") - F.col("__mean"), 6
+        ),
+    )
+    rows = (
+        ev.join(F.broadcast(o), "event_type")
+        .join(
+            F.broadcast(h2.select("event_type", "hour", "hour_effect")),
+            ["event_type", "hour"],
+        )
+        .withColumn(
+            "__r", F.round(F.col("value") - F.col("__mean") - F.col("hour_effect"), 6)
+        )
+    )
+    sig = rows.groupBy("event_type").agg(
+        F.round(
+            F.sqrt(
+                F.sum((F.col("__r") * F.col("__r")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("__sig")
+    )
+    anom = (
+        rows.join(F.broadcast(sig), "event_type")
+        .withColumn(
+            "__a", (F.abs(F.col("__r")) > 2 * F.col("__sig")).cast("long")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("__a").cast("long").alias("n_anomalies"))
+    )
+    return (
+        h2.select("event_type", "hour", "n_events", "hour_effect")
+        .join(anom, ["event_type", "hour"])
+    )
+
+
 def v13_benford(spark, sf):
     """V-family -- Benford first-digit audit of order totals
     (report.benford_report): observed vs log10(1+1/d) expected shares
@@ -3639,6 +3704,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s28_dpp_join": s28_dpp_join,
     "g15_scc": g15_scc,
     "v17_dp_counts": v17_dp_counts,
+    "w_seasonal_decompose": w_seasonal_decompose,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
