@@ -3653,3 +3653,10 @@ LLM_ORACLES["llm_semantic_dedup_int"] = """
            coalesce(s.exid, r.vec_id) AS exemplar_id
     FROM ranked r LEFT JOIN shadows s ON s.vid = r.vec_id
 """
+
+LLM_ORACLES["st_cdc_upsert"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""

@@ -1170,6 +1170,41 @@ def st_custom_source(spark, sf):
     return spark.table("st_custom_source_out")
 
 
+def st_cdc_upsert(spark, sf):
+    """Streaming CDC apply (streams.streaming_upsert_sink): the event
+    stream lands through foreachBatch -> merge_upsert into a parquet
+    target seeded with an early snapshot; keep-latest per user by
+    event_id (unique -> fully deterministic).  Crash-replay converges
+    because the merge is idempotent; repeat invocations are no-ops via
+    the stream checkpoint.  The final TARGET STATE is VALUE-checked
+    against the batch keep-latest over all events."""
+    import os
+    import tempfile
+
+    from .streaming.streams import streaming_upsert_sink
+
+    tag = _source_tag(sf, "events")
+    target = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_tgt_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_ck_{tag}")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        seed = (
+            load_table(spark, sf, "events")
+            .filter(F.dayofmonth("ts") <= 5)
+            .select(*cols)
+        )
+        from .dedup import keep_first
+
+        # seed = per-user max event_id among the early slice
+        seed_latest = keep_first(
+            seed.withColumn("__neg", -F.col("event_id")), ["user_id"], F.col("__neg")
+        ).drop("__neg")
+        seed_latest.write.mode("overwrite").parquet(target)
+    stream = _event_stream(spark, sf).select(*cols)
+    streaming_upsert_sink(stream, target, ["user_id"], "event_id", ckpt)
+    return spark.read.parquet(target).select(*cols)
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -2397,6 +2432,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_interval_join_full": st_interval_join_full,
     "st_custom_source": st_custom_source,
     "st_dedup": st_dedup,
+    "st_cdc_upsert": st_cdc_upsert,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,
     "w_zscore": w_zscore,
