@@ -8,7 +8,7 @@ resize / frame-sampling run as Arrow-batched Pandas UDFs via
 never row-at-a-time.
 
 Decode kernels: the self-contained codecs are REAL -- PPM (P6),
-uncompressed 24-bit BMP, PNG (8-bit gray/RGB/RGBA, all five scanline
+uncompressed 24-bit BMP, GIF (87a/89a LZW incl. interlace), PNG (8-bit gray/RGB/RGBA, all five scanline
 filters, via zlib), and JPEG (baseline SOF0/SOF1 with any sampling
 factors and restart markers, plus progressive SOF2 with spectral
 selection + successive approximation -- pure numpy, see llm/jpeg.py)
@@ -326,12 +326,15 @@ def decode_media(payload: bytes, kind: str) -> dict:
     if payload[:2] == b"\xff\xd8":
         w, h, px = decode_jpeg(payload)
         return {"width": w, "height": h, "pixels": px}
+    if payload[:6] in GIF_SIGS:
+        w, h, px = _decode_gif(payload)
+        return {"width": w, "height": h, "pixels": px}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = _decode_wav(payload)
         return {"rate": rate, "samples": samples}
     raise NotImplementedError(
         f"no decoder available for kind={kind!r} (magic={payload[:4]!r}): built-in "
-        "codecs cover PPM/BMP/PNG/JPEG (baseline + progressive)/WAV; install "
+        "codecs cover PPM/BMP/PNG/GIF/JPEG (baseline + progressive)/WAV; install "
         "pillow/soundfile/av for the rest."
     )
 
@@ -894,3 +897,204 @@ def corrupt_media(df: DataFrame, every_n: int = 5, offset: int = 0) -> DataFrame
     return df.withColumn(
         "payload", F.when(sel, damaged).otherwise(F.col("payload"))
     )
+
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _encode_gif(pixels: "np.ndarray", interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> GIF89a with a REAL LZW-compressed stream
+    (dictionary growth, variable code widths, clear/end codes) -- a
+    conforming encoder so the decoder is testable without PIL, the
+    progressive-JPEG-encoder pattern.  Requires <= 256 distinct colors
+    (GIF is palette-indexed; a real pipeline dithers first)."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(colors)}")
+    # palette size must be a power of two >= 2
+    psize = 2
+    while psize < len(colors):
+        psize *= 2
+    palette = np.zeros((psize, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.reshape(h, w).astype(np.int32)
+    if interlace:
+        order = _gif_interlace_rows(h)
+        idx = idx[order]
+
+    min_code = max(2, psize.bit_length() - 1)  # log2(psize), >= 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    # LZW encode
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    width = min_code + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    seq: tuple = ()
+    for p in idx.reshape(-1):
+        cand = seq + (int(p),)
+        if cand in table:
+            seq = cand
+            continue
+        out_bits.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+        seq = (int(p),)
+    if seq:
+        out_bits.append((table[seq], width))
+    out_bits.append((end, width))
+    # pack LSB-first
+    acc = n = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+
+    head = bytearray(b"GIF89a")
+    gct_bits = psize.bit_length() - 1  # 2^(bits) = psize
+    head += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head.append(0x80 | (gct_bits - 1) & 7)  # GCT present, size field
+    head += b"\x00\x00"
+    head += palette.tobytes()
+    head.append(0x2C)  # image descriptor
+    head += b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head.append(0x40 if interlace else 0x00)
+    head.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        head.append(len(chunk))
+        head += chunk
+    head.append(0)  # block terminator
+    head.append(0x3B)  # trailer
+    return bytes(head)
+
+
+def _gif_interlace_rows(h: int) -> list:
+    """GIF interlace pass order: rows 0,8,16.. then 4,12.. then 2,6..
+    then 1,3,5.. -- the row permutation applied at ENCODE time; the
+    decoder inverts it."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Pure-stdlib GIF decode: 87a/89a, global color table, full LZW
+    (dictionary growth, variable widths, clear/end, deferred clears),
+    interlace, first frame; extensions skipped.  Local color tables /
+    transparency composition raise NotImplementedError (swap in PIL)."""
+    import numpy as np
+
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 7)
+    palette = np.frombuffer(payload[pos : pos + 3 * gct_n], dtype=np.uint8).reshape(
+        gct_n, 3
+    )
+    pos += 3 * gct_n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            raise NotImplementedError("GIF local color tables unsupported")
+        interlaced = bool(ipacked & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        # LZW decode
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        base = {i: (i,) for i in range(1 << min_code)}
+        table = dict(base)
+        next_code = end + 1
+        width = min_code + 1
+        acc = nbits = 0
+        prev: tuple | None = None
+        out: list = []
+        i = 0
+        done = False
+        while i < len(data) and not done:
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = dict(base)
+                    next_code = end + 1
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    done = True
+                    break
+                if prev is None:
+                    entry = table[code]
+                elif code in table:
+                    entry = table[code]
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+                elif code == next_code:
+                    entry = prev + (prev[0],)
+                    table[next_code] = entry
+                    next_code += 1
+                else:
+                    raise ValueError(f"corrupt LZW stream (code {code})")
+                out.extend(entry)
+                prev = entry
+                if next_code >= (1 << width) and width < 12:
+                    width += 1
+        if len(out) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        idx = np.array(out[: iw * ih], dtype=np.int32).reshape(ih, iw)
+        if interlaced:
+            inv = np.empty(ih, dtype=np.int64)
+            inv[np.array(_gif_interlace_rows(ih), dtype=np.int64)] = np.arange(ih)
+            idx = idx[inv]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("GIF index beyond palette")
+        return iw, ih, palette[idx]
+    raise ValueError("GIF contains no image block")

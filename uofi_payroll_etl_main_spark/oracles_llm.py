@@ -2407,10 +2407,11 @@ LLM_ORACLES["w_holt_winters"] = """
               list_transform(vs[8:], x -> [x])
             ),
             (acc, e) -> list_concat(
-              [0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2]),
-               0.25*((0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2])) - acc[1])
-                 + 0.75*acc[2]],
-              acc[4:9],
+              list_concat(
+                [0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2]),
+                 0.25*((0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2])) - acc[1])
+                   + 0.75*acc[2]],
+                acc[4:9]),
               [0.5*(e[1] - (0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2])))
                  + 0.5*acc[3]]
             )
