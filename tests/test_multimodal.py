@@ -524,3 +524,78 @@ class TestDecodeQuarantine:
         out = decode_quarantine(self._df(spark, rows)).collect()
         assert len(out) == 5
         assert all(r.status in ("quarantined", "unsupported") for r in out)
+
+
+class TestGif:
+    def test_roundtrip_plain_and_interlaced(self, spark):
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _decode_gif,
+            _encode_gif,
+        )
+
+        rng = np.random.RandomState(11)
+        for h, w, ncol, inter in [(17, 23, 5, False), (32, 16, 200, False),
+                                  (21, 9, 7, True), (1, 1, 1, False),
+                                  (40, 40, 256, True)]:
+            pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+            img = pal[rng.randint(0, ncol, (h, w))]
+            got_w, got_h, out = _decode_gif(_encode_gif(img, interlace=inter))
+            assert (got_w, got_h) == (w, h)
+            assert (out == img).all(), (h, w, ncol, inter)
+
+    def test_lzw_dictionary_growth_and_clear(self, spark):
+        """A long low-entropy image drives the LZW dictionary past one
+        width increase; a >4096-code image forces a mid-stream clear."""
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _decode_gif,
+            _encode_gif,
+        )
+
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        idx = (np.arange(300 * 300) % 7 % 2).reshape(300, 300)
+        img = pal[idx]
+        got_w, got_h, out = _decode_gif(_encode_gif(img))
+        assert (out == img).all()
+
+    def test_corruption_raises_not_hangs(self, spark):
+        import numpy as np
+
+        import pytest as _pytest
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _decode_gif,
+            _encode_gif,
+            decode_media,
+        )
+
+        img = np.tile(np.array([[10, 20, 30]], dtype=np.uint8), (8, 8, 1))
+        enc = _encode_gif(img)
+        with _pytest.raises((ValueError, IndexError)):
+            _decode_gif(enc[: len(enc) // 2])  # truncation
+        with _pytest.raises(ValueError):
+            _decode_gif(b"NOTGIF" + enc[6:])  # bad magic
+        d = decode_media(enc, "image")  # dispatcher route
+        assert d["width"] == 8 and (d["pixels"] == img).all()
+
+    def test_quarantine_routes_bad_gifs(self, spark):
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _encode_gif,
+            decode_quarantine,
+        )
+
+        pal = np.array([[0, 0, 0], [200, 100, 50]], dtype=np.uint8)
+        img = pal[(np.arange(64) % 2).reshape(8, 8)]
+        good = _encode_gif(img)
+        bad = good[: len(good) // 3]
+        rows = [(0, "image", bytearray(good), {}), (1, "image", bytearray(bad), {})]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary, meta map<string,string>"
+        )
+        out = {r["media_id"]: r["status"] for r in decode_quarantine(df).collect()}
+        assert out[0] == "ok" and out[1] == "quarantined", out
