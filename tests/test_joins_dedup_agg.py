@@ -1838,3 +1838,29 @@ def test_dp_counts_noise_shape_and_determinism(spark):
     wide = {r["k"]: r["noisy_count"] for r in dp_counts(df, "k", epsilon=0.1).collect()}
     mad10 = sum(abs(v - 10.0) for v in wide.values()) / n
     assert 6.0 < mad10 < 15.0, mad10
+
+
+def test_heavy_hitters_exact_with_adversarial_tail(spark):
+    """heavy_hitters: on a stream with two planted heavy keys buried in
+    a huge distinct tail, the result equals the plain-groupBy answer
+    exactly (MG candidates are a lossless superset), and the guard
+    rejects an undersized member_cap."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_spark.aggregates import heavy_hitters
+
+    rows = [("hot_a",)] * 3000 + [("hot_b",)] * 1500
+    rows += [("tail_%d" % i,) for i in range(5000)]  # 5000 singletons
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {
+        r["k"]: (r["n_rows"], r["share"])
+        for r in heavy_hitters(df, "k", phi=0.1, member_cap=64).collect()
+    }
+    n = 3000 + 1500 + 5000
+    want = {}
+    for k, c in (("hot_a", 3000), ("hot_b", 1500)):
+        if c > 0.1 * n:
+            want[k] = (c, round(c / n, 6))
+    assert got == want, got
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", phi=0.01, member_cap=50)

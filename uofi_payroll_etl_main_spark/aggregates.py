@@ -50,6 +50,8 @@ __all__ = [
     "quantile_sketch_merge",
     "bootstrap_ci",
     "weighted_median",
+    "skew_agg",
+    "heavy_hitters",
 ]
 
 
@@ -1325,4 +1327,75 @@ def skew_agg(
     )
     return merged.join(distinct, "__k").select(
         F.col("__k").alias(key), "n_rows", "total_value", "n_members"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    phi: float = 0.05,
+    member_cap: int = 256,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (keys with frequency > phi * N) in two
+    bounded passes -- the Misra-Gries candidate / exact-recount rewrite.
+
+    Why not one groupBy?  At 100 TB a URL/token/user column can carry
+    billions of DISTINCT keys; the full-cardinality shuffle costs more
+    than the answer needs.  Pass 1 runs Misra-Gries summaries per
+    partition (state <= member_cap counters, mapInPandas, no shuffle):
+    MG guarantees any key with global frequency > N/member_cap survives
+    SOME partition summary, so with member_cap >= 1/phi the candidate
+    union is a superset of the true heavy hitters.  Pass 2 recounts
+    ONLY the candidates exactly (broadcast semi-join + groupBy over the
+    few surviving keys).  Output is exact, so the gate carries a full
+    DuckDB value oracle; the MG stage is a lossless candidate pruner,
+    never an estimator.
+
+    Returns (key, n_rows, share) for keys with share > phi,
+    share = n_rows / N rounded 6.
+    """
+    import pandas as pd
+
+    cap = int(member_cap)
+    if cap < int(1.0 / phi) + 1:
+        raise ValueError(f"member_cap {cap} < 1/phi -- MG superset guarantee lost")
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({key: list(counters.keys())})
+
+    key_type = dict(df.dtypes)[key]
+    candidates = (
+        df.select(key)
+        .mapInPandas(mg, f"{key} {key_type}")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    total = df.count()
+    counted = (
+        df.join(F.broadcast(candidates), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return (
+        counted.filter(F.col("n_rows") > float(phi) * total)
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias("share"),
+        )
     )

@@ -3661,3 +3661,13 @@ LLM_ORACLES["st_cdc_upsert"] = """
     QUALIFY row_number() OVER (
       PARTITION BY user_id ORDER BY event_id DESC) = 1
 """
+
+LLM_ORACLES["a51_heavy_hitters"] = """
+    WITH tot AS (SELECT count(*) AS n FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) > 0.15 * (SELECT n FROM tot)
+"""

@@ -937,6 +937,20 @@ def a50_skew_agg(spark, sf):
     )
 
 
+
+def a51_heavy_hitters(spark, sf):
+    """Exact phi-heavy hitters without a full-cardinality shuffle
+    (aggregates.heavy_hitters): per-partition Misra-Gries candidate
+    summaries (bounded state, no shuffle) + exact recount of the
+    candidate superset only.  Output is exact -> full value oracle;
+    the scale win is that billions of distinct keys never shuffle."""
+    from .aggregates import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf, "events"), "event_type", phi=0.15, member_cap=256
+    )
+
+
 def a45_mann_whitney(spark, sf):
     """Nonparametric A/B readout: Mann-Whitney U between click and
     purchase event values (aggregates.mann_whitney_u) -- mid-rank
@@ -2417,6 +2431,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_kmeans_int": llm_kmeans_int,
     "st_topk": st_topk,
     "llm_semantic_dedup_int": llm_semantic_dedup_int,
+    "a51_heavy_hitters": a51_heavy_hitters,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
