@@ -674,3 +674,37 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, tmp_path):
         .groupBy("pk").agg(F.sum("v").alias("sv")).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_join_ivm_matches_full_recompute_over_refreshes(spark, tmp_path):
+    """ivm_init + two successive ivm_refresh calls (a-only, then both
+    deltas) reconstruct exactly the full batch join -- the three-term
+    delta decomposition loses and duplicates nothing."""
+    from uofi_payroll_etl_main_spark.io import ivm_init, ivm_refresh
+
+    a_all = spark.createDataFrame(
+        [(i % 20, i, float(i)) for i in range(300)], "k long, id long, v double"
+    )
+    b_all = spark.createDataFrame(
+        [(i, "g%d" % (i % 4)) for i in range(20)], "k long, g string"
+    )
+    root = str(tmp_path / "ivm")
+    ivm_init(
+        spark, root,
+        a_all.filter(F.col("id") < 100),
+        b_all.filter(F.col("k") < 10),
+        "k",
+    )
+    ivm_refresh(
+        spark, root, "k",
+        delta_a=a_all.filter((F.col("id") >= 100) & (F.col("id") < 200)),
+    )
+    ivm_refresh(
+        spark, root, "k",
+        delta_a=a_all.filter(F.col("id") >= 200),
+        delta_b=b_all.filter(F.col("k") >= 10),
+    )
+    view = spark.read.parquet(root + "/view.parquet")
+    got = sorted((r["id"], r["g"]) for r in view.collect())
+    want = sorted((r["id"], r["g"]) for r in a_all.join(b_all, "k").collect())
+    assert got == want and len(got) == 300

@@ -1136,3 +1136,58 @@ def bucketed_table(
             f"LOCATION '{path}'"
         )
     return spark.table(table)
+
+
+def ivm_init(
+    spark: SparkSession, root: str, a: DataFrame, b: DataFrame, on: str
+) -> None:
+    """Initialize an incrementally-maintained join view V = A JOIN B
+    (equi-key `on`, same column name both sides): materialize both base
+    snapshots and the joined view under `root`."""
+    a.write.mode("overwrite").parquet(os.path.join(root, "a.parquet"))
+    b.write.mode("overwrite").parquet(os.path.join(root, "b.parquet"))
+    a.join(b, on).write.mode("overwrite").parquet(os.path.join(root, "view.parquet"))
+
+
+def ivm_refresh(
+    spark: SparkSession,
+    root: str,
+    on: str,
+    delta_a: DataFrame | None = None,
+    delta_b: DataFrame | None = None,
+) -> None:
+    """Incremental view maintenance for an INSERT-ONLY equi join: apply
+    the classic delta decomposition
+
+        dV = dA JOIN B_old  UNION ALL  A_old JOIN dB  UNION ALL  dA JOIN dB
+
+    appending dV to the view and the deltas to their base snapshots.
+    The view is NEVER recomputed from scratch -- each refresh costs
+    |delta| join work, not |A|+|B|, which is the whole point at 100 TB
+    (a nightly delta against a petabyte view).  Appends here are plain
+    parquet `append` (one new file set per refresh); a production
+    deployment puts the same fold behind a table format so the append
+    is a metadata commit.  Deletes/updates need signed deltas (z-sets)
+    -- out of scope for the insert-only contract, asserted in tests."""
+    a_path = os.path.join(root, "a.parquet")
+    b_path = os.path.join(root, "b.parquet")
+    v_path = os.path.join(root, "view.parquet")
+    a_old = spark.read.parquet(a_path)
+    b_old = spark.read.parquet(b_path)
+    parts = []
+    if delta_a is not None:
+        parts.append(delta_a.join(b_old, on))
+    if delta_b is not None:
+        parts.append(a_old.join(delta_b, on))
+        if delta_a is not None:
+            parts.append(delta_a.join(delta_b, on))
+    if not parts:
+        return
+    dv = parts[0]
+    for p in parts[1:]:
+        dv = dv.unionByName(p)
+    dv.write.mode("append").parquet(v_path)
+    if delta_a is not None:
+        delta_a.write.mode("append").parquet(a_path)
+    if delta_b is not None:
+        delta_b.write.mode("append").parquet(b_path)

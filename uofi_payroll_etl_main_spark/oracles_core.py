@@ -2558,3 +2558,12 @@ CORE_ORACLES["w_seasonal_decompose"] = """
     SELECT h2.event_type, h2.hour, h2.n_events, h2.hour_effect, anom.n_anomalies
     FROM h2 JOIN anom ON h2.event_type = anom.event_type AND h2.hour = anom.hour
 """
+
+CORE_ORACLES["s29_join_ivm"] = """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+"""

@@ -956,6 +956,43 @@ def g15_scc(spark, sf):
     return strongly_connected_components(edges)
 
 
+def s29_join_ivm(spark, sf):
+    """S-family -- incremental join-view maintenance (io.ivm_init /
+    ivm_refresh): the orders x customer view starts from an early
+    orders slice and half the customers, then ONE refresh applies both
+    deltas through the classic three-term decomposition
+    (dA JOIN B + A JOIN dB + dA JOIN dB) -- the view is never
+    recomputed.  The gate reads the final view and aggregates it; the
+    oracle is the full batch join, certifying the delta algebra
+    reconstructed it exactly."""
+    from .io import ivm_init, ivm_refresh
+
+    root = _tagged_dir(sf, "orders", "join_ivm")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderpriority",
+        "o_totalprice", "o_orderdate",
+    )
+    customer = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    if not os.path.exists(os.path.join(root, "view.parquet", "_SUCCESS")):
+        a0 = orders.filter(F.dayofmonth("o_orderdate") <= 10)
+        b0 = customer.filter(F.col("custkey") % 2 == 0)
+        ivm_init(spark, root, a0, b0, "custkey")
+        ivm_refresh(
+            spark, root, "custkey",
+            delta_a=orders.filter(F.dayofmonth("o_orderdate") > 10),
+            delta_b=customer.filter(F.col("custkey") % 2 != 0),
+        )
+    view = spark.read.parquet(os.path.join(root, "view.parquet"))
+    return view.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+
+
 def s19_vacuum(spark, sf):
     """S-family -- versioned-store retention (io.vacuum_versions): four
     snapshots publish into a FRESH scratch store (deterministic slices
@@ -3705,6 +3742,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g15_scc": g15_scc,
     "v17_dp_counts": v17_dp_counts,
     "w_seasonal_decompose": w_seasonal_decompose,
+    "s29_join_ivm": s29_join_ivm,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
