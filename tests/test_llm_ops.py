@@ -1395,3 +1395,33 @@ def test_semantic_dedup_int_planted_duplicates(spark):
             assert out[ex]["cluster_id"] == out[v]["cluster_id"]
     for v in (10, 11, 12):
         assert out[v]["keep"], out[v]
+
+
+def test_ann_pq_int_recall_vs_exact(spark):
+    """ann_pq_int: with clusters smaller than k+1, a vector's exact
+    top-k IS its cluster -- PQ codes collapse within-cluster detail but
+    keep clusters far apart in ADC, so the cluster-mates dominate the
+    ADC ranking (recall is bounded, not equality: PQ is lossy by
+    design).  ADC never pairs a vector with itself."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.llm.similarity import ann_pq_int
+
+    rng = np.random.RandomState(3)
+    centers = rng.randint(-80, 80, (16, 64)).astype(np.float64)
+    rows = []
+    for vid in range(80):
+        v = centers[vid % 16] + rng.randint(-2, 3, 64)
+        rows.append((vid, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ann_pq_int(df, k=4, n_codes=16, n_sub=4).collect()
+    by_q = {}
+    for r in got:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for vid in range(80):
+        mates = {o for o in range(80) if o != vid and o % 16 == vid % 16}
+        hits += len(mates & by_q.get(vid, set()))
+        total += len(mates)
+    assert hits / total > 0.8, hits / total

@@ -1610,3 +1610,110 @@ def semantic_dedup_int(
             F.coalesce("__exid", F.col("__vid")).alias("exemplar_id"),
         )
     )
+
+
+def ann_pq_int(
+    corpus: DataFrame,
+    k: int = 5,
+    n_codes: int = 8,
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ALL-INTEGER product-quantization ANN twin -- the value-checked
+    sibling of `ivfpq_topk` (the pattern of kmeans_int / the md5 LSH
+    twins): int8-quantize (proven scheme), split each vector into
+    `n_sub` subvectors, build each subspace codebook from the SAME
+    `n_codes` md5-ordered sample rows (the ivf_topk sampled-centroid
+    trick), encode every vector as its per-subspace integer-argmin
+    code, and rank neighbors per query by the asymmetric-distance
+    (ADC) sum of integer subspace distances -- every quantity an
+    integer, so the DuckDB oracle replays codebooks, codes, ADC, and
+    ranks exactly.  Recall vs the exact integer ranking is
+    pytest-bounded.
+
+    Scale shape: codes are n_sub small ints per vector (the 32x
+    memory shrink PQ exists for); the codebook is n_codes x dim,
+    broadcast; ADC per (query, neighbor) touches codes only.  The
+    gate's all-pairs ranking is the oracle-baseline tier -- production
+    composes these codes under the IVF cell partitioning
+    (`ivfpq_topk`).  Returns (query_id, neighbor_id, adc_dist2, rank).
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    q = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("__vid"),
+        F.col("qvec").cast("array<long>").alias("__qv"),
+    ).localCheckpoint(eager=True)
+    dim = len(q.first()["__qv"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+
+    sample = (
+        q.withColumn(
+            "__h", F.md5(F.concat(F.col("__vid").cast("string"), F.lit(f":{int(seed)}")))
+        )
+        .orderBy("__h")
+        .limit(int(n_codes))
+        .collect()
+    )
+    # codebook rows: (subspace, code id, subvector)
+    cb_rows = [
+        (s, c, [int(x) for x in r["__qv"][s * sub : (s + 1) * sub]])
+        for c, r in enumerate(sample)
+        for s in range(n_sub)
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, code long, cv array<long>")
+
+    subvecs = q.select(
+        "__vid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice("__qv", s * sub + 1, sub).alias("sv"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("__vid", "__e.sub", "__e.sv")
+
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_code = Window.partitionBy("__vid", "sub").orderBy("__d2", "code")
+    codes = (
+        subvecs.join(F.broadcast(cb), "sub")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w_code))
+        .filter(F.col("__rn") == 1)
+        .select("__vid", "sub", "code")
+        .localCheckpoint(eager=True)
+    )
+
+    # ADC: per (query, subspace) the distance from the query's REAL
+    # subvector to each codebook entry; neighbors pay the entry their
+    # code points at
+    qd = (
+        subvecs.join(F.broadcast(cb), "sub")
+        .withColumn("__qd", d2)
+        .select(F.col("__vid").alias("query_id"), "sub", "code", "__qd")
+    )
+    pairs = (
+        codes.select(F.col("__vid").alias("neighbor_id"), "sub", "code")
+        .join(qd, ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__qd").cast("long").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )

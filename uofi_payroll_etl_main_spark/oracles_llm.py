@@ -3671,3 +3671,59 @@ LLM_ORACLES["a51_heavy_hitters"] = """
     GROUP BY event_type
     HAVING count(*) > 0.15 * (SELECT n FROM tot)
 """
+
+# All-integer PQ replay: proven quantization, md5-ordered 8-row sample
+# split into 4 subspace codebooks, integer-argmin codes, ADC = summed
+# integer subspace distances; mirrors llm/similarity.py::ann_pq_int.
+LLM_ORACLES["llm_ann_pq_int"] = """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS s
+      FROM base
+    ), q AS MATERIALIZED (
+      SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qv
+      FROM scaled
+    ), sample AS (
+      SELECT vec_id, qv,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS STRING) || ':42')) - 1 AS code
+      FROM q QUALIFY code < 8
+    ), subs AS (
+      SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS sub
+    ), cb AS MATERIALIZED (
+      SELECT s.sub, i.code,
+             list_slice(i.qv, s.sub*16 + 1, (s.sub+1)*16) AS cv
+      FROM sample i CROSS JOIN subs s
+    ), subvecs AS MATERIALIZED (
+      SELECT e.vec_id, s.sub,
+             list_slice(e.qv, s.sub*16 + 1, (s.sub+1)*16) AS sv
+      FROM q e CROSS JOIN subs s
+    ), scored AS MATERIALIZED (
+      SELECT sv.vec_id, sv.sub, c.code,
+             CAST(list_sum(list_transform(list_zip(sv.sv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d2
+      FROM subvecs sv JOIN cb c ON sv.sub = c.sub
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT qd.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(sum(qd.d2) AS BIGINT) AS adc_dist2
+      FROM codes n JOIN scored qd ON qd.sub = n.sub AND qd.code = n.code
+      WHERE qd.vec_id <> n.vec_id
+      GROUP BY qd.vec_id, n.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist2,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+"""

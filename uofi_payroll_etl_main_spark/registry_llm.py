@@ -1449,6 +1449,17 @@ def llm_semantic_dedup_int(spark, sf):
     return semantic_dedup_int(_t(spark, sf, "embeddings"), threshold=0.95)
 
 
+
+def llm_ann_pq_int(spark, sf):
+    """All-integer product-quantization ANN twin (similarity.ann_pq_int):
+    md5-sampled subspace codebooks, integer-argmin codes, integer ADC
+    ranking -- the PQ family's first fully VALUE-checked member (the
+    float IVF-PQ production tier keeps its recall pytest)."""
+    from .llm.similarity import ann_pq_int
+
+    return ann_pq_int(_t(spark, sf, "embeddings"), k=5, n_codes=8, n_sub=4)
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2432,6 +2443,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_topk": st_topk,
     "llm_semantic_dedup_int": llm_semantic_dedup_int,
     "a51_heavy_hitters": a51_heavy_hitters,
+    "llm_ann_pq_int": llm_ann_pq_int,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
