@@ -1425,3 +1425,25 @@ def test_ann_pq_int_recall_vs_exact(spark):
         hits += len(mates & by_q.get(vid, set()))
         total += len(mates)
     assert hits / total > 0.8, hits / total
+
+
+def test_nb_classifier_separates_planted_vocab(spark):
+    """nb_classify: with disjoint class vocabularies the self-trained
+    model classifies every doc correctly; an empty doc falls back to
+    the majority prior."""
+    from uofi_payroll_etl_main_spark.llm.text import nb_classify
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta", "en"))
+    for i in range(30, 50):
+        rows.append((i, "zork blik fnord quux", "de"))
+    rows.append((99, "   ", "de"))  # empty -> prior only; en majority
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_classify(df).collect()}
+    for i in range(30):
+        assert out[i]["pred"] == "en", out[i]
+    for i in range(30, 50):
+        assert out[i]["pred"] == "other", out[i]
+    assert out[99]["n_tokens"] == 0
+    assert out[99]["pred"] == "en"  # 30/51 en prior wins on empty text

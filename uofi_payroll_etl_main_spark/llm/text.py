@@ -1088,3 +1088,109 @@ def zipf_fit(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataF
         F.round(F.when(ok, (sy - (cov / vx) * sx) / n), 6).alias("intercept"),
         F.round(F.when(ok & (vy > 0), (cov * cov) / (vx * vy)), 6).alias("r2"),
     )
+
+
+def nb_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Multinomial naive-Bayes language/quality classifier, trained and
+    applied in one dataflow (the same lang=='en' signal as the ridge
+    tier in llm/web.py) -- the trained-classifier family's
+    VALUE-CHECKED member: counts, add-1 smoothed token likelihoods, and
+    log-prior sums are all exact-decimal reproducible, so the oracle
+    replays training AND scoring (the ridge tier keeps its NumPy
+    replica pytest; a float matrix solve has no SQL oracle, counting
+    does).
+
+    Per-term log-likelihoods are rounded to 9 digits and summed as
+    DECIMAL (the bigram_logprob discipline) -- addition-order-free, so
+    shuffle order can't drift a score; the argmax is over exact
+    decimals, ties -> 'en'.
+
+    Scale shape: one corpus scan to count (token-keyed shuffle,
+    vocab-scale), scalar priors/totals broadcast, then scoring joins
+    exploded doc tokens to the vocab-scale likelihood table -- no
+    driver traffic beyond four scalars.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    ex = explode_nonempty(
+        df, [F.col(id_col), (F.col(lang_col) == "en").alias("__is_en")], toks, "__w"
+    )
+    per_tok = ex.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__c_all"),
+        F.sum(F.when(F.col("__is_en"), 1).otherwise(0)).alias("__c_en"),
+    )
+    scal = ex.agg(
+        F.sum(F.when(F.col("__is_en"), 1).otherwise(0)).alias("__t_en"),
+        F.sum(F.when(F.col("__is_en"), 0).otherwise(1)).alias("__t_ot"),
+        F.count(F.lit(1)).alias("__t_all"),
+    ).crossJoin(per_tok.agg(F.count(F.lit(1)).alias("__v")))
+    docs_scal = df.agg(
+        F.sum(F.when(F.col(lang_col) == "en", 1).otherwise(0)).alias("__d_en"),
+        F.count(F.lit(1)).alias("__d_all"),
+    )
+
+    lik = per_tok.crossJoin(F.broadcast(scal)).select(
+        "__w",
+        F.round(
+            F.log((F.col("__c_en") + 1).cast("double") / (F.col("__t_en") + F.col("__v"))),
+            9,
+        ).cast("decimal(20,9)").alias("__ll_en"),
+        F.round(
+            F.log(
+                (F.col("__c_all") - F.col("__c_en") + 1).cast("double")
+                / (F.col("__t_ot") + F.col("__v"))
+            ),
+            9,
+        ).cast("decimal(20,9)").alias("__ll_ot"),
+    )
+    sums = (
+        ex.select(id_col, "__w")
+        .join(lik, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__ll_en").alias("__s_en"),
+            F.sum("__ll_ot").alias("__s_ot"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(20,9)")
+    out = (
+        df.select(id_col, lang_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(docs_scal))
+        .select(
+            id_col,
+            lang_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            (
+                F.coalesce("__s_en", zero)
+                + F.round(
+                    F.log(F.col("__d_en").cast("double") / F.col("__d_all")), 9
+                ).cast("decimal(20,9)")
+            ).alias("__sc_en"),
+            (
+                F.coalesce("__s_ot", zero)
+                + F.round(
+                    F.log(
+                        (F.col("__d_all") - F.col("__d_en")).cast("double")
+                        / F.col("__d_all")
+                    ),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("__sc_ot"),
+        )
+    )
+    return out.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        F.col("__sc_en").cast("double").alias("score_en"),
+        F.col("__sc_ot").cast("double").alias("score_other"),
+        F.when(F.col("__sc_en") >= F.col("__sc_ot"), F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred"),
+    )

@@ -3727,3 +3727,60 @@ LLM_ORACLES["llm_ann_pq_int"] = """
     FROM pairs
     QUALIFY rank <= 5
 """
+
+# Naive-Bayes train+score replay: token counts, add-1 likelihoods, and
+# 9-digit-rounded DECIMAL log sums mirror llm/text.py::nb_classify
+# term for term (the bigram_logprob discipline).
+LLM_ORACLES["llm_nb_classifier"] = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, (lang = 'en') AS is_en, unnest(t) AS w FROM toks
+    ), per_tok AS (
+      SELECT w, count(*) AS c_all,
+             sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS c_en
+      FROM ex GROUP BY w
+    ), scal AS (
+      SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS t_en,
+             sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS t_ot
+      FROM ex
+    ), voc AS (
+      SELECT count(*) AS v FROM per_tok
+    ), docs AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_en,
+             count(*) AS d_all
+      FROM documents
+    ), lik AS (
+      SELECT w,
+             CAST(round(ln(CAST(c_en + 1 AS DOUBLE) / (t_en + v)), 9)
+                  AS DECIMAL(20,9)) AS ll_en,
+             CAST(round(ln(CAST(c_all - c_en + 1 AS DOUBLE) / (t_ot + v)), 9)
+                  AS DECIMAL(20,9)) AS ll_ot
+      FROM per_tok CROSS JOIN scal CROSS JOIN voc
+    ), sums AS (
+      SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(l.ll_en) AS s_en, sum(l.ll_ot) AS s_ot
+      FROM ex JOIN lik l ON ex.w = l.w
+      GROUP BY ex.doc_id
+    ), pri AS (
+      SELECT CAST(round(ln(CAST(d_en AS DOUBLE) / d_all), 9) AS DECIMAL(20,9)) AS p_en,
+             CAST(round(ln(CAST(d_all - d_en AS DOUBLE) / d_all), 9) AS DECIMAL(20,9)) AS p_ot
+      FROM docs
+    ), fin AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(s.n_tokens, 0) AS n_tokens,
+             coalesce(s.s_en, CAST(0 AS DECIMAL(20,9))) + pri.p_en AS sc_en,
+             coalesce(s.s_ot, CAST(0 AS DECIMAL(20,9))) + pri.p_ot AS sc_ot
+      FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+      CROSS JOIN pri
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(sc_en AS DOUBLE) AS score_en,
+           CAST(sc_ot AS DOUBLE) AS score_other,
+           CASE WHEN sc_en >= sc_ot THEN 'en' ELSE 'other' END AS pred
+    FROM fin
+"""

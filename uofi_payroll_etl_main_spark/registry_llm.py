@@ -1460,6 +1460,15 @@ def llm_ann_pq_int(spark, sf):
     return ann_pq_int(_t(spark, sf, "embeddings"), k=5, n_codes=8, n_sub=4)
 
 
+
+def llm_nb_classifier(spark, sf):
+    """Naive-Bayes train-and-score twin (text.nb_classify): counting +
+    add-1 smoothing + exact-decimal log sums make the WHOLE
+    train->deploy loop VALUE-checked (the ridge tier
+    llm_trained_classifier keeps its NumPy-replica pytest)."""
+    return LT.nb_classify(_t(spark, sf, "documents"))
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2444,6 +2453,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_semantic_dedup_int": llm_semantic_dedup_int,
     "a51_heavy_hitters": a51_heavy_hitters,
     "llm_ann_pq_int": llm_ann_pq_int,
+    "llm_nb_classifier": llm_nb_classifier,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
