@@ -708,3 +708,35 @@ def test_join_ivm_matches_full_recompute_over_refreshes(spark, tmp_path):
     got = sorted((r["id"], r["g"]) for r in view.collect())
     want = sorted((r["id"], r["g"]) for r in a_all.join(b_all, "k").collect())
     assert got == want and len(got) == 300
+
+
+def test_join_ivm_zset_retraction_cancels(spark, tmp_path):
+    """Signed IVM: deleting a previously-inserted left row (and a right
+    row) through -1 deltas nets the view to exactly the batch join of
+    the post-delete bases -- retraction flows through the join."""
+    from uofi_payroll_etl_main_spark.io import (
+        ivm_init_zset,
+        ivm_read_zset,
+        ivm_refresh_zset,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 5, i) for i in range(50)], "k long, id long"
+    )
+    b = spark.createDataFrame([(i, "g%d" % i) for i in range(5)], "k long, g string")
+    root = str(tmp_path / "zivm")
+    ivm_init_zset(spark, root, a, b, "k")
+    # delete ids divisible by 10 and right key 3
+    da = a.filter(F.col("id") % 10 == 0).withColumn("__mult", F.lit(-1).cast("long"))
+    db = b.filter(F.col("k") == 3).withColumn("__mult", F.lit(-1).cast("long"))
+    ivm_refresh_zset(spark, root, "k", delta_a=da, delta_b=db)
+    net = ivm_read_zset(spark, root)
+    got = sorted((r["id"], r["g"]) for r in net.collect())
+    want = sorted(
+        (r["id"], r["g"])
+        for r in a.filter(F.col("id") % 10 != 0)
+        .join(b.filter(F.col("k") != 3), "k")
+        .collect()
+    )
+    assert got == want
+    assert all(r["__mult"] == 1 for r in net.collect())

@@ -1191,3 +1191,83 @@ def ivm_refresh(
         delta_a.write.mode("append").parquet(a_path)
     if delta_b is not None:
         delta_b.write.mode("append").parquet(b_path)
+
+
+def ivm_init_zset(
+    spark: SparkSession, root: str, a: DataFrame, b: DataFrame, on: str
+) -> None:
+    """Signed-multiplicity (z-set) variant of ivm_init: every base and
+    view row carries __mult; inserts are +1, deletes are -1, and the
+    net view is the multiplicity-weighted sum (the DBSP / differential
+    dataflow algebra, which makes DELETES incremental too)."""
+    am = a.withColumn("__mult", F.lit(1).cast("long"))
+    bm = b.withColumn("__mult", F.lit(1).cast("long"))
+    am.write.mode("overwrite").parquet(os.path.join(root, "a.parquet"))
+    bm.write.mode("overwrite").parquet(os.path.join(root, "b.parquet"))
+    _zset_join(am, bm, on).write.mode("overwrite").parquet(
+        os.path.join(root, "view.parquet")
+    )
+
+
+def _zset_join(a: DataFrame, b: DataFrame, on: str) -> DataFrame:
+    """Join two signed relations: multiplicities MULTIPLY (the bilinear
+    join rule -- a deleted left row times an existing right row yields
+    a -1 view row that cancels the original)."""
+    am = a.withColumnRenamed("__mult", "__ma")
+    bm = b.withColumnRenamed("__mult", "__mb")
+    return (
+        am.join(bm, on)
+        .withColumn("__mult", (F.col("__ma") * F.col("__mb")).cast("long"))
+        .drop("__ma", "__mb")
+    )
+
+
+def ivm_refresh_zset(
+    spark: SparkSession,
+    root: str,
+    on: str,
+    delta_a: DataFrame | None = None,
+    delta_b: DataFrame | None = None,
+) -> None:
+    """Signed incremental refresh: `delta_a`/`delta_b` carry __mult
+    (+1 insert, -1 delete of a previously-inserted row).  Same
+    three-term decomposition as ivm_refresh; the bilinear multiplicity
+    rule makes retraction flow through joins for free -- a -1 left
+    delta joined to the right base emits -1 view rows that cancel the
+    rows the original +1 emitted.  Each refresh still costs |delta|
+    join work; ivm_read nets multiplicities at read time (a production
+    deployment compacts periodically)."""
+    a_path = os.path.join(root, "a.parquet")
+    b_path = os.path.join(root, "b.parquet")
+    v_path = os.path.join(root, "view.parquet")
+    a_old = spark.read.parquet(a_path)
+    b_old = spark.read.parquet(b_path)
+    parts = []
+    if delta_a is not None:
+        parts.append(_zset_join(delta_a, b_old, on))
+    if delta_b is not None:
+        parts.append(_zset_join(a_old, delta_b, on))
+        if delta_a is not None:
+            parts.append(_zset_join(delta_a, delta_b, on))
+    if not parts:
+        return
+    dv = parts[0]
+    for p in parts[1:]:
+        dv = dv.unionByName(p)
+    dv.write.mode("append").parquet(v_path)
+    if delta_a is not None:
+        delta_a.write.mode("append").parquet(a_path)
+    if delta_b is not None:
+        delta_b.write.mode("append").parquet(b_path)
+
+
+def ivm_read_zset(spark: SparkSession, root: str) -> DataFrame:
+    """Net the signed view: group by the row payload, sum multiplicities,
+    keep net-positive rows (weighted by the net multiplicity)."""
+    v = spark.read.parquet(os.path.join(root, "view.parquet"))
+    cols = [c for c in v.columns if c != "__mult"]
+    return (
+        v.groupBy(*cols)
+        .agg(F.sum("__mult").cast("long").alias("__mult"))
+        .filter(F.col("__mult") > 0)
+    )

@@ -2567,3 +2567,14 @@ CORE_ORACLES["s29_join_ivm"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment, o.o_orderpriority
 """
+
+CORE_ORACLES["s30_join_ivm_zset"] = """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE NOT (o.o_orderkey % 7 = 0 AND day(o.o_orderdate) <= 10)
+      AND c.c_custkey % 2 = 0
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+"""

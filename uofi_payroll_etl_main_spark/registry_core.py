@@ -993,6 +993,48 @@ def s29_join_ivm(spark, sf):
     )
 
 
+def s30_join_ivm_zset(spark, sf):
+    """S-family -- SIGNED incremental view maintenance (io.ivm_*_zset,
+    the DBSP/z-set algebra): one refresh both INSERTS the late orders
+    and DELETES every %7 order and every odd customer -- retraction
+    flows through the join as multiplied -1 multiplicities, no
+    recompute.  The netted view aggregate is value-checked against the
+    batch join over the post-delete bases."""
+    from .io import ivm_init_zset, ivm_read_zset, ivm_refresh_zset
+
+    root = _tagged_dir(sf, "orders", "join_ivm_zset")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderpriority",
+        "o_totalprice", "o_orderdate",
+    )
+    customer = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    if not os.path.exists(os.path.join(root, "view.parquet", "_SUCCESS")):
+        a0 = orders.filter(F.dayofmonth("o_orderdate") <= 10)
+        ivm_init_zset(spark, root, a0, customer, "custkey")
+        ins = orders.filter(F.dayofmonth("o_orderdate") > 10).withColumn(
+            "__mult", F.lit(1).cast("long")
+        )
+        dele = a0.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "__mult", F.lit(-1).cast("long")
+        )
+        del_b = customer.filter(F.col("custkey") % 2 != 0).withColumn(
+            "__mult", F.lit(-1).cast("long")
+        )
+        ivm_refresh_zset(
+            spark, root, "custkey",
+            delta_a=ins.unionByName(dele), delta_b=del_b,
+        )
+    net = ivm_read_zset(spark, root)
+    return net.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.sum("__mult").cast("long").alias("n_orders"),
+        F.sum(
+            F.col("__mult") * F.col("o_totalprice").cast("decimal(18,2)")
+        ).cast("double").alias("total_price"),
+    )
+
+
 def s19_vacuum(spark, sf):
     """S-family -- versioned-store retention (io.vacuum_versions): four
     snapshots publish into a FRESH scratch store (deterministic slices
@@ -3743,6 +3785,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v17_dp_counts": v17_dp_counts,
     "w_seasonal_decompose": w_seasonal_decompose,
     "s29_join_ivm": s29_join_ivm,
+    "s30_join_ivm_zset": s30_join_ivm_zset,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
