@@ -3784,3 +3784,35 @@ LLM_ORACLES["llm_nb_classifier"] = """
            CASE WHEN sc_en >= sc_ot THEN 'en' ELSE 'other' END AS pred
     FROM fin
 """
+
+LLM_ORACLES["llm_unigram_seed"] = """
+    WITH toks AS (
+      SELECT CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), pos AS (
+      SELECT word, cnt, unnest(generate_series(1, length(word))) AS i
+      FROM words
+    ), grid AS (
+      SELECT word, cnt, i,
+             unnest(generate_series(1, least(8, length(word) - i + 1))) AS l
+      FROM pos
+    ), freq AS (
+      SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+             sum(cnt) AS freq
+      FROM grid GROUP BY 1
+    ), singles AS (
+      SELECT piece, freq FROM freq WHERE length(piece) = 1
+    ), multi AS (
+      SELECT piece, freq FROM freq
+      WHERE length(piece) > 1 AND freq >= 2
+      ORDER BY freq DESC, piece ASC LIMIT 300
+    )
+    SELECT piece, CAST(freq AS BIGINT) AS freq FROM singles
+    UNION ALL
+    SELECT piece, CAST(freq AS BIGINT) AS freq FROM multi
+"""

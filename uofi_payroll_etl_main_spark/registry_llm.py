@@ -1469,6 +1469,21 @@ def llm_nb_classifier(spark, sf):
     return LT.nb_classify(_t(spark, sf, "documents"))
 
 
+
+def llm_unigram_seed(spark, sf):
+    """Unigram tokenizer SEED stage value-checked (unigram._seed_pieces):
+    the substring-grid candidate table (all pieces <= 8 chars weighted
+    by word count; every single char + the top-300 multis) that hard-EM
+    refines -- the trainer's stage 0 now has a full DuckDB oracle (EM
+    itself stays rows-only + replica-pytest)."""
+    from .llm.unigram import _seed_pieces, word_counts
+
+    return _seed_pieces(
+        word_counts(_t(spark, sf, "documents")),
+        max_piece_len=8, min_count=2, seed_size=300,
+    )
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2454,6 +2469,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a51_heavy_hitters": a51_heavy_hitters,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
+    "llm_unigram_seed": llm_unigram_seed,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
