@@ -37,6 +37,7 @@ __all__ = [
     "read_incremental",
     "commit_ingest",
     "delete_rows",
+    "bucketed_table", "ivm_init", "ivm_refresh", "ivm_init_zset", "ivm_refresh_zset", "ivm_read_zset",
 ]
 
 

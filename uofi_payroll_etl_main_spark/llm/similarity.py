@@ -45,6 +45,7 @@ __all__ = [
     "negative_pairs",
     "rrf_fuse",
     "mmr_topk",
+    "kmeans_int", "semantic_dedup_int", "ann_pq_int",
 ]
 
 ROUND_DIGITS = 6

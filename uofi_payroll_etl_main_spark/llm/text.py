@@ -48,6 +48,7 @@ __all__ = [
     "bm25_topk",
     "sentence_split",
     "normalize_unicode",
+    "nb_classify",
 ]
 
 # High-frequency English function words; bounded so 'the' != 'theory'.
