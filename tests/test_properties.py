@@ -486,3 +486,57 @@ def test_normalize_url_matches_independent_model(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "x string")
     got = [r[0] for r in df.select(normalize_url(F.col("x"))).collect()]
     assert got == [_py_normalize_url(u) for u in urls]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(0, 5),
+                  st.floats(-10, 10, allow_nan=False)),
+        min_size=1, max_size=60,
+    )
+)
+def test_skew_agg_equals_plain_groupby(spark, rows):
+    """skew_agg == plain groupBy on random multisets (exactness of the
+    salted two-phase rewrite is a property, not a fixture)."""
+    from uofi_payroll_etl_main_spark.aggregates import skew_agg
+
+    df = spark.createDataFrame(
+        [(k, m, round(v, 3)) for k, m, v in rows], "k string, m long, v double"
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["n_members"], round(r["total_value"] or 0, 6))
+        for r in skew_agg(df, "k", "v", "m", salt_buckets=4).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["d"], round(r["s"] or 0, 6))
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("m").cast("long").alias("d"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.sampled_from(["hot", "warm", "t1", "t2", "t3", "t4", "t5"]),
+             min_size=5, max_size=80),
+    st.sampled_from([0.1, 0.25, 0.4]),
+)
+def test_heavy_hitters_equals_plain_filter(spark, keys, phi):
+    """heavy_hitters == the plain groupBy + HAVING answer for any
+    multiset and threshold (the MG candidate stage never loses a true
+    heavy hitter)."""
+    from uofi_payroll_etl_main_spark.aggregates import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(4)
+    got = {r["k"]: r["n_rows"] for r in
+           heavy_hitters(df, "k", phi=phi, member_cap=32).collect()}
+    n = len(keys)
+    from collections import Counter
+    want = {k: c for k, c in Counter(keys).items() if c > phi * n}
+    assert got == want
