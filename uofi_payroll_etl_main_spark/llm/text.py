@@ -1195,3 +1195,54 @@ def nb_classify(
         .otherwise(F.lit("other"))
         .alias("pred"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits/char)
+    -- the closed-form compressibility bound that pairs with the zlib
+    `compression_ratio` signal (entropy IS the limit zlib approaches;
+    unlike zlib it is exactly SQL-replayable, so this tier carries the
+    value oracle).  Low entropy = repetitive/boilerplate text, high =
+    diverse or already-compressed noise; the same screen Gopher-style
+    repetition rules approximate with n-gram fractions.
+
+    One explode + two bounded aggregates; per-char terms are rounded
+    and DECIMAL-summed (the bigram_logprob discipline) so shuffle
+    order cannot drift the result.
+    """
+    t = F.col(text_col)
+    ex = explode_nonempty(
+        df,
+        [F.col(id_col)],
+        F.when(F.length(t) > 0, F.split(t, "")).otherwise(
+            F.array().cast("array<string>")
+        ),
+        "__ch",
+    ).filter(F.col("__ch") != "")
+    per = ex.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    tot = per.groupBy(id_col).agg(F.sum("__c").alias("__n"))
+    ent = (
+        per.join(tot, id_col)
+        .select(
+            id_col,
+            "__n",
+            F.round(
+                -(F.col("__c") / F.col("__n"))
+                * F.log2(F.col("__c") / F.col("__n")),
+                9,
+            ).cast("decimal(20,9)").alias("__term"),
+        )
+        .groupBy(id_col, "__n")
+        .agg(F.sum("__term").cast("double").alias("entropy_bits"))
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_chars_counted"),
+            F.round(F.coalesce("entropy_bits", F.lit(0.0)), 6).alias("entropy_bits"),
+        )
+    )

@@ -3816,3 +3816,25 @@ LLM_ORACLES["llm_unigram_seed"] = """
     UNION ALL
     SELECT piece, CAST(freq AS BIGINT) AS freq FROM multi
 """
+
+LLM_ORACLES["llm_char_entropy"] = """
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ), per AS (
+      SELECT doc_id, ch, count(*) AS c FROM ex WHERE ch <> '' GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n FROM per GROUP BY doc_id
+    ), ent AS (
+      SELECT per.doc_id, t.n,
+             sum(CAST(round(-(per.c / CAST(t.n AS DOUBLE))
+                            * log2(per.c / CAST(t.n AS DOUBLE)), 9)
+                      AS DECIMAL(20,9))) AS e
+      FROM per JOIN tot t ON per.doc_id = t.doc_id
+      GROUP BY per.doc_id, t.n
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ent.n, 0) AS BIGINT) AS n_chars_counted,
+           round(coalesce(CAST(ent.e AS DOUBLE), 0.0), 6) AS entropy_bits
+    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""

@@ -1484,6 +1484,15 @@ def llm_unigram_seed(spark, sf):
     )
 
 
+
+def llm_char_entropy(spark, sf):
+    """Shannon character entropy per doc (text.char_entropy): the
+    closed-form compressibility bound -- the value-checked sibling of
+    the zlib llm_compress_ratio signal (zlib itself has no SQL
+    oracle)."""
+    return LT.char_entropy(_t(spark, sf, "documents"))
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2470,6 +2479,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
     "llm_unigram_seed": llm_unigram_seed,
+    "llm_char_entropy": llm_char_entropy,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
