@@ -1352,35 +1352,35 @@ def w_seasonal_decompose(spark, sf):
     hour-of-day effect + residual; per (type, hour) the effect, volume,
     and the count of residuals beyond 2 sigma -- the classical
     seasonal-adjustment screen, fully deterministic (DECIMAL-summed
-    means, rounded components).  Three bounded aggregates + broadcast
-    joins of type-scalar and (type, hour) frames back onto one event
-    scan; nothing beyond group cardinality shuffles twice."""
+    means, rounded components).  Two event scans total (the residual
+    pass is inherently second-pass): the (type, hour) table is built
+    once and the type mean DERIVES from it (no separate scan), both
+    group-cardinality frames localCheckpoint so their lineage doesn't
+    replicate the event subplan into every consumer (this plan
+    originally scanned events 10x -- caught by the repo's own lint)."""
     ev = _t(spark, sf, "events").select(
         "event_type",
         F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour"),
         "value",
     )
-    o = ev.groupBy("event_type").agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("__mean")
-    )
     h = ev.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("__hs"),
+    ).localCheckpoint(eager=True)
+    o = h.groupBy("event_type").agg(
+        F.round(
+            F.sum("__hs").cast("double") / F.sum("n_events"), 6
+        ).alias("__mean")
     )
     h2 = h.join(F.broadcast(o), "event_type").withColumn(
         "hour_effect",
         F.round(
             F.col("__hs").cast("double") / F.col("n_events") - F.col("__mean"), 6
         ),
-    )
+    ).localCheckpoint(eager=True)
     rows = (
-        ev.join(F.broadcast(o), "event_type")
-        .join(
-            F.broadcast(h2.select("event_type", "hour", "hour_effect")),
+        ev.join(
+            F.broadcast(h2.select("event_type", "hour", "hour_effect", "__mean")),
             ["event_type", "hour"],
         )
         .withColumn(
