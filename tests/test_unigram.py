@@ -139,3 +139,24 @@ def test_word_counts(spark):
     docs = spark.createDataFrame([(1, "a b  a"), (2, " "), (3, "b")], ["doc_id", "text"])
     got = {r.word: r["count"] for r in word_counts(docs).collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_viterbi_profile_int_planted_merges(spark):
+    """viterbi_profile_int: a corpus dominated by the bigram 'ab' makes
+    'ab' a high-probability seed piece, so 'ababab' segments into 3
+    pieces (not 6 chars); rare words fall back to char pieces; a
+    blank doc yields the zero row; scores are negative integers."""
+    from uofi_payroll_etl_main_spark.llm.unigram import viterbi_profile_int
+
+    rows = [(i, "ababab abab ab") for i in range(20)]
+    rows.append((100, "xq"))     # rare: 'xq' not a multi piece (freq 1 < 2)
+    rows.append((101, "   "))    # blank
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in viterbi_profile_int(df).collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 3
+    # 'ababab' -> 3x 'ab' (or better), 'abab' -> 2, 'ab' -> 1 => <= 6 pieces
+    assert r0["n_pieces"] <= 6, r0
+    assert r0["score_scaled"] < 0
+    assert out[100]["n_words"] == 1 and out[100]["n_pieces"] == 2
+    assert out[101]["n_words"] == 0 and out[101]["score_scaled"] == 0

@@ -263,3 +263,93 @@ def unigram_tokenize(
             6,
         ).alias("pieces_per_word"),
     )
+
+
+def viterbi_profile_int(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """VALUE-CHECKED Viterbi segmentation twin: tokenize every word
+    with the max-probability DP under the deterministic SEED piece
+    table (no EM), with log-probs FLOOR-QUANTIZED to integers
+    (floor(ln(freq/total) * 1e9)) so the whole DP is integer
+    arithmetic -- the DuckDB oracle replays vocab, quantization, and
+    the DP itself (list-state recursive CTE, candidates precomputed by
+    a substr equi-join) bit-for-bit.  Tie-breaks: max score, then the
+    LONGER final piece (same rule as viterbi_segment).  The seed's
+    single-char coverage floor guarantees segmentability, so no <unk>
+    lane is needed.  The EM-trained tiers (unigram_train/tokenize)
+    stay rows-only with replica pytests; this twin certifies the
+    Viterbi algebra itself.
+
+    Returns (doc_id, n_words, n_pieces, score_scaled) -- score_scaled
+    is the summed best path score in 1e-9 log units (an exact BIGINT,
+    a stronger check than piece counts alone).
+    """
+    import math as _math
+
+    spark = df.sparkSession
+    words = word_counts(df, text_col)
+    seed = _seed_pieces(words, max_piece_len=8, min_count=2, seed_size=300)
+    rows = seed.collect()  # vocab-bounded
+    total = sum(r.freq for r in rows) or 1
+    ll = {
+        r.piece: _math.floor(_math.log(r.freq / total) * 1_000_000_000)
+        for r in rows
+    }
+    max_len = max((len(p) for p in ll), default=1)
+    bc = spark.sparkContext.broadcast(ll)
+
+    src = df.select(F.col(id_col), tokens(normalize_text(text_col)).alias("__w"))
+
+    def seg(batches, _bc=bc):
+        import pandas as pd
+
+        lp = _bc.value
+        cache: dict[str, tuple[int, int]] = {}
+
+        def run_word(w: str) -> tuple[int, int]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            n = len(w)
+            best = [0] + [None] * n
+            np_ = [0] + [None] * n
+            for i in range(1, n + 1):
+                opts = []
+                for L in range(1, min(max_len, i) + 1):
+                    p = w[i - L : i]
+                    sc = lp.get(p)
+                    if sc is not None and best[i - L] is not None:
+                        # (-score, start_j): max score, tie -> smaller j
+                        opts.append((-(best[i - L] + sc), i - L))
+                neg, j = min(opts)
+                best[i] = -neg
+                np_[i] = np_[j] + 1
+            cache[w] = (best[n], np_[n])
+            return cache[w]
+
+        for pdf in batches:
+            ids, nw, npieces, sc = [], [], [], []
+            for did, ws in zip(pdf.iloc[:, 0], pdf["__w"]):
+                tot_np = tot_sc = 0
+                for w in ws:
+                    s, p = run_word(w)
+                    tot_sc += s
+                    tot_np += p
+                ids.append(did)
+                nw.append(len(ws))
+                npieces.append(tot_np)
+                sc.append(tot_sc)
+            yield pd.DataFrame(
+                {"id": ids, "n_words": nw, "n_pieces": npieces, "sc": sc}
+            )
+
+    out = src.mapInPandas(
+        seg, "id long, n_words long, n_pieces long, sc long"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "n_pieces",
+        F.col("sc").alias("score_scaled"),
+    )

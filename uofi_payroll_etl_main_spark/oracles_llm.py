@@ -3838,3 +3838,91 @@ LLM_ORACLES["llm_char_entropy"] = """
            round(coalesce(CAST(ent.e AS DOUBLE), 0.0), 6) AS entropy_bits
     FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
 """
+
+# Viterbi DP replayed in SQL: seed vocab (the llm_unigram_seed
+# derivation) -> floor-quantized integer log-probs -> per-(word, end
+# position) candidate lists from a substr equi-join -> a recursive CTE
+# advancing every distinct word one position per iteration, carrying
+# the BIGINT dp score and piece-count vectors as list state; tie-break
+# = (max score, longer final piece), exactly unigram.viterbi_profile_int.
+LLM_ORACLES["llm_viterbi_fixed"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), pos0 AS (
+      SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM words
+    ), grid AS (
+      SELECT word, cnt, i,
+             unnest(generate_series(1, least(8, length(word) - i + 1))) AS l
+      FROM pos0
+    ), freq AS (
+      SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+             sum(cnt) AS freq
+      FROM grid GROUP BY 1
+    ), vocab0 AS (
+      SELECT piece, freq FROM freq WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM freq WHERE length(piece) > 1 AND freq >= 2
+        ORDER BY freq DESC, piece ASC LIMIT 300)
+    ), tot AS (SELECT sum(freq) AS t FROM vocab0),
+    vocab AS MATERIALIZED (
+      SELECT piece,
+             CAST(floor(ln(freq / (SELECT CAST(t AS DOUBLE) FROM tot))
+                        * 1000000000) AS BIGINT) AS ll
+      FROM vocab0
+    ), dwords AS MATERIALIZED (SELECT DISTINCT word FROM words),
+    positions AS (
+      SELECT word, unnest(generate_series(1, length(word))) AS pos FROM dwords
+    ), matches AS MATERIALIZED (
+      SELECT p.word, p.pos, CAST(length(v.piece) AS BIGINT) AS L, v.ll
+      FROM positions p JOIN vocab v
+        ON length(v.piece) <= p.pos
+       AND substr(p.word, CAST(p.pos - length(v.piece) + 1 AS INTEGER),
+                  CAST(length(v.piece) AS INTEGER)) = v.piece
+    ), cands AS MATERIALIZED (
+      SELECT word, pos, list(struct_pack(L := L, ll := ll)) AS lst
+      FROM matches GROUP BY word, pos
+    ), walk AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos,
+             CAST([0] AS BIGINT[]) AS scores, CAST([0] AS BIGINT[]) AS nps
+      FROM dwords
+      UNION ALL
+      SELECT s.word, s.pos + 1,
+             list_append(s.scores,
+               -(list_sort(list_transform(c.lst, x -> struct_pack(
+                   negsc := -(s.scores[CAST(s.pos + 2 - x.L AS INTEGER)] + x.ll),
+                   j := s.pos + 1 - x.L)))[1].negsc)),
+             list_append(s.nps,
+               s.nps[CAST(s.pos + 2 -
+                 (list_sort(list_transform(c.lst, x -> struct_pack(
+                   negsc := -(s.scores[CAST(s.pos + 2 - x.L AS INTEGER)] + x.ll),
+                   j := s.pos + 1 - x.L,
+                   L := x.L)))[1].L) AS INTEGER)] + 1)
+      FROM walk s JOIN cands c ON c.word = s.word AND c.pos = s.pos + 1
+      WHERE s.pos < length(s.word)
+    ), final AS (
+      SELECT word, scores[length(word) + 1] AS sc, nps[length(word) + 1] AS np
+      FROM walk WHERE pos = length(word)
+    ), per_word AS (
+      SELECT doc_id, w AS word FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+    ), per_doc AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(f.np) AS BIGINT) AS n_pieces,
+             CAST(sum(f.sc) AS BIGINT) AS score_scaled
+      FROM per_word p JOIN final f ON p.word = f.word
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(pd.n_words, 0) AS n_words,
+           coalesce(pd.n_pieces, 0) AS n_pieces,
+           coalesce(pd.score_scaled, 0) AS score_scaled
+    FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+"""

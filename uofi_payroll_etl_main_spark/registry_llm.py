@@ -1493,6 +1493,19 @@ def llm_char_entropy(spark, sf):
     return LT.char_entropy(_t(spark, sf, "documents"))
 
 
+
+def llm_viterbi_fixed(spark, sf):
+    """Viterbi tokenization VALUE-checked end-to-end
+    (unigram.viterbi_profile_int): seed piece table + floor-quantized
+    integer log-probs + max-probability DP, replayed in DuckDB as a
+    list-state recursive CTE over substr-join candidates -- the
+    Viterbi algebra itself now carries a full oracle (the EM-trained
+    tiers stay rows-only + replica pytests)."""
+    from .llm.unigram import viterbi_profile_int
+
+    return viterbi_profile_int(_t(spark, sf, "documents"))
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2480,6 +2493,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_nb_classifier": llm_nb_classifier,
     "llm_unigram_seed": llm_unigram_seed,
     "llm_char_entropy": llm_char_entropy,
+    "llm_viterbi_fixed": llm_viterbi_fixed,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
