@@ -142,6 +142,11 @@ HEADLINERS = [
     "g15_scc",
     "llm_bpe_tokenize",
     "llm_kmeans_int",
+    "a51_heavy_hitters",
+    "s29_join_ivm",
+    "st_topk",
+    "llm_nb_classifier",
+    "llm_viterbi_fixed",
 ]
 
 
