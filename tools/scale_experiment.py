@@ -84,6 +84,11 @@ SCALED = {
     "documents": [("doc_id", 1_000_000_000)],
 }
 COPIED = ["region", "nation", "supplier", "part", "embeddings"]
+# SCALE_EXP_EMB=1: also grow embeddings Nx (vec_id offsets, vectors kept
+# -- cluster structure repeats, which is the right shape for CLUSTERING
+# timings; pairwise/ANN gates stay excluded because duplicate vectors
+# inflate their OUTPUT quadratically and would measure materialization)
+EMB_SCALED = [("vec_id", 1_000_000_000)]
 
 
 def build(spark, src: str, dst: str, n: int) -> None:
@@ -92,11 +97,16 @@ def build(spark, src: str, dst: str, n: int) -> None:
     from uofi_payroll_etl_main_spark.io import load_table
 
     os.makedirs(dst, exist_ok=True)
-    for t in COPIED:
+    copied = list(COPIED)
+    scaled = dict(SCALED)
+    if os.environ.get("SCALE_EXP_EMB"):
+        copied.remove("embeddings")
+        scaled["embeddings"] = EMB_SCALED
+    for t in copied:
         load_table(spark, src, t).write.mode("overwrite").parquet(
             os.path.join(dst, f"{t}.parquet")
         )
-    for t, offsets in SCALED.items():
+    for t, offsets in scaled.items():
         base = load_table(spark, src, t)
         parts = []
         for i in range(n):
@@ -122,7 +132,9 @@ def main() -> None:
         HEADLINERS = os.environ["SCALE_EXP_QUERIES"].split(",")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    dst = f"/tmp/spark_graft_scale{n}"
+    dst = f"/tmp/spark_graft_scale{n}" + (
+        "_emb" if os.environ.get("SCALE_EXP_EMB") else ""
+    )
 
     import __spark_entry__ as entrymod
 
