@@ -32,6 +32,7 @@ from uofi_payroll_etl_main_spark.registry_core import (
     FLAGSHIP_SQL,
     SQL2_TEXT,
     SQL3_TEXT,
+    SQL4_TEXT,
     flagship,
 )
 from uofi_payroll_etl_main_spark.registry_llm import LLM_QUERIES
@@ -57,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
     out["flagship"] = FLAGSHIP_SQL
     out["sql2_window_rank"] = SQL2_TEXT
     out["sql3_exists_cte"] = SQL3_TEXT
+    out["sql4_grouping_sets"] = SQL4_TEXT
     out.update(LLM_ORACLES)
     out.update(PIPE_ORACLES)
     return out

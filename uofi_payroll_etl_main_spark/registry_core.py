@@ -2903,6 +2903,31 @@ SQL3_TEXT = """
 """
 
 
+SQL4_TEXT = """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+           CAST(grouping(r_name) AS BIGINT) AS g_region,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 0
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+def sql4_grouping_sets(spark, sf):
+    """SQL surface, multi-granularity shape: a 3-level GROUPING SETS
+    rollup (region x nation, region, grand total) with grouping()
+    disambiguators -- the IDENTICAL SQL text runs on both engines
+    (the sql1/sql2/sql3 contract, extended to the OLAP cube surface)."""
+    from .sql_api import run_sql
+
+    return run_sql(spark, sf, SQL4_TEXT)
+
+
 def sql3_exists_cte(spark, sf):
     """SQL surface, subquery shape: CTE + correlated EXISTS (planned as
     a left-semi join) + two window functions -- the IDENTICAL SQL text
@@ -3786,6 +3811,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_seasonal_decompose": w_seasonal_decompose,
     "s29_join_ivm": s29_join_ivm,
     "s30_join_ivm_zset": s30_join_ivm_zset,
+    "sql4_grouping_sets": sql4_grouping_sets,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
