@@ -3926,3 +3926,33 @@ LLM_ORACLES["llm_viterbi_fixed"] = """
            coalesce(pd.score_scaled, 0) AS score_scaled
     FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
 """
+
+# The decode oracle never parses a byte: synth_media's image pixels are
+# (mid*31 + y*7 + x*13 + c*101) % 256 at (8 + mid%9) x (6 + mid%5), and
+# PPM/PNG are lossless, so the decoded stats equal the formula's.
+LLM_ORACLES["mm_decode_verify"] = """
+    WITH ids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(64)
+      WHERE range % 3 = 0 AND (range // 3) % 4 IN (0, 1)
+    ), dims AS (
+      SELECT mid, 8 + mid % 9 AS w, 6 + mid % 5 AS h,
+             CASE WHEN (mid // 3) % 4 = 0 THEN 'ppm' ELSE 'png' END AS codec
+      FROM ids
+    ), ys AS (
+      SELECT mid, w, h, codec, unnest(generate_series(0, h - 1)) AS y FROM dims
+    ), xs AS (
+      SELECT mid, w, h, codec, y, unnest(generate_series(0, w - 1)) AS x FROM ys
+    ), px AS (
+      SELECT mid, w, h, codec, y, x, unnest(generate_series(0, 2)) AS c FROM xs
+    ), vals AS (
+      SELECT mid, w, h, codec,
+             (mid * 31 + y * 7 + x * 13 + c * 101) % 256 AS v
+      FROM px
+    )
+    SELECT mid AS media_id, codec, w AS width, h AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM vals
+    GROUP BY mid, codec, w, h
+"""

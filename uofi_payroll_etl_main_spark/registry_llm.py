@@ -1506,6 +1506,20 @@ def llm_viterbi_fixed(spark, sf):
     return viterbi_profile_int(_t(spark, sf, "documents"))
 
 
+
+def mm_decode_verify(spark, sf):
+    """The multimodal family's first VALUE-checked decode: PPM and PNG
+    payloads are decoded byte-for-byte (header parse; inflate +
+    scanline unfilter) and reduced to integer pixel stats, which the
+    oracle re-derives from the generator's arithmetic pixel formula
+    without touching the bytes -- lossless codecs + deterministic
+    pixels close the loop (multimodal.decode_pixel_stats).  JPEG stays
+    rows-only (lossy)."""
+    from .llm.multimodal import decode_pixel_stats, synth_media
+
+    return decode_pixel_stats(synth_media(spark, 64))
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2494,6 +2508,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_unigram_seed": llm_unigram_seed,
     "llm_char_entropy": llm_char_entropy,
     "llm_viterbi_fixed": llm_viterbi_fixed,
+    "mm_decode_verify": mm_decode_verify,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
