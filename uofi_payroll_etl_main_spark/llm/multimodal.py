@@ -1138,3 +1138,36 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
         "media_id long, codec string, width long, height long, "
         "px_sum long, px_min long, px_max long",
     )
+
+
+def decode_sample_stats(media: DataFrame) -> DataFrame:
+    """WAV sibling of decode_pixel_stats: parse the RIFF/PCM payload
+    for real and emit integer sample statistics the oracle re-derives
+    from the generator's arithmetic sample formula (PCM is lossless)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "rate": [], "n_samples": [],
+                "s_sum": [], "s_min": [], "s_max": [],
+            }
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if (meta or {}).get("codec") != "wav":
+                    continue
+                d = decode_media(bytes(payload), "audio")
+                s = d["samples"].astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["rate"].append(int(d["rate"]))
+                out["n_samples"].append(int(len(s)))
+                out["s_sum"].append(int(s.sum()))
+                out["s_min"].append(int(s.min()))
+                out["s_max"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "media_id long, rate long, n_samples long, "
+        "s_sum long, s_min long, s_max long",
+    )

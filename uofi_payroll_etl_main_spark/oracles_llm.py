@@ -3956,3 +3956,21 @@ LLM_ORACLES["mm_decode_verify"] = """
     FROM vals
     GROUP BY mid, codec, w, h
 """
+
+LLM_ORACLES["mm_wav_verify"] = """
+    WITH ids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(64) WHERE range % 3 = 1
+    ), dims AS (
+      SELECT mid, 64 + mid % 97 AS n FROM ids
+    ), xs AS (
+      SELECT mid, n, unnest(generate_series(0, n - 1)) AS i FROM dims
+    ), vals AS (
+      SELECT mid, n, ((mid * 7 + i * 13) % 4096 - 2048) * 15 AS v FROM xs
+    )
+    SELECT mid AS media_id, CAST(8000 AS BIGINT) AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS s_sum,
+           CAST(min(v) AS BIGINT) AS s_min,
+           CAST(max(v) AS BIGINT) AS s_max
+    FROM vals GROUP BY mid, n
+"""

@@ -1520,6 +1520,17 @@ def mm_decode_verify(spark, sf):
     return decode_pixel_stats(synth_media(spark, 64))
 
 
+
+def mm_wav_verify(spark, sf):
+    """Value-checked WAV decode (multimodal.decode_sample_stats): the
+    RIFF/PCM parse reduced to integer sample stats, re-derived by the
+    oracle from the arithmetic sample formula -- the audio sibling of
+    mm_decode_verify."""
+    from .llm.multimodal import decode_sample_stats, synth_media
+
+    return decode_sample_stats(synth_media(spark, 64))
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2509,6 +2520,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_char_entropy": llm_char_entropy,
     "llm_viterbi_fixed": llm_viterbi_fixed,
     "mm_decode_verify": mm_decode_verify,
+    "mm_wav_verify": mm_wav_verify,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
