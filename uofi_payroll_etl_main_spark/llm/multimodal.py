@@ -1171,3 +1171,44 @@ def decode_sample_stats(media: DataFrame) -> DataFrame:
         "media_id long, rate long, n_samples long, "
         "s_sum long, s_min long, s_max long",
     )
+
+
+def gif_roundtrip_stats(spark: SparkSession, n: int = 40) -> DataFrame:
+    """GIF codec certification: synthesize the arithmetic pixel pattern
+    per id, push it through the REAL LZW encoder and decoder
+    (interlaced on odd ids), and emit integer pixel stats -- the
+    oracle re-derives them from the formula, so the whole
+    encode->decode loop is value-checked without PIL.  The gradient
+    pattern has <= 256 distinct colors by construction (each channel
+    offsets the same base mod 256), which is exactly GIF's palette
+    contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "interlaced": [], "width": [], "height": [],
+                "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 6 + mid % 5
+                px = _synth_pixels(w, h, mid)
+                inter = bool(mid % 2)
+                dec_w, dec_h, back = _decode_gif(_encode_gif(px, interlace=inter))
+                if (dec_w, dec_h) != (w, h) or not (back == px).all():
+                    raise ValueError(f"GIF roundtrip mismatch for id {mid}")
+                b = back.astype(np.int64)
+                out["media_id"].append(mid)
+                out["interlaced"].append(inter)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(b.sum()))
+                out["px_min"].append(int(b.min()))
+                out["px_max"].append(int(b.max()))
+            yield pd.DataFrame(out)
+
+    return spark.range(n).mapInPandas(
+        run,
+        "media_id long, interlaced boolean, width long, height long, "
+        "px_sum long, px_min long, px_max long",
+    )

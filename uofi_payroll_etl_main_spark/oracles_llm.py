@@ -3974,3 +3974,28 @@ LLM_ORACLES["mm_wav_verify"] = """
            CAST(max(v) AS BIGINT) AS s_max
     FROM vals GROUP BY mid, n
 """
+
+LLM_ORACLES["mm_gif_verify"] = """
+    WITH ids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(40)
+    ), dims AS (
+      SELECT mid, 8 + mid % 9 AS w, 6 + mid % 5 AS h,
+             (mid % 2 = 1) AS interlaced
+      FROM ids
+    ), ys AS (
+      SELECT mid, w, h, interlaced, unnest(generate_series(0, h - 1)) AS y FROM dims
+    ), xs AS (
+      SELECT mid, w, h, interlaced, y, unnest(generate_series(0, w - 1)) AS x FROM ys
+    ), px AS (
+      SELECT mid, w, h, interlaced, y, x, unnest(generate_series(0, 2)) AS c FROM xs
+    ), vals AS (
+      SELECT mid, w, h, interlaced,
+             (mid * 31 + y * 7 + x * 13 + c * 101) % 256 AS v
+      FROM px
+    )
+    SELECT mid AS media_id, interlaced, w AS width, h AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM vals GROUP BY mid, interlaced, w, h
+"""

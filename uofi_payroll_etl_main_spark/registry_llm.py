@@ -1531,6 +1531,17 @@ def mm_wav_verify(spark, sf):
     return decode_sample_stats(synth_media(spark, 64))
 
 
+
+def mm_gif_verify(spark, sf):
+    """Value-checked GIF codec loop (multimodal.gif_roundtrip_stats):
+    real LZW encode -> decode (interlace on odd ids) reduced to integer
+    pixel stats that the oracle re-derives from the arithmetic pixel
+    formula -- the GIF sibling of mm_decode_verify."""
+    from .llm.multimodal import gif_roundtrip_stats
+
+    return gif_roundtrip_stats(spark, 40)
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2521,6 +2532,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_viterbi_fixed": llm_viterbi_fixed,
     "mm_decode_verify": mm_decode_verify,
     "mm_wav_verify": mm_wav_verify,
+    "mm_gif_verify": mm_gif_verify,
     "llm_mmr_ann": llm_mmr_ann,
     "a46_itemsets": a46_itemsets,
     "a47_assoc_rules": a47_assoc_rules,
