@@ -147,6 +147,9 @@ HEADLINERS = [
     "st_topk",
     "llm_nb_classifier",
     "llm_viterbi_fixed",
+    "mm_decode_verify",
+    "mm_gif_verify",
+    "sql4_grouping_sets",
 ]
 
 
