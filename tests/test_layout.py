@@ -740,3 +740,37 @@ def test_join_ivm_zset_retraction_cancels(spark, tmp_path):
     )
     assert got == want
     assert all(r["__mult"] == 1 for r in net.collect())
+
+
+def test_ivm_compact_zset_preserves_answer_and_shrinks(spark, tmp_path):
+    """ivm_compact_zset: netting + rewrite changes neither the netted
+    view nor subsequent refresh results, and drops the cancelled rows
+    from storage."""
+    from uofi_payroll_etl_main_spark.io import (
+        ivm_compact_zset,
+        ivm_init_zset,
+        ivm_read_zset,
+        ivm_refresh_zset,
+    )
+
+    a = spark.createDataFrame([(i % 4, i) for i in range(40)], "k long, id long")
+    b = spark.createDataFrame([(i, "g%d" % i) for i in range(4)], "k long, g string")
+    root = str(tmp_path / "civm")
+    ivm_init_zset(spark, root, a, b, "k")
+    da = a.filter(F.col("id") < 20).withColumn("__mult", F.lit(-1).cast("long"))
+    ivm_refresh_zset(spark, root, "k", delta_a=da)
+    before = sorted((r["id"], r["g"]) for r in ivm_read_zset(spark, root).collect())
+    raw_before = spark.read.parquet(root + "/view.parquet").count()
+    ivm_compact_zset(spark, root)
+    after = sorted((r["id"], r["g"]) for r in ivm_read_zset(spark, root).collect())
+    raw_after = spark.read.parquet(root + "/view.parquet").count()
+    assert before == after
+    assert raw_after < raw_before  # cancelled rows physically gone
+    assert raw_after == len(after)
+    # refresh still works against compacted bases
+    ivm_refresh_zset(
+        spark, root, "k",
+        delta_a=spark.createDataFrame([(0, 100, 1)], "k long, id long, __mult long"),
+    )
+    final = {r["id"] for r in ivm_read_zset(spark, root).collect()}
+    assert 100 in final and len(final) == len(after) + 1

@@ -37,7 +37,7 @@ __all__ = [
     "read_incremental",
     "commit_ingest",
     "delete_rows",
-    "bucketed_table", "ivm_init", "ivm_refresh", "ivm_init_zset", "ivm_refresh_zset", "ivm_read_zset",
+    "bucketed_table", "ivm_init", "ivm_refresh", "ivm_init_zset", "ivm_refresh_zset", "ivm_read_zset", "ivm_compact_zset",
 ]
 
 
@@ -1272,3 +1272,29 @@ def ivm_read_zset(spark: SparkSession, root: str) -> DataFrame:
         .agg(F.sum("__mult").cast("long").alias("__mult"))
         .filter(F.col("__mult") > 0)
     )
+
+
+def ivm_compact_zset(spark: SparkSession, root: str) -> None:
+    """Compact a z-set IVM store: net multiplicities in the view and
+    both base snapshots and rewrite each as one snapshot (net-zero rows
+    vanish), through the same tmp-write + atomic-swap protocol as
+    merge_upsert -- bounds the read amplification that accumulates
+    after many append-mode refreshes.  Running it never changes
+    ivm_read_zset's answer (pytest-held); at 100 TB this is the
+    nightly maintenance job between delta refreshes."""
+    from . import fs
+
+    for name in ("a.parquet", "b.parquet", "view.parquet"):
+        path = fs.canon(os.path.join(root, name))
+        df = spark.read.parquet(path)
+        cols = [c for c in df.columns if c != "__mult"]
+        net = (
+            df.groupBy(*cols)
+            .agg(F.sum("__mult").cast("long").alias("__mult"))
+            .filter(F.col("__mult") != 0)
+        )
+        tmp = path.rstrip("/") + ".__compact_tmp"
+        swap = path.rstrip("/") + ".__compact_old"
+        fs.delete(swap)
+        net.write.mode("overwrite").parquet(tmp)
+        fs.atomic_swap(path, tmp, swap)
