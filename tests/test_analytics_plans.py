@@ -191,3 +191,31 @@ def test_sliding_distinct_hll_tracks_exact_wau(spark, sf_dir):
     assert set(exact) <= set(est)
     for d, n in exact.items():
         assert abs(est[d] - n) <= max(1, 0.02 * n), (d, est[d], n)
+
+
+def test_mann_kendall_planted_trend(spark):
+    """mann_kendall_trend: a strictly increasing series gets S =
+    n(n-1)/2, positive z, trend +1; a constant series gets S = 0,
+    z = 0 with full tie correction."""
+    import datetime
+
+    from uofi_payroll_etl_main_spark.streaming.windows import (
+        mann_kendall_trend,
+        theil_sen_slope,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(10):
+        for i in range(day + 1):  # volumes 1,2,...,10 -> strict uptrend
+            rows.append(("up", base + datetime.timedelta(days=day, minutes=i)))
+        for i in range(5):  # constant 5/day
+            rows.append(("flat", base + datetime.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in mann_kendall_trend(df).collect()}
+    assert out["up"]["s_stat"] == 45 and out["up"]["trend"] == 1
+    assert out["up"]["z"] > 3
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["z"] == 0.0
+    ts = {r["event_type"]: r for r in theil_sen_slope(df).collect()}
+    assert ts["up"]["slope_per_day"] == 1.0
+    assert ts["flat"]["slope_per_day"] == 0.0

@@ -2578,3 +2578,53 @@ CORE_ORACLES["s30_join_ivm_zset"] = """
       AND c.c_custkey % 2 = 0
     GROUP BY c.c_mktsegment, o.o_orderpriority
 """
+
+CORE_ORACLES["w_mk_trend"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.k, CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+      GROUP BY a.k
+    ), n AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY k
+    ), ties AS (
+      SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT k, v, count(*) AS t FROM daily GROUP BY k, v)
+      GROUP BY k
+    ), base AS (
+      SELECT n.k, n.n_days, ties.tie_term, s.s_stat,
+             (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term)
+               / 18.0 AS var_s
+      FROM n JOIN ties ON n.k = ties.k JOIN s ON n.k = s.k
+    )
+    SELECT k AS event_type, n_days, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z,
+           CAST(sign(s_stat) AS BIGINT) AS trend
+    FROM base
+"""
+
+CORE_ORACLES["w_theil_sen"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.k,
+             round((b.v - a.v) / CAST(b.d - a.d AS DOUBLE), 9) AS slope
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+    ), ranked AS (
+      SELECT k, slope,
+             row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY k) AS m
+      FROM slopes
+    )
+    SELECT k AS event_type, CAST(m AS BIGINT) AS n_pairs,
+           slope AS slope_per_day
+    FROM ranked WHERE rn = CAST(ceil(m / 2.0) AS BIGINT)
+"""

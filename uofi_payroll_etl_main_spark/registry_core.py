@@ -1412,6 +1412,25 @@ def w_seasonal_decompose(spark, sf):
     )
 
 
+def w_mk_trend(spark, sf):
+    """Mann-Kendall monotonic-trend test per event type over the daily
+    volume series (windows.mann_kendall_trend): integer S + tie terms,
+    continuity-corrected z -- the nonparametric trend screen that
+    pairs with w_cusum.  Fully VALUE-checked."""
+    from .streaming.windows import mann_kendall_trend
+
+    return mann_kendall_trend(_t(spark, sf, "events"))
+
+
+def w_theil_sen(spark, sf):
+    """Theil-Sen robust slope per event type (windows.theil_sen_slope):
+    lower median of all pairwise daily slopes, 9-digit-rounded before
+    the rank so the pick is engine-exact.  VALUE-checked."""
+    from .streaming.windows import theil_sen_slope
+
+    return theil_sen_slope(_t(spark, sf, "events"))
+
+
 def v13_benford(spark, sf):
     """V-family -- Benford first-digit audit of order totals
     (report.benford_report): observed vs log10(1+1/d) expected shares
@@ -3812,6 +3831,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s29_join_ivm": s29_join_ivm,
     "s30_join_ivm_zset": s30_join_ivm_zset,
     "sql4_grouping_sets": sql4_grouping_sets,
+    "w_mk_trend": w_mk_trend,
+    "w_theil_sen": w_theil_sen,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,

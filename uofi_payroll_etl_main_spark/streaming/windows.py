@@ -13,7 +13,7 @@ groupBy.  Session windows use Spark's native session_window operator
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from uofi_payroll_etl_main_spark import expressions as E
 
@@ -888,3 +888,123 @@ def sliding_distinct_hll(
     )
     merged = contrib.groupBy("day", "__reg").agg(F.max("__mj").alias("__mj"))
     return hll_md5_estimate(merged, ["day"], "wau_est").orderBy("day")
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_expr: Column | None = None,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key over the daily series
+    (the nonparametric drift/trend screen that pairs with w_cusum's
+    change-point alarm): S = sum over day pairs of sign(v_j - v_i),
+    tie-corrected variance, continuity-corrected z.  S and the tie
+    terms are INTEGERS (exact on both engines); only the final z is a
+    rounded double -- fully value-checkable.
+
+    Scale shape: the pair join is per-key over the DAILY aggregate
+    (days^2 per key, never event-grain); tie counts are one more
+    group-by on the same daily table.
+    """
+    v = value_expr if value_expr is not None else F.count(F.lit(1))
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("d"),
+        )
+        .agg(v.cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("k"), F.col("d").alias("di"), F.col("v").alias("vi"))
+    b = daily.select(F.col("k"), F.col("d").alias("dj"), F.col("v").alias("vj"))
+    s = (
+        a.join(b, "k")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.signum(F.col("vj") - F.col("vi")).cast("long")).alias("s_stat")
+        )
+    )
+    n = daily.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    base = n.join(ties, "k").join(s, "k")
+    var = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return base.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        "s_stat",
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.signum(F.col("s_stat")).cast("long").alias("trend"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_expr: Column | None = None,
+) -> DataFrame:
+    """Theil-Sen robust slope per key: the LOWER MEDIAN of all pairwise
+    daily slopes (value change / day gap) -- the estimator that pairs
+    with the Mann-Kendall test (same daily pair table; MK answers "is
+    there a trend", this answers "how steep").  Slopes are rounded to
+    9 digits before ranking so the median pick is engine-exact; the
+    lower median (element ceil(m/2) of the sorted slopes) avoids the
+    float averaging a true median needs on even counts.
+    """
+    from pyspark.sql import Window
+
+    v = value_expr if value_expr is not None else F.count(F.lit(1))
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("d"),
+        )
+        .agg(v.cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("k"), F.col("d").alias("di"), F.col("v").alias("vi"))
+    b = daily.select(F.col("k"), F.col("d").alias("dj"), F.col("v").alias("vj"))
+    slopes = (
+        a.join(b, "k")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "k",
+            F.round(
+                (F.col("vj") - F.col("vi")).cast("double")
+                / F.datediff("dj", "di"),
+                9,
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("slope")
+    m = Window.partitionBy("k")
+    return (
+        slopes.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__m", F.count(F.lit(1)).over(m))
+        .filter(F.col("__rn") == F.ceil(F.col("__m") / 2))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("__m").cast("long").alias("n_pairs"),
+            F.col("slope").alias("slope_per_day"),
+        )
+    )
