@@ -219,3 +219,22 @@ def test_mann_kendall_planted_trend(spark):
     ts = {r["event_type"]: r for r in theil_sen_slope(df).collect()}
     assert ts["up"]["slope_per_day"] == 1.0
     assert ts["flat"]["slope_per_day"] == 0.0
+
+
+def test_daily_acf_weekly_cycle_peaks_at_lag7(spark):
+    """daily_acf: a planted 7-day cycle yields lag-7 autocorrelation
+    near +1 and a deep negative at the half cycle."""
+    import datetime
+
+    from uofi_payroll_etl_main_spark.streaming.windows import daily_acf
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(28):
+        vol = 20 if day % 7 == 0 else 3
+        for i in range(vol):
+            rows.append(("cyc", base + datetime.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["lag"]: r["acf"] for r in daily_acf(df).collect()}
+    assert out[7] > 0.8, out
+    assert out[1] < 0.2, out

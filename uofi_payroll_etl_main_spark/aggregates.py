@@ -52,6 +52,7 @@ __all__ = [
     "weighted_median",
     "skew_agg",
     "heavy_hitters",
+    "ks_test",
 ]
 
 
@@ -1398,4 +1399,60 @@ def heavy_hitters(
             "n_rows",
             F.round(F.col("n_rows") / F.lit(float(total)), 6).alias("share"),
         )
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = sup |ECDF_a - ECDF_b|,
+    with the asymptotic significance scale lambda =
+    (sqrt(en) + 0.12 + 0.11/sqrt(en)) * D (Numerical Recipes form) --
+    the distribution-shape sibling of the Mann-Whitney location test
+    (a45).  Exact rank mechanics: one global sort of the pooled
+    values; at ties the ECDF step is evaluated AFTER all equal values
+    (the sup over the right-continuous ECDFs), via cumulative counts
+    at each distinct pooled value.  One value-keyed aggregate + one
+    window over distinct values; scalar counts broadcast.
+    """
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    per_val = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = base.agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    steps = per_val.select(
+        F.sum("__ca").over(w).alias("__fa"),
+        F.sum("__cb").over(w).alias("__fb"),
+    )
+    d = (
+        steps.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a", "n_b",
+            F.abs(
+                F.col("__fa") / F.col("n_a") - F.col("__fb") / F.col("n_b")
+            ).alias("__d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.max("__d"), 6).alias("d_stat"))
+    )
+    en = F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return d.select(
+        "n_a", "n_b", "d_stat",
+        F.round((en + F.lit(0.12) + F.lit(0.11) / en) * F.col("d_stat"), 6).alias(
+            "ks_lambda"
+        ),
     )

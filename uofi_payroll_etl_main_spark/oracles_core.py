@@ -2628,3 +2628,30 @@ CORE_ORACLES["w_theil_sen"] = """
            slope AS slope_per_day
     FROM ranked WHERE rn = CAST(ceil(m / 2.0) AS BIGINT)
 """
+
+CORE_ORACLES["w_acf"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+      FROM daily GROUP BY k
+    ), lagged AS (
+      SELECT a.k, b.d - a.d AS lag,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(a.v * b.v) AS BIGINT) AS s11,
+             CAST(sum(a.v) AS BIGINT) AS s1a,
+             CAST(sum(b.v) AS BIGINT) AS s1b
+      FROM daily a JOIN daily b ON a.k = b.k AND b.d - a.d BETWEEN 1 AND 7
+      GROUP BY a.k, b.d - a.d
+    )
+    SELECT l.k AS event_type, CAST(l.lag AS BIGINT) AS lag, l.n_k,
+           round((l.s11 - (t.sv / CAST(t.n AS DOUBLE)) * (l.s1a + l.s1b)
+                  + l.n_k * (t.sv / CAST(t.n AS DOUBLE))
+                         * (t.sv / CAST(t.n AS DOUBLE)))
+                 / (t.svv - CAST(t.sv AS DOUBLE) * t.sv / t.n), 6) AS acf
+    FROM lagged l JOIN tot t ON l.k = t.k
+"""

@@ -3999,3 +3999,34 @@ LLM_ORACLES["mm_gif_verify"] = """
            CAST(max(v) AS BIGINT) AS px_max
     FROM vals GROUP BY mid, interlaced, w, h
 """
+
+LLM_ORACLES["a52_ks_test"] = """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), per_val AS (
+      SELECT v,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM base GROUP BY v
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM base
+    ), steps AS (
+      SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+             sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+      FROM per_val
+    ), d AS (
+      SELECT t.n_a, t.n_b,
+             round(max(abs(s.fa / CAST(t.n_a AS DOUBLE)
+                           - s.fb / CAST(t.n_b AS DOUBLE))), 6) AS d_stat
+      FROM steps s CROSS JOIN tot t
+      GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b, d_stat,
+           round((sqrt(CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)) + 0.12
+                  + 0.11 / sqrt(CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)))
+                 * d_stat, 6) AS ks_lambda
+    FROM d
+"""

@@ -1431,6 +1431,16 @@ def w_theil_sen(spark, sf):
     return theil_sen_slope(_t(spark, sf, "events"))
 
 
+def w_acf(spark, sf):
+    """Daily-volume autocorrelation at lags 1..7 per event type
+    (windows.daily_acf): integer power sums -> one final double
+    expression, fully VALUE-checked -- the persistence/weekly-cycle
+    diagnostic next to w_seasonal_decompose."""
+    from .streaming.windows import daily_acf
+
+    return daily_acf(_t(spark, sf, "events"))
+
+
 def v13_benford(spark, sf):
     """V-family -- Benford first-digit audit of order totals
     (report.benford_report): observed vs log10(1+1/d) expected shares
@@ -3833,6 +3843,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql4_grouping_sets": sql4_grouping_sets,
     "w_mk_trend": w_mk_trend,
     "w_theil_sen": w_theil_sen,
+    "w_acf": w_acf,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,

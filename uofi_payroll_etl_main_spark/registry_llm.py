@@ -951,6 +951,20 @@ def a51_heavy_hitters(spark, sf):
     )
 
 
+
+def a52_ks_test(spark, sf):
+    """Two-sample Kolmogorov-Smirnov between click and purchase event
+    values (aggregates.ks_test): right-continuous ECDF sup-difference
+    + the asymptotic lambda scale -- the distribution-SHAPE sibling of
+    a45's location test.  Integer cumulative counts -> exact D before
+    one rounding; fully VALUE-checked."""
+    from .aggregates import ks_test
+
+    return ks_test(
+        _t(spark, sf, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
 def a45_mann_whitney(spark, sf):
     """Nonparametric A/B readout: Mann-Whitney U between click and
     purchase event values (aggregates.mann_whitney_u) -- mid-rank
@@ -2525,6 +2539,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_topk": st_topk,
     "llm_semantic_dedup_int": llm_semantic_dedup_int,
     "a51_heavy_hitters": a51_heavy_hitters,
+    "a52_ks_test": a52_ks_test,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
     "llm_unigram_seed": llm_unigram_seed,

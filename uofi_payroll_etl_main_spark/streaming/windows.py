@@ -35,6 +35,7 @@ __all__ = [
     "interval_coverage",
     "sessionize",
     "sliding_distinct_hll",
+    "mann_kendall_trend", "theil_sen_slope", "daily_acf",
 ]
 
 
@@ -1006,5 +1007,68 @@ def theil_sen_slope(
             F.col("k").alias(key_col),
             F.col("__m").cast("long").alias("n_pairs"),
             F.col("slope").alias("slope_per_day"),
+        )
+    )
+
+
+def daily_acf(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation of the daily-volume series at lags 1..max_lag
+    per key -- the seasonality/persistence diagnostic that complements
+    w_seasonal_decompose (a weekly cycle shows as a lag-7 peak).
+
+    Exactness discipline: every aggregate is an INTEGER power sum
+    (sum v_t, sum v_t^2 over the series; sum v_t*v_{t+k} and the two
+    one-sided sums over each lag window), combined into the standard
+    ACF estimator r_k = (S11 - mean*(S1a+S1b) + n_k*mean^2) / (Svv -
+    Sv^2/n) in ONE final double expression, rounded 6 -- no float
+    accumulates across rows, so the value oracle is exact.  Lags fan
+    out as a bounded explode on the DAILY table (days x max_lag rows).
+    """
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    a = daily.select("k", F.col("d").alias("da"), F.col("v").alias("va"))
+    b = daily.select("k", F.col("d").alias("db"), F.col("v").alias("vb"))
+    lagged = (
+        a.join(b, "k")
+        .withColumn("lag", F.datediff("db", "da"))
+        .filter((F.col("lag") >= 1) & (F.col("lag") <= int(max_lag)))
+        .groupBy("k", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum(F.col("va") * F.col("vb")).cast("long").alias("s11"),
+            F.sum("va").cast("long").alias("s1a"),
+            F.sum("vb").cast("long").alias("s1b"),
+        )
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    denom = F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+    num = (
+        F.col("s11").cast("double")
+        - mean * (F.col("s1a") + F.col("s1b")).cast("double")
+        + F.col("n_k").cast("double") * mean * mean
+    )
+    return (
+        lagged.join(F.broadcast(tot), "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("lag").cast("long").alias("lag"),
+            "n_k",
+            F.round(num / denom, 6).alias("acf"),
         )
     )
