@@ -4030,3 +4030,30 @@ LLM_ORACLES["a52_ks_test"] = """
                  * d_stat, 6) AS ks_lambda
     FROM d
 """
+
+
+# Composed evaluation oracle: both tiers' own oracle SQLs run as
+# subqueries (so the eval can't drift from the gates it measures),
+# then one count/round row.  Python-side round() on a *.5 ppm value
+# could differ from SQL round; ppm values here are integer-safe in
+# practice and the row would fail loudly if not.
+LLM_ORACLES["llm_lsh_eval"] = """
+    WITH cands AS ({cands_sql}),
+    truth AS ({truth_sql}),
+    hits AS (
+      SELECT c.doc_a, c.doc_b FROM cands c
+      JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST(round(1000000.0 * (SELECT count(*) FROM hits)
+                      / (SELECT count(*) FROM cands)) AS BIGINT) AS precision_ppm,
+           CAST(round(1000000.0 * (SELECT count(*) FROM hits)
+                      / (SELECT count(*) FROM truth)) AS BIGINT) AS recall_ppm
+""".format(
+    cands_sql="SELECT doc_a, doc_b FROM ("
+    + LLM_ORACLES["llm_minhash_lsh_md5"]
+    + ")",
+    truth_sql="SELECT doc_a, doc_b FROM (" + LLM_ORACLES["llm_jaccard_pairs"] + ")",
+)

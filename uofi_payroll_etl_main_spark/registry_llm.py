@@ -1556,6 +1556,34 @@ def mm_gif_verify(spark, sf):
     return gif_roundtrip_stats(spark, 40)
 
 
+
+def llm_lsh_eval(spark, sf):
+    """Candidate-quality evaluation AS A GATE: the md5 MinHash-LSH
+    candidate set joined against the exact Jaccard >= 0.4 truth set,
+    reduced to one row of counts + ppm precision/recall -- the dedup
+    tuning readout (band/threshold trade) computed engine-side and
+    VALUE-checked by composing both tiers' own oracle SQLs (the
+    composed-pipeline precedent)."""
+    docs = _t(spark, sf, "documents")
+    cands = LD.minhash_lsh_pairs_md5(docs).select("doc_a", "doc_b")
+    truth = LD.jaccard_pairs(docs, threshold=0.4, n=3).select("doc_a", "doc_b")
+    hits = cands.join(truth, ["doc_a", "doc_b"], "left_semi")
+    nc = cands.count()
+    nt = truth.count()
+    nh = hits.count()
+    return spark.createDataFrame(
+        [(
+            nc, nt, nh,
+            # floor(x + 0.5), not Python round(): half-away matches
+            # SQL round on the (positive) ppm values
+            int(1_000_000 * nh / nc + 0.5) if nc else 0,
+            int(1_000_000 * nh / nt + 0.5) if nt else 0,
+        )],
+        "n_candidates long, n_truth long, n_hits long, "
+        "precision_ppm long, recall_ppm long",
+    )
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2540,6 +2568,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_semantic_dedup_int": llm_semantic_dedup_int,
     "a51_heavy_hitters": a51_heavy_hitters,
     "a52_ks_test": a52_ks_test,
+    "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
     "llm_unigram_seed": llm_unigram_seed,
