@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "v16_chi_square_drift", # single-row totals broadcast (v13 shape)
     "llm_kmeans_int",       # k=8 centroid-table broadcast (bounded, by design)
     "llm_nb_classifier",    # single-row totals/vocab + prior broadcasts
+    "a52_ks_test",          # single-row (n_a, n_b) totals broadcast
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
     "a49_kmv_set_ops",      # |sets|^2 KMV-estimate pair join (segment-scale, facts reduce once to k-integer sketches)
     "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
