@@ -1447,3 +1447,44 @@ def test_nb_classifier_separates_planted_vocab(spark):
         assert out[i]["pred"] == "other", out[i]
     assert out[99]["n_tokens"] == 0
     assert out[99]["pred"] == "en"  # 30/51 en prior wins on empty text
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a >= w+k-1 (= 6) word
+    substring share at least one selected fingerprint; density is
+    ~2/(w+1) of the k-grams."""
+    from pyspark.sql import Window
+
+    from uofi_payroll_etl_main_spark.llm.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"one two {shared} three four five six seven"),
+        (1, f"nine ten eleven twelve {shared} thirteen"),
+        (2, "totally different words everywhere here always forever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r["doc_id"]: r for r in winnowing_fingerprints(df).collect()}
+    for d in (0, 1, 2):
+        assert prof[d]["n_fingerprints"] >= 1
+        assert prof[d]["n_fingerprints"] <= prof[d]["n_windows"]
+
+    # re-derive the selected fingerprint SETS with a tiny replica and
+    # check the shared-substring guarantee
+    import hashlib
+    import re as _re
+
+    def fps(text, k=3, w=4):
+        ws = _re.sub(r"\s+", " ", text.lower()).strip().split()
+        hs = [
+            hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:12]
+            for i in range(len(ws) - k + 1)
+        ]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    f0, f1, f2 = (fps(t) for _, t in rows)
+    assert f0 & f1, "shared 6-word substring must share a fingerprint"
+    assert not (f0 & f2)
+    # the Spark counts match the replica's
+    assert prof[0]["n_fingerprints"] == len(f0)
+    assert prof[1]["n_fingerprints"] == len(f1)

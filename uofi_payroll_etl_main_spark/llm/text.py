@@ -1246,3 +1246,82 @@ def char_entropy(
             F.round(F.coalesce("entropy_bits", F.lit(0.0)), 6).alias("entropy_bits"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 -- the MOSS local fingerprinting algorithm): hash every word
+    k-gram, slide a window of `w` consecutive hashes, keep each
+    window's MINIMUM -- the guarantee is that any shared substring of
+    length >= w+k-1 words contributes at least one shared fingerprint,
+    while storage drops to ~2/(w+1) of the k-gram count.
+
+    Hashes are md5-hex prefixes (string minima), so the selection is
+    engine-deterministic and the gate carries a full value oracle.
+    Per-doc profile output: (doc_id, n_kgrams, n_windows,
+    n_fingerprints) with fingerprints = DISTINCT selected hashes.
+    One explode + one bounded ordered window per doc -- no shuffle
+    beyond the doc key.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    sz = F.size(toks)
+    ex = explode_nonempty(
+        df,
+        [F.col(id_col)],
+        F.when(
+            sz >= k,
+            F.transform(
+                F.sequence(F.lit(1), sz - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ", *[F.element_at(toks, i + j) for j in range(k)]
+                            )
+                        ),
+                        1,
+                        12,
+                    ).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>")),
+        "__e",
+    ).select(id_col, F.col("__e.pos").alias("__pos"), F.col("__e.h").alias("__h"))
+    wspec = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    )
+    counts = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kgrams")
+    )
+    sel = (
+        ex.withColumn("__wmin", F.min("__h").over(wspec))
+        .withColumn("__last", F.max("__pos").over(Window.partitionBy(id_col)))
+        .filter(F.col("__pos") <= F.col("__last") - (w - 1))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.countDistinct("__wmin").cast("long").alias("n_fingerprints"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .join(sel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kgrams", F.lit(0)).cast("long").alias("n_kgrams"),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_fingerprints", F.lit(0)).cast("long").alias(
+                "n_fingerprints"
+            ),
+        )
+    )

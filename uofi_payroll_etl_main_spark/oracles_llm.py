@@ -4057,3 +4057,41 @@ LLM_ORACLES["llm_lsh_eval"] = """
     + ")",
     truth_sql="SELECT doc_a, doc_b FROM (" + LLM_ORACLES["llm_jaccard_pairs"] + ")",
 )
+
+LLM_ORACLES["llm_winnowing"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             substring(md5(t[CAST(i AS INTEGER)] || ' ' ||
+                           t[CAST(i + 1 AS INTEGER)] || ' ' ||
+                           t[CAST(i + 2 AS INTEGER)]), 1, 12) AS h
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ), counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams FROM grams GROUP BY doc_id
+    ), wins AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             max(pos) OVER (PARTITION BY doc_id) AS last
+      FROM grams
+    ), sel AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints
+      FROM wins WHERE pos <= last - 3
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_kgrams, 0) AS n_kgrams,
+           coalesce(s.n_windows, 0) AS n_windows,
+           coalesce(s.n_fingerprints, 0) AS n_fingerprints
+    FROM documents d
+    LEFT JOIN counts c ON d.doc_id = c.doc_id
+    LEFT JOIN sel s ON d.doc_id = s.doc_id
+"""

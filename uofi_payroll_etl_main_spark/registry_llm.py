@@ -1584,6 +1584,15 @@ def llm_lsh_eval(spark, sf):
     )
 
 
+
+def llm_winnowing(spark, sf):
+    """Winnowing fingerprints (MOSS; text.winnowing_fingerprints):
+    word-3-gram md5 hashes, window-4 minima -- any shared >= 6-word
+    substring leaves a shared fingerprint at ~2/5 the k-gram storage.
+    md5 string minima -> fully VALUE-checked per-doc profile."""
+    return LT.winnowing_fingerprints(_t(spark, sf, "documents"), k=3, w=4)
+
+
 def llm_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (cluster -> greedy within-cluster
     cosine shadowing): per-cluster kept/dropped counts.  The synthetic
@@ -2569,6 +2578,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a51_heavy_hitters": a51_heavy_hitters,
     "a52_ks_test": a52_ks_test,
     "llm_lsh_eval": llm_lsh_eval,
+    "llm_winnowing": llm_winnowing,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
     "llm_unigram_seed": llm_unigram_seed,
