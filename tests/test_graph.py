@@ -641,3 +641,30 @@ def test_scc_matches_tarjan(spark):
         for v in nodes
     }
     assert got == want, (got, want)
+
+
+def test_bipartite_projection_weights_and_hub_cap(spark):
+    """bipartite_projection: shared-dst counts are exact, the hub cap
+    really drops celebrity dst nodes before the wedge pivot, and
+    min_weight prunes single-shared pairs."""
+    from uofi_payroll_etl_main_spark.graph import bipartite_projection
+
+    E = []
+    # s1, s2 share customers c1 and c2 (weight 2)
+    E += [(1, "c1"), (2, "c1"), (1, "c2"), (2, "c2")]
+    # s1, s3 share only c3 (weight 1 -> pruned)
+    E += [(1, "c3"), (3, "c3")]
+    # hub customer shared by everyone -> dropped at cap 3
+    E += [(s, "hub") for s in (1, 2, 3, 4)]
+    df = spark.createDataFrame(E, "src long, dst string")
+    got = {
+        (r["s1"], r["s2"]): r["weight"]
+        for r in bipartite_projection(df, min_weight=2, hub_cap=3).collect()
+    }
+    assert got == {(1, 2): 2}
+    # without the cap the hub links every pair
+    nocap = {
+        (r["s1"], r["s2"]): r["weight"]
+        for r in bipartite_projection(df, min_weight=2, hub_cap=100).collect()
+    }
+    assert (3, 4) not in got and nocap[(1, 2)] == 3

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core", "personalized_pagerank", "adamic_adar", "modularity", "hits", "betweenness_approx", "strongly_connected_components"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "degree_stats", "label_propagation", "bfs_hops", "shortest_paths", "k_core", "personalized_pagerank", "adamic_adar", "modularity", "hits", "betweenness_approx", "strongly_connected_components", "bipartite_projection"]
 
 
 def pagerank(
@@ -1069,3 +1069,43 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
     return assigned
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_weight: int = 2,
+    hub_cap: int = 50,
+) -> DataFrame:
+    """Project a bipartite src->dst graph onto the src side: an edge
+    (s1, s2) for every src pair sharing a dst, weighted by the number
+    of DISTINCT shared dst nodes (the co-purchase / co-authorship
+    transform that turns transactions into a similarity graph the
+    g1-g15 algorithms can run on).
+
+    Scale guards, both essential at 100 TB: dst HUBS are dropped before
+    the wedge pivot (a dst with d sources emits d^2 pairs -- one
+    celebrity node otherwise dominates the output and the shuffle;
+    same cap discipline as adamic_adar), and min_weight prunes the
+    long tail of single-shared-dst pairs at the aggregate.  One
+    groupBy + one self-join keyed on dst, both map-side combinable.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    deg = e.groupBy("d").agg(F.count(F.lit(1)).alias("__deg"))
+    kept = e.join(
+        deg.filter(F.col("__deg") <= int(hub_cap)).select("d"), "d", "left_semi"
+    )
+    a = kept.select(F.col("d"), F.col("s").alias("s1"))
+    b = kept.select(F.col("d"), F.col("s").alias("s2"))
+    return (
+        a.join(b, "d")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .filter(F.col("weight") >= int(min_weight))
+    )

@@ -2655,3 +2655,18 @@ CORE_ORACLES["w_acf"] = """
                  / (t.svv - CAST(t.sv AS DOUBLE) * t.sv / t.n), 6) AS acf
     FROM lagged l JOIN tot t ON l.k = t.k
 """
+
+CORE_ORACLES["g16_bipartite_projection"] = """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity > 48
+    ), kept AS (
+      SELECT s, d FROM e
+      WHERE d IN (SELECT d FROM e GROUP BY d HAVING count(*) <= 50)
+    )
+    SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS weight
+    FROM kept a JOIN kept b ON a.d = b.d AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING count(*) >= 2
+"""

@@ -1441,6 +1441,27 @@ def w_acf(spark, sf):
     return daily_acf(_t(spark, sf, "events"))
 
 
+def g16_bipartite_projection(spark, sf):
+    """Bipartite projection (graph.bipartite_projection): the
+    supplier->customer fulfillment edges pivoted into a weighted
+    supplier co-sale graph -- customers shared, hub customers dropped
+    before the d^2 wedge pivot, weight >= 2 tail pruned.  The graph
+    transform that FEEDS the g1-g15 algorithms; fully VALUE-checked."""
+    from .graph import bipartite_projection
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 48).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+        )
+    )
+    return bipartite_projection(edges, min_weight=2, hub_cap=50)
+
+
 def v13_benford(spark, sf):
     """V-family -- Benford first-digit audit of order totals
     (report.benford_report): observed vs log10(1+1/d) expected shares
@@ -3844,6 +3865,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_mk_trend": w_mk_trend,
     "w_theil_sen": w_theil_sen,
     "w_acf": w_acf,
+    "g16_bipartite_projection": g16_bipartite_projection,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,
