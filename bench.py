@@ -150,6 +150,11 @@ HEADLINERS = [
     "mm_decode_verify",
     "mm_gif_verify",
     "sql4_grouping_sets",
+    "w_mk_trend",
+    "w_acf",
+    "a52_ks_test",
+    "llm_winnowing",
+    "g16_bipartite_projection",
 ]
 
 
