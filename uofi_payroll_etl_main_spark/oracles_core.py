@@ -2670,3 +2670,45 @@ CORE_ORACLES["g16_bipartite_projection"] = """
     GROUP BY a.s, b.s
     HAVING count(*) >= 2
 """
+
+CORE_ORACLES["w_runs_test"] = """
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT k, v AS m FROM (
+        SELECT k, v,
+               row_number() OVER (PARTITION BY k ORDER BY v, d) AS rn,
+               count(*) OVER (PARTITION BY k) AS n
+        FROM daily
+      ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ), lab AS (
+      SELECT daily.k, daily.d,
+             CASE WHEN daily.v > med.m THEN 1 ELSE 0 END AS a
+      FROM daily JOIN med ON daily.k = med.k
+    ), runs AS (
+      SELECT k,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(a) AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN prev IS NULL OR a <> prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_runs
+      FROM (SELECT k, a, lag(a) OVER (PARTITION BY k ORDER BY d) AS prev
+            FROM lab)
+      GROUP BY k
+    )
+    SELECT k AS event_type, n_days, n_above, n_runs,
+           round(2.0 * n_above * (n_days - n_above) / n_days + 1, 6)
+             AS expected_runs,
+           round(CASE WHEN 2.0 * n_above * (n_days - n_above)
+                           * (2.0 * n_above * (n_days - n_above) - n_days)
+                           / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1)) > 0
+                      THEN (n_runs - (2.0 * n_above * (n_days - n_above)
+                                      / n_days + 1))
+                           / sqrt(2.0 * n_above * (n_days - n_above)
+                                  * (2.0 * n_above * (n_days - n_above) - n_days)
+                                  / (CAST(n_days AS DOUBLE) * n_days
+                                     * (n_days - 1)))
+                      ELSE 0.0 END, 6) AS z
+    FROM runs
+"""

@@ -1462,6 +1462,17 @@ def g16_bipartite_projection(spark, sf):
     return bipartite_projection(edges, min_weight=2, hub_cap=50)
 
 
+def w_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test per event type over the daily volume
+    series (windows.runs_test): above/below-median labels, integer run
+    counts vs the closed-form expectation -- the randomness screen
+    that completes the nonparametric battery (a45/a52/w_mk_trend).
+    Fully VALUE-checked."""
+    from .streaming.windows import runs_test
+
+    return runs_test(_t(spark, sf, "events"))
+
+
 def v13_benford(spark, sf):
     """V-family -- Benford first-digit audit of order totals
     (report.benford_report): observed vs log10(1+1/d) expected shares
@@ -3866,6 +3877,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_theil_sen": w_theil_sen,
     "w_acf": w_acf,
     "g16_bipartite_projection": g16_bipartite_projection,
+    "w_runs_test": w_runs_test,
     "v9_profile_drift": v9_profile_drift,
     "g8_kcore": g8_kcore,
     "g9_personalized_pr": g9_personalized_pr,

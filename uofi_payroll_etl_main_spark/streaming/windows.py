@@ -35,7 +35,7 @@ __all__ = [
     "interval_coverage",
     "sessionize",
     "sliding_distinct_hll",
-    "mann_kendall_trend", "theil_sen_slope", "daily_acf",
+    "mann_kendall_trend", "theil_sen_slope", "daily_acf", "runs_test",
 ]
 
 
@@ -1071,4 +1071,79 @@ def daily_acf(
             "n_k",
             F.round(num / denom, 6).alias("acf"),
         )
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-volume
+    series per key: days are labeled above/below their key's MEDIAN
+    volume (exact lower median, ties-to-below), runs = label changes
+    + 1 over the day order, compared to the closed-form expectation
+    2*n1*n2/n + 1 -- too FEW runs means clustering/regime behavior,
+    too many means oscillation.  Counts are integers end-to-end; only
+    the final z is a rounded double, so the gate is fully
+    value-checked.  One daily aggregate + two windows per key.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    wk = Window.partitionBy("k")
+    w_rank = Window.partitionBy("k").orderBy("v", "d")
+    med = (
+        daily.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+        .filter(F.col("__rn") == F.ceil(F.col("__n") / 2))
+        .select("k", F.col("v").alias("__med"))
+    )
+    lab = (
+        daily.join(med, "k")
+        .select("k", "d", (F.col("v") > F.col("__med")).cast("int").alias("a"))
+    )
+    w_ord = Window.partitionBy("k").orderBy("d")
+    runs = (
+        lab.withColumn("__prev", F.lag("a").over(w_ord))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("a").cast("long").alias("n_above"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("__prev").isNull()
+                        | (F.col("a") != F.col("__prev")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("n_runs"),
+        )
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = (F.col("n_days") - F.col("n_above")).cast("double")
+    n = F.col("n_days").cast("double")
+    mu = 2 * n1 * n2 / n + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    )
+    return runs.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        "n_above",
+        "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(
+            F.when(var > 0, (F.col("n_runs") - mu) / F.sqrt(var)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("z"),
     )
