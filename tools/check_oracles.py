@@ -5,9 +5,13 @@ oracle_sql() on DuckDB, then compares row count, schema (column names),
 and order-insensitive values.  Use while iterating so CORRECTNESS_r{N}
 holds no surprises.
 
-Usage: python tools/check_oracles.py [--ansi] [name_filter ...]
+Usage: python tools/check_oracles.py [--ansi] [--json PATH] [name_filter ...]
   --ansi: use a DEFAULT SparkSession (ANSI on, like the driver) instead
           of the tuned engine session.
+  --json PATH: write a machine-readable sweep artifact (per-query
+          status pass/rows-only/fail + elapsed + git SHA) to PATH,
+          e.g. ORACLE_SWEEP_r8.json, so full-registry results are
+          recorded at HEAD each round, not just the driver's 50-sample.
 """
 
 from __future__ import annotations
@@ -81,6 +85,7 @@ def run_gate(
     names: list[str] | None = None,
     filters: list[str] | None = None,
     verbose: bool = True,
+    records: list[dict] | None = None,
 ) -> tuple[int, int, list[str]]:
     """Run the oracle gate over the registry: every queries() entry on
     Spark and its oracle_sql() on DuckDB, comparing rows + schema +
@@ -105,6 +110,18 @@ def run_gate(
         if verbose:
             print(msg)
 
+    def record(name, status, rows, t0, detail="ok"):
+        if records is not None:
+            records.append(
+                {
+                    "name": name,
+                    "status": status,
+                    "rows": rows,
+                    "sec": round(time.time() - t0, 2),
+                    "detail": detail if status == "fail" else "ok",
+                }
+            )
+
     for name, fn in qs.items():
         if names is not None and name not in names:
             continue
@@ -116,10 +133,12 @@ def run_gate(
         except Exception:
             n_fail += 1
             failures.append(name)
+            record(name, "fail", None, t0, "spark query raised")
             say(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
             continue
         if name not in oracles:
             n_rowsonly += 1
+            record(name, "rows_only", len(sdf), t0)
             say(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -127,15 +146,18 @@ def run_gate(
         except Exception:
             n_fail += 1
             failures.append(name)
+            record(name, "fail", len(sdf), t0, "oracle raised")
             say(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
             continue
         ok, why = frames_match(sdf, ddf)
         if ok:
             n_pass += 1
+            record(name, "pass", len(sdf), t0)
             say(f"pass  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
         else:
             n_fail += 1
             failures.append(name)
+            record(name, "fail", len(sdf), t0, why)
             say(f"FAIL  {name}: {why}")
     say(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
     if failures:
@@ -146,6 +168,11 @@ def run_gate(
 def main() -> int:
     args = sys.argv[1:]
     use_ansi = "--ansi" in args
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     filters = [a for a in args if a != "--ansi"]
 
     if use_ansi:
@@ -156,7 +183,36 @@ def main() -> int:
         from uofi_payroll_etl_main_spark.session import get_spark
 
         spark = get_spark("oracle-check")
-    _, _, failures = run_gate(spark, SF_DIR, filters=filters or None)
+    records: list[dict] | None = [] if json_path else None
+    t_start = time.time()
+    n_pass, n_rowsonly, failures = run_gate(
+        spark, SF_DIR, filters=filters or None, records=records
+    )
+    if json_path:
+        import json
+        import subprocess
+
+        try:
+            sha = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                text=True,
+            ).strip()
+        except Exception:
+            sha = "unknown"
+        artifact = {
+            "git_sha": sha,
+            "sf_dir": SF_DIR,
+            "session": "ansi" if use_ansi else "tuned",
+            "total_sec": round(time.time() - t_start, 1),
+            "n_pass": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": len(failures),
+            "queries": records,
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {json_path}: {n_pass} pass / {n_rowsonly} rows-only / {len(failures)} fail")
     return 1 if failures else 0
 
 
