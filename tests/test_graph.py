@@ -668,3 +668,32 @@ def test_bipartite_projection_weights_and_hub_cap(spark):
         for r in bipartite_projection(df, min_weight=2, hub_cap=100).collect()
     }
     assert (3, 4) not in got and nocap[(1, 2)] == 3
+
+
+def test_scc_raises_when_caps_exhausted(spark):
+    """strongly_connected_components: exhausting max_prop_rounds or
+    max_peels before convergence RAISES instead of returning wrong or
+    partial assignments (ADVICE r7: pre-fixpoint labels are not
+    SCC-uniform; dropped active nodes would vanish silently)."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_spark.graph import strongly_connected_components
+
+    # 5-cycle: min-label needs ~4 propagation rounds to cross it
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="max_prop_rounds"):
+        strongly_connected_components(cyc, max_prop_rounds=1)
+
+    # chain 1->2->3 settles one node per peel: 1 peel cannot finish
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="max_peels"):
+        strongly_connected_components(chain, max_peels=1)
+
+    # sanity: generous caps still converge on both graphs
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(cyc).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}

@@ -1864,3 +1864,40 @@ def test_heavy_hitters_exact_with_adversarial_tail(spark):
     assert got == want, got
     with _pytest.raises(ValueError):
         heavy_hitters(df, "k", phi=0.01, member_cap=50)
+
+
+def test_heavy_hitters_null_keys_excluded_both_sides(spark):
+    """heavy_hitters on a NULL-heavy key column: NULLs are excluded
+    from candidates AND from the N denominator (ADVICE r7: the MG pass
+    could never track None, so counting nulls only in the denominator
+    silently deflated every share)."""
+    from uofi_payroll_etl_main_spark.aggregates import heavy_hitters
+
+    rows = [("hot",)] * 400 + [(None,)] * 600 + [("cold_%d" % i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {
+        r["k"]: (r["n_rows"], r["share"])
+        for r in heavy_hitters(df, "k", phi=0.5, member_cap=16).collect()
+    }
+    # denominator is the 500 non-null rows: hot = 400/500 = 0.8 > 0.5.
+    # with nulls in the denominator it would be 400/1100 = 0.36 -> empty.
+    assert got == {"hot": (400, 0.8)}, got
+
+
+def test_ks_test_ignores_null_values(spark):
+    """ks_test: NULL measurements are excluded from the ECDFs (ADVICE
+    r7: Spark windows sort NULL first, DuckDB last -- letting NULLs in
+    shifts d_stat engine-dependently); result equals the clean-data
+    run and group counts exclude the null rows."""
+    from uofi_payroll_etl_main_spark.aggregates import ks_test
+
+    clean = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6, 7)
+    ]
+    dirty = clean + [("a", None), ("b", None), ("a", None)]
+    df_c = spark.createDataFrame(clean, "g string, v double")
+    df_d = spark.createDataFrame(dirty, "g string, v double")
+    rc = ks_test(df_c, "g", "v", "a", "b").collect()[0]
+    rd = ks_test(df_d, "g", "v", "a", "b").collect()[0]
+    assert rd["n_a"] == 5 and rd["n_b"] == 5
+    assert rd.asDict() == rc.asDict()

@@ -774,3 +774,28 @@ def test_ivm_compact_zset_preserves_answer_and_shrinks(spark, tmp_path):
     )
     final = {r["id"] for r in ivm_read_zset(spark, root).collect()}
     assert 100 in final and len(final) == len(after) + 1
+
+
+def test_bucketed_table_rejects_mismatched_reregister(spark, tmp_path):
+    """bucketed_table re-register validation (ADVICE r7): the (key,
+    buckets) actually written are persisted in _bucket_spec.json and a
+    fresh-session re-register with a DIFFERENT bucket count or key
+    raises instead of registering a layout that would silently corrupt
+    bucket-pruned joins."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_spark.io import bucketed_table
+
+    df = spark.createDataFrame(
+        [(i % 10, float(i)) for i in range(100)], "k long, v double"
+    )
+    bucketed_table(spark, df, str(tmp_path / "t"), "tbkt_spec", "k", buckets=4)
+    spark.sql("DROP TABLE tbkt_spec")
+    with _pytest.raises(ValueError, match="BUCKETS"):
+        bucketed_table(spark, df, str(tmp_path / "t"), "tbkt_spec", "k", buckets=8)
+    with _pytest.raises(ValueError, match="corrupt"):
+        bucketed_table(spark, df, str(tmp_path / "t"), "tbkt_spec", "v", buckets=4)
+    # the matching spec still re-registers fine
+    t = bucketed_table(spark, df, str(tmp_path / "t"), "tbkt_spec", "k", buckets=4)
+    assert t.count() == 100
+    spark.sql("DROP TABLE tbkt_spec")

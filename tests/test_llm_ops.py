@@ -1488,3 +1488,23 @@ def test_winnowing_shared_substring_guarantee(spark):
     # the Spark counts match the replica's
     assert prof[0]["n_fingerprints"] == len(f0)
     assert prof[1]["n_fingerprints"] == len(f1)
+
+
+def test_int_twins_raise_on_degenerate_corpora(spark):
+    """kmeans_int / ann_pq_int edge guards (ADVICE r7): a corpus with
+    fewer rows than k, or an empty corpus, raises an explicit
+    ValueError instead of an opaque IndexError/TypeError."""
+    import pytest as _pytest
+
+    from uofi_payroll_etl_main_spark.llm.similarity import ann_pq_int, kmeans_int
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [4.0, 3.0, 2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="k=8"):
+        kmeans_int(tiny, k=8, n_iter=1)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        ann_pq_int(empty)

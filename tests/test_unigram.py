@@ -160,3 +160,34 @@ def test_viterbi_profile_int_planted_merges(spark):
     assert r0["score_scaled"] < 0
     assert out[100]["n_words"] == 1 and out[100]["n_pieces"] == 2
     assert out[101]["n_words"] == 0 and out[101]["score_scaled"] == 0
+
+
+def test_viterbi_profile_int_string_ids_roundtrip(spark):
+    """viterbi_profile_int derives the id field's type from the input
+    schema (ADVICE r7: the old hardcoded 'id long' silently miscast
+    non-long doc ids); string ids survive, and scores match the same
+    corpus keyed by long ids."""
+    from uofi_payroll_etl_main_spark.llm.unigram import viterbi_profile_int
+
+    texts = [
+        "the payroll report arrived",
+        "the report the payroll the",
+        "arrived arrived payroll report",
+        "the the the report arrived",
+    ]
+    long_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    str_df = spark.createDataFrame(
+        [("doc-%d" % i, t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    by_long = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["score_scaled"])
+        for r in viterbi_profile_int(long_df).collect()
+    }
+    by_str = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["score_scaled"])
+        for r in viterbi_profile_int(str_df).collect()
+    }
+    assert set(by_str) == {"doc-%d" % i for i in range(4)}
+    assert all(by_str["doc-%d" % i] == by_long[i] for i in range(4))

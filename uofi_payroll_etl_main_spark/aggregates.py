@@ -1353,13 +1353,19 @@ def heavy_hitters(
     never an estimator.
 
     Returns (key, n_rows, share) for keys with share > phi,
-    share = n_rows / N rounded 6.
+    share = n_rows / N rounded 6.  NULL keys are excluded up front on
+    BOTH sides of the computation (candidates and the N denominator):
+    the MG pass cannot track None as a counter key, so counting nulls
+    only in the denominator would silently skew shares on a NULL-heavy
+    column (its oracle filters the same way).
     """
     import pandas as pd
 
     cap = int(member_cap)
     if cap < int(1.0 / phi) + 1:
         raise ValueError(f"member_cap {cap} < 1/phi -- MG superset guarantee lost")
+
+    df = df.filter(F.col(key).isNotNull())
 
     def mg(batches):
         counters: dict = {}
@@ -1418,8 +1424,16 @@ def ks_test(
     (the sup over the right-continuous ECDFs), via cumulative counts
     at each distinct pooled value.  One value-keyed aggregate + one
     window over distinct values; scalar counts broadcast.
+
+    NULL measurements are excluded: an ECDF is defined over observed
+    values only, and Spark's window ORDER BY sorts NULL first while
+    DuckDB's ORDER BY sorts NULL last, so letting NULLs into the
+    running counts would shift d_stat engine-dependently.
     """
-    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
     per_val = base.groupBy("__v").agg(

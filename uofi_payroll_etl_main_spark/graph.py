@@ -983,6 +983,13 @@ def strongly_connected_components(
     bounded by the unassigned subgraph's diameter per propagation,
     peels by the SCC condensation depth; both driver-bounded via
     max_* args.
+
+    Correctness guard: fwd/bwd labels are only uniform across an SCC
+    AT FIXPOINT, so stopping label propagation early can settle members
+    of one SCC under different scc_ids, and exhausting max_peels would
+    silently drop still-active nodes.  Both caps therefore RAISE when
+    hit before convergence (raise the max_* args for deep graphs)
+    rather than return a wrong or partial assignment.
     """
     e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -1046,6 +1053,14 @@ def strongly_connected_components(
             lab = new.drop("__chg")
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"strongly_connected_components: label propagation did not "
+                f"converge within max_prop_rounds={max_prop_rounds}; labels "
+                f"are not SCC-uniform before fixpoint, so continuing would "
+                f"assign wrong scc_ids.  Raise max_prop_rounds (needs >= the "
+                f"unassigned subgraph's diameter)."
+            )
         return lab
 
     active = nodes
@@ -1068,6 +1083,14 @@ def strongly_connected_components(
             .join(active.withColumnRenamed("node", "d"), "d", "left_semi")
             .localCheckpoint(eager=True)
         )
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"strongly_connected_components: {active.count()} nodes "
+                f"still unassigned after max_peels={max_peels}; returning "
+                f"would silently drop them.  Raise max_peels (needs >= the "
+                f"SCC condensation depth)."
+            )
     return assigned
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import glob
+import json
 import os
 import shutil
 
@@ -1116,7 +1117,15 @@ def bucketed_table(
     ``CREATE TABLE .. CLUSTERED BY .. LOCATION`` instead of rewriting.
     Beyond-reference scale operator (the reference joins pandas frames
     in memory, etl_payroll_pipeline.py:186-210).
+
+    The physical layout (key, buckets) is persisted in a sidecar
+    ``_bucket_spec.json`` next to ``_SUCCESS`` at write time and
+    VALIDATED on every re-register: a CLUSTERED BY clause that doesn't
+    match the files' actual hash layout would make bucket pruning read
+    the wrong buckets and silently return wrong join results, so a
+    mismatched caller is an error, never a registration.
     """
+    spec_path = os.path.join(path, "_bucket_spec.json")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             df.write.mode("overwrite")
@@ -1126,7 +1135,20 @@ def bucketed_table(
             .format("parquet")
             .saveAsTable(table)
         )
+        with open(spec_path, "w") as f:
+            json.dump({"key": key, "buckets": int(buckets)}, f)
     elif not spark.catalog.tableExists(table):
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                spec = json.load(f)
+            if spec.get("key") != key or int(spec.get("buckets", -1)) != int(buckets):
+                raise ValueError(
+                    f"bucketed_table: files at {path} were written "
+                    f"CLUSTERED BY ({spec.get('key')}) INTO "
+                    f"{spec.get('buckets')} BUCKETS but caller asked for "
+                    f"({key}, {buckets}); registering the mismatched layout "
+                    f"would silently corrupt bucket-pruned joins"
+                )
         schema = spark.read.parquet(path).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields

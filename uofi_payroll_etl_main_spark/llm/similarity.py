@@ -1493,6 +1493,11 @@ def kmeans_int(
         .limit(int(k))
         .collect()
     )
+    if len(cent_rows) < int(k):
+        raise ValueError(
+            f"kmeans_int: corpus has only {len(cent_rows)} rows but k={k}; "
+            f"need at least k vectors to seed the centroids"
+        )
     cents = [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(cent_rows)]
     dim = len(cents[0][1])
 
@@ -1648,7 +1653,10 @@ def ann_pq_int(
         F.col(id_col).alias("__vid"),
         F.col("qvec").cast("array<long>").alias("__qv"),
     ).localCheckpoint(eager=True)
-    dim = len(q.first()["__qv"])
+    first = q.first()
+    if first is None:
+        raise ValueError("ann_pq_int: corpus is empty -- nothing to index")
+    dim = len(first["__qv"])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub = dim // n_sub

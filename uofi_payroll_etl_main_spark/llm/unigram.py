@@ -299,6 +299,10 @@ def viterbi_profile_int(
     max_len = max((len(p) for p in ll), default=1)
     bc = spark.sparkContext.broadcast(ll)
 
+    # derive the id field's real type instead of hardcoding long: a
+    # string/int doc id would otherwise be silently miscast by the
+    # mapInPandas output schema (same discipline as heavy_hitters)
+    id_type = dict(df.dtypes)[id_col]
     src = df.select(F.col(id_col), tokens(normalize_text(text_col)).alias("__w"))
 
     def seg(batches, _bc=bc):
@@ -330,7 +334,7 @@ def viterbi_profile_int(
 
         for pdf in batches:
             ids, nw, npieces, sc = [], [], [], []
-            for did, ws in zip(pdf.iloc[:, 0], pdf["__w"]):
+            for did, ws in zip(pdf[id_col], pdf["__w"]):
                 tot_np = tot_sc = 0
                 for w in ws:
                     s, p = run_word(w)
@@ -345,7 +349,7 @@ def viterbi_profile_int(
             )
 
     out = src.mapInPandas(
-        seg, "id long, n_words long, n_pieces long, sc long"
+        seg, f"id {id_type}, n_words long, n_pieces long, sc long"
     )
     return out.select(
         F.col("id").alias(id_col),

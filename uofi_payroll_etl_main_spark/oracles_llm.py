@@ -3663,11 +3663,12 @@ LLM_ORACLES["st_cdc_upsert"] = """
 """
 
 LLM_ORACLES["a51_heavy_hitters"] = """
-    WITH tot AS (SELECT count(*) AS n FROM events)
+    WITH tot AS (SELECT count(*) AS n FROM events WHERE event_type IS NOT NULL)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
            round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY event_type
     HAVING count(*) > 0.15 * (SELECT n FROM tot)
 """
@@ -4003,7 +4004,7 @@ LLM_ORACLES["mm_gif_verify"] = """
 LLM_ORACLES["a52_ks_test"] = """
     WITH base AS (
       SELECT event_type AS g, value AS v FROM events
-      WHERE event_type IN ('click', 'purchase')
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ), per_val AS (
       SELECT v,
              sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
