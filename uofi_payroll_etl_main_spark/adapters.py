@@ -123,8 +123,18 @@ class BoxAdapter(SourceAdapter):
         self._client = Client(auth)
         self.root_folder_id = root_folder_id
 
-    def list_entries(self) -> Iterator[dict]:  # pragma: no cover - needs network
-        """DFS over Box folders, one catalog row per file (ref :30-51)."""
+    def list_entries(self) -> Iterator[dict]:
+        """DFS over Box folders, one catalog row per file (ref :30-51).
+
+        Box's API returns RFC-3339 STRINGS for modified_at/created_at
+        ('2012-12-12T10:53:43-08:00'); the catalog contract
+        (catalog.CATALOG_SCHEMA) wants timestamps, so they're parsed
+        here at the edge -- found by the faked-SDK test tier, which
+        feeds the real string shape through adapter_catalog."""
+        from datetime import datetime
+
+        def ts(v):
+            return datetime.fromisoformat(v) if isinstance(v, str) else v
 
         def walk(folder_id: str, parent: str) -> Iterator[dict]:
             for item in self._client.folder(folder_id).get_items():
@@ -139,16 +149,16 @@ class BoxAdapter(SourceAdapter):
                         "extension": os.path.splitext(item.name)[1].lower(),
                         "file_id": item.id,
                         "size_bytes": int(meta.size),
-                        "modified_at": meta.modified_at,
-                        "created_at": meta.created_at,
+                        "modified_at": ts(meta.modified_at),
+                        "created_at": ts(meta.created_at),
                     }
 
         return walk(self.root_folder_id, "")
 
-    def open_bytes(self, file_id: str) -> bytes:  # pragma: no cover - needs network
+    def open_bytes(self, file_id: str) -> bytes:
         return self._client.file(file_id).content()
 
-    def put_bytes(self, file_id: str, data: bytes) -> str:  # pragma: no cover
+    def put_bytes(self, file_id: str, data: bytes) -> str:
         import io as _io
 
         new = self._client.folder(self.root_folder_id).upload_stream(
