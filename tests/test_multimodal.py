@@ -599,3 +599,42 @@ class TestGif:
         )
         out = {r["media_id"]: r["status"] for r in decode_quarantine(df).collect()}
         assert out[0] == "ok" and out[1] == "quarantined", out
+
+
+def test_mm_oracle_arithmetic_assumptions(spark):
+    """Pin the arithmetic the r8 mm value-oracles rely on: PPM payload
+    length = header + 3wh, stdlib WAV = 44-byte canonical header + 2n,
+    and resize_pixel_stats equals a brute-force NumPy nearest-neighbor
+    resample of the generator formula."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.llm.multimodal import (
+        _synth_pixels,
+        _synth_samples,
+        encode_ppm,
+        encode_wav,
+        resize_nearest,
+        resize_pixel_stats,
+        synth_media,
+    )
+
+    for mid in (0, 12, 24, 36, 48):
+        w, h = 8 + mid % 9, 6 + mid % 5
+        assert len(encode_ppm(_synth_pixels(w, h, mid))) == (
+            3 + len(str(w)) + 1 + len(str(h)) + 1 + 4 + 3 * w * h
+        )
+    for mid in (1, 4, 7, 100):
+        n = 64 + mid % 97
+        assert len(encode_wav(_synth_samples(n, mid), rate=8000)) == 44 + 2 * n
+
+    got = {
+        r["media_id"]: (r["px_sum"], r["px_min"], r["px_max"])
+        for r in resize_pixel_stats(synth_media(spark, 24), 64, 64).collect()
+    }
+    want = {}
+    for mid in range(24):
+        if mid % 3 == 0 and (mid // 3) % 4 in (0, 1):  # ppm + png rows
+            w, h = 8 + mid % 9, 6 + mid % 5
+            px = resize_nearest(_synth_pixels(w, h, mid), 64, 64).astype(np.int64)
+            want[mid] = (int(px.sum()), int(px.min()), int(px.max()))
+    assert got == want

@@ -42,6 +42,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.map(
                 lambda v: tuple(v)
                 if isinstance(v, (list, tuple, np.ndarray))
+                else bytes(v)
+                if isinstance(v, (bytearray, memoryview))
                 else v
             )
     out = out.sort_values(by=list(out.columns), na_position="last").reset_index(drop=True)

@@ -55,6 +55,7 @@ __all__ = [
     "extract_features",
     "sample_frames",
     "resize_media",
+    "resize_pixel_stats",
     "dhash64",
     "image_dhash",
     "image_dup_candidates",
@@ -545,6 +546,52 @@ def resize_media(
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def resize_pixel_stats(
+    df: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """VALUE-checked resize lane: the lossless image rows (ppm/png) go
+    through resize_media FOR REAL (decode -> nearest-neighbor resample
+    -> PPM re-encode, strict mode), then the re-encoded payload is
+    re-DECODED and reduced to integer pixel stats.  Because the
+    nearest-neighbor index map is pure integer math
+    (yi = y'*h//height, xi = x'*w//width) over the generator's
+    arithmetic pixel formula, a DuckDB oracle re-derives the exact
+    stats without touching bytes -- certifying decode + resample +
+    encode + decode end-to-end (the mm_decode_verify technique applied
+    to the resize kernel).  JPEG rows resize fine but are excluded
+    here: their lossy pixels aren't formula-replayable (covered in
+    tests/test_multimodal.py instead)."""
+    src = df.filter(
+        F.element_at(F.col("meta"), F.lit("codec")).isin("ppm", "png")
+    )
+    resized = resize_media(src, width=width, height=height, use_stub=False)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                d = decode_media(bytes(payload), "image")
+                px = d["pixels"].astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["px_sum"].append(int(px.sum()))
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(
+        run,
+        "media_id long, width long, height long, "
+        "px_sum long, px_min long, px_max long",
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:

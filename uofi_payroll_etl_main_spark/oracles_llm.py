@@ -3958,6 +3958,126 @@ LLM_ORACLES["mm_decode_verify"] = """
     GROUP BY mid, codec, w, h
 """
 
+# Frame sampling: indexes are sequence math, and the opaque video
+# payload is sha256(str(media_id)) by construction -- DuckDB re-derives
+# even the binary column with unhex(sha256(..)).
+LLM_ORACLES["mm_frame_sample"] = """
+    WITH ids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(64) WHERE range % 3 = 2
+    ), dims AS (
+      SELECT mid, mid % 7 + 1 AS frames FROM ids
+    )
+    SELECT mid AS media_id,
+           CAST(unnest(generate_series(0, frames - 1, 2)) AS BIGINT) AS frame_idx,
+           sha256(CAST(mid AS VARCHAR)) AS payload_sha
+    FROM dims
+"""
+
+# Resize replay: nearest-neighbor is pure integer index math
+# (yi = y'*h//H, xi = x'*w//W) over the generator pixel formula, so the
+# resized image's stats are re-derived without touching bytes.
+LLM_ORACLES["mm_resize"] = """
+    WITH ids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(64)
+      WHERE range % 3 = 0 AND (range // 3) % 4 IN (0, 1)
+    ), dims AS (
+      SELECT mid, 8 + mid % 9 AS w, 6 + mid % 5 AS h FROM ids
+    ), ys AS (
+      SELECT mid, w, h, unnest(generate_series(0, 63)) AS yp FROM dims
+    ), xs AS (
+      SELECT mid, w, h, yp, unnest(generate_series(0, 63)) AS xp FROM ys
+    ), px AS (
+      SELECT mid, w, h, yp, xp, unnest(generate_series(0, 2)) AS c FROM xs
+    ), vals AS (
+      SELECT mid,
+             (mid * 31 + ((yp * h) // 64) * 7 + ((xp * w) // 64) * 13
+              + c * 101) % 256 AS v
+      FROM px
+    )
+    SELECT mid AS media_id,
+           CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM vals GROUP BY mid
+"""
+
+# Feature-vector replay over the deterministic lossless subset
+# (PPM images + WAV audio, the strict-mode gate): every float in the
+# 8-dim vector re-derived from the generator formulas, round-6.
+# n_bytes: PPM = len('P6\\n{w} {h}\\n255\\n') + 3wh; WAV = 44-byte
+# canonical stdlib header + 2n  (both asserted in pytest).
+LLM_ORACLES["mm_features"] = """
+    WITH iids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(64)
+      WHERE range % 3 = 0 AND (range // 3) % 4 = 0
+    ), idims AS (
+      SELECT mid, 8 + mid % 9 AS w, 6 + mid % 5 AS h FROM iids
+    ), iys AS (
+      SELECT mid, w, h, unnest(generate_series(0, h - 1)) AS y FROM idims
+    ), ixs AS (
+      SELECT mid, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM iys
+    ), ipx AS (
+      SELECT mid, w, h, y, x, unnest(generate_series(0, 2)) AS c FROM ixs
+    ), ivals AS (
+      SELECT mid, w, h, c,
+             (mid * 31 + y * 7 + x * 13 + c * 101) % 256 AS v
+      FROM ipx
+    ), ifeat AS (
+      SELECT mid, w, h,
+             round(avg(CASE WHEN c = 0 THEN v / 255.0 END), 6) AS mean_r,
+             round(avg(CASE WHEN c = 1 THEN v / 255.0 END), 6) AS mean_g,
+             round(avg(CASE WHEN c = 2 THEN v / 255.0 END), 6) AS mean_b,
+             round(stddev_pop(v / 255.0), 6) AS sd,
+             round(max(v) / 255.0, 6) AS mx
+      FROM ivals GROUP BY mid, w, h
+    ), img AS (
+      SELECT mid AS media_id, 'image' AS kind,
+             CAST(3 + length(CAST(w AS VARCHAR)) + 1
+                  + length(CAST(h AS VARCHAR)) + 1 + 4
+                  + 3 * w * h AS BIGINT) AS n_bytes,
+             [CAST(w AS DOUBLE), CAST(h AS DOUBLE), CAST(3 AS DOUBLE),
+              CAST(mean_r AS DOUBLE), CAST(mean_g AS DOUBLE),
+              CAST(mean_b AS DOUBLE), CAST(sd AS DOUBLE),
+              CAST(mx AS DOUBLE)] AS feature
+      FROM ifeat
+    ), aids AS (
+      SELECT CAST(range AS BIGINT) AS mid FROM range(64) WHERE range % 3 = 1
+    ), adims AS (
+      SELECT mid, 64 + mid % 97 AS n FROM aids
+    ), asamp AS (
+      SELECT mid, n, unnest(generate_series(0, n - 1)) AS i FROM adims
+    ), avals AS (
+      SELECT mid, n, i,
+             ((mid * 7 + i * 13) % 4096 - 2048) * 15 AS v
+      FROM asamp
+    ), alag AS (
+      SELECT mid, n, v,
+             lag(v) OVER (PARTITION BY mid ORDER BY i) AS pv
+      FROM avals
+    ), afeat AS (
+      SELECT a.mid, a.n,
+             round(avg(a.v / 32768.0), 6) AS mean_s,
+             round(stddev_pop(a.v / 32768.0), 6) AS sd,
+             round(min(a.v) / 32768.0, 6) AS mn,
+             round(max(a.v) / 32768.0, 6) AS mx,
+             round((SELECT avg(CASE WHEN (l.v < 0) != (l.pv < 0)
+                                    THEN 1.0 ELSE 0.0 END)
+                    FROM alag l WHERE l.mid = a.mid AND l.pv IS NOT NULL),
+                   6) AS zc
+      FROM avals a GROUP BY a.mid, a.n
+    ), aud AS (
+      SELECT mid AS media_id, 'audio' AS kind,
+             CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+             [CAST(8000 AS DOUBLE), CAST(n AS DOUBLE), CAST(1 AS DOUBLE),
+              CAST(mean_s AS DOUBLE), CAST(sd AS DOUBLE),
+              CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+              CAST(zc AS DOUBLE)] AS feature
+      FROM afeat
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
 LLM_ORACLES["mm_wav_verify"] = """
     WITH ids AS (
       SELECT CAST(range AS BIGINT) AS mid FROM range(64) WHERE range % 3 = 1

@@ -676,11 +676,36 @@ def s8_jsonl_roundtrip(spark, sf):
 
 
 def mm_features(spark, sf):
-    return extract_features(synth_media(spark, 64))
+    """VALUE-checked feature extraction (flipped rows-only -> oracle,
+    r8): extract_features in STRICT mode (use_stub=False) over the
+    deterministic lossless subset -- PPM images + WAV audio -- so every
+    float in the 8-dim feature vector (dims, channel means, std, max /
+    rate, count, moments, zero-crossings) is re-derived by the DuckDB
+    oracle from the generator formulas (round-6 recipe).  PNG is
+    excluded only because its n_bytes = deflate length isn't
+    formula-replayable, JPEG because its pixels are lossy; the
+    opaque-payload crc32 FALLBACK lane stays pinned in
+    tests/test_multimodal.py."""
+    m = synth_media(spark, 64)
+    sub = m.filter(
+        F.element_at(F.col("meta"), F.lit("codec")).isin("ppm", "wav")
+    )
+    return extract_features(sub, use_stub=False)
 
 
 def mm_frame_sample(spark, sf):
-    return sample_frames(synth_media(spark, 64), every_n=2)
+    """Frame-index sampling over video rows (flipped rows-only ->
+    oracle, r8): pure Catalyst sequence+explode, and the opaque payload
+    is sha256(media_id) by construction, which DuckDB re-derives with
+    sha256(..) -- so even the payload is value-checked (hex-encoded for
+    the compare: binary columns don't survive every engine's
+    canonicalize/sort path)."""
+    out = sample_frames(synth_media(spark, 64), every_n=2)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lower(F.hex("payload")).alias("payload_sha"),
+    )
 
 
 def e17_json_extract(spark, sf):
@@ -1360,7 +1385,16 @@ def mm_audio_dedup(spark, sf):
 
 
 def mm_resize(spark, sf):
-    return resize_media(synth_media(spark, 64), width=64, height=64)
+    """Resize kernel, VALUE-checked end-to-end (flipped rows-only ->
+    oracle, r8): lossless rows decode -> nearest-neighbor resample ->
+    PPM re-encode -> re-decode -> integer pixel stats
+    (multimodal.resize_pixel_stats); the oracle replays the integer
+    index map yi=y'*h//H, xi=x'*w//W over the generator pixel formula.
+    JPEG-input resize stays pytest-covered (lossy pixels aren't
+    formula-replayable)."""
+    from .llm.multimodal import resize_pixel_stats
+
+    return resize_pixel_stats(synth_media(spark, 64), width=64, height=64)
 
 
 def mm_decode_quarantine(spark, sf):
