@@ -115,10 +115,18 @@ def build(spark, src: str, dst: str, n: int) -> None:
                 c = c.withColumn(col, F.col(col) + F.lit(i * step))
             if t == "documents":
                 # suffix every word with a copy tag -> zero cross-copy
-                # shingle overlap, intact within-copy structure
+                # shingle overlap, intact within-copy structure.  ALSO
+                # prepend a copy token: the suffix alone leaves
+                # cross-copy EDIT distance at ~1 per word (a one-char
+                # substitution), so prefix-blocked Levenshtein gates
+                # (llm_fuzzy_pairs) saw phantom cross-copy pairs -- the
+                # r8 measurement artifact pinned in SCALE.md.  A leading
+                # token diverges the first block_len chars, killing
+                # cross-copy candidates for edit-distance ops the same
+                # way the suffix kills them for shingle ops.
                 c = c.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
-                )
+                ).withColumn("text", F.concat(F.lit(f"c{i} "), F.col("text")))
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
