@@ -149,6 +149,10 @@ HEADLINERS = [
     "llm_viterbi_fixed",
     "mm_decode_verify",
     "mm_gif_verify",
+    # r8: the three lanes flipped to full value oracles
+    "mm_features",
+    "mm_resize",
+    "mm_frame_sample",
     "sql4_grouping_sets",
     "w_mk_trend",
     "w_acf",
