@@ -41,6 +41,7 @@ HEADLINERS = [
     "llm_ann_ivfpq",
     "llm_tfidf",
     "llm_fuzzy_pairs",
+    "llm_sorted_neighborhood",
     "w_tumbling",
     "w_session",
     "w_funnel",

@@ -1508,3 +1508,56 @@ def test_int_twins_raise_on_degenerate_corpora(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="empty"):
         ann_pq_int(empty)
+
+
+def test_sorted_neighborhood_pairs_vs_replica(spark):
+    """sorted_neighborhood_pairs vs a brute-force Python replica (full
+    sort + window scan + Levenshtein), including a pair that PREFIX
+    blocking misses (first chars differ, sort keys adjacent) and ties
+    resolved by id."""
+    import re as _re
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delt"),     # near-dup of 1
+        (3, "alphq beta gamma delta"),    # 1 edit in char 5: same block escape
+        (4, "omega psi chi"),
+        (5, "omega psi chx"),             # near-dup of 4
+        (6, "zeta eta theta iota kappa"),
+        (7, "Alpha  beta gamma delta"),   # normalizes to doc 1's text
+        (8, "unrelated totally different content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from uofi_payroll_etl_main_spark.llm.dedup import sorted_neighborhood_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["gap"], r["dist"])
+        for r in sorted_neighborhood_pairs(df, window=3).collect()
+    }
+
+    # replica
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    norm = lambda t: _re.sub(r"\s+", " ", t.lower()).strip()
+    base = sorted(
+        ((norm(t)[:16], i, norm(t)[:64]) for i, t in docs if norm(t)[:64]),
+    )
+    want = {}
+    for ai in range(len(base)):
+        for bi in range(ai + 1, min(ai + 4, len(base))):
+            d = lev(base[ai][2], base[bi][2])
+            if d <= 8:
+                want[(base[ai][1], base[bi][1])] = (bi - ai, d)
+    assert got == want, (got, want)
+    # the sorted order must catch the cross-block pair (1 or 7) ~ 3
+    assert any(3 in p for p in got), got

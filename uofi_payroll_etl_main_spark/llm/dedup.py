@@ -53,6 +53,7 @@ __all__ = [
     "simhash_md5_candidates",
     "hamming_candidates64",
     "fuzzy_pairs_blocked",
+    "sorted_neighborhood_pairs",
     "compression_ratio",
     "build_dedup_index",
     "dedup_against_index",
@@ -798,6 +799,99 @@ def fuzzy_pairs_blocked(
             F.levenshtein("head_a", "head_b").cast("long").alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 16,
+    window: int = 4,
+    prefix_len: int = 64,
+    max_dist: int = 8,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) -- the
+    classic entity-resolution COMPLEMENT to prefix blocking
+    (fuzzy_pairs_blocked): sort the corpus ONCE by a normalized
+    `key_len`-char sort key, then compare each record only to its next
+    `window` successors in the sorted order, verifying with bounded
+    Levenshtein over `prefix_len`-char heads.  Where a prefix block
+    misses pairs whose first chars differ, the sorted order still
+    adjacencies them if their sort keys are close lexicographically;
+    candidate volume is EXACTLY n*window, independent of block skew.
+
+    Scale shape: the global rank is computed WITHOUT a
+    single-partition window -- the first `bucket_chars` chars of the
+    sort key form order-preserving range buckets, per-bucket counts
+    (a tiny side frame) become cumulative offsets, and
+    rank = offset + row_number within the bucket (the shuffle_index
+    zipWithIndex trick).  Candidates then form by exploding each row
+    into its `window` successor ranks and hash-equi-joining on the
+    integer rank -- one exchange for the sort, one for the join, both
+    key-hashed; no n^2 space, no range join.  At 100 TB raise
+    bucket_chars so range buckets stay executor-sized.
+
+    Deterministic total order (key, id), so fully value-oracle-able:
+    the DuckDB oracle replays row_number() OVER (ORDER BY key, id) and
+    the same window join.  Returns (doc_a, doc_b, gap, dist) with
+    doc_a the LOWER-ranked record and gap = rank distance (1..window).
+    """
+    from pyspark.sql.window import Window
+
+    norm = normalize_text(text_col)
+    base = df.select(
+        _c(id_col).alias("id"),
+        F.substring(norm, 1, prefix_len).alias("head"),
+        F.substring(norm, 1, key_len).alias("key"),
+    ).filter(F.length("head") > 0)
+    bkt = F.substring("key", 1, bucket_chars)
+    withb = base.withColumn("__b", bkt)
+    counts = withb.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("key", "id")
+    # materialize ONCE: both sides of the window join consume the ranked
+    # frame, and without this the scan + sort + rank lineage runs twice
+    # (audited: 4 parquet scans -> 1, the double-scan shape the plan
+    # lint exists for).  The checkpoint holds (id, head, rank) -- far
+    # smaller than the corpus it indexes.
+    ranked = (
+        withb.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__r", (F.col("__off") + F.row_number().over(w_in)).cast("long")
+        )
+        .select("id", "head", "__r")
+        .localCheckpoint(eager=True)
+    )
+    probes = ranked.select(
+        F.col("id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        F.col("__r").alias("__ra"),
+        F.explode(
+            F.sequence(F.col("__r") + 1, F.col("__r") + F.lit(int(window)))
+        ).alias("__r"),
+    )
+    return (
+        probes.join(
+            ranked.select(
+                F.col("id").alias("doc_b"),
+                F.col("head").alias("head_b"),
+                "__r",
+            ),
+            "__r",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("__r") - F.col("__ra")).cast("long").alias("gap"),
+            F.levenshtein("head_a", "head_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= int(max_dist))
     )
 
 

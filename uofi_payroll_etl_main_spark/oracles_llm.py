@@ -731,6 +731,21 @@ LLM_ORACLES: dict[str, str] = {
         FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
         WHERE levenshtein(a.head, b.head) <= 8
     """,
+    "llm_sorted_neighborhood": f"""
+        WITH base AS (
+          SELECT doc_id AS id, substring({_NORM}, 1, 64) AS head,
+                 substring({_NORM}, 1, 16) AS key
+          FROM documents WHERE length(substring({_NORM}, 1, 64)) > 0
+        ), ranked AS (
+          SELECT id, head, row_number() OVER (ORDER BY key, id) AS r
+          FROM base
+        )
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(b.r - a.r AS BIGINT) AS gap,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 4
+        WHERE levenshtein(a.head, b.head) <= 8
+    """,
     "llm_tfidf": f"""
         WITH toks AS (
           SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term

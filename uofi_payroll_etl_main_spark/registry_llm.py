@@ -217,6 +217,17 @@ def llm_fuzzy_pairs(spark, sf):
     return LD.fuzzy_pairs_blocked(_t(spark, sf, "documents"))
 
 
+def llm_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) near-dup pairs:
+    one deterministic total-order sort by a 16-char normalized key
+    (range-bucketed rank, NO single-partition window), each record
+    verified only against its 4 sorted successors with bounded
+    Levenshtein -- candidate volume exactly n*window regardless of
+    block skew, the complement of llm_fuzzy_pairs' prefix blocking.
+    Fully value-oracled (row_number replay + same window join)."""
+    return LD.sorted_neighborhood_pairs(_t(spark, sf, "documents"))
+
+
 def llm_compress_ratio(spark, sf):
     """zlib compression-ratio quality signal (Gopher-style repetition
     detector); Arrow-batched Python kernel, rows-only gate + pytest."""
@@ -2542,6 +2553,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_quality": llm_quality,
     "llm_fingerprint": llm_fingerprint,
     "llm_fuzzy_pairs": llm_fuzzy_pairs,
+    "llm_sorted_neighborhood": llm_sorted_neighborhood,
     "llm_compress_ratio": llm_compress_ratio,
     "llm_tfidf": llm_tfidf,
     "llm_top_ngrams": llm_top_ngrams,
