@@ -1561,3 +1561,25 @@ def test_sorted_neighborhood_pairs_vs_replica(spark):
     assert got == want, (got, want)
     # the sorted order must catch the cross-block pair (1 or 7) ~ 3
     assert any(3 in p for p in got), got
+
+
+def test_ann_eval_gate_consistency(spark):
+    """llm_ann_eval (composed ANN recall gate): hits bounded by both
+    sets, recall_ppm consistent with counts, and recall matches a
+    direct set intersection of the two underlying gates."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    r = qs["llm_ann_eval"](spark, sf).collect()[0]
+    assert 0 < r["n_hits"] <= min(r["n_exact"], r["n_approx"])
+    assert r["recall_ppm"] == int(1_000_000 * r["n_hits"] / r["n_exact"] + 0.5)
+    exact = {
+        (x["query_id"], x["neighbor_id"])
+        for x in qs["llm_cosine_topk"](spark, sf).collect()
+    }
+    approx = {
+        (x["query_id"], x["neighbor_id"])
+        for x in qs["llm_ann_ivf"](spark, sf).collect()
+    }
+    assert r["n_hits"] == len(exact & approx)

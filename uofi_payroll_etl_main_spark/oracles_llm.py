@@ -4194,6 +4194,32 @@ LLM_ORACLES["llm_lsh_eval"] = """
     truth_sql="SELECT doc_a, doc_b FROM (" + LLM_ORACLES["llm_jaccard_pairs"] + ")",
 )
 
+# ANN recall eval: same composed-oracle pattern for the vector-search
+# family -- exact cosine top-5 truth vs the IVF-Flat tier, both taken
+# from their own gate oracles.  recall_ppm = 1e6*nh/ne is integer-exact
+# here (ne = 500 queries x 5), so SQL round vs Python floor(x+.5) agree.
+LLM_ORACLES["llm_ann_eval"] = """
+    WITH exact AS ({exact_sql}),
+    approx AS ({approx_sql}),
+    hits AS (
+      SELECT e.query_id, e.neighbor_id FROM exact e
+      JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST(round(1000000.0 * (SELECT count(*) FROM hits)
+                      / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_ppm
+""".format(
+    exact_sql="SELECT query_id, neighbor_id FROM ("
+    + LLM_ORACLES["llm_cosine_topk"]
+    + ")",
+    approx_sql="SELECT query_id, neighbor_id FROM ("
+    + LLM_ORACLES["llm_ann_ivf"]
+    + ")",
+)
+
 LLM_ORACLES["llm_winnowing"] = """
     WITH toks AS (
       SELECT doc_id,

@@ -1630,6 +1630,30 @@ def llm_lsh_eval(spark, sf):
 
 
 
+def llm_ann_eval(spark, sf):
+    """ANN quality AS A GATE (the llm_lsh_eval pattern applied to the
+    vector-search family): recall@5 of the IVF-Flat tier (llm_ann_ivf
+    config) against the exact cosine top-5 truth set, one row of counts
+    + ppm recall -- the n_probe/n_centroids tuning readout, computed
+    engine-side and VALUE-checked by composing both tiers' own oracle
+    SQLs so the eval can't drift from the gates it measures."""
+    emb = _t(spark, sf, "embeddings")
+    exact = LS.cosine_topk(emb, k=5).select("query_id", "neighbor_id")
+    approx = LS.ivf_topk(emb, k=5, n_centroids=32, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    ne, na, nh = exact.count(), approx.count(), hits.count()
+    return spark.createDataFrame(
+        [(
+            ne, na, nh,
+            # floor(x + 0.5): half-away matches SQL round on positives
+            int(1_000_000 * nh / ne + 0.5) if ne else 0,
+        )],
+        "n_exact long, n_approx long, n_hits long, recall_ppm long",
+    )
+
+
 def llm_winnowing(spark, sf):
     """Winnowing fingerprints (MOSS; text.winnowing_fingerprints):
     word-3-gram md5 hashes, window-4 minima -- any shared >= 6-word
@@ -2624,6 +2648,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a51_heavy_hitters": a51_heavy_hitters,
     "a52_ks_test": a52_ks_test,
     "llm_lsh_eval": llm_lsh_eval,
+    "llm_ann_eval": llm_ann_eval,
     "llm_winnowing": llm_winnowing,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
