@@ -346,18 +346,43 @@ def streaming_interval_join(
 
 
 def run_to_memory(
-    sdf: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
+    sdf: DataFrame,
+    name: str,
+    timeout_s: int = 120,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> None:
     """Drain a bounded stream (AvailableNow) into an in-memory table
-    `name` -- the test/validation sink."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    `name` -- the test/validation sink.
+
+    state_partitions bounds the stateful shuffle width for the stream's
+    lifetime: a streaming query's state-store task count is fixed from
+    `spark.sql.shuffle.partitions` at START, and the engine session
+    sizes that to the CORE count -- so at fixed stream volume every
+    added core adds per-micro-batch state open/commit overhead for
+    zero extra work (measured: the interval-join drain ANTI-scaled
+    3.2s@8 cores -> 6.1s@32, SCALE.md round-8).  State partitioning
+    should track STATE SIZE, not cores; 8 covers the bounded test
+    feeds, and a real deployment raises it to its state volume (or
+    passes None to inherit the session conf).  The conf is restored
+    after the drain -- batch queries in the same session are unaffected
+    (drains run sequentially in tests/bench)."""
+    conf = sdf.sparkSession.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if state_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_upsert_sink(
