@@ -1583,3 +1583,52 @@ def test_ann_eval_gate_consistency(spark):
         for x in qs["llm_ann_ivf"](spark, sf).collect()
     }
     assert r["n_hits"] == len(exact & approx)
+
+
+def test_sorted_neighborhood_fuzz_vs_replica(spark):
+    """Seeded fuzz (parity-fuzz discipline): random small corpora with
+    planted near-dups; sorted_neighborhood_pairs must equal the
+    brute-force replica on every seed."""
+    import random
+    import re as _re
+
+    from uofi_payroll_etl_main_spark.llm.dedup import sorted_neighborhood_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    norm = lambda t: _re.sub(r"\s+", " ", t.lower()).strip()
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "zeta", "theta", "kappa"]
+    for seed in range(8):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(30):
+            words = [rng.choice(vocab) for _ in range(rng.randint(2, 8))]
+            docs.append((i, " ".join(words)))
+            if rng.random() < 0.4:  # planted near-dup with a small edit
+                mut = list(" ".join(words))
+                mut[rng.randrange(len(mut))] = rng.choice("abcxyz ")
+                docs.append((100 + i, "".join(mut)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["gap"], r["dist"])
+            for r in sorted_neighborhood_pairs(df, window=4).collect()
+        }
+        base = sorted(
+            ((norm(t)[:16], i, norm(t)[:64]) for i, t in docs if norm(t)[:64]),
+        )
+        want = {}
+        for ai in range(len(base)):
+            for bi in range(ai + 1, min(ai + 5, len(base))):
+                d = lev(base[ai][2], base[bi][2])
+                if d <= 8:
+                    want[(base[ai][1], base[bi][1])] = (bi - ai, d)
+        assert got == want, (seed, len(got), len(want))
