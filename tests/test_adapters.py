@@ -108,13 +108,20 @@ class _FakeStore:
         self.folders[parent].append(("folder", name, fid))
         return fid
 
-    def add_file(self, parent, name, data):
+    def add_file(
+        self,
+        parent,
+        name,
+        data,
+        modified_at="2024-03-01T10:53:43-08:00",
+        created_at="2024-02-01T08:00:00-08:00",
+    ):
         fid = str(self._next)
         self._next += 1
         self.files[fid] = {
             "data": data,
-            "modified_at": "2024-03-01T10:53:43-08:00",
-            "created_at": "2024-02-01T08:00:00-08:00",
+            "modified_at": modified_at,
+            "created_at": created_at,
         }
         self.folders[parent].append(("file", name, fid))
         return fid
@@ -183,6 +190,15 @@ def test_box_adapter_walks_fake_tree_to_catalog(spark, monkeypatch):
     f1 = store.add_file("0", "readme.txt", b"top")
     f2 = store.add_file(sub, "certs.xlsx", b"x" * 10)
     f3 = store.add_file(deep, "jan.csv", b"a,b\n1,2\n")
+    # ADVICE r8: Box may emit either RFC-3339 form; the 'Z' suffix is
+    # rejected by fromisoformat on py<3.11 without edge normalization
+    f4 = store.add_file(
+        deep,
+        "feb.csv",
+        b"a,b\n3,4\n",
+        modified_at="2024-03-02T01:02:03Z",
+        created_at="2024-02-02T00:00:00Z",
+    )
     _fake_boxsdk(store)
     try:
         env = {
@@ -194,13 +210,16 @@ def test_box_adapter_walks_fake_tree_to_catalog(spark, monkeypatch):
 
         cat = adapter_catalog(spark, a)
         rows = {r["file_id"]: r for r in cat.collect()}
-        assert set(rows) == {f1, f2, f3}
+        assert set(rows) == {f1, f2, f3, f4}
         assert rows[f3]["file_path"] == "/payroll/2024/jan.csv"
         assert rows[f2]["extension"] == ".xlsx"
         assert rows[f2]["size_bytes"] == 10
         # RFC-3339 -08:00 string became a real timestamp (UTC session)
         assert rows[f1]["modified_at"].year == 2024
         assert rows[f1]["modified_at"].hour == 18  # 10:53 PST -> 18:53 UTC
+        # and the 'Z'-suffixed form parses as UTC, not a crash
+        assert rows[f4]["modified_at"].hour == 1
+        assert rows[f4]["modified_at"].minute == 2
 
         # download + upload round-trip
         assert a.open_bytes(f3) == b"a,b\n1,2\n"

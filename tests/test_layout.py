@@ -798,4 +798,12 @@ def test_bucketed_table_rejects_mismatched_reregister(spark, tmp_path):
     # the matching spec still re-registers fine
     t = bucketed_table(spark, df, str(tmp_path / "t"), "tbkt_spec", "k", buckets=4)
     assert t.count() == 100
+    # ADVICE r8: validation also fires when the table is ALREADY in the
+    # session catalog -- a mismatched caller must not get the existing
+    # table under a spec it didn't ask for
+    with _pytest.raises(ValueError, match="BUCKETS"):
+        bucketed_table(spark, df, str(tmp_path / "t"), "tbkt_spec", "k", buckets=16)
+    # and the sidecar write is atomic: no .tmp debris next to the spec
+    assert not (tmp_path / "t" / "_bucket_spec.json.tmp").exists()
+    assert (tmp_path / "t" / "_bucket_spec.json").exists()
     spark.sql("DROP TABLE tbkt_spec")

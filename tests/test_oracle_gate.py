@@ -56,6 +56,51 @@ def test_smoke_slices_cover_registry():
     assert seen == set(names)
 
 
+def test_cli_json_missing_path_is_usage_error(monkeypatch, capsys):
+    """ADVICE r8: `--json` as the last argument (or followed by another
+    flag) is a usage error, not an IndexError."""
+    monkeypatch.setattr(sys, "argv", ["check_oracles.py", "--json"])
+    assert check_oracles.main() == 2
+    monkeypatch.setattr(sys, "argv", ["check_oracles.py", "--json", "--ansi"])
+    assert check_oracles.main() == 2
+    assert "usage:" in capsys.readouterr().err
+
+
+def test_cli_filtered_artifact_is_stamped_partial(monkeypatch, tmp_path, spark):
+    """ADVICE r8: a name-filtered run writes an artifact stamped
+    partial=true with the active filters recorded, so it can never be
+    mistaken for a full-registry sweep."""
+    import json
+
+    calls = {}
+
+    def fake_run_gate(spark_, sf_dir, filters=None, records=None, **kw):
+        calls["filters"] = filters
+        if records is not None:
+            records.append({"name": "x", "status": "pass", "rows": 1, "sec": 0.0,
+                            "detail": "ok"})
+        return 1, 0, []
+
+    monkeypatch.setattr(check_oracles, "run_gate", fake_run_gate)
+    out = tmp_path / "sweep.json"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["check_oracles.py", "--ansi", "--json", str(out), "p1_contains"],
+    )
+    assert check_oracles.main() == 0
+    art = json.load(open(out))
+    assert art["partial"] is True
+    assert art["filters"] == ["p1_contains"]
+    assert calls["filters"] == ["p1_contains"]
+    # and an unfiltered run is stamped full
+    monkeypatch.setattr(
+        sys, "argv", ["check_oracles.py", "--ansi", "--json", str(out)]
+    )
+    assert check_oracles.main() == 0
+    art = json.load(open(out))
+    assert art["partial"] is False and art["filters"] == []
+
+
 @pytest.mark.oracle_smoke
 def test_oracle_smoke(spark):
     names = _smoke_slice(_registry_names())

@@ -28,6 +28,15 @@ deep on a few queries; this goes wide across the whole driver surface:
                                terabytes -- so only gross repetition
                                is flagged, with a documented allowlist
                                for bounded-iteration algorithms.
+  * Unpartitioned WindowExec  -- a Window with an ORDER BY but no
+                               PARTITION BY sorts its whole input on
+                               ONE task; corpus-scale inputs make that
+                               the job's ceiling.  Every occurrence
+                               must be in UNPART_WINDOW_ALLOWED with a
+                               documented bound on the frame it runs
+                               over (top-k-limited, bucket-totals,
+                               day-grain...).  WindowGroupLimit is a
+                               partitioned top-k pushdown, not flagged.
 """
 
 from __future__ import annotations
@@ -85,6 +94,7 @@ BNLJ_ALLOWED = {
     "llm_rrf_fusion",       # single-row query-vector broadcast + bm25 stats broadcast
     "llm_mmr_diversify",    # broadcast query batch -> exact candidate pool (stage-1 tier is swappable for ANN)
     "g11_modularity",       # single-row edge-count (m) broadcast
+    "llm_zipf_fit",         # single-row (min,max) bounds broadcast (_value_running_totals)
 }
 
 # skipped: st_* execute a streaming drain inside the registry call;
@@ -117,6 +127,33 @@ MANY_SCANS_ALLOWED = {
     "v15_monitor",           # composes v12/v13 shapes
 }
 MAX_SAME_PATH_SCANS = 6
+
+# Unpartitioned ordered windows, each audited to run over a BOUNDED
+# frame -- never the corpus.  Adding a query here requires naming the
+# bound.  (r8 verdict task: a45/a52 used to global-sort the pooled
+# measurement values; both now rank via aggregates._value_running_totals'
+# range-bucketed offsets, leaving only the <=64-row bucket-totals
+# window.  llm_zipf_fit's types-scale rank was rebuilt the same round
+# onto the (count-class, token-prefix) composite-bucket rank.)
+UNPART_WINDOW_ALLOWED = {
+    "a33_gini",             # |sources| per-dimension count frame
+    "a45_mann_whitney",     # <=64-row bucket-totals offsets frame
+    "a52_ks_test",          # <=64-row bucket-totals offsets frame
+    "llm_corpus_shuffle",   # per-bucket count offsets frame (dedup.py pattern)
+    "llm_curation_pipeline",# per-bucket count offsets frame
+    "llm_curriculum",       # per-bucket count offsets frame
+    "llm_rrf_fusion",       # <=50-row BM25 top-k list
+    "llm_vocab_coverage",   # <=top_v(500)-row token list after limit
+    "llm_zipf_fit",         # <=64-row bucket-totals offsets frame
+    "v5_skew_report",       # <=top(20)-row frame after limit
+    "v8_freshness",         # day-grain trailing-mean frame
+    "v15_monitor",          # day-grain trailing-mean frame (v8 shape)
+}
+
+# a Window line prints [functions], [partitionSpec], [orderSpec]; the
+# unpartitioned form has only [functions], [orderSpec] -- two top-level
+# bracket groups, the last carrying sort directions
+_WINDOW_LINE = re.compile(r"(?:^|[\s:])(Window \[.*)$")
 
 # A DataFilters predicate whose operand is a BARE attribute (col#123)
 # rather than a computed expression -- these ALWAYS have a parquet
@@ -159,6 +196,22 @@ def test_no_scale_antipatterns(spark, name):
             raise AssertionError(
                 f"{name}: simple-column filter not pushed to parquet "
                 f"(DataFilters=[{data[:160]}], PushedFilters=[])"
+            )
+
+    # unpartitioned ordered window: whole input sorted on one task
+    for line in plan.splitlines():
+        m = _WINDOW_LINE.search(line)
+        if not m:
+            continue
+        groups = m.group(1).split("], [")
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            assert name in UNPART_WINDOW_ALLOWED, (
+                f"{name}: unpartitioned ordered Window (single-partition "
+                f"sort of its whole input) -- use a partitioned window, "
+                f"the range-bucket offset rank (aggregates."
+                f"_value_running_totals / llm.dedup sorted-neighborhood "
+                f"pattern), or allowlist with the frame's bound\n"
+                f"{m.group(1)[:200]}"
             )
 
     # lineage blowup: the same input path scanned gross-many times

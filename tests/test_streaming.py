@@ -38,6 +38,27 @@ def test_streaming_tumbling_matches_batch(spark, event_dir):
     assert len(got) > 0
 
 
+def test_run_to_memory_timeout_stops_query_and_restores_conf(spark, event_dir):
+    """ADVICE r8: a drain that exceeds timeout_s must raise AND stop the
+    query -- leaving it running after the shuffle-partitions conf is
+    restored would plan later micro-batches under the session-wide
+    width the override existed to avoid."""
+    import pytest as _pytest
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_event_stream(spark, event_dir)
+    with _pytest.raises(TimeoutError, match="did not finish"):
+        run_to_memory(
+            streaming_tumbling_counts(stream, "1 hour"),
+            "t_stream_timeout",
+            timeout_s=0.001,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert not any(
+        q.name == "t_stream_timeout" for q in spark.streams.active
+    ), "timed-out drain left its query running"
+
+
 def test_streaming_session_matches_batch(spark, event_dir):
     from uofi_payroll_etl_main_spark.streaming.streams import streaming_session_counts
     from uofi_payroll_etl_main_spark.streaming.windows import session_agg

@@ -173,6 +173,10 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            print("usage: check_oracles.py [--ansi] [--json PATH] [name ...]",
+                  file=sys.stderr)
+            return 2
         json_path = args[i + 1]
         del args[i : i + 2]
     filters = [a for a in args if a != "--ansi"]
@@ -206,6 +210,10 @@ def main() -> int:
             "git_sha": sha,
             "sf_dir": SF_DIR,
             "session": "ansi" if use_ansi else "tuned",
+            # a filtered run is NOT a full-registry sweep: stamp it so the
+            # artifact can never be mistaken for one
+            "partial": bool(filters),
+            "filters": sorted(filters),
             "total_sec": round(time.time() - t_start, 1),
             "n_pass": n_pass,
             "n_rows_only": n_rowsonly,

@@ -134,7 +134,11 @@ class BoxAdapter(SourceAdapter):
         from datetime import datetime
 
         def ts(v):
-            return datetime.fromisoformat(v) if isinstance(v, str) else v
+            # fromisoformat rejects the 'Z' suffix on Python < 3.11;
+            # Box may emit either RFC-3339 form
+            if isinstance(v, str):
+                return datetime.fromisoformat(v.replace("Z", "+00:00"))
+            return v
 
         def walk(folder_id: str, parent: str) -> Iterator[dict]:
             for item in self._client.folder(folder_id).get_items():

@@ -916,6 +916,83 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     return prod.agg(F.min("__dot").cast("long").alias("join_size_est"))
 
 
+def _value_running_totals(
+    per_val: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    buckets: int = 64,
+) -> DataFrame:
+    """Inclusive running totals of `sum_cols` in `order_col` order over a
+    one-row-per-distinct-value frame, WITHOUT a single-partition window.
+
+    The rank-by-composition pattern (same shape as the sorted-
+    neighborhood rank in llm/dedup.py): a (min, max) scalar broadcast
+    turns each value into an order-preserving width_bucket id, the
+    per-bucket totals (a <= `buckets`-row side frame) fold into
+    exclusive cumulative offsets, and running total = bucket offset +
+    a bucket-PARTITIONED within-window.  Every window here is either
+    metadata-scale (the offsets frame) or partitioned (the within-
+    bucket sums), so no corpus-scale sort ever lands on one executor.
+
+    width_bucket is a pure function of the value, so equal values share
+    a bucket and the result is independent of the bucketing -- fully
+    deterministic, no sampled-boundary nondeterminism to checkpoint
+    away.  A pathological distribution that collapses into one bucket
+    degrades to the single-partition sort this replaces, never worse;
+    at 100 TB raise `buckets` so each bucket stays executor-sized.
+
+    Adds `__run_<c>` (long) for each c in sum_cols; the caller gets the
+    exclusive form by subtracting the row's own contribution.
+    """
+    stats = per_val.agg(
+        F.min(F.col(order_col).cast("double")).alias("__lo"),
+        F.max(F.col(order_col).cast("double")).alias("__hi"),
+    )
+    b = (
+        per_val.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__bkt",
+            F.when(F.col("__hi") <= F.col("__lo"), F.lit(1))
+            .otherwise(
+                F.least(
+                    F.lit(int(buckets)),
+                    F.width_bucket(
+                        F.col(order_col).cast("double"),
+                        F.col("__lo"),
+                        F.col("__hi"),
+                        F.lit(int(buckets)),
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .drop("__lo", "__hi")
+    )
+    totals = b.groupBy("__bkt").agg(
+        *[F.sum(c).cast("long").alias(f"__t_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = b.join(F.broadcast(offs), "__bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__run_{c}",
+            (F.col(f"__off_{c}") + F.sum(c).over(w_in)).cast("long"),
+        )
+    return out.drop("__bkt", *[f"__off_{c}" for c in sum_cols])
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
@@ -930,49 +1007,46 @@ def mann_whitney_u(
     effect size r = 1 - 2U/(n_a*n_b) (sign: positive means group_a
     stochastically larger).
 
-    Exactness discipline: mid-ranks are computed as min-rank +
-    (ties-1)/2 -- multiples of 0.5, summed as DECIMAL(38,1), so the
-    rank sum is exact and order-independent; z finishes in IEEE double
-    from exact integer/decimal inputs.  One value-ordered window
-    (the rank) and two metadata-scale aggregates; the tie-correction
-    term aggregates per distinct value with map-side combine.  At
-    100 TB the global rank is the cost -- the standard swap is
-    bucketed range-partitioned ranking, same downstream math.
+    Rank mechanics without a global sort: the frame first reduces to
+    one row per DISTINCT value (map-side-combined counts of ties t and
+    group-a members ca), then _value_running_totals gives below(v) =
+    #values < v via range-bucketed cumulative offsets -- no
+    unpartitioned corpus-scale window anywhere in the plan.  Mid-rank
+    algebra stays exact: minrank = below+1, doubled mid-rank
+    2*minrank + t - 1 = 2*below + t + 1 is pure integer, summed as
+    DECIMAL(38,0), so the rank sum is order-independent; z finishes in
+    IEEE double from exact integer/decimal inputs.  The tie-correction
+    term folds in the same single pass over the distinct-value frame.
     Returns ONE row: n_a, n_b, u_stat (U of group_a), z, r_rb.
     """
-    from pyspark.sql import Window
-
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull())
-    w = Window.orderBy("__v")
-    ranked = two.withColumn("__minrank", F.rank().over(w)).withColumn(
-        "__ties", F.count(F.lit(1)).over(Window.partitionBy("__v"))
+    per_val = two.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("__ca"),
+        F.count(F.lit(1)).cast("long").alias("__t"),
     )
-    # mid-rank = minrank + (ties-1)/2; summed as DOUBLED integers
-    # (2*minrank + ties - 1) so the aggregate is pure integer --
-    # decimal-division scale rules differ per engine, integers don't
+    run = _value_running_totals(per_val, "__v", ["__t"])
+    below = F.col("__run___t") - F.col("__t")
+    # doubled mid-rank = 2*below + t + 1; ca * mid2 summed as pure
+    # integer DECIMAL(38,0) -- decimal-division scale rules differ per
+    # engine, integers don't
     mid2 = (
-        F.lit(2) * F.col("__minrank").cast("decimal(38,0)")
-        + F.col("__ties").cast("decimal(38,0)")
-        - F.lit(1)
+        F.lit(2) * below.cast("decimal(38,0)")
+        + F.col("__t").cast("decimal(38,0)")
+        + F.lit(1)
     )
-    sums = ranked.agg(
-        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("__g") == group_a, mid2)).alias("__ra2"),
+    j = run.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum(F.col("__t") - F.col("__ca")).cast("long").alias("n_b"),
+        F.sum(F.col("__ca").cast("decimal(38,0)") * mid2).alias("__ra2"),
+        F.sum(
+            F.col("__t").cast("decimal(38,0)") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__tcorr"),
     )
-    ties = (
-        two.groupBy("__v")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .agg(
-            F.sum(
-                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
-                - F.col("t")
-            ).alias("__tcorr")
-        )
-    )
-    j = sums.crossJoin(F.broadcast(ties))
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     n = na + nb
@@ -1419,11 +1493,13 @@ def ks_test(
     with the asymptotic significance scale lambda =
     (sqrt(en) + 0.12 + 0.11/sqrt(en)) * D (Numerical Recipes form) --
     the distribution-shape sibling of the Mann-Whitney location test
-    (a45).  Exact rank mechanics: one global sort of the pooled
-    values; at ties the ECDF step is evaluated AFTER all equal values
-    (the sup over the right-continuous ECDFs), via cumulative counts
-    at each distinct pooled value.  One value-keyed aggregate + one
-    window over distinct values; scalar counts broadcast.
+    (a45).  Exact rank mechanics: at ties the ECDF step is evaluated
+    AFTER all equal values (the sup over the right-continuous ECDFs),
+    via cumulative counts at each distinct pooled value.  The
+    cumulative counts come from _value_running_totals' range-bucketed
+    offsets -- one value-keyed aggregate, bucket-partitioned
+    within-windows, a <=64-row offsets frame, and scalar counts
+    broadcast; no unpartitioned corpus-scale window in the plan.
 
     NULL measurements are excluded: an ECDF is defined over observed
     values only, and Spark's window ORDER BY sorts NULL first while
@@ -1440,14 +1516,13 @@ def ks_test(
         F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     tot = base.agg(
         F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
     )
-    steps = per_val.select(
-        F.sum("__ca").over(w).alias("__fa"),
-        F.sum("__cb").over(w).alias("__fb"),
+    steps = _value_running_totals(per_val, "__v", ["__ca", "__cb"]).select(
+        F.col("__run___ca").alias("__fa"),
+        F.col("__run___cb").alias("__fb"),
     )
     d = (
         steps.crossJoin(F.broadcast(tot))

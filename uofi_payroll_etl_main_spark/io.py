@@ -1119,13 +1119,29 @@ def bucketed_table(
     in memory, etl_payroll_pipeline.py:186-210).
 
     The physical layout (key, buckets) is persisted in a sidecar
-    ``_bucket_spec.json`` next to ``_SUCCESS`` at write time and
-    VALIDATED on every re-register: a CLUSTERED BY clause that doesn't
+    ``_bucket_spec.json`` next to ``_SUCCESS`` at write time (temp file
+    + atomic rename) and VALIDATED both on re-register and when the
+    table is already in the session catalog: a CLUSTERED BY clause that doesn't
     match the files' actual hash layout would make bucket pruning read
     the wrong buckets and silently return wrong join results, so a
     mismatched caller is an error, never a registration.
     """
     spec_path = os.path.join(path, "_bucket_spec.json")
+
+    def check_spec() -> None:
+        if not os.path.exists(spec_path):
+            return
+        with open(spec_path) as f:
+            spec = json.load(f)
+        if spec.get("key") != key or int(spec.get("buckets", -1)) != int(buckets):
+            raise ValueError(
+                f"bucketed_table: files at {path} were written "
+                f"CLUSTERED BY ({spec.get('key')}) INTO "
+                f"{spec.get('buckets')} BUCKETS but caller asked for "
+                f"({key}, {buckets}); registering the mismatched layout "
+                f"would silently corrupt bucket-pruned joins"
+            )
+
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             df.write.mode("overwrite")
@@ -1135,20 +1151,14 @@ def bucketed_table(
             .format("parquet")
             .saveAsTable(table)
         )
-        with open(spec_path, "w") as f:
+        # temp-file + rename so a crash between saveAsTable and the
+        # sidecar can't leave _SUCCESS with a half-written spec
+        tmp = spec_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"key": key, "buckets": int(buckets)}, f)
+        os.replace(tmp, spec_path)
     elif not spark.catalog.tableExists(table):
-        if os.path.exists(spec_path):
-            with open(spec_path) as f:
-                spec = json.load(f)
-            if spec.get("key") != key or int(spec.get("buckets", -1)) != int(buckets):
-                raise ValueError(
-                    f"bucketed_table: files at {path} were written "
-                    f"CLUSTERED BY ({spec.get('key')}) INTO "
-                    f"{spec.get('buckets')} BUCKETS but caller asked for "
-                    f"({key}, {buckets}); registering the mismatched layout "
-                    f"would silently corrupt bucket-pruned joins"
-                )
+        check_spec()
         schema = spark.read.parquet(path).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
@@ -1158,6 +1168,11 @@ def bucketed_table(
             f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
             f"LOCATION '{path}'"
         )
+    else:
+        # table already registered in this session: a caller passing a
+        # mismatched (key, buckets) must still get the layout error, not
+        # the existing table under a spec it didn't ask for
+        check_spec()
     return spark.table(table)
 
 

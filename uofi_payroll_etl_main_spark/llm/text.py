@@ -1037,14 +1037,23 @@ def zipf_fit(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataF
     (boilerplate flattens the head, spam steepens the tail) -- a
     one-number corpus-health probe next to the perplexity buckets.
 
-    One corpus scan to token counts (map-side combinable), one rank
-    window over the type vocabulary (types-scale, not corpus-scale),
-    one 6-sum aggregate for the fit.  log values quantize to
-    DECIMAL(28,12) before summing so the sums are addition-order-free
-    and the oracle reproduces them.  Returns one row
-    (n_types, n_tokens, slope, intercept, r2), slope/r2 rounded 6.
+    One corpus scan to token counts (map-side combinable); the
+    (cnt DESC, tok ASC) type rank is assembled WITHOUT a types-scale
+    single-partition window: rank = (#types in strictly-higher count
+    classes, via aggregates._value_running_totals over the per-count
+    frame) + (#same-count types in earlier 4-char token-prefix buckets,
+    a window over the tiny (cnt, prefix) frame PARTITIONED by cnt) +
+    row_number within the (cnt, prefix) bucket.  At 100 TB the type
+    vocabulary is hundreds of millions of rows -- every window here is
+    partitioned or metadata-scale, so no executor ever sorts the whole
+    vocabulary.  One 6-sum aggregate for the fit.  log values quantize
+    to DECIMAL(28,12) before summing so the sums are
+    addition-order-free and the oracle reproduces them.  Returns one
+    row (n_types, n_tokens, slope, intercept, r2), slope/r2 rounded 6.
     """
     from pyspark.sql import Window
+
+    from ..aggregates import _value_running_totals
 
     counts = (
         df.select(F.explode(tokens(text_col)).alias("tok"))
@@ -1052,9 +1061,36 @@ def zipf_fit(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataF
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= int(min_count))
     )
-    ranked = counts.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))).cast("long"),
+    per_cnt = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    ).withColumn("__negc", -F.col("cnt").cast("double"))
+    # running totals over -cnt ascending == cnt descending: inclusive
+    # total - own class size = #types ranked strictly above the class
+    cls = _value_running_totals(per_cnt, "__negc", ["__t"]).select(
+        "cnt", (F.col("__run___t") - F.col("__t")).alias("__above")
+    )
+    withp = counts.withColumn("__p", F.substring("tok", 1, 4))
+    ppc = withp.groupBy("cnt", "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    w_po = Window.partitionBy("cnt").orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    poffs = ppc.select(
+        "cnt",
+        "__p",
+        F.coalesce(F.sum("__n").over(w_po), F.lit(0)).cast("long").alias("__poff"),
+    )
+    w_in = Window.partitionBy("cnt", "__p").orderBy("tok")
+    ranked = (
+        withp.join(cls, "cnt")
+        .join(poffs, ["cnt", "__p"])
+        .withColumn(
+            "rank",
+            (
+                F.col("__above") + F.col("__poff") + F.row_number().over(w_in)
+            ).cast("long"),
+        )
     )
     # DECIMAL(18,12): ln values are < 30, and the (18,12)x(18,12)
     # product stays inside both engines' 38-digit cap with the full

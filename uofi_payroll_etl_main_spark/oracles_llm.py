@@ -4136,6 +4136,54 @@ LLM_ORACLES["mm_gif_verify"] = """
     FROM vals GROUP BY mid, interlaced, w, h
 """
 
+LLM_ORACLES["mm_image_dedup"] = """
+    -- replay: synth pixels -> 9x8 nearest resample -> dHash64 ->
+    -- all pairs at hamming <= 3 (banding is recall-complete there).
+    -- gray comparisons use the x3 channel SUM (integer-exact: mean
+    -- over 3 channels preserves order under x3).
+    WITH mids AS (
+      SELECT CAST(range AS BIGINT) AS m FROM range(96)
+      WHERE range % 3 = 0 AND (range // 3) % 4 IN (0, 1)
+    ), imgs AS (
+      SELECT m AS media_id, m AS seed, 8 + m % 9 AS w, 6 + m % 5 AS h FROM mids
+      UNION ALL
+      SELECT m + 1000, m, 8 + m % 9, 6 + m % 5 FROM mids
+    ), rows8 AS (
+      SELECT media_id, seed, w, h, unnest(generate_series(0, 7)) AS r FROM imgs
+    ), cells AS (
+      SELECT media_id, seed, w, h, r, unnest(generate_series(0, 8)) AS cc
+      FROM rows8
+    ), gsum AS (
+      SELECT media_id, r, cc,
+             ((seed*31 + ((r*h)//8)*7 + ((cc*w)//9)*13) % 256)
+           + ((seed*31 + ((r*h)//8)*7 + ((cc*w)//9)*13 + 101) % 256)
+           + ((seed*31 + ((r*h)//8)*7 + ((cc*w)//9)*13 + 202) % 256) AS g3
+      FROM cells
+    ), bits AS (
+      SELECT a.media_id, a.r, a.cc AS c,
+             CASE WHEN a.g3 > b.g3 THEN 1 ELSE 0 END AS bit
+      FROM gsum a
+      JOIN gsum b ON a.media_id = b.media_id AND a.r = b.r
+                 AND b.cc = a.cc + 1
+      WHERE a.cc < 8
+    ), hashes AS (
+      -- MSB-first pack; the sign bit lands as -2^63 so the sum IS the
+      -- signed 64-bit value Spark carries
+      SELECT media_id,
+             CAST(sum(CAST(bit AS BIGINT) *
+                      CASE WHEN r = 0 AND c = 0
+                           THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << (63 - (r*8 + c)))
+                      END) AS BIGINT) AS dh
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+    FROM hashes a
+    JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 3
+"""
+
 LLM_ORACLES["a52_ks_test"] = """
     WITH base AS (
       SELECT event_type AS g, value AS v FROM events
@@ -4217,6 +4265,28 @@ LLM_ORACLES["llm_ann_eval"] = """
     + ")",
     approx_sql="SELECT query_id, neighbor_id FROM ("
     + LLM_ORACLES["llm_ann_ivf"]
+    + ")",
+)
+
+LLM_ORACLES["llm_ann_pq_eval"] = """
+    WITH exact AS ({exact_sql}),
+    approx AS ({approx_sql}),
+    hits AS (
+      SELECT e.query_id, e.neighbor_id FROM exact e
+      JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST(round(1000000.0 * (SELECT count(*) FROM hits)
+                      / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_ppm
+""".format(
+    exact_sql="SELECT query_id, neighbor_id FROM ("
+    + LLM_ORACLES["llm_cosine_topk"]
+    + ")",
+    approx_sql="SELECT query_id, neighbor_id FROM ("
+    + LLM_ORACLES["llm_ann_pq_int"]
     + ")",
 )
 

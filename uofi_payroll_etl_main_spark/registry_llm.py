@@ -1353,19 +1353,28 @@ def w_holt_winters(spark, sf):
 
 
 def mm_image_dedup(spark, sf):
-    """Image near-dup candidates by perceptual dHash: decode (PPM/PNG/
-    JPEG) -> gray 9x8 difference hash -> 16-bit-chunk Hamming banding
+    """Image near-dup candidates by perceptual dHash: decode -> gray
+    9x8 difference hash -> 16-bit-chunk Hamming banding
     (llm/multimodal.image_dup_candidates over dedup.hamming_candidates64).
-    The corpus is synth_media plus an id-shifted copy, so every image
-    has one planted exact perceptual duplicate; rows-only gate (Pandas-
-    UDF decode), pair recall pinned by pytest."""
+    The corpus is synth_media's LOSSLESS images (PPM + PNG, whose
+    decoded pixels equal the synthesis formula bit-for-bit) plus an
+    id-shifted copy, so every image has one planted exact perceptual
+    duplicate AND the full dHash -> banded-pair path is value-checked:
+    the DuckDB oracle replays pixel synthesis, the 9x8 nearest
+    resample, the 64-bit pack, and the hamming<=3 pair join (pigeonhole
+    makes banded candidates == all such pairs).  The lossy JPEG decode
+    lanes stay pinned by pytest (test_jpeg.py) and the mm_jpeg_verify
+    gate."""
     from .llm.multimodal import image_dup_candidates
 
-    base = synth_media(spark, 48)
-    shifted = synth_media(spark, 48).withColumn(
+    base = synth_media(spark, 96)
+    shifted = synth_media(spark, 96).withColumn(
         "media_id", F.col("media_id") + 1000
     )
-    return image_dup_candidates(base.unionByName(shifted), max_hamming=3)
+    corpus = base.unionByName(shifted).filter(
+        F.element_at(F.col("meta"), F.lit("codec")).isin("ppm", "png")
+    )
+    return image_dup_candidates(corpus, max_hamming=3)
 
 
 def mm_audio_vad(spark, sf):
@@ -1640,6 +1649,35 @@ def llm_ann_eval(spark, sf):
     emb = _t(spark, sf, "embeddings")
     exact = LS.cosine_topk(emb, k=5).select("query_id", "neighbor_id")
     approx = LS.ivf_topk(emb, k=5, n_centroids=32, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    ne, na, nh = exact.count(), approx.count(), hits.count()
+    return spark.createDataFrame(
+        [(
+            ne, na, nh,
+            # floor(x + 0.5): half-away matches SQL round on positives
+            int(1_000_000 * nh / ne + 0.5) if ne else 0,
+        )],
+        "n_exact long, n_approx long, n_hits long, recall_ppm long",
+    )
+
+
+def llm_ann_pq_eval(spark, sf):
+    """PQ-tier quality AS A GATE (llm_ann_eval's pattern applied to the
+    product-quantization family): recall@5 of the all-integer PQ tier
+    (llm_ann_pq_int config: 8 codes, 4 subspaces) against the exact
+    cosine top-5 truth set, one row of counts + ppm recall -- the
+    n_codes/n_sub quantization-loss readout, computed engine-side and
+    VALUE-checked by composing both tiers' own oracle SQLs so the eval
+    can't drift from the gates it measures.  (The PQ tier ranks by
+    integer ADC L2 in code space while truth is exact cosine, so
+    recall here quantifies exactly what deploying PQ costs.)"""
+    from .llm.similarity import ann_pq_int
+
+    emb = _t(spark, sf, "embeddings")
+    exact = LS.cosine_topk(emb, k=5).select("query_id", "neighbor_id")
+    approx = ann_pq_int(emb, k=5, n_codes=8, n_sub=4).select(
         "query_id", "neighbor_id"
     )
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -2649,6 +2687,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a52_ks_test": a52_ks_test,
     "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_eval": llm_ann_eval,
+    "llm_ann_pq_eval": llm_ann_pq_eval,
     "llm_winnowing": llm_winnowing,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,

@@ -379,7 +379,16 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            # a timed-out drain must not keep running after the conf is
+            # restored below (it would plan later micro-batches under the
+            # session-wide shuffle width) -- stop it and say so
+            q.stop()
+            raise TimeoutError(
+                f"run_to_memory({name!r}): drain did not finish within "
+                f"{timeout_s}s; query stopped"
+            )
     finally:
         if state_partitions is not None:
             conf.set("spark.sql.shuffle.partitions", prev)
