@@ -158,6 +158,7 @@ HEADLINERS = [
     "w_mk_trend",
     "w_acf",
     "a52_ks_test",
+    "a53_kruskal_wallis",
     "llm_winnowing",
     "g16_bipartite_projection",
 ]

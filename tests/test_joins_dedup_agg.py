@@ -1409,6 +1409,47 @@ def test_mann_whitney_hand_computed(spark):
     assert abs(r2.r_rb - round(2 * 0.5 / 9 - 1, 6)) < 1e-9
 
 
+def test_kruskal_wallis_hand_computed(spark):
+    from uofi_payroll_etl_main_spark.aggregates import kruskal_wallis
+
+    # no ties, 3 separated groups of 2: ranks a={1,2} b={3,4} c={5,6};
+    # H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 4.571429 (max
+    # separation for this layout); no ties -> h_corrected == h
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+         ("c", 5.0), ("c", 6.0)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(df, "g", "v").first()
+    assert (r.n_groups, r.n_total) == (3, 6)
+    expect = 12.0 / 42.0 * (4.5 + 24.5 + 60.5) - 21.0
+    assert abs(r.h - round(expect, 6)) < 1e-9
+    assert r.h_corrected == r.h
+
+    # ties across groups: a={1,2}, b={2,3} -> mid-ranks a={1,2.5},
+    # b={2.5,4}; H = 12/(4*5) * (3.5^2/2 + 6.5^2/2) - 15 = 1.35;
+    # tie term t=2 at v=2 -> C = 1 - 6/60 = 0.9 -> H_c = 1.5.
+    # NULL group/value rows excluded, not crashed on.
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+         (None, 9.0), ("a", None)],
+        "g string, v double",
+    )
+    r2 = kruskal_wallis(df2, "g", "v").first()
+    assert (r2.n_groups, r2.n_total) == (2, 4)
+    assert abs(r2.h - 1.35) < 1e-9
+    assert abs(r2.h_corrected - 1.5) < 1e-9
+
+    # identical distributions -> H ~ 0 (exactly 0 for mirrored ranks?
+    # no: compute directly) -- k=1 group edge: H undefined-ish but
+    # finite formula; just assert the one-group call returns a row
+    one = kruskal_wallis(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double"),
+        "g", "v",
+    ).first()
+    assert one.n_groups == 1 and one.n_total == 2
+
+
 def test_chi_square_drift_hand_contingency(spark):
     from uofi_payroll_etl_main_spark.report import chi_square_drift
 

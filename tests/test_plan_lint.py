@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "a43_sketch_overlap",   # |sets|^2 sketch-row pair join (segment-scale, facts scanned once)
     "a49_kmv_set_ops",      # |sets|^2 KMV-estimate pair join (segment-scale, facts reduce once to k-integer sketches)
     "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
+    "a53_kruskal_wallis",   # single-row bounds + tie-correction broadcasts (a45 shape, k groups)
     "a47_assoc_rules",      # single-row n-baskets broadcast
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows
     "g12_hits",             # one-row L1-normalizer broadcast per half-iteration
@@ -139,6 +140,7 @@ UNPART_WINDOW_ALLOWED = {
     "a33_gini",             # |sources| per-dimension count frame
     "a45_mann_whitney",     # <=64-row bucket-totals offsets frame
     "a52_ks_test",          # <=64-row bucket-totals offsets frame
+    "a53_kruskal_wallis",   # <=64-row bucket-totals offsets frame
     "llm_corpus_shuffle",   # per-bucket count offsets frame (dedup.py pattern)
     "llm_curation_pipeline",# per-bucket count offsets frame
     "llm_curriculum",       # per-bucket count offsets frame

@@ -2602,6 +2602,47 @@ LLM_ORACLES["a45_mann_whitney"] = """
     FROM sums CROSS JOIN tcorr
 """
 
+LLM_ORACLES["a53_kruskal_wallis"] = """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), ranked AS (
+      SELECT g, v,
+             rank() OVER (ORDER BY v) AS minrank,
+             count(*) OVER (PARTITION BY v) AS ties
+      FROM base
+    ), grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(2 * CAST(minrank AS DECIMAL(38,0)) + ties - 1) AS r2
+      FROM ranked GROUP BY g
+    ), terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(CAST(round((CAST(r2 AS DOUBLE) / 2.0)
+                            * (CAST(r2 AS DOUBLE) / 2.0)
+                            / CAST(n AS DOUBLE), 3) AS DECIMAL(38,3))) AS s
+      FROM grp
+    ), tcorr AS (
+      SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tc FROM (
+        SELECT count(*) AS t FROM base GROUP BY v
+      )
+    )
+    SELECT n_groups, n_total,
+           round(12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1.0))
+                 * CAST(s AS DOUBLE) - 3.0 * (n_total + 1.0), 6) AS h,
+           round(CASE WHEN 1.0 - CAST(tc AS DOUBLE)
+                           / (CAST(n_total AS DOUBLE) * n_total * n_total
+                              - n_total) > 0
+                      THEN (12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1.0))
+                            * CAST(s AS DOUBLE) - 3.0 * (n_total + 1.0))
+                           / (1.0 - CAST(tc AS DOUBLE)
+                              / (CAST(n_total AS DOUBLE) * n_total * n_total
+                                 - n_total))
+                 END, 6) AS h_corrected
+    FROM terms CROSS JOIN tcorr
+"""
+
 LLM_ORACLES["a46_itemsets"] = """
     WITH b AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem

@@ -1013,6 +1013,18 @@ def a45_mann_whitney(spark, sf):
     )
 
 
+def a53_kruskal_wallis(spark, sf):
+    """k-group nonparametric location test: Kruskal-Wallis H across
+    ALL five event types' values (aggregates.kruskal_wallis) -- the
+    k-sample extension of a45, on the same rank machinery
+    (_value_running_totals; no corpus-scale single-partition window).
+    Integer-exact doubled rank sums, per-group terms quantized to
+    DECIMAL(38,3) before the cross-group sum; fully VALUE-checked."""
+    from .aggregates import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf, "events"), "event_type", "value")
+
+
 def a48_bootstrap_ci(spark, sf):
     """Distributed bootstrap CI for per-priority mean order price
     (aggregates.bootstrap_ci): deterministic Poisson(1) weights from
@@ -2685,6 +2697,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm_semantic_dedup_int": llm_semantic_dedup_int,
     "a51_heavy_hitters": a51_heavy_hitters,
     "a52_ks_test": a52_ks_test,
+    "a53_kruskal_wallis": a53_kruskal_wallis,
     "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_eval": llm_ann_eval,
     "llm_ann_pq_eval": llm_ann_pq_eval,
