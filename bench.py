@@ -159,6 +159,7 @@ HEADLINERS = [
     "w_acf",
     "a52_ks_test",
     "a53_kruskal_wallis",
+    "a54_brown_forsythe",
     "llm_winnowing",
     "g16_bipartite_projection",
 ]

@@ -1450,6 +1450,43 @@ def test_kruskal_wallis_hand_computed(spark):
     assert one.n_groups == 1 and one.n_total == 2
 
 
+def test_brown_forsythe_numpy_replica(spark):
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.aggregates import brown_forsythe
+
+    # mixed odd/even groups, ties inside a group, NULLs excluded
+    ga = [1.0, 2.0, 2.0, 9.0]          # even n: median averages middles
+    gb = [10.0, 20.0, 30.0]            # odd n
+    gc = [5.0, 5.0, 5.0, 5.0, 50.0]    # heavy ties + outlier
+    rows = (
+        [("a", v) for v in ga] + [("b", v) for v in gb]
+        + [("c", v) for v in gc] + [(None, 1.0), ("a", None)]
+    )
+    r = brown_forsythe(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).first()
+
+    zs = [np.round(np.abs(np.array(g) - np.median(g)), 6)
+          for g in (ga, gb, gc)]
+    allz = np.concatenate(zs)
+    zbar = allz.mean()
+    B = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    W = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    N, k = len(allz), 3
+    assert (r.n_groups, r.n_total) == (k, N)
+    assert abs(r.between_ss - round(B, 6)) < 1e-6
+    assert abs(r.within_ss - round(W, 6)) < 1e-6
+    assert abs(r.f_bf - round((N - k) / (k - 1) * B / W, 6)) < 1e-6
+
+    # single group: F undefined -> null, sums still reported
+    one = brown_forsythe(
+        spark.createDataFrame([("a", 1.0), ("a", 5.0)], "g string, v double"),
+        "g", "v",
+    ).first()
+    assert one.n_groups == 1 and one.f_bf is None
+
+
 def test_chi_square_drift_hand_contingency(spark):
     from uofi_payroll_etl_main_spark.report import chi_square_drift
 

@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "a49_kmv_set_ops",      # |sets|^2 KMV-estimate pair join (segment-scale, facts reduce once to k-integer sketches)
     "a45_mann_whitney",     # single-row rank-sum x single-row tie-correction broadcast
     "a53_kruskal_wallis",   # single-row bounds + tie-correction broadcasts (a45 shape, k groups)
+    "a54_brown_forsythe",   # single-row (N, k, T1) totals broadcast
     "a47_assoc_rules",      # single-row n-baskets broadcast
     "v15_monitor",          # composes v12/v13 scalar-broadcast shapes; inherits their BNLJ rows
     "g12_hits",             # one-row L1-normalizer broadcast per half-iteration

@@ -43,6 +43,7 @@ __all__ = [
     "cms_join_size",
     "mann_whitney_u",
     "kruskal_wallis",
+    "brown_forsythe",
     "frequent_itemsets",
     "association_rules",
     "winsorize",
@@ -795,6 +796,11 @@ def weighted_median(
     Shape: one shuffle on the group key, then ONE within-partition sort
     feeding two window passes (running sum + group total); the crossing
     rows collapse via groupBy min.  No collect, no percentile UDF.
+    Right-sized when the group key has real cardinality (per-customer,
+    per-part); for a LOW-cardinality key whose groups are corpus-scale,
+    use the brown_forsythe median shape instead --
+    _value_running_totals(partition_cols=[key]) buckets each group's
+    value order so no task ever sorts a whole group.
     Cumulative weights are summed as DECIMAL(38,6): exact and
     order-independent, so equal-valued runs can shuffle internally
     without moving the crossing test -- cross-engine bit-stable
@@ -922,6 +928,7 @@ def _value_running_totals(
     order_col: str,
     sum_cols: Sequence[str],
     buckets: int = 64,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Inclusive running totals of `sum_cols` in `order_col` order over a
     one-row-per-distinct-value frame, WITHOUT a single-partition window.
@@ -942,15 +949,31 @@ def _value_running_totals(
     degrades to the single-partition sort this replaces, never worse;
     at 100 TB raise `buckets` so each bucket stays executor-sized.
 
+    With `partition_cols`, running totals restart per partition (e.g.
+    per group for group-wise medians): bounds come from a per-partition
+    (min, max) broadcast, and the within-partition value ordering gets
+    the same bucket treatment -- the group-count-independent fix for
+    the "partitioned window whose partitions ARE corpus-scale" shape a
+    low-cardinality group key creates.
+
     Adds `__run_<c>` (long) for each c in sum_cols; the caller gets the
     exclusive form by subtracting the row's own contribution.
     """
-    stats = per_val.agg(
-        F.min(F.col(order_col).cast("double")).alias("__lo"),
-        F.max(F.col(order_col).cast("double")).alias("__hi"),
-    )
+    pcols = list(partition_cols)
+    if pcols:
+        stats = per_val.groupBy(*pcols).agg(
+            F.min(F.col(order_col).cast("double")).alias("__lo"),
+            F.max(F.col(order_col).cast("double")).alias("__hi"),
+        )
+        joined = per_val.join(F.broadcast(stats), pcols)
+    else:
+        stats = per_val.agg(
+            F.min(F.col(order_col).cast("double")).alias("__lo"),
+            F.max(F.col(order_col).cast("double")).alias("__hi"),
+        )
+        joined = per_val.crossJoin(F.broadcast(stats))
     b = (
-        per_val.crossJoin(F.broadcast(stats))
+        joined
         .withColumn(
             "__bkt",
             F.when(F.col("__hi") <= F.col("__lo"), F.lit(1))
@@ -969,11 +992,16 @@ def _value_running_totals(
         )
         .drop("__lo", "__hi")
     )
-    totals = b.groupBy("__bkt").agg(
+    totals = b.groupBy(*pcols, "__bkt").agg(
         *[F.sum(c).cast("long").alias(f"__t_{c}") for c in sum_cols]
     )
-    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = (
+        Window.partitionBy(*pcols).orderBy("__bkt")
+        if pcols
+        else Window.orderBy("__bkt")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.select(
+        *pcols,
         "__bkt",
         *[
             F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0))
@@ -982,10 +1010,10 @@ def _value_running_totals(
             for c in sum_cols
         ],
     )
-    w_in = Window.partitionBy("__bkt").orderBy(order_col).rowsBetween(
+    w_in = Window.partitionBy(*pcols, "__bkt").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    out = b.join(F.broadcast(offs), "__bkt")
+    out = b.join(F.broadcast(offs), [*pcols, "__bkt"])
     for c in sum_cols:
         out = out.withColumn(
             f"__run_{c}",
@@ -1151,6 +1179,114 @@ def kruskal_wallis(
         "n_total",
         F.round(h, 6).alias("h"),
         F.round(F.when(c > 0, h / c), 6).alias("h_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe equality-of-SPREADS test (Levene's test with the
+    group MEDIAN center): F-ANOVA over the absolute deviations
+    z_ij = |x_ij - median_g| -- the robust "did variance drift between
+    cohorts" readout that completes the nonparametric battery (a45/a53
+    location, a52 shape, THIS spread).
+
+    Scale + exactness shape: the frame reduces once to (group, value)
+    counts (checkpointed -- the rank machinery, the medians, and every
+    z-sum all read it); per-group EXACT medians come from
+    _value_running_totals with partition_cols=[group] -- per-group
+    range buckets, so the "partitioned window whose partitions are
+    corpus-scale" trap of a low-cardinality group key never appears --
+    via the (n+1)//2, (n+2)//2 order statistics (even groups average
+    the two middles).  Deviations quantize to DECIMAL(18,6) BEFORE
+    weighting by the tie counts, so every z-sum and z^2-sum is exact
+    and order-free; the k-row between/within terms quantize to
+    DECIMAL(38,6) before their sums; the F statistic finishes in IEEE
+    double from those exact inputs.  NULL groups/values excluded.
+    Returns ONE row: n_groups, n_total, between_ss, within_ss, f_bf
+    (rounded 6; f_bf null when k < 2 or within_ss == 0).
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    )
+    # one row per (group, value): median ranks, z-sums, and totals all
+    # derive from this frame -- materialize it once (corpus scanned 1x)
+    per_gv = (
+        base.groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    run = _value_running_totals(per_gv, "__v", ["__c"], partition_cols=["__g"])
+    ng = per_gv.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    k1 = (F.col("__n") + 1) / 2
+    k2 = (F.col("__n") + 2) / 2
+    sel = run.join(F.broadcast(ng), "__g")
+    le = F.col("__run___c")
+    lo = le - F.col("__c")  # exclusive count below this value
+    med = (
+        sel.groupBy("__g")
+        .agg(
+            (
+                (
+                    F.min(
+                        F.when(
+                            (le >= F.floor(k1)) & (lo < F.floor(k1)), F.col("__v")
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            (le >= F.floor(k2)) & (lo < F.floor(k2)), F.col("__v")
+                        )
+                    )
+                )
+                / 2.0
+            ).alias("__med")
+        )
+    )
+    z6 = F.round(F.abs(F.col("__v") - F.col("__med")), 6).cast("decimal(18,6)")
+    grp = (
+        per_gv.join(F.broadcast(med), "__g")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").cast("long").alias("__n"),
+            F.sum(F.col("__c") * z6).alias("__s1"),
+            F.sum(F.col("__c") * z6 * z6).alias("__s2"),
+        )
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__n").cast("long").alias("n_total"),
+        F.sum("__s1").alias("__t1"),
+    )
+    withtot = grp.crossJoin(F.broadcast(tot))
+    nd = F.col("__n").cast("double")
+    zbar_g = F.col("__s1").cast("double") / nd
+    zbar = F.col("__t1").cast("double") / F.col("n_total").cast("double")
+    bt = F.round(nd * (zbar_g - zbar) * (zbar_g - zbar), 6).cast("decimal(38,6)")
+    wt = F.round(
+        F.col("__s2").cast("double") - F.col("__s1").cast("double") * zbar_g, 6
+    ).cast("decimal(38,6)")
+    terms = withtot.groupBy("n_groups", "n_total").agg(
+        F.sum(bt).alias("__b"), F.sum(wt).alias("__w")
+    )
+    n = F.col("n_total").cast("double")
+    kk = F.col("n_groups").cast("double")
+    bg = F.col("__b").cast("double")
+    wg = F.col("__w").cast("double")
+    f_bf = F.when(
+        (F.col("n_groups") > 1) & (wg > 0),
+        (n - kk) / (kk - 1.0) * bg / wg,
+    )
+    return terms.select(
+        "n_groups",
+        "n_total",
+        F.round(bg, 6).alias("between_ss"),
+        F.round(wg, 6).alias("within_ss"),
+        F.round(f_bf, 6).alias("f_bf"),
     )
 
 

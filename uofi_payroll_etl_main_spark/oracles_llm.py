@@ -2643,6 +2643,64 @@ LLM_ORACLES["a53_kruskal_wallis"] = """
     FROM terms CROSS JOIN tcorr
 """
 
+LLM_ORACLES["a54_brown_forsythe"] = """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), per_gv AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v
+    ), run AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS le
+      FROM per_gv
+    ), ng AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n FROM per_gv GROUP BY g
+    ), med AS (
+      SELECT r.g,
+             (min(CASE WHEN r.le >= (ng.n + 1) // 2
+                        AND r.le - r.c < (ng.n + 1) // 2 THEN r.v END)
+            + min(CASE WHEN r.le >= (ng.n + 2) // 2
+                        AND r.le - r.c < (ng.n + 2) // 2 THEN r.v END)) / 2.0
+             AS m
+      FROM run r JOIN ng ON r.g = ng.g GROUP BY r.g
+    ), grp AS (
+      SELECT p.g, CAST(sum(p.c) AS BIGINT) AS n,
+             sum(p.c * CAST(round(abs(p.v - m.m), 6) AS DECIMAL(18,6))) AS s1,
+             sum(p.c * CAST(round(abs(p.v - m.m), 6) AS DECIMAL(18,6))
+                     * CAST(round(abs(p.v - m.m), 6) AS DECIMAL(18,6))) AS s2
+      FROM per_gv p JOIN med m ON p.g = m.g GROUP BY p.g
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(s1) AS t1
+      FROM grp
+    ), terms AS (
+      SELECT n_groups, n_total,
+             sum(CAST(round(CAST(n AS DOUBLE)
+                            * (CAST(s1 AS DOUBLE) / n
+                               - CAST(t1 AS DOUBLE) / n_total)
+                            * (CAST(s1 AS DOUBLE) / n
+                               - CAST(t1 AS DOUBLE) / n_total), 6)
+                      AS DECIMAL(38,6))) AS b,
+             sum(CAST(round(CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE)
+                              * (CAST(s1 AS DOUBLE) / n), 6)
+                      AS DECIMAL(38,6))) AS w
+      FROM grp CROSS JOIN tot GROUP BY n_groups, n_total
+    )
+    SELECT n_groups, n_total,
+           round(CAST(b AS DOUBLE), 6) AS between_ss,
+           round(CAST(w AS DOUBLE), 6) AS within_ss,
+           round(CASE WHEN n_groups > 1 AND CAST(w AS DOUBLE) > 0
+                      THEN (CAST(n_total AS DOUBLE) - n_groups)
+                           / (n_groups - 1.0)
+                           * CAST(b AS DOUBLE) / CAST(w AS DOUBLE)
+                 END, 6) AS f_bf
+    FROM terms
+"""
+
 LLM_ORACLES["a46_itemsets"] = """
     WITH b AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
@@ -4328,6 +4386,28 @@ LLM_ORACLES["llm_ann_pq_eval"] = """
     + ")",
     approx_sql="SELECT query_id, neighbor_id FROM ("
     + LLM_ORACLES["llm_ann_pq_int"]
+    + ")",
+)
+
+LLM_ORACLES["llm_ann_lsh_eval"] = """
+    WITH exact AS ({exact_sql}),
+    approx AS ({approx_sql}),
+    hits AS (
+      SELECT e.query_id, e.neighbor_id FROM exact e
+      JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST(round(1000000.0 * (SELECT count(*) FROM hits)
+                      / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_ppm
+""".format(
+    exact_sql="SELECT query_id, neighbor_id FROM ("
+    + LLM_ORACLES["llm_cosine_topk"]
+    + ")",
+    approx_sql="SELECT query_id, neighbor_id FROM ("
+    + LLM_ORACLES["llm_ann_lsh"]
     + ")",
 )
 

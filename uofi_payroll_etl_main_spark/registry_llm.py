@@ -1025,6 +1025,18 @@ def a53_kruskal_wallis(spark, sf):
     return kruskal_wallis(_t(spark, sf, "events"), "event_type", "value")
 
 
+def a54_brown_forsythe(spark, sf):
+    """Equality-of-spreads test: Brown-Forsythe (median-centered
+    Levene) F over the five event types' values
+    (aggregates.brown_forsythe) -- completes the nonparametric battery
+    (a45/a53 location, a52 shape, THIS spread).  Exact per-group
+    medians via the partitioned bucketed-rank machinery; DECIMAL-
+    quantized deviation sums; fully VALUE-checked."""
+    from .aggregates import brown_forsythe
+
+    return brown_forsythe(_t(spark, sf, "events"), "event_type", "value")
+
+
 def a48_bootstrap_ci(spark, sf):
     """Distributed bootstrap CI for per-priority mean order price
     (aggregates.bootstrap_ci): deterministic Poisson(1) weights from
@@ -1690,6 +1702,32 @@ def llm_ann_pq_eval(spark, sf):
     emb = _t(spark, sf, "embeddings")
     exact = LS.cosine_topk(emb, k=5).select("query_id", "neighbor_id")
     approx = ann_pq_int(emb, k=5, n_codes=8, n_sub=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    ne, na, nh = exact.count(), approx.count(), hits.count()
+    return spark.createDataFrame(
+        [(
+            ne, na, nh,
+            # floor(x + 0.5): half-away matches SQL round on positives
+            int(1_000_000 * nh / ne + 0.5) if ne else 0,
+        )],
+        "n_exact long, n_approx long, n_hits long, recall_ppm long",
+    )
+
+
+def llm_ann_lsh_eval(spark, sf):
+    """Sign-LSH tier quality AS A GATE -- completes the ANN eval
+    trilogy (IVF: llm_ann_eval, PQ: llm_ann_pq_eval): recall@5 of the
+    4x6-bit sign-LSH tier against the exact cosine top-5 truth set,
+    one row of counts + ppm recall, VALUE-checked by composing both
+    tiers' own oracle SQLs.  LSH recall at this data's moderate
+    cosines is bounded by collision-probability decay (see
+    llm_ann_lsh) -- this gate is the num_tables/nbits tuning readout
+    that quantifies exactly that."""
+    emb = _t(spark, sf, "embeddings")
+    exact = LS.cosine_topk(emb, k=5).select("query_id", "neighbor_id")
+    approx = LS.lsh_topk(emb, k=5, num_tables=4, nbits=6).select(
         "query_id", "neighbor_id"
     )
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -2698,9 +2736,11 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a51_heavy_hitters": a51_heavy_hitters,
     "a52_ks_test": a52_ks_test,
     "a53_kruskal_wallis": a53_kruskal_wallis,
+    "a54_brown_forsythe": a54_brown_forsythe,
     "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_eval": llm_ann_eval,
     "llm_ann_pq_eval": llm_ann_pq_eval,
+    "llm_ann_lsh_eval": llm_ann_lsh_eval,
     "llm_winnowing": llm_winnowing,
     "llm_ann_pq_int": llm_ann_pq_int,
     "llm_nb_classifier": llm_nb_classifier,
