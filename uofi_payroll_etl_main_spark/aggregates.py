@@ -1051,11 +1051,19 @@ def mann_whitney_u(
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull())
-    per_val = two.groupBy("__v").agg(
-        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
-        .cast("long")
-        .alias("__ca"),
-        F.count(F.lit(1)).cast("long").alias("__t"),
+    # materialize the distinct-value frame once: the bounds probe, the
+    # bucket totals, and the ranked consumer below would otherwise each
+    # re-run the corpus scan + aggregation (3 scans -> 1); the
+    # checkpoint holds one row per distinct value
+    per_val = (
+        two.groupBy("__v")
+        .agg(
+            F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("__ca"),
+            F.count(F.lit(1)).cast("long").alias("__t"),
+        )
+        .localCheckpoint(eager=True)
     )
     run = _value_running_totals(per_val, "__v", ["__t"])
     below = F.col("__run___t") - F.col("__t")
@@ -1736,13 +1744,20 @@ def ks_test(
     ).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
-    per_val = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
-        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),
+    # materialize the distinct-value frame once (a45's discipline: the
+    # bounds probe, bucket totals, running-sum consumer, and the (n_a,
+    # n_b) totals all read it; corpus scanned exactly once)
+    per_val = (
+        base.groupBy("__v")
+        .agg(
+            F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),
+        )
+        .localCheckpoint(eager=True)
     )
-    tot = base.agg(
-        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    tot = per_val.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
     )
     steps = _value_running_totals(per_val, "__v", ["__ca", "__cb"]).select(
         F.col("__run___ca").alias("__fa"),
