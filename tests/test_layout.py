@@ -807,3 +807,70 @@ def test_bucketed_table_rejects_mismatched_reregister(spark, tmp_path):
     assert not (tmp_path / "t" / "_bucket_spec.json.tmp").exists()
     assert (tmp_path / "t" / "_bucket_spec.json").exists()
     spark.sql("DROP TABLE tbkt_spec")
+
+
+def test_zonemap_prunes_files_and_preserves_answer(spark, tmp_path):
+    """write_zonemapped + read_zonemap_pruned: a range read skips files
+    whose zones are disjoint, keeps every matching row (pruning is
+    recall-complete), handles null zones and boundary values, and the
+    sidecar lands atomically."""
+    import json
+
+    from uofi_payroll_etl_main_spark.layout import (
+        read_zonemap_pruned,
+        write_zonemapped,
+        zonemap_candidate_files,
+    )
+
+    root = str(tmp_path / "zm")
+    df = spark.createDataFrame(
+        [(i, float(i) * 2) for i in range(1000)], "k long, v double"
+    )
+    write_zonemapped(df, root, "k", n_files=10)
+
+    assert not (tmp_path / "zm" / "_zonemap.json.tmp").exists()
+    zm = json.load(open(tmp_path / "zm" / "_zonemap.json"))
+    assert zm["stat_cols"] == ["k"] and len(zm["files"]) == 10
+
+    # interior range: most files pruned, answer identical to full scan
+    kept, total = zonemap_candidate_files(root, "k", 100, 199)
+    assert total == 10 and 1 <= len(kept) <= 3
+    got = sorted(
+        r.k for r in read_zonemap_pruned(spark, root, "k", 100, 199).collect()
+    )
+    assert got == list(range(100, 200))  # boundaries inclusive, no loss
+
+    # out-of-range: zero files, empty result, correct schema
+    kept, _ = zonemap_candidate_files(root, "k", 5000, 6000)
+    assert kept == []
+    empty = read_zonemap_pruned(spark, root, "k", 5000, 6000)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    # all-null zone file is skippable: a range predicate never matches NULL
+    root2 = str(tmp_path / "zm_null")
+    df2 = spark.createDataFrame(
+        [(None, 1.0)] * 5 + [(7, 2.0)] * 5, "k long, v double"
+    )
+    write_zonemapped(df2, root2, "k", n_files=2)
+    kept2, total2 = zonemap_candidate_files(root2, "k", 0, 100)
+    assert total2 == 2 and len(kept2) == 1
+    assert read_zonemap_pruned(spark, root2, "k", 0, 100).count() == 5
+
+    # date zones round-trip through the ISO-string domain
+    import datetime
+
+    root3 = str(tmp_path / "zm_date")
+    d0 = datetime.date(2020, 1, 1)
+    df3 = spark.createDataFrame(
+        [(d0 + datetime.timedelta(days=i), i) for i in range(100)],
+        "d date, i long",
+    )
+    write_zonemapped(df3, root3, "d", n_files=5)
+    out = read_zonemap_pruned(
+        spark, root3, "d", datetime.date(2020, 2, 1), datetime.date(2020, 2, 10)
+    )
+    assert out.count() == 10
+    kept3, _ = zonemap_candidate_files(
+        root3, "d", datetime.date(2020, 2, 1), datetime.date(2020, 2, 10)
+    )
+    assert len(kept3) < 5

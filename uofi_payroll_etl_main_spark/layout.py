@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "zorder_key_sql", "zorder_write", "zbucket_profile",
     "hilbert_key", "hilbert_write", "hbucket_profile", "hilbert_profile_sql",
+    "write_zonemapped", "zonemap_candidate_files", "read_zonemap_pruned",
 ]
 
 
@@ -264,3 +265,119 @@ def hbucket_profile(
         )
         .select("hbucket", "n_rows", "x_min", "x_max", "y_min", "y_max")
     )
+
+
+ZONEMAP_NAME = "_zonemap.json"
+
+
+def write_zonemapped(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 16,
+    stat_cols: "Sequence[str] | None" = None,
+) -> None:
+    """Range-clustered multi-file parquet write plus a per-FILE column
+    min/max sidecar (`_zonemap.json`) -- the Iceberg/Delta data-skipping
+    layout.  Parquet row-group stats prune WITHIN a file the engine
+    already opened; the zone map prunes whole files from the listing
+    BEFORE any footer is read, which at 100 TB (millions of files) is
+    the difference between a metadata lookup and a distributed
+    footer-read storm.
+
+    The write range-partitions on `cluster_col` so each file holds a
+    contiguous value range (maximum zone selectivity); stats default to
+    the cluster column and are gathered cluster-side with one grouped
+    aggregate over input_file_name().  The sidecar lands via temp file
+    + atomic rename (the bucket-spec discipline), AFTER _SUCCESS -- a
+    crash between the two leaves a readable un-mapped table, never a
+    torn map.  Values serialize as ISO strings for dates/timestamps
+    (their lexicographic order IS their temporal order) and as plain
+    numbers otherwise.
+    """
+    import datetime
+    import json
+    import os
+
+    stat_cols = list(stat_cols or [cluster_col])
+    (
+        df.repartitionByRange(int(n_files), F.col(cluster_col))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    rows = back.groupBy("__f").agg(*aggs).collect()
+
+    def enc(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+
+    zonemap = {}
+    for r in rows:
+        f = r["__f"]
+        f = f[len("file:"):] if f.startswith("file:") else f
+        zonemap[os.path.basename(f)] = {
+            c: [enc(r[f"lo_{c}"]), enc(r[f"hi_{c}"])] for c in stat_cols
+        }
+    tmp = os.path.join(path, ZONEMAP_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"stat_cols": stat_cols, "files": zonemap}, fh, indent=1)
+    os.replace(tmp, os.path.join(path, ZONEMAP_NAME))
+
+
+def zonemap_candidate_files(path: str, col: str, lo, hi) -> tuple[list, int]:
+    """Which files can contain rows with `col` in [lo, hi]?  Returns
+    (kept absolute paths, total mapped files).  A file whose zone is
+    disjoint from the range is skipped; a file whose stats are null
+    (all-null column) is skipped too, because a range predicate never
+    matches NULL; a file absent from the map (e.g. added by a writer
+    that doesn't maintain it) is conservatively kept.  Comparisons
+    happen in the sidecar's serialized domain (ISO strings for
+    temporals -- order-preserving -- plain numbers otherwise), so the
+    caller passes `lo`/`hi` in the same form it queries with."""
+    import datetime
+    import json
+    import os
+
+    with open(os.path.join(path, ZONEMAP_NAME)) as fh:
+        zm = json.load(fh)["files"]
+
+    def enc(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+
+    lo, hi = enc(lo), enc(hi)
+    kept = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        stats = zm.get(name, {}).get(col) if name in zm else None
+        if name not in zm:
+            kept.append(os.path.join(path, name))
+            continue
+        if stats is None or stats[0] is None:
+            continue  # all-null zone: a range predicate can't match
+        if stats[1] >= lo and stats[0] <= hi:
+            kept.append(os.path.join(path, name))
+    return kept, len(zm)
+
+
+def read_zonemap_pruned(spark, path: str, col: str, lo, hi) -> DataFrame:
+    """File-skipping range read: prune the listing through the zone map
+    (zonemap_candidate_files), scan only surviving files, and apply the
+    exact residual filter -- zone pruning is recall-complete (a file
+    whose zone intersects the range is kept), so the result equals the
+    full-scan filter, certified by the s31 value oracle.  An empty
+    survivor set returns an empty frame with the table's schema without
+    touching any data file."""
+    kept, _ = zonemap_candidate_files(path, col, lo, hi)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(pred)

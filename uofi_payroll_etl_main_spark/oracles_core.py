@@ -2390,6 +2390,17 @@ CORE_ORACLES["s28_dpp_join"] = """
     GROUP BY event_type
 """
 
+CORE_ORACLES["s31_zonemap_prune"] = """
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate <= DATE '1996-06-30'
+    GROUP BY 1
+"""
+
 CORE_ORACLES["g15_scc"] = """
     WITH RECURSIVE edges AS (
       SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -14,6 +14,7 @@ Conventions (driver contract, __spark_entry__.py):
 
 from __future__ import annotations
 
+import datetime
 import os
 from collections.abc import Callable
 
@@ -926,6 +927,48 @@ def s28_dpp_join(spark, sf):
                 "total_value"
             ),
         )
+    )
+
+
+def s31_zonemap_prune(spark, sf):
+    """S-family -- FILE-level data skipping via a zone-map sidecar
+    (layout.write_zonemapped / read_zonemap_pruned): lineitem is
+    written ONCE range-clustered on l_shipdate into 16 files with
+    per-file min/max recorded in `_zonemap.json`; a ship-date range
+    read then prunes whole files from the listing BEFORE any parquet
+    footer is opened (the Iceberg/Delta skipping layer ABOVE parquet's
+    row-group stats -- at 100 TB, millions of files, pruning the
+    listing is a metadata lookup where footer reads are a distributed
+    storm).  Zone pruning is recall-complete, so the result equals the
+    plain filtered scan -- which is exactly what the oracle runs;
+    tests/test_layout.py additionally asserts files were actually
+    skipped, null-zone handling, and sidecar atomicity."""
+    from .layout import read_zonemap_pruned, write_zonemapped
+
+    root = _tagged_dir(sf, "lineitem", "zonemap")
+    if not os.path.exists(os.path.join(root, "_zonemap.json")):
+        write_zonemapped(
+            _t(spark, sf, "lineitem").select(
+                "l_shipdate", "l_extendedprice", "l_discount", "l_quantity"
+            ),
+            root,
+            "l_shipdate",
+            n_files=16,
+        )
+    pruned = read_zonemap_pruned(
+        spark, root, "l_shipdate",
+        datetime.date(1996, 1, 1), datetime.date(1996, 6, 30),
+    )
+    return pruned.groupBy(F.month("l_shipdate").cast("int").alias("ship_month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "total_qty"
+        ),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -3867,6 +3910,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s26_sketch_rollup": s26_sketch_rollup,
     "s27_bucketed_join": s27_bucketed_join,
     "s28_dpp_join": s28_dpp_join,
+    "s31_zonemap_prune": s31_zonemap_prune,
     "g15_scc": g15_scc,
     "v17_dp_counts": v17_dp_counts,
     "w_seasonal_decompose": w_seasonal_decompose,
