@@ -874,3 +874,63 @@ def test_zonemap_prunes_files_and_preserves_answer(spark, tmp_path):
         root3, "d", datetime.date(2020, 2, 1), datetime.date(2020, 2, 10)
     )
     assert len(kept3) < 5
+
+
+def test_compaction_plan_ffd_properties():
+    """compaction_plan: deterministic FFD -- (size desc, name asc)
+    order, first open bin with room, oversize files get singleton
+    bins, every file assigned exactly once, no bin over target (except
+    singletons)."""
+    from uofi_payroll_etl_main_spark.layout import compaction_plan
+
+    files = [("a", 70), ("b", 40), ("c", 40), ("d", 30), ("e", 20), ("f", 150)]
+    plan = compaction_plan(files, target_bytes=100)
+    by_file = {p["file"]: p["bin"] for p in plan}
+    assert len(by_file) == len(files)
+    # oversize 'f' (150 >= 100) is a singleton
+    fbin = by_file["f"]
+    assert [p["file"] for p in plan if p["bin"] == fbin] == ["f"]
+    # every non-singleton bin fits the target
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for p in plan:
+        tot[p["bin"]] += p["bytes"]
+    for b, s in tot.items():
+        if b != fbin:
+            assert s <= 100, (b, s)
+    # FFD on these sizes packs the 5 small files into 2 bins + 1 singleton
+    assert len(tot) == 3
+    # deterministic: same input (any order) -> same plan
+    assert compaction_plan(list(reversed(files)), 100) == plan
+
+
+def test_compact_parquet_dir_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from uofi_payroll_etl_main_spark.layout import compact_parquet_dir
+
+    src = str(tmp_path / "many")
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}") for i in range(5000)], "k long, v string"
+    )
+    df.repartition(20).write.parquet(src)
+    import os
+
+    n_src = sum(1 for n in os.listdir(src) if n.endswith(".parquet"))
+    assert n_src == 20
+    sizes = sum(
+        os.path.getsize(os.path.join(src, n))
+        for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    dst = str(tmp_path / "compact")
+    plan = compact_parquet_dir(spark, src, dst, target_bytes=sizes // 3 + 1)
+    n_bins = 1 + max(p["bin"] for p in plan)
+    # one data file per bin, far fewer than the input count
+    data_files = [
+        os.path.join(root, n)
+        for root, _, names in os.walk(dst)
+        for n in names if n.endswith(".parquet")
+    ]
+    assert len(data_files) == n_bins < n_src
+    # rows survive byte-for-byte (same multiset)
+    back = spark.read.parquet(dst)
+    assert back.drop("__bin").orderBy("k").collect() == df.orderBy("k").collect()

@@ -22,6 +22,7 @@ __all__ = [
     "zorder_key_sql", "zorder_write", "zbucket_profile",
     "hilbert_key", "hilbert_write", "hbucket_profile", "hilbert_profile_sql",
     "write_zonemapped", "zonemap_candidate_files", "read_zonemap_pruned",
+    "compaction_plan", "compact_parquet_dir",
 ]
 
 
@@ -381,3 +382,76 @@ def read_zonemap_pruned(spark, path: str, col: str, lo, hi) -> DataFrame:
     if not kept:
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*kept).filter(pred)
+
+
+def compaction_plan(
+    files: "Sequence[tuple[str, int]]", target_bytes: int
+) -> list[dict]:
+    """Deterministic first-fit-decreasing bin-pack of (file, size) into
+    ~`target_bytes` output groups -- the small-file compaction PLANNER.
+    A long-lived table accumulates files far below the scan-efficient
+    size (streaming commits, per-partition appends); compaction is the
+    nightly maintenance that re-groups them so scans pay one open per
+    target_bytes, not one per commit.
+
+    Deterministic: files process in (size desc, name asc) order into
+    the first open bin with room; a file >= target_bytes keeps a
+    singleton bin (it is already compact).  The listing is metadata --
+    the planner is plain Python on (name, bytes) pairs, never a scan.
+    Returns [{"bin": int, "file": name, "bytes": size}] covering every
+    input file exactly once.
+    """
+    order = sorted(files, key=lambda t: (-t[1], t[0]))
+    room: list[int] = []
+    plan: list[dict] = []
+    for name, size in order:
+        if size >= target_bytes:
+            room.append(0)
+            plan.append({"bin": len(room) - 1, "file": name, "bytes": size})
+            continue
+        for i, r in enumerate(room):
+            if size <= r:
+                room[i] = r - size
+                plan.append({"bin": i, "file": name, "bytes": size})
+                break
+        else:
+            room.append(target_bytes - size)
+            plan.append({"bin": len(room) - 1, "file": name, "bytes": size})
+    return plan
+
+
+def compact_parquet_dir(
+    spark, src: str, dst: str, target_bytes: int
+) -> list[dict]:
+    """Apply a compaction_plan to a parquet directory: one distributed
+    job tags every row with its file's bin (a broadcast file->bin map
+    over input_file_name()), clusters by bin, and writes dst
+    partitioned by `__bin` with EXACTLY one data file per bin (a bin's
+    rows hash to one task; partitionBy splits tasks per value).  No
+    driver loop over bins -- thousands of bins are one shuffle, which
+    is what makes this runnable as nightly maintenance at 100 TB.
+    Reads of dst see the same rows as src (`__bin` is a partition
+    column readers can ignore).  Returns the plan."""
+    import os
+
+    sizes = [
+        (n, os.path.getsize(os.path.join(src, n)))
+        for n in sorted(os.listdir(src))
+        if n.endswith(".parquet")
+    ]
+    plan = compaction_plan(sizes, target_bytes)
+    n_bins = 1 + max((p["bin"] for p in plan), default=0)
+    mapping = {p["file"]: p["bin"] for p in plan}
+    mexpr = F.create_map(
+        *[F.lit(x) for kv in mapping.items() for x in kv]
+    )
+    df = (
+        spark.read.parquet(src)
+        .withColumn(
+            "__bin",
+            mexpr[F.element_at(F.split(F.input_file_name(), "/"), -1)],
+        )
+        .repartition(n_bins, "__bin")
+    )
+    df.write.mode("overwrite").partitionBy("__bin").parquet(dst)
+    return plan

@@ -2401,6 +2401,16 @@ CORE_ORACLES["s31_zonemap_prune"] = """
     GROUP BY 1
 """
 
+CORE_ORACLES["s32_compaction"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
 CORE_ORACLES["g15_scc"] = """
     WITH RECURSIVE edges AS (
       SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,

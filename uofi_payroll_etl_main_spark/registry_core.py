@@ -972,6 +972,50 @@ def s31_zonemap_prune(spark, sf):
     )
 
 
+def s32_compaction(spark, sf):
+    """S-family -- small-file compaction (layout.compaction_plan /
+    compact_parquet_dir): a lineitem projection is deliberately
+    committed as 24 small files (the debris a streaming sink or
+    per-partition append leaves), then compacted in ONE distributed
+    job into first-fit-decreasing size bins of ~1/4 the table --
+    file->bin broadcast map over input_file_name(), one shuffle,
+    exactly one data file per bin.  Row preservation is the gate: the
+    aggregate over the COMPACTED table must equal the oracle's plain
+    lineitem scan; tests/test_layout.py asserts the planner's FFD
+    properties (determinism, oversize singletons, bin capacity) and
+    the actual file-count reduction."""
+    from .layout import compact_parquet_dir
+
+    src = _tagged_dir(sf, "lineitem", "compact_src")
+    dst = _tagged_dir(sf, "lineitem", "compact_dst")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            _t(spark, sf, "lineitem").select(*cols)
+            .repartition(24)
+            .write.mode("overwrite").parquet(src)
+        )
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        sizes = [
+            os.path.getsize(os.path.join(src, n))
+            for n in os.listdir(src) if n.endswith(".parquet")
+        ]
+        compact_parquet_dir(spark, src, dst, target_bytes=sum(sizes) // 4 + 1)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+                "total_qty"
+            ),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            ).alias("total_price"),
+        )
+    )
+
+
 def g15_scc(spark, sf):
     """Strongly connected components (graph.strongly_connected_components:
     iterated forward/backward min-label peel) over the directed
@@ -3911,6 +3955,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s27_bucketed_join": s27_bucketed_join,
     "s28_dpp_join": s28_dpp_join,
     "s31_zonemap_prune": s31_zonemap_prune,
+    "s32_compaction": s32_compaction,
     "g15_scc": g15_scc,
     "v17_dp_counts": v17_dp_counts,
     "w_seasonal_decompose": w_seasonal_decompose,
