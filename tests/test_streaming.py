@@ -981,3 +981,71 @@ def test_jsonl_commitlog_sink_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert rows_on_disk() == 600
+
+
+def test_streaming_zonemap_sink_ingests_and_prunes(spark, tmp_path):
+    """streaming_zonemap_sink: micro-batches land under batch-keyed
+    names with the zone map refreshed incrementally; range reads prune
+    files; a re-drain with the same checkpoint adds nothing; new source
+    data folds in on the next drain."""
+    import json
+
+    from uofi_payroll_etl_main_spark.layout import (
+        read_zonemap_pruned,
+        zonemap_candidate_files,
+    )
+    from uofi_payroll_etl_main_spark.streaming.streams import (
+        streaming_zonemap_sink,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_zonemap_sink(stream, tbl, "k", ck, timeout_s=180)
+
+    zm = json.load(open(tmp_path / "tbl" / "_zonemap.json"))
+    n_files = len(zm["files"])
+    assert n_files >= 4  # one+ file per micro-batch
+    assert all(name.startswith("batch") for name in zm["files"])
+
+    # pruned range read: exact rows, and files actually skipped
+    got = sorted(
+        r.k for r in read_zonemap_pruned(spark, tbl, "k", 100, 199).collect()
+    )
+    assert got == list(range(100, 200))
+    kept, total = zonemap_candidate_files(tbl, "k", 100, 199)
+    assert total == n_files and len(kept) < total
+
+    # idempotent re-drain: checkpoint says nothing new
+    stream2 = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_zonemap_sink(stream2, tbl, "k", ck, timeout_s=180)
+    zm2 = json.load(open(tmp_path / "tbl" / "_zonemap.json"))
+    assert zm2["files"] == zm["files"]
+
+    # late arrivals: a second wave folds in and becomes prunable
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(5000, 5100)], "k long, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream3 = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_zonemap_sink(stream3, tbl, "k", ck, timeout_s=180)
+    assert read_zonemap_pruned(spark, tbl, "k", 5000, 5099).count() == 100
+    zm3 = json.load(open(tmp_path / "tbl" / "_zonemap.json"))
+    assert len(zm3["files"]) > n_files

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "zorder_key_sql", "zorder_write", "zbucket_profile",
     "hilbert_key", "hilbert_write", "hbucket_profile", "hilbert_profile_sql",
-    "write_zonemapped", "zonemap_candidate_files", "read_zonemap_pruned",
-    "compaction_plan", "compact_parquet_dir",
+    "write_zonemapped", "update_zonemap", "zonemap_candidate_files",
+    "read_zonemap_pruned", "compaction_plan", "compact_parquet_dir",
 ]
 
 
@@ -296,39 +296,69 @@ def write_zonemapped(
     (their lexicographic order IS their temporal order) and as plain
     numbers otherwise.
     """
-    import datetime
-    import json
-    import os
-
     stat_cols = list(stat_cols or [cluster_col])
     (
         df.repartitionByRange(int(n_files), F.col(cluster_col))
         .write.mode("overwrite")
         .parquet(path)
     )
-    spark = df.sparkSession
-    back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
-    aggs = []
-    for c in stat_cols:
-        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-    rows = back.groupBy("__f").agg(*aggs).collect()
+    update_zonemap(df.sparkSession, path, stat_cols, full=True)
 
-    def enc(v):
-        if isinstance(v, (datetime.date, datetime.datetime)):
-            return v.isoformat()
-        return v
 
-    zonemap = {}
-    for r in rows:
-        f = r["__f"]
-        f = f[len("file:"):] if f.startswith("file:") else f
-        zonemap[os.path.basename(f)] = {
-            c: [enc(r[f"lo_{c}"]), enc(r[f"hi_{c}"])] for c in stat_cols
-        }
-    tmp = os.path.join(path, ZONEMAP_NAME + ".tmp")
+def update_zonemap(
+    spark,
+    path: str,
+    stat_cols: "Sequence[str]",
+    full: bool = False,
+) -> int:
+    """(Re)build the `_zonemap.json` sidecar for `path`.  full=True
+    stats every file (the initial-write path); full=False stats ONLY
+    files absent from the existing map -- the incremental maintenance
+    a streaming/append ingest runs per commit, so the per-batch cost
+    is one grouped aggregate over the NEW files, never a table rescan.
+    Atomic temp-file + rename either way.  Returns the number of files
+    newly statted."""
+    import datetime
+    import json
+    import os
+
+    stat_cols = list(stat_cols)
+    map_path = os.path.join(path, ZONEMAP_NAME)
+    existing: dict = {}
+    if not full and os.path.exists(map_path):
+        with open(map_path) as fh:
+            existing = json.load(fh)["files"]
+    names = sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    todo = [n for n in names if n not in existing]
+    if todo:
+        back = spark.read.parquet(
+            *[os.path.join(path, n) for n in todo]
+        ).withColumn("__f", F.input_file_name())
+        aggs = []
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        rows = back.groupBy("__f").agg(*aggs).collect()
+
+        def enc(v):
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            return v
+
+        for r in rows:
+            f = r["__f"]
+            f = f[len("file:"):] if f.startswith("file:") else f
+            existing[os.path.basename(f)] = {
+                c: [enc(r[f"lo_{c}"]), enc(r[f"hi_{c}"])] for c in stat_cols
+            }
+    # drop map entries whose files vanished (compaction, vacuum)
+    existing = {n: s for n, s in existing.items() if n in set(names)}
+    tmp = map_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"stat_cols": stat_cols, "files": zonemap}, fh, indent=1)
-    os.replace(tmp, os.path.join(path, ZONEMAP_NAME))
+        json.dump({"stat_cols": stat_cols, "files": existing}, fh, indent=1)
+    os.replace(tmp, map_path)
+    return len(todo)
 
 
 def zonemap_candidate_files(path: str, col: str, lo, hi) -> tuple[list, int]:

@@ -3769,6 +3769,15 @@ LLM_ORACLES["llm_semantic_dedup_int"] = """
     FROM ranked r LEFT JOIN shadows s ON s.vid = r.vec_id
 """
 
+LLM_ORACLES["st_zonemap_ingest"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value >= 100.0 AND value <= 200.0
+    GROUP BY event_type
+"""
+
 LLM_ORACLES["st_cdc_upsert"] = """
     SELECT event_id, user_id, event_type, value
     FROM events

@@ -1293,6 +1293,43 @@ def st_cdc_upsert(spark, sf):
     return spark.read.parquet(target).select(*cols)
 
 
+def st_zonemap_ingest(spark, sf):
+    """Streaming ingest into a zone-mapped table
+    (streams.streaming_zonemap_sink -> layout s31): the event stream
+    lands range-clustered on `value` under batch-keyed file names with
+    the `_zonemap.json` sidecar refreshed incrementally per commit --
+    data skipping holds from the first micro-batch.  The gate reads a
+    value range back THROUGH the pruned listing; zone pruning is
+    recall-complete, so the aggregate equals the oracle's plain
+    filtered scan of events.  Replay idempotence and actual
+    file-skipping are pytest-pinned (tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from .layout import read_zonemap_pruned
+    from .streaming.streams import streaming_zonemap_sink
+
+    tag = _source_tag(sf, "events")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zmst_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_zmck_{tag}")
+    if not os.path.exists(os.path.join(path, "_zonemap.json")):
+        streaming_zonemap_sink(
+            _event_stream(spark, sf).select(
+                "event_id", "user_id", "event_type", "value"
+            ),
+            path,
+            "value",
+            ckpt,
+        )
+    pruned = read_zonemap_pruned(spark, path, "value", 100.0, 200.0)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
 def st_dedup(spark, sf):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) -- events
     are unique in the test tables, so output == input projection."""
@@ -2766,6 +2803,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_custom_source": st_custom_source,
     "st_dedup": st_dedup,
     "st_cdc_upsert": st_cdc_upsert,
+    "st_zonemap_ingest": st_zonemap_ingest,
     "st_running_totals": st_running_totals,
     "w_rolling": w_rolling,
     "w_zscore": w_zscore,

@@ -578,6 +578,68 @@ def streaming_dedup_index_sink(
     q.awaitTermination(timeout_s)
 
 
+def streaming_zonemap_sink(
+    sdf: DataFrame,
+    path: str,
+    cluster_col: str,
+    checkpoint: str,
+    stat_cols: "Sequence[str] | None" = None,
+    files_per_batch: int = 2,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming ingest into a zone-mapped table (layout.py s31): each
+    micro-batch lands range-clustered on `cluster_col` under
+    DETERMINISTIC batch-keyed file names, then the `_zonemap.json`
+    sidecar is refreshed INCREMENTALLY (layout.update_zonemap stats
+    only the unmapped files) -- so data skipping holds from the first
+    commit and the per-batch maintenance cost is one grouped aggregate
+    over the new files, never a table rescan.
+
+    Exactly-once discipline: the batch writes to a staging dir
+    (overwrite -- replays re-produce identical content), and the part
+    files promote into the table root as `batch<id>-<i>.parquet` via
+    os.replace -- a replayed batch overwrites its own files instead of
+    appending duplicates.  The sidecar refresh runs LAST and is
+    itself idempotent (pure function of the files present).
+    """
+    import os
+    import shutil
+
+    from ..layout import update_zonemap
+
+    stat_list = list(stat_cols or [cluster_col])
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        staging = os.path.join(path, f"_staging_batch_{batch_id}")
+        (
+            batch_df.repartitionByRange(int(files_per_batch), F.col(cluster_col))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        parts = sorted(
+            n for n in os.listdir(staging) if n.endswith(".parquet")
+        )
+        os.makedirs(path, exist_ok=True)
+        for i, n in enumerate(parts):
+            os.replace(
+                os.path.join(staging, n),
+                os.path.join(path, f"batch{batch_id}-{i}.parquet"),
+            )
+        shutil.rmtree(staging)
+        update_zonemap(spark, path, stat_list)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def topk_finish(agg: DataFrame, k: int = 3) -> DataFrame:
     """Finish a drained streaming (window, key, count) sink into the
     per-window top-k -- the streaming-top-k split: the STREAM maintains
