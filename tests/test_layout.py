@@ -934,3 +934,39 @@ def test_compact_parquet_dir_preserves_rows_and_shrinks_files(spark, tmp_path):
     # rows survive byte-for-byte (same multiset)
     back = spark.read.parquet(dst)
     assert back.drop("__bin").orderBy("k").collect() == df.orderBy("k").collect()
+
+
+def test_zonemap_unmapped_column_falls_back_to_full_scan(spark, tmp_path):
+    """A column the map never statted must keep EVERY file (conservative
+    full scan), not silently prune them all; and an incremental
+    update_zonemap with a different stat_cols set re-stats everything
+    instead of leaving a half-widened map."""
+    import json
+
+    from uofi_payroll_etl_main_spark.layout import (
+        read_zonemap_pruned,
+        update_zonemap,
+        write_zonemapped,
+        zonemap_candidate_files,
+    )
+
+    root = str(tmp_path / "zm")
+    df = spark.createDataFrame(
+        [(i, float(1000 - i)) for i in range(100)], "k long, v double"
+    )
+    write_zonemapped(df, root, "k", n_files=5)  # stats cover ONLY k
+
+    # query on the unmapped column: every file kept, result complete
+    kept, total = zonemap_candidate_files(root, "v", 990.0, 999.0)
+    assert total == 5 and len(kept) == 5
+    assert read_zonemap_pruned(spark, root, "v", 990.0, 999.0).count() == 10
+
+    # widening stat_cols incrementally re-stats ALL files (self-healing)
+    n = update_zonemap(spark, root, ["k", "v"])
+    assert n == 5
+    zm = json.load(open(tmp_path / "zm" / "_zonemap.json"))
+    assert zm["stat_cols"] == ["k", "v"]
+    assert all("v" in s for s in zm["files"].values())
+    kept2, _ = zonemap_candidate_files(root, "v", 990.0, 999.0)
+    assert len(kept2) < 5  # now genuinely prunable
+    assert read_zonemap_pruned(spark, root, "v", 990.0, 999.0).count() == 10

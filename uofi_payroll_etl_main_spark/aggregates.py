@@ -1151,13 +1151,9 @@ def kruskal_wallis(
             + F.col("__t").cast("decimal(38,0)")
             + F.lit(1)
         ).alias("__mid2"),
-        (
-            F.col("__t").cast("decimal(38,0)") * F.col("__t") * F.col("__t")
-            - F.col("__t")
-        ).alias("__tc"),
     )
     groups = (
-        per_gv.join(vals.select("__v", "__mid2"), "__v")
+        per_gv.join(vals, "__v")
         .groupBy("__g")
         .agg(
             F.sum("__c").cast("long").alias("__n"),
@@ -1175,7 +1171,17 @@ def kruskal_wallis(
         F.sum("__n").cast("long").alias("n_total"),
         F.sum(term).alias("__s"),
     )
-    ties = vals.agg(F.sum("__tc").alias("__tcorr"))
+    # tie correction depends only on per-value tie counts -- fold it
+    # straight off the checkpointed frame instead of re-running the
+    # whole rank pipeline as a second consumer
+    ties = per_gv.groupBy("__v").agg(
+        F.sum("__c").cast("long").alias("__t")
+    ).agg(
+        F.sum(
+            F.col("__t").cast("decimal(38,0)") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__tcorr")
+    )
     j = agg.crossJoin(F.broadcast(ties))
     n = F.col("n_total").cast("double")
     h = F.lit(12.0) / (n * (n + 1.0)) * F.col("__s").cast("double") - F.lit(

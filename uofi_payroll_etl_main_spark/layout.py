@@ -271,6 +271,19 @@ def hbucket_profile(
 ZONEMAP_NAME = "_zonemap.json"
 
 
+def _enc_zone_value(v):
+    """Serialize a zone bound for the sidecar.  The WRITE-side stats and
+    the READ-side lo/hi comparisons must stay in the same domain or
+    pruning silently breaks, so this is the single shared encoder: ISO
+    strings for dates/timestamps (lexicographic order IS temporal
+    order), plain numbers otherwise."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
 def write_zonemapped(
     df: DataFrame,
     path: str,
@@ -316,9 +329,11 @@ def update_zonemap(
     files absent from the existing map -- the incremental maintenance
     a streaming/append ingest runs per commit, so the per-batch cost
     is one grouped aggregate over the NEW files, never a table rescan.
-    Atomic temp-file + rename either way.  Returns the number of files
-    newly statted."""
-    import datetime
+    An incremental call whose stat_cols differ from the map's recorded
+    set re-stats EVERY file (self-healing: a half-widened map would
+    otherwise prune pre-existing files on the new column).  Atomic
+    temp-file + rename either way.  Returns the number of files
+    statted."""
     import json
     import os
 
@@ -327,7 +342,10 @@ def update_zonemap(
     existing: dict = {}
     if not full and os.path.exists(map_path):
         with open(map_path) as fh:
-            existing = json.load(fh)["files"]
+            prior = json.load(fh)
+        if list(prior.get("stat_cols", [])) == stat_cols:
+            existing = prior["files"]
+        # else: column set changed -> rebuild everything below
     names = sorted(
         n for n in os.listdir(path) if n.endswith(".parquet")
     )
@@ -340,17 +358,12 @@ def update_zonemap(
         for c in stat_cols:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         rows = back.groupBy("__f").agg(*aggs).collect()
-
-        def enc(v):
-            if isinstance(v, (datetime.date, datetime.datetime)):
-                return v.isoformat()
-            return v
-
         for r in rows:
             f = r["__f"]
             f = f[len("file:"):] if f.startswith("file:") else f
             existing[os.path.basename(f)] = {
-                c: [enc(r[f"lo_{c}"]), enc(r[f"hi_{c}"])] for c in stat_cols
+                c: [_enc_zone_value(r[f"lo_{c}"]), _enc_zone_value(r[f"hi_{c}"])]
+                for c in stat_cols
             }
     # drop map entries whose files vanished (compaction, vacuum)
     existing = {n: s for n, s in existing.items() if n in set(names)}
@@ -364,35 +377,35 @@ def update_zonemap(
 def zonemap_candidate_files(path: str, col: str, lo, hi) -> tuple[list, int]:
     """Which files can contain rows with `col` in [lo, hi]?  Returns
     (kept absolute paths, total mapped files).  A file whose zone is
-    disjoint from the range is skipped; a file whose stats are null
-    (all-null column) is skipped too, because a range predicate never
-    matches NULL; a file absent from the map (e.g. added by a writer
-    that doesn't maintain it) is conservatively kept.  Comparisons
-    happen in the sidecar's serialized domain (ISO strings for
-    temporals -- order-preserving -- plain numbers otherwise), so the
-    caller passes `lo`/`hi` in the same form it queries with."""
-    import datetime
+    disjoint from the range is skipped; a file whose recorded stats are
+    null (all-null column) is skipped too, because a range predicate
+    never matches NULL.  CONSERVATIVE in both unknown directions: a
+    file absent from the map (a writer that doesn't maintain it) is
+    kept, and a column the map never statted keeps EVERY file -- a full
+    scan, never silent data loss.  Comparisons happen in the sidecar's
+    serialized domain (ISO strings for temporals -- order-preserving --
+    plain numbers otherwise), so the caller passes `lo`/`hi` in the
+    same form it queries with."""
     import json
     import os
 
     with open(os.path.join(path, ZONEMAP_NAME)) as fh:
-        zm = json.load(fh)["files"]
+        doc = json.load(fh)
+    zm = doc["files"]
+    col_mapped = col in doc.get("stat_cols", [])
 
-    def enc(v):
-        if isinstance(v, (datetime.date, datetime.datetime)):
-            return v.isoformat()
-        return v
-
-    lo, hi = enc(lo), enc(hi)
+    lo, hi = _enc_zone_value(lo), _enc_zone_value(hi)
     kept = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
             continue
-        stats = zm.get(name, {}).get(col) if name in zm else None
-        if name not in zm:
+        if name not in zm or not col_mapped or col not in zm[name]:
+            # no zone knowledge for this file/column: keep (full-scan
+            # fallback beats silently dropping matching rows)
             kept.append(os.path.join(path, name))
             continue
-        if stats is None or stats[0] is None:
+        stats = zm[name][col]
+        if stats[0] is None:
             continue  # all-null zone: a range predicate can't match
         if stats[1] >= lo and stats[0] <= hi:
             kept.append(os.path.join(path, name))
@@ -471,16 +484,20 @@ def compact_parquet_dir(
     ]
     plan = compaction_plan(sizes, target_bytes)
     n_bins = 1 + max((p["bin"] for p in plan), default=0)
-    mapping = {p["file"]: p["bin"] for p in plan}
-    mexpr = F.create_map(
-        *[F.lit(x) for kv in mapping.items() for x in kv]
+    # file->bin rides as a broadcast-joined FRAME, not a create_map
+    # literal: at millions of files a literal map is millions of
+    # expression nodes in the driver plan (the joins.dict_map_join
+    # rule); a broadcast join keeps the mapping in the engine
+    mapping = spark.createDataFrame(
+        [(p["file"], p["bin"]) for p in plan], "__fname string, __bin int"
     )
     df = (
         spark.read.parquet(src)
         .withColumn(
-            "__bin",
-            mexpr[F.element_at(F.split(F.input_file_name(), "/"), -1)],
+            "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
+        .join(F.broadcast(mapping), "__fname")
+        .drop("__fname")
         .repartition(n_bins, "__bin")
     )
     df.write.mode("overwrite").partitionBy("__bin").parquet(dst)

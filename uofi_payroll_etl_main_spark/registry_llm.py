@@ -1312,15 +1312,18 @@ def st_zonemap_ingest(spark, sf):
     tag = _source_tag(sf, "events")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_zmst_{tag}")
     ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_zmck_{tag}")
-    if not os.path.exists(os.path.join(path, "_zonemap.json")):
-        streaming_zonemap_sink(
-            _event_stream(spark, sf).select(
-                "event_id", "user_id", "event_type", "value"
-            ),
-            path,
-            "value",
-            ckpt,
-        )
+    # ALWAYS drain: the sidecar exists after the FIRST commit, so its
+    # presence can't stand in for drain completion (a crashed partial
+    # ingest would otherwise freeze forever); the checkpoint makes a
+    # caught-up re-drain a cheap no-op and a partial one resume
+    streaming_zonemap_sink(
+        _event_stream(spark, sf).select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        path,
+        "value",
+        ckpt,
+    )
     pruned = read_zonemap_pruned(spark, path, "value", 100.0, 200.0)
     return pruned.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

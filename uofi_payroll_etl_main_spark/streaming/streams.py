@@ -425,7 +425,19 @@ def streaming_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_stop(q, timeout_s, "streaming_upsert_sink")
+
+
+def _await_or_stop(q, timeout_s: float, what: str) -> None:
+    """awaitTermination that treats a timeout as the error it is: stop
+    the query and raise, so no caller ever reads a sink that a
+    still-live drain keeps mutating (the run_to_memory timed-out-drain
+    rule, applied to every foreachBatch sink)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"{what}: drain did not finish within {timeout_s}s; query stopped"
+        )
 
 
 def streaming_running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -575,7 +587,7 @@ def streaming_dedup_index_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_stop(q, timeout_s, "streaming_dedup_index_sink")
 
 
 def streaming_zonemap_sink(
@@ -637,7 +649,7 @@ def streaming_zonemap_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_stop(q, timeout_s, "streaming_zonemap_sink")
 
 
 def topk_finish(agg: DataFrame, k: int = 3) -> DataFrame:
