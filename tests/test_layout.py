@@ -970,3 +970,43 @@ def test_zonemap_unmapped_column_falls_back_to_full_scan(spark, tmp_path):
     kept2, _ = zonemap_candidate_files(root, "v", 990.0, 999.0)
     assert len(kept2) < 5  # now genuinely prunable
     assert read_zonemap_pruned(spark, root, "v", 990.0, 999.0).count() == 10
+
+
+def test_compact_version_publishes_optimized_snapshot(spark, tmp_path):
+    """compact_version: the store's OPTIMIZE pass -- latest version
+    rewritten as a new version with ~target-size files, rows identical,
+    time travel to the small-file version intact, vacuum reclaims it."""
+    from uofi_payroll_etl_main_spark.io import (
+        compact_version,
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 13}") for i in range(20000)], "id long, v string"
+    )
+    # simulate per-commit debris: v1 lands as 16 small files
+    assert write_version(df.repartition(16), root) == 1
+    import os
+
+    v1 = os.path.join(root, "v=1")
+    n1 = sum(1 for n in os.listdir(v1) if n.endswith(".parquet"))
+    assert n1 == 16
+    total = sum(
+        os.path.getsize(os.path.join(v1, n))
+        for n in os.listdir(v1) if n.endswith(".parquet")
+    )
+
+    new_v, before, after = compact_version(spark, root, target_bytes=total // 3)
+    assert (new_v, before) == (2, 16) and after <= 4
+
+    # identical content, both versions readable
+    assert read_version(spark, root, 2).orderBy("id").collect() == \
+        read_version(spark, root, 1).orderBy("id").collect()
+    assert list_versions(root) == [1, 2]
+    # retention eventually reclaims the small-file version
+    assert vacuum_versions(root, keep_latest=1) == [1]
+    assert read_version(spark, root).count() == 20000

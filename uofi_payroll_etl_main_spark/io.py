@@ -39,6 +39,7 @@ __all__ = [
     "commit_ingest",
     "delete_rows",
     "bucketed_table", "ivm_init", "ivm_refresh", "ivm_init_zset", "ivm_refresh_zset", "ivm_read_zset", "ivm_compact_zset",
+    "compact_version",
 ]
 
 
@@ -788,6 +789,49 @@ def read_version(
     if v not in vs:
         raise FileNotFoundError(f"version {v} not committed under {root} (have {vs})")
     return spark.read.parquet(fs.join(fs.canon(root), f"v={v}"))
+
+
+def compact_version(
+    spark: SparkSession, root: str, target_bytes: int
+) -> tuple[int, int, int]:
+    """Store-level small-file compaction: rewrite the LATEST committed
+    snapshot as a NEW version whose files each hold ~`target_bytes` --
+    the OPTIMIZE pass a streaming-fed store needs once its versions
+    accumulate per-commit small files.  Publishing THROUGH
+    write_version keeps every guarantee for free: the rewrite is
+    atomic (visible only at `_SUCCESS`), concurrent writers are
+    detected, time travel to the pre-compaction version still works,
+    and vacuum_versions eventually reclaims it.  Row content is
+    identical by construction -- the rewrite is one repartition, no
+    filters, no projections.
+
+    Returns (new_version, n_files_before, n_files_after).  Local-path
+    metadata listing (the planner needs byte sizes); the data rewrite
+    itself goes through the session's filesystem like any publish.
+    """
+    import math
+    import os
+
+    from . import fs
+
+    vs = list_versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    vdir = fs.join(fs.canon(root), f"v={vs[-1]}")
+    local = vdir[len("file:"):] if vdir.startswith("file:") else vdir
+    sizes = [
+        os.path.getsize(os.path.join(local, n))
+        for n in os.listdir(local)
+        if n.endswith(".parquet")
+    ]
+    n_before = len(sizes)
+    n_out = max(1, math.ceil(sum(sizes) / max(1, int(target_bytes))))
+    new_v = write_version(
+        spark.read.parquet(vdir).repartition(n_out), root
+    )
+    new_local = os.path.join(local[: local.rfind("v=")], f"v={new_v}")
+    n_after = sum(1 for n in os.listdir(new_local) if n.endswith(".parquet"))
+    return new_v, n_before, n_after
 
 
 def write_version_if(
