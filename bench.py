@@ -160,6 +160,9 @@ HEADLINERS = [
     "a52_ks_test",
     "a53_kruskal_wallis",
     "a54_brown_forsythe",
+    "a55_welch_ttest",
+    "llm_rouge",
+    "llm_js_divergence",
     "llm_winnowing",
     "g16_bipartite_projection",
 ]

@@ -1979,3 +1979,102 @@ def test_ks_test_ignores_null_values(spark):
     rd = ks_test(df_d, "g", "v", "a", "b").collect()[0]
     assert rd["n_a"] == 5 and rd["n_b"] == 5
     assert rd.asDict() == rc.asDict()
+
+
+def test_welch_ttest_numpy_replica(spark):
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.aggregates import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 100.0]     # high variance
+    b = [2.0, 2.5, 3.0]                 # low variance
+    rows = [("x", v) for v in a] + [("y", v) for v in b] + [("z", 9.9), ("x", None)]
+    r = welch_ttest(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v", "x", "y"
+    ).first()
+    na, nb = len(a), len(b)
+    ma, mb = np.mean(a), np.mean(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    sa, sb = va / na, vb / nb
+    t = (ma - mb) / np.sqrt(sa + sb)
+    df = (sa + sb) ** 2 / (sa**2 / (na - 1) + sb**2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.mean_a - round(ma, 6)) < 1e-9
+    assert abs(r.t_stat - round(t, 6)) < 1e-6
+    assert abs(r.df - round(df, 6)) < 1e-6
+
+    # degenerate: single-row group -> t/df null, counts still real
+    one = welch_ttest(
+        spark.createDataFrame([("x", 1.0), ("y", 2.0), ("y", 3.0)],
+                              "g string, v double"),
+        "g", "v", "x", "y",
+    ).first()
+    assert one.n_a == 1 and one.t_stat is None and one.df is None
+
+
+def test_rouge_n_hand_case(spark):
+    from uofi_payroll_etl_main_spark.llm.text import rouge_n
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat lay on the mat"),
+            (3, "completely different words entirely"),
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 4)], "ref_id long, cand_id long"
+    )
+    r1 = {(r.ref_id, r.cand_id): r for r in rouge_n(docs, pairs, n=1).collect()}
+    # ref 1: [the,cat,sat,on,the,mat]; cand 2: [the,cat,lay,on,the,mat]
+    # clipped overlap: the*2, cat, on, mat = 5 of 6
+    m = r1[(1, 2)]
+    assert (m.n_overlap, m.n_ref, m.n_cand) == (5, 6, 6)
+    assert abs(m.f1 - round(5 / 6, 6)) < 1e-9
+    assert r1[(1, 3)].n_overlap == 0 and r1[(1, 3)].f1 is None
+    # single-token self-pair at n=1 is a perfect match
+    assert r1[(4, 4)].f1 == 1.0
+
+    r2 = {(r.ref_id, r.cand_id): r for r in rouge_n(docs, pairs, n=2).collect()}
+    # bigrams ref1: the-cat, cat-sat, sat-on, on-the, the-mat (5)
+    # cand2: the-cat, cat-lay, lay-on, on-the, the-mat -> overlap 3
+    m2 = r2[(1, 2)]
+    assert (m2.n_overlap, m2.n_ref, m2.n_cand) == (3, 5, 5)
+    # doc 4 has no bigrams on either side -> pair absent at n=2
+    assert (4, 4) not in r2
+
+
+def test_js_divergence_hand_case(spark):
+    import math
+
+    from uofi_payroll_etl_main_spark.llm.text import js_divergence
+
+    # identical distributions -> 0
+    d = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+    same = js_divergence(d.filter("doc_id = 1"), d.filter("doc_id = 2")).first()
+    assert same.jsd_nats == 0.0
+
+    # disjoint vocabularies -> ln 2 nats == 1 bit
+    da = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    db = spark.createDataFrame([(2, "c d d")], "doc_id long, text string")
+    dj = js_divergence(da, db).first()
+    assert abs(dj.jsd_nats - round(math.log(2), 6)) < 1e-6
+    assert abs(dj.jsd_bits - 1.0) < 1e-6
+    assert (dj.n_types, dj.n_tokens_a, dj.n_tokens_b) == (4, 3, 3)
+
+    # hand-computed partial overlap: P = {a:2/3, b:1/3}, Q = {a:1/3, c:2/3}
+    dc = spark.createDataFrame([(3, "a c c")], "doc_id long, text string")
+    h = js_divergence(da, dc).first()
+    p = {"a": 2 / 3, "b": 1 / 3}
+    q = {"a": 1 / 3, "c": 2 / 3}
+    toks = set(p) | set(q)
+    jsd = sum(
+        0.5 * p.get(t, 0) * math.log(2 * p[t] / (p[t] + q.get(t, 0)))
+        for t in toks if t in p
+    ) + sum(
+        0.5 * q.get(t, 0) * math.log(2 * q[t] / (p.get(t, 0) + q[t]))
+        for t in toks if t in q
+    )
+    assert abs(h.jsd_nats - round(jsd, 6)) < 1e-6

@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "llm_mixture_apply",    # single-row (total, ssum) broadcast
     "j21_report_spine",     # region x priority grid (metadata-scale spine)
     "llm_mix_drift",        # single-row (ta, tb) totals broadcast
+    "llm_js_divergence",    # single-row (ta, tb) totals broadcast (mix_drift shape)
     "llm_balanced_sample",  # single-row min-class broadcast
     "llm_perplexity_buckets",  # single-row vocab-size broadcast (add-k LM smoothing)
     "llm_dataset_card",     # single-row metric blocks broadcast (datasheet rollup)

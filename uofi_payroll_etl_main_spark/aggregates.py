@@ -44,6 +44,7 @@ __all__ = [
     "mann_whitney_u",
     "kruskal_wallis",
     "brown_forsythe",
+    "welch_ttest",
     "frequent_itemsets",
     "association_rules",
     "winsorize",
@@ -1301,6 +1302,68 @@ def brown_forsythe(
         F.round(bg, 6).alias("between_ss"),
         F.round(wg, 6).alias("within_ss"),
         F.round(f_bf, 6).alias("f_bf"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups -- the
+    parametric partner of the rank battery (a45 location-rank, a52
+    shape, a53 k-group, a54 spread): difference of MEANS without the
+    pooled-variance assumption, with the Welch-Satterthwaite degrees
+    of freedom.
+
+    The cheapest test in the family: ONE map-side-combined aggregate,
+    no rank, no window, no join.  Values quantize to DECIMAL(18,6)
+    before the power sums (sum and sum-of-squares are then exact and
+    addition-order-free; products of 6-dp operands are exact in
+    DECIMAL(38,12)), and mean/variance/t/df finish in IEEE double from
+    those exact inputs -- bit-identical across engines.  NULLs
+    excluded.  Returns ONE row: n_a, n_b, mean_a, mean_b, t_stat, df
+    (rounded 6; t/df null when either group has < 2 rows or both
+    variances are 0).
+    """
+    v6 = F.col("__v").cast("decimal(18,6)")
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    )
+    is_a = F.col("__g") == group_a
+    agg = two.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, v6)).alias("__s1a"),
+        F.sum(F.when(~is_a, v6)).alias("__s1b"),
+        F.sum(F.when(is_a, v6 * v6)).alias("__s2a"),
+        F.sum(F.when(~is_a, v6 * v6)).alias("__s2b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    s1a, s1b = F.col("__s1a").cast("double"), F.col("__s1b").cast("double")
+    s2a, s2b = F.col("__s2a").cast("double"), F.col("__s2b").cast("double")
+    ma, mb = s1a / na, s1b / nb
+    va = (s2a - s1a * s1a / na) / (na - 1.0)
+    vb = (s2b - s1b * s1b / nb) / (nb - 1.0)
+    sa, sb = va / na, vb / nb
+    se2 = sa + sb
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok, se2 * se2 / (sa * sa / (na - 1.0) + sb * sb / (nb - 1.0))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("df"),
     )
 
 

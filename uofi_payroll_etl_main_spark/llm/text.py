@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "zipf_fit",
+    "rouge_n",
+    "js_divergence",
     "tokens",
     "token_count",
     "wordlike_token_count",
@@ -1360,4 +1362,153 @@ def winnowing_fingerprints(
                 "n_fingerprints"
             ),
         )
+    )
+
+
+def rouge_n(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """ROUGE-N between (reference, candidate) document pairs: n-gram
+    MULTISET overlap with precision / recall / F1 -- the standard
+    summarization/generation eval metric, here as a distributed
+    operator so a model-output table scores against its reference
+    table in one dataflow (and doubles as a graded text-overlap
+    measure next to the binary contamination gates).
+
+    overlap = sum over grams of min(count_ref, count_cand);
+    recall = overlap / |ref grams|, precision = overlap / |cand grams|
+    (the multiset "clipped count" form of the original metric).
+
+    Scale shape: one token explode -> per-(doc, gram) counts
+    (map-side combined), each pair side keyed by its doc id, a
+    full-outer join on (pair, gram), one pair-keyed aggregate --
+    all hash shuffles on real keys, output is |pairs| rows.  Counts
+    are exact longs; P/R/F1 divide exact longs -> bit-identical
+    doubles.  A pair whose BOTH sides have fewer than n tokens has no
+    gram rows and is absent from the output (no 0/0 row to define).
+    Output: (ref_id, cand_id, n, n_overlap, n_ref, n_cand, precision,
+    recall, f1), P/R/F1 rounded 6, null when their denominator is 0.
+    """
+    arr = tokens(normalize_text(text_col))
+    grams_arr = F.when(
+        F.size(arr) >= int(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - int(n) + 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, int(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the (doc, gram) counts once: the ref side and the
+    # cand side of the pair join both consume them, and without this
+    # the corpus scan + gram explode runs once per consumer (the
+    # kruskal_wallis checkpoint discipline; the frame is one row per
+    # distinct (doc, n-gram) -- the reduced index, not the corpus)
+    counts = (
+        docs.select(F.col(id_col).alias("__d"), F.explode(grams_arr).alias("__g"))
+        .groupBy("__d", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    ref_side = p.join(
+        counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
+    ).select("ref_id", "cand_id", "__g", "__cr")
+    cand_side = p.join(
+        counts.withColumnRenamed("__c", "__cc"), p["cand_id"] == counts["__d"]
+    ).select("ref_id", "cand_id", "__g", "__cc")
+    both = ref_side.join(
+        cand_side, ["ref_id", "cand_id", "__g"], "full_outer"
+    ).select(
+        "ref_id",
+        "cand_id",
+        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+    )
+    agg = both.groupBy("ref_id", "cand_id").agg(
+        F.sum(F.least("__cr", "__cc")).cast("long").alias("n_overlap"),
+        F.sum("__cr").cast("long").alias("n_ref"),
+        F.sum("__cc").cast("long").alias("n_cand"),
+    )
+    ov = F.col("n_overlap").cast("double")
+    prec = F.when(F.col("n_cand") > 0, ov / F.col("n_cand").cast("double"))
+    rec = F.when(F.col("n_ref") > 0, ov / F.col("n_ref").cast("double"))
+    f1 = F.when(
+        (F.col("n_cand") > 0) & (F.col("n_ref") > 0) & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return agg.select(
+        "ref_id",
+        "cand_id",
+        F.lit(int(n)).cast("int").alias("n"),
+        "n_overlap",
+        "n_ref",
+        "n_cand",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def js_divergence(
+    df_a: DataFrame, df_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' unigram
+    distributions -- the bounded, symmetric "did the token mix move"
+    scalar (0 = identical, ln 2 = disjoint) that complements the
+    source-share L1 report (llm_mix_drift monitors WHERE docs come
+    from; this monitors what the tokens ARE).
+
+    JSD(P,Q) = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2, computed as
+    one full-outer join of the two token-count tables + one sum.
+    Exactness discipline: p and q divide exact longs (bit-identical
+    doubles), each token's contribution quantizes to DECIMAL(28,12)
+    BEFORE the vocabulary-wide sum (the zipf_fit rule: the sum is
+    addition-order-free and engine-identical), and the final nats ->
+    bits conversion is one double divide.  Returns ONE row: n_types,
+    n_tokens_a, n_tokens_b, jsd_nats, jsd_bits (rounded 6).
+    """
+    ca = (
+        df_a.select(F.explode(tokens(normalize_text(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ca"))
+    )
+    cb = (
+        df_b.select(F.explode(tokens(normalize_text(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cb"))
+    )
+    both = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+    )
+    tot = both.agg(
+        F.sum("__ca").cast("long").alias("__ta"),
+        F.sum("__cb").cast("long").alias("__tb"),
+    )
+    w = both.crossJoin(F.broadcast(tot))
+    p = F.col("__ca").cast("double") / F.col("__ta").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__tb").cast("double")
+    term = (
+        F.when(F.col("__ca") > 0, 0.5 * p * F.log(2.0 * p / (p + q))).otherwise(0.0)
+        + F.when(F.col("__cb") > 0, 0.5 * q * F.log(2.0 * q / (p + q))).otherwise(0.0)
+    )
+    agg = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("__ta").alias("n_tokens_a"),
+        F.max("__tb").alias("n_tokens_b"),
+        F.sum(F.round(term, 12).cast("decimal(28,12)")).alias("__jsd"),
+    )
+    import math
+
+    return agg.select(
+        "n_types",
+        "n_tokens_a",
+        "n_tokens_b",
+        F.round(F.col("__jsd").cast("double"), 6).alias("jsd_nats"),
+        F.round(F.col("__jsd").cast("double") / math.log(2.0), 6).alias("jsd_bits"),
     )

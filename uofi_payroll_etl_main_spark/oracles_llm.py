@@ -2701,6 +2701,163 @@ LLM_ORACLES["a54_brown_forsythe"] = """
     FROM terms
 """
 
+LLM_ORACLES["a55_welch_ttest"] = """
+    WITH two AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), agg AS (
+      SELECT
+        CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        sum(CASE WHEN g = 'click' THEN CAST(v AS DECIMAL(18,6)) END) AS s1a,
+        sum(CASE WHEN g = 'purchase' THEN CAST(v AS DECIMAL(18,6)) END) AS s1b,
+        sum(CASE WHEN g = 'click'
+                 THEN CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)) END)
+          AS s2a,
+        sum(CASE WHEN g = 'purchase'
+                 THEN CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)) END)
+          AS s2b
+      FROM two
+    ), d AS (
+      SELECT n_a, n_b,
+             CAST(s1a AS DOUBLE) / n_a AS ma,
+             CAST(s1b AS DOUBLE) / n_b AS mb,
+             (CAST(s2a AS DOUBLE)
+              - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a)
+             / (n_a - 1.0) / n_a AS sa,
+             (CAST(s2b AS DOUBLE)
+              - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b)
+             / (n_b - 1.0) / n_b AS sb
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND sa + sb > 0
+                      THEN (ma - mb) / sqrt(sa + sb) END, 6) AS t_stat,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND sa + sb > 0
+                      THEN (sa + sb) * (sa + sb)
+                           / (sa * sa / (n_a - 1.0) + sb * sb / (n_b - 1.0))
+                 END, 6) AS df
+    FROM d
+"""
+
+LLM_ORACLES["llm_rouge"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+                  THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ), c1 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, unnest(t) AS g FROM toks
+      ) GROUP BY doc_id, g
+    ), t1 AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS tot FROM toks
+    ), o1 AS (
+      SELECT a.doc_id AS ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM c1 a JOIN c1 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+      GROUP BY a.doc_id
+    ), c2 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id,
+               t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)
+      ) GROUP BY doc_id, g
+    ), t2 AS (
+      SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS BIGINT) AS tot FROM toks
+    ), o2 AS (
+      SELECT a.doc_id AS ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM c2 a JOIN c2 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+      GROUP BY a.doc_id
+    ), raw AS (
+      SELECT p.ref_id, p.cand_id, 1 AS n,
+             coalesce(o1.ov, 0) AS n_overlap, tr.tot AS n_ref, tc.tot AS n_cand
+      FROM pairs p
+      JOIN t1 tr ON tr.doc_id = p.ref_id
+      JOIN t1 tc ON tc.doc_id = p.cand_id
+      LEFT JOIN o1 ON o1.ref_id = p.ref_id
+      WHERE tr.tot > 0 OR tc.tot > 0
+      UNION ALL
+      SELECT p.ref_id, p.cand_id, 2 AS n,
+             coalesce(o2.ov, 0), tr.tot, tc.tot
+      FROM pairs p
+      JOIN t2 tr ON tr.doc_id = p.ref_id
+      JOIN t2 tc ON tc.doc_id = p.cand_id
+      LEFT JOIN o2 ON o2.ref_id = p.ref_id
+      WHERE tr.tot > 0 OR tc.tot > 0
+    )
+    SELECT ref_id, cand_id, CAST(n AS INTEGER) AS n,
+           n_overlap, n_ref, n_cand,
+           round(CASE WHEN n_cand > 0
+                      THEN CAST(n_overlap AS DOUBLE) / n_cand END, 6) AS precision,
+           round(CASE WHEN n_ref > 0
+                      THEN CAST(n_overlap AS DOUBLE) / n_ref END, 6) AS recall,
+           round(CASE WHEN n_ref > 0 AND n_cand > 0
+                       AND CAST(n_overlap AS DOUBLE) / n_cand
+                           + CAST(n_overlap AS DOUBLE) / n_ref > 0
+                      THEN 2.0 * (CAST(n_overlap AS DOUBLE) / n_cand)
+                               * (CAST(n_overlap AS DOUBLE) / n_ref)
+                           / (CAST(n_overlap AS DOUBLE) / n_cand
+                              + CAST(n_overlap AS DOUBLE) / n_ref)
+                 END, 6) AS f1
+    FROM raw
+"""
+
+LLM_ORACLES["llm_js_divergence"] = """
+    WITH ta AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM (
+        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+                           THEN []
+                           ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                      END) AS tok
+        FROM documents WHERE doc_id % 2 = 0
+      ) GROUP BY tok
+    ), tb AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM (
+        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+                           THEN []
+                           ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                      END) AS tok
+        FROM documents WHERE doc_id % 2 = 1
+      ) GROUP BY tok
+    ), pq AS (
+      SELECT coalesce(ta.ca, 0) AS ca, coalesce(tb.cb, 0) AS cb
+      FROM ta FULL OUTER JOIN tb ON ta.tok = tb.tok
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS t_a, CAST(sum(cb) AS BIGINT) AS t_b
+      FROM pq
+    ), terms AS (
+      SELECT CAST(round(
+               (CASE WHEN ca > 0
+                     THEN 0.5 * (CAST(ca AS DOUBLE) / t_a)
+                          * ln(2.0 * (CAST(ca AS DOUBLE) / t_a)
+                               / (CAST(ca AS DOUBLE) / t_a
+                                  + CAST(cb AS DOUBLE) / t_b))
+                     ELSE 0.0 END)
+             + (CASE WHEN cb > 0
+                     THEN 0.5 * (CAST(cb AS DOUBLE) / t_b)
+                          * ln(2.0 * (CAST(cb AS DOUBLE) / t_b)
+                               / (CAST(ca AS DOUBLE) / t_a
+                                  + CAST(cb AS DOUBLE) / t_b))
+                     ELSE 0.0 END), 12) AS DECIMAL(28,12)) AS term,
+             t_a, t_b
+      FROM pq CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(max(t_a) AS BIGINT) AS n_tokens_a,
+           CAST(max(t_b) AS BIGINT) AS n_tokens_b,
+           round(CAST(sum(term) AS DOUBLE), 6) AS jsd_nats,
+           round(CAST(sum(term) AS DOUBLE) / ln(2.0), 6) AS jsd_bits
+    FROM terms
+"""
+
 LLM_ORACLES["a46_itemsets"] = """
     WITH b AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem

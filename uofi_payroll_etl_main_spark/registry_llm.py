@@ -1037,6 +1037,50 @@ def a54_brown_forsythe(spark, sf):
     return brown_forsythe(_t(spark, sf, "events"), "event_type", "value")
 
 
+def a55_welch_ttest(spark, sf):
+    """Parametric partner of the rank battery: Welch's unequal-variance
+    t-test between click and purchase event values
+    (aggregates.welch_ttest) -- difference of means with the
+    Welch-Satterthwaite df, from ONE map-side-combined aggregate of
+    DECIMAL-quantized power sums.  No rank, no window, no join; fully
+    VALUE-checked."""
+    from .aggregates import welch_ttest
+
+    return welch_ttest(
+        _t(spark, sf, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
+def llm_rouge(spark, sf):
+    """ROUGE-1 + ROUGE-2 between adjacent-id document pairs (the
+    stand-in for a (reference, model-output) eval table):
+    text.rouge_n's multiset clipped-count precision/recall/F1, both
+    n levels in one frame.  Exact long counts; P/R/F1 divide exact
+    longs; fully VALUE-checked."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("ref_id"))
+    b = d.select((F.col("doc_id") - 1).alias("ref_id"), F.col("doc_id").alias("cand_id"))
+    # the id-adjacency spine feeds four pair-side joins (2 sides x 2 n
+    # levels): materialize it once (two id-column rows per pair)
+    pairs = a.join(b, "ref_id").localCheckpoint(eager=True)
+    r1 = LT.rouge_n(d, pairs, n=1)
+    r2 = LT.rouge_n(d, pairs, n=2)
+    return r1.unionByName(r2)
+
+
+def llm_js_divergence(spark, sf):
+    """Jensen-Shannon divergence between the even- and odd-doc-id
+    corpus slices' unigram distributions (text.js_divergence) -- the
+    bounded symmetric token-mix drift scalar next to llm_mix_drift's
+    source-share L1.  Per-token contributions quantize to
+    DECIMAL(28,12) before the vocabulary sum; fully VALUE-checked."""
+    d = _t(spark, sf, "documents")
+    return LT.js_divergence(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def a48_bootstrap_ci(spark, sf):
     """Distributed bootstrap CI for per-priority mean order price
     (aggregates.bootstrap_ci): deterministic Poisson(1) weights from
@@ -2777,6 +2821,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a52_ks_test": a52_ks_test,
     "a53_kruskal_wallis": a53_kruskal_wallis,
     "a54_brown_forsythe": a54_brown_forsythe,
+    "a55_welch_ttest": a55_welch_ttest,
+    "llm_rouge": llm_rouge,
+    "llm_js_divergence": llm_js_divergence,
     "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_eval": llm_ann_eval,
     "llm_ann_pq_eval": llm_ann_pq_eval,
