@@ -162,6 +162,7 @@ HEADLINERS = [
     "a54_brown_forsythe",
     "a55_welch_ttest",
     "llm_rouge",
+    "llm_bleu",
     "llm_js_divergence",
     "llm_winnowing",
     "g16_bipartite_projection",

@@ -2078,3 +2078,40 @@ def test_js_divergence_hand_case(spark):
         for t in toks if t in q
     )
     assert abs(h.jsd_nats - round(jsd, 6)) < 1e-6
+
+
+def test_bleu_score_hand_case(spark):
+    import math
+
+    from uofi_payroll_etl_main_spark.llm.text import bleu_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today ok"),      # ref, 8 tokens
+            (2, "the cat sat on the mat today no"),      # cand: 7/8 grams shared
+            (3, "the cat"),                              # short cand: no 3/4-grams
+            (4, "totally different words here indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "ref_id long, cand_id long"
+    )
+    r = {(x.ref_id, x.cand_id): x for x in bleu_score(docs, pairs, max_n=4).collect()}
+
+    m = r[(1, 2)]
+    # p1 = 7/8, p2 = 6/7, p3 = 5/6, p4 = 4/5; equal lengths -> bp = 1
+    p = [7 / 8, 6 / 7, 5 / 6, 4 / 5]
+    expect = math.exp(sum(math.log(x) for x in p) / 4)
+    assert (m.ref_len, m.cand_len, m.bp) == (8, 8, 1.0)
+    assert abs(m.p1 - round(p[0], 6)) < 1e-9
+    assert abs(m.bleu - round(expect, 6)) < 1e-6
+
+    # short candidate: 3/4-gram precisions are 0 -> classic BLEU = 0,
+    # and the brevity penalty reflects the 2-vs-8 length gap
+    s = r[(1, 3)]
+    assert s.bleu == 0.0 and s.p1 == 1.0
+    assert abs(s.bp - round(math.exp(1 - 8 / 2), 6)) < 1e-9
+
+    # disjoint text: all precisions 0 -> 0
+    assert r[(1, 4)].bleu == 0.0

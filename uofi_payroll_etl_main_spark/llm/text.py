@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "zipf_fit",
     "rouge_n",
+    "bleu_score",
     "js_divergence",
     "tokens",
     "token_count",
@@ -1512,3 +1513,118 @@ def js_divergence(
         F.round(F.col("__jsd").cast("double"), 6).alias("jsd_nats"),
         F.round(F.col("__jsd").cast("double") / math.log(2.0), 6).alias("jsd_bits"),
     )
+
+
+def _pair_gram_stats(
+    docs: DataFrame,
+    p: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    suffix: str,
+) -> DataFrame:
+    """Per-(ref, cand) clipped n-gram overlap + side totals for one n
+    level -- the shared kernel under rouge_n and bleu_score.  Columns
+    suffixed so multiple levels join side by side."""
+    arr = tokens(normalize_text(text_col))
+    grams_arr = F.when(
+        F.size(arr) >= int(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - int(n) + 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, int(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.col(id_col).alias("__d"), F.explode(grams_arr).alias("__g"))
+        .groupBy("__d", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ref_side = p.join(
+        counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
+    ).select("ref_id", "cand_id", "__g", "__cr")
+    cand_side = p.join(
+        counts.withColumnRenamed("__c", "__cc"), p["cand_id"] == counts["__d"]
+    ).select("ref_id", "cand_id", "__g", "__cc")
+    both = ref_side.join(
+        cand_side, ["ref_id", "cand_id", "__g"], "full_outer"
+    ).select(
+        "ref_id",
+        "cand_id",
+        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+    )
+    return both.groupBy("ref_id", "cand_id").agg(
+        F.sum(F.least("__cr", "__cc")).cast("long").alias(f"ov{suffix}"),
+        F.sum("__cr").cast("long").alias(f"ref{suffix}"),
+        F.sum("__cc").cast("long").alias(f"cand{suffix}"),
+    )
+
+
+def bleu_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """Sentence-level BLEU (Papineni et al. 2002) between (reference,
+    candidate) pairs -- ROUGE's precision-oriented sibling: the
+    brevity-penalized geometric mean of clipped n-gram precisions for
+    n = 1..max_n.  bp = min(1, exp(1 - ref_len/cand_len)); classic
+    unsmoothed scoring, so any zero n-gram precision (including a
+    candidate shorter than max_n tokens) zeroes the score -- the
+    corpus-curation use is ranking near-duplicates and paraphrases,
+    where zeros ARE the signal.
+
+    Scale shape: one gram-count pass per n level (re-derived, not
+    checkpointed -- the rouge_n measurement), level frames joined side
+    by side on the pair key, and the log-mean finishes in a FIXED
+    left-associated expression so the double arithmetic is
+    engine-identical.  Pairs with an empty candidate or reference at
+    n=1 are absent (no grams on either side -> no spine row).
+    Output: (ref_id, cand_id, ref_len, cand_len, p1..p<max_n>, bp,
+    bleu), precisions/bp/bleu rounded 6.
+    """
+    if not 1 <= int(max_n) <= 4:
+        raise ValueError(f"max_n must be 1..4, got {max_n}")
+    max_n = int(max_n)
+    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    spine = _pair_gram_stats(docs, p, 1, id_col, text_col, "1")
+    out = spine
+    for n in range(2, max_n + 1):
+        lvl = _pair_gram_stats(docs, p, n, id_col, text_col, str(n))
+        out = out.join(lvl, ["ref_id", "cand_id"], "left")
+    for n in range(2, max_n + 1):
+        out = out.withColumn(f"ov{n}", F.coalesce(F.col(f"ov{n}"), F.lit(0)))
+        out = out.withColumn(f"cand{n}", F.coalesce(F.col(f"cand{n}"), F.lit(0)))
+    precs = [
+        F.when(
+            F.col(f"cand{n}") > 0,
+            F.col(f"ov{n}").cast("double") / F.col(f"cand{n}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        for n in range(1, max_n + 1)
+    ]
+    all_pos = precs[0] > 0
+    for pr in precs[1:]:
+        all_pos = all_pos & (pr > 0)
+    logmean = F.log(precs[0])
+    for pr in precs[1:]:
+        logmean = logmean + F.log(pr)
+    logmean = logmean / float(max_n)
+    r_len = F.col("ref1").cast("double")
+    c_len = F.col("cand1").cast("double")
+    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - r_len / c_len)
+    )
+    bleu = F.when(all_pos, bp * F.exp(logmean)).otherwise(F.lit(0.0))
+    cols = [
+        "ref_id",
+        "cand_id",
+        F.col("ref1").alias("ref_len"),
+        F.col("cand1").alias("cand_len"),
+    ]
+    cols += [F.round(precs[i], 6).alias(f"p{i+1}") for i in range(max_n)]
+    cols += [F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu")]
+    return out.select(*cols)

@@ -2810,6 +2810,103 @@ LLM_ORACLES["llm_rouge"] = """
     FROM raw
 """
 
+LLM_ORACLES["llm_bleu"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+                  THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ), c1 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, unnest(t) AS g FROM toks
+      ) GROUP BY doc_id, g
+    ), c2 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)
+      ) GROUP BY doc_id, g
+    ), c3 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)]
+                       || ' ' || t[CAST(i+2 AS INTEGER)] AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)
+      ) GROUP BY doc_id, g
+    ), c4 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)]
+                       || ' ' || t[CAST(i+2 AS INTEGER)]
+                       || ' ' || t[CAST(i+3 AS INTEGER)] AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+              FROM toks WHERE len(t) >= 4)
+      ) GROUP BY doc_id, g
+    ), tt AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS t1,
+             CAST(greatest(len(t) - 1, 0) AS BIGINT) AS t2,
+             CAST(greatest(len(t) - 2, 0) AS BIGINT) AS t3,
+             CAST(greatest(len(t) - 3, 0) AS BIGINT) AS t4
+      FROM toks
+    ), o1 AS (
+      SELECT a.doc_id AS ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM c1 a JOIN c1 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+      GROUP BY a.doc_id
+    ), o2 AS (
+      SELECT a.doc_id AS ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM c2 a JOIN c2 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+      GROUP BY a.doc_id
+    ), o3 AS (
+      SELECT a.doc_id AS ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM c3 a JOIN c3 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+      GROUP BY a.doc_id
+    ), o4 AS (
+      SELECT a.doc_id AS ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM c4 a JOIN c4 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+      GROUP BY a.doc_id
+    ), raw AS (
+      SELECT p.ref_id, p.cand_id,
+             tr.t1 AS ref_len, tc.t1 AS cand_len,
+             coalesce(o1.ov, 0) AS ov1, tc.t1 AS cd1,
+             coalesce(o2.ov, 0) AS ov2, tc.t2 AS cd2,
+             coalesce(o3.ov, 0) AS ov3, tc.t3 AS cd3,
+             coalesce(o4.ov, 0) AS ov4, tc.t4 AS cd4
+      FROM pairs p
+      JOIN tt tr ON tr.doc_id = p.ref_id
+      JOIN tt tc ON tc.doc_id = p.cand_id
+      LEFT JOIN o1 ON o1.ref_id = p.ref_id
+      LEFT JOIN o2 ON o2.ref_id = p.ref_id
+      LEFT JOIN o3 ON o3.ref_id = p.ref_id
+      LEFT JOIN o4 ON o4.ref_id = p.ref_id
+      WHERE tr.t1 > 0 OR tc.t1 > 0
+    ), prec AS (
+      SELECT ref_id, cand_id, ref_len, cand_len,
+             CASE WHEN cd1 > 0 THEN CAST(ov1 AS DOUBLE) / cd1 ELSE 0.0 END AS q1,
+             CASE WHEN cd2 > 0 THEN CAST(ov2 AS DOUBLE) / cd2 ELSE 0.0 END AS q2,
+             CASE WHEN cd3 > 0 THEN CAST(ov3 AS DOUBLE) / cd3 ELSE 0.0 END AS q3,
+             CASE WHEN cd4 > 0 THEN CAST(ov4 AS DOUBLE) / cd4 ELSE 0.0 END AS q4,
+             CASE WHEN CAST(cand_len AS DOUBLE) >= CAST(ref_len AS DOUBLE)
+                  THEN 1.0
+                  ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+                               / CAST(cand_len AS DOUBLE)) END AS bp
+      FROM raw
+    )
+    SELECT ref_id, cand_id, ref_len, cand_len,
+           round(q1, 6) AS p1, round(q2, 6) AS p2,
+           round(q3, 6) AS p3, round(q4, 6) AS p4,
+           round(bp, 6) AS bp,
+           round(CASE WHEN q1 > 0 AND q2 > 0 AND q3 > 0 AND q4 > 0
+                      THEN bp * exp((((ln(q1) + ln(q2)) + ln(q3)) + ln(q4))
+                                    / 4.0)
+                      ELSE 0.0 END, 6) AS bleu
+    FROM prec
+"""
+
 LLM_ORACLES["llm_js_divergence"] = """
     WITH ta AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM (

@@ -1068,6 +1068,18 @@ def llm_rouge(spark, sf):
     return r1.unionByName(r2)
 
 
+def llm_bleu(spark, sf):
+    """Sentence-level BLEU-4 over the same adjacent-id pair spine as
+    llm_rouge (text.bleu_score): brevity-penalized geometric mean of
+    clipped 1..4-gram precisions, classic unsmoothed zeros.  Exact
+    long counts; fixed-order log arithmetic; fully VALUE-checked."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("ref_id"))
+    b = d.select((F.col("doc_id") - 1).alias("ref_id"), F.col("doc_id").alias("cand_id"))
+    pairs = a.join(b, "ref_id").localCheckpoint(eager=True)
+    return LT.bleu_score(d, pairs, max_n=4)
+
+
 def llm_js_divergence(spark, sf):
     """Jensen-Shannon divergence between the even- and odd-doc-id
     corpus slices' unigram distributions (text.js_divergence) -- the
@@ -2823,6 +2835,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a54_brown_forsythe": a54_brown_forsythe,
     "a55_welch_ttest": a55_welch_ttest,
     "llm_rouge": llm_rouge,
+    "llm_bleu": llm_bleu,
     "llm_js_divergence": llm_js_divergence,
     "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_eval": llm_ann_eval,
