@@ -1395,45 +1395,21 @@ def rouge_n(
     gram rows and is absent from the output (no 0/0 row to define).
     Output: (ref_id, cand_id, n, n_overlap, n_ref, n_cand, precision,
     recall, f1), P/R/F1 rounded 6, null when their denominator is 0.
+
+    The clipped-overlap computation is the shared _pair_gram_stats
+    kernel (also under bleu_score); gram counts are deliberately NOT
+    checkpointed -- a gram index is corpus-sized, so re-deriving it
+    per consumer (a column-pruned scan + explode) beats materializing
+    it (measured 9.4s vs 17.6s at sf0.1; the plan lint's
+    "two-to-few scans are deliberate" rule).
     """
-    arr = tokens(normalize_text(text_col))
-    grams_arr = F.when(
-        F.size(arr) >= int(n),
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - int(n) + 1),
-            lambda i: F.concat_ws(" ", F.slice(arr, i, int(n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # the (doc, gram) counts feed both pair sides and are deliberately
-    # NOT checkpointed: a gram index is corpus-sized, so re-deriving it
-    # per consumer (a column-pruned scan + explode) beats materializing
-    # it -- measured 9.4s vs 17.6s at sf0.1, and at 100 TB the
-    # checkpoint would spill the whole token stream to local disk
-    # (the "two-to-few scans are deliberate" plan-lint rule)
-    counts = (
-        docs.select(F.col(id_col).alias("__d"), F.explode(grams_arr).alias("__g"))
-        .groupBy("__d", "__g")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    )
     p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
-    ref_side = p.join(
-        counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
-    ).select("ref_id", "cand_id", "__g", "__cr")
-    cand_side = p.join(
-        counts.withColumnRenamed("__c", "__cc"), p["cand_id"] == counts["__d"]
-    ).select("ref_id", "cand_id", "__g", "__cc")
-    both = ref_side.join(
-        cand_side, ["ref_id", "cand_id", "__g"], "full_outer"
-    ).select(
+    agg = _pair_gram_stats(docs, p, int(n), id_col, text_col, "").select(
         "ref_id",
         "cand_id",
-        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
-        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
-    )
-    agg = both.groupBy("ref_id", "cand_id").agg(
-        F.sum(F.least("__cr", "__cc")).cast("long").alias("n_overlap"),
-        F.sum("__cr").cast("long").alias("n_ref"),
-        F.sum("__cc").cast("long").alias("n_cand"),
+        F.col("ov").alias("n_overlap"),
+        F.col("ref").alias("n_ref"),
+        F.col("cand").alias("n_cand"),
     )
     ov = F.col("n_overlap").cast("double")
     prec = F.when(F.col("n_cand") > 0, ov / F.col("n_cand").cast("double"))
