@@ -392,18 +392,18 @@ CORE_ORACLES: dict[str, str] = {
     """,
     "p1_contains_ci": """
         SELECT p_partkey, p_type FROM part
-        WHERE lower(p_type) LIKE '%brass%'
+        WHERE lower(p_type) LIKE '%econo%'
     """,
     "p2_rlike_bounded": r"""
         SELECT p_partkey, p_name FROM part
-        WHERE regexp_matches(p_name, '(?i)(^|\s|_)green(\s|_|$)')
+        WHERE regexp_matches(p_name, '(?i)(^|\s|_)red(\s|_|$)')
     """,
     "p3_in_list": """
         SELECT o_orderkey, o_orderpriority FROM orders
         WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
     """,
     "p4_eq_ci": """
-        SELECT n_nationkey, n_name FROM nation WHERE lower(n_name) = 'france'
+        SELECT n_nationkey, n_name FROM nation WHERE lower(n_name) = 'nation_7'
     """,
     "p5_first_match": """
         SELECT c_custkey, c_name FROM customer

@@ -104,11 +104,11 @@ FROM joined WHERE rn = 1
 # --------------------------------------------------------------------------
 
 def p1(spark, sf):
-    return _t(spark, sf, "part").filter(P.contains_ci("p_type", "BRASS")).select("p_partkey", "p_type")
+    return _t(spark, sf, "part").filter(P.contains_ci("p_type", "ECoNo")).select("p_partkey", "p_type")
 
 
 def p2(spark, sf):
-    return _t(spark, sf, "part").filter(P.rlike_bounded("p_name", "green")).select("p_partkey", "p_name")
+    return _t(spark, sf, "part").filter(P.rlike_bounded("p_name", "red")).select("p_partkey", "p_name")
 
 
 def p3(spark, sf):
@@ -120,7 +120,7 @@ def p3(spark, sf):
 
 
 def p4(spark, sf):
-    return _t(spark, sf, "nation").filter(P.eq_ci("n_name", "FraNce")).select("n_nationkey", "n_name")
+    return _t(spark, sf, "nation").filter(P.eq_ci("n_name", "NaTion_7")).select("n_nationkey", "n_name")
 
 
 def p5(spark, sf):
