@@ -2115,3 +2115,45 @@ def test_bleu_score_hand_case(spark):
 
     # disjoint text: all precisions 0 -> 0
     assert r[(1, 4)].bleu == 0.0
+
+
+def test_value_running_totals_rank_nan_greatest(spark):
+    """ADVICE r9: width_bucket(NaN) used to yield a NULL bucket that
+    sorted FIRST, ranking NaN lowest -- but Spark's ORDER BY (and the
+    DuckDB oracles) rank NaN greater than every real.  NaN now lands in
+    the explicit past-the-end bucket, and -- crucially -- no longer
+    poisons the (min, max) broadcast (F.max over a NaN-containing
+    column returns NaN, which would NULL every bucket)."""
+    import math
+
+    from uofi_payroll_etl_main_spark.aggregates import _value_running_totals
+
+    per_val = spark.createDataFrame(
+        [(3.0, 2), (math.nan, 5), (1.0, 1), (7.0, 4)], "v double, t long"
+    )
+    run = {
+        (None if math.isnan(r["v"]) else r["v"]): r["__run_t"]
+        for r in _value_running_totals(per_val, "v", ["t"]).collect()
+    }
+    # ascending-order inclusive totals with NaN LAST
+    assert run == {1.0: 1, 3.0: 3, 7.0: 7, None: 12}
+
+
+def test_mann_whitney_nan_ranks_as_greatest_value(spark):
+    """NaN observations rank as the greatest value -- the result must be
+    IDENTICAL to replacing NaN with a finite value larger than every
+    other observation (same rank algebra, same tie group)."""
+    import math
+
+    from uofi_payroll_etl_main_spark.aggregates import mann_whitney_u
+
+    rows = [("a", 1.0), ("a", math.nan), ("b", 2.0), ("b", 3.0),
+            ("a", 4.0), ("b", math.nan), ("a", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sub = [
+        (g, 1e18 if math.isnan(v) else v) for g, v in rows
+    ]
+    df_sub = spark.createDataFrame(sub, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").first()
+    r2 = mann_whitney_u(df_sub, "g", "v", "a", "b").first()
+    assert r.u_stat == r2.u_stat and abs(r.z - r2.z) < 1e-12

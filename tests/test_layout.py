@@ -1010,3 +1010,161 @@ def test_compact_version_publishes_optimized_snapshot(spark, tmp_path):
     # retention eventually reclaims the small-file version
     assert vacuum_versions(root, keep_latest=1) == [1]
     assert read_version(spark, root).count() == 20000
+
+
+def test_zonemap_nan_stats_keep_file_not_prune(spark, tmp_path):
+    """ADVICE r9: one NaN in a double column makes F.max record NaN;
+    a NaN bound fails every ordered comparison, so the disjointness
+    test must be written conservatively -- the file holding in-range
+    rows is KEPT, never silently pruned (recall-completeness)."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.layout import (
+        read_zonemap_pruned,
+        update_zonemap,
+        zonemap_candidate_files,
+    )
+
+    root = str(tmp_path / "zm_nan")
+    os.makedirs(root)
+    # f1 holds in-range values AND a NaN -> its recorded hi is NaN
+    pq.write_table(
+        pa.table({"v": [float(i) for i in range(10)] + [math.nan]}),
+        os.path.join(root, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"v": [float(i) for i in range(100, 110)]}),
+        os.path.join(root, "f2.parquet"),
+    )
+    assert update_zonemap(spark, root, ["v"], full=True) == 2
+
+    kept, total = zonemap_candidate_files(root, "v", 0.0, 5.0)
+    assert total == 2
+    assert any(k.endswith("f1.parquet") for k in kept), (
+        "NaN-statted file was pruned despite holding in-range rows"
+    )
+    # and the genuinely disjoint file still prunes
+    assert not any(k.endswith("f2.parquet") for k in kept)
+    got = sorted(
+        r.v for r in read_zonemap_pruned(spark, root, "v", 0.0, 5.0).collect()
+    )
+    assert got == [float(i) for i in range(6)]
+
+
+def test_zonemap_date_hi_bound_keeps_midnight_timestamp_file(spark, tmp_path):
+    """ADVICE r9: a TIMESTAMP-statted zone probed with a datetime.date
+    hi bound compared '...T00:00:00' > 'YYYY-MM-DD' in the string
+    domain and falsely pruned a file whose min is exactly midnight of
+    the hi date -- the residual engine filter WOULD match that row.
+    The date hi bound now widens to end-of-day before comparing."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.layout import (
+        read_zonemap_pruned,
+        update_zonemap,
+        zonemap_candidate_files,
+    )
+
+    root = str(tmp_path / "zm_ts")
+    os.makedirs(root)
+    mid = datetime.datetime(1996, 6, 30, 0, 0, 0)
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [mid, mid + datetime.timedelta(hours=6)],
+                    type=pa.timestamp("us"),
+                )
+            }
+        ),
+        os.path.join(root, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [datetime.datetime(1996, 8, 1, 12)], type=pa.timestamp("us")
+                )
+            }
+        ),
+        os.path.join(root, "f2.parquet"),
+    )
+    assert update_zonemap(spark, root, ["ts"], full=True) == 2
+
+    lo, hi = datetime.date(1996, 6, 1), datetime.date(1996, 6, 30)
+    kept, _ = zonemap_candidate_files(root, "ts", lo, hi)
+    assert any(k.endswith("f1.parquet") for k in kept), (
+        "midnight-of-hi-bound file was falsely pruned"
+    )
+    assert not any(k.endswith("f2.parquet") for k in kept)
+    # engine semantics: date hi casts to midnight, so exactly ONE row
+    # (the midnight one) matches -- pruning must agree with the filter
+    assert read_zonemap_pruned(spark, root, "ts", lo, hi).count() == 1
+
+
+def test_update_zonemap_refresh_restats_overwritten_names(spark, tmp_path):
+    """update_zonemap(refresh=...): a writer that OVERWRITES an existing
+    file name (replayed streaming batch) must be able to force a
+    re-stat -- the purely incremental path would trust the stale bounds
+    and falsely prune."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.layout import (
+        update_zonemap,
+        zonemap_candidate_files,
+    )
+
+    root = str(tmp_path / "zm_rf")
+    os.makedirs(root)
+    f1 = os.path.join(root, "f1.parquet")
+    pq.write_table(pa.table({"v": [float(i) for i in range(10)]}), f1)
+    assert update_zonemap(spark, root, ["v"], full=True) == 1
+
+    # overwrite the SAME name with entirely different content
+    pq.write_table(pa.table({"v": [float(i) for i in range(1000, 1010)]}), f1)
+    # plain incremental: name already mapped -> nothing re-statted
+    assert update_zonemap(spark, root, ["v"]) == 0
+    # forced refresh re-stats it and pruning sees the new bounds
+    assert update_zonemap(spark, root, ["v"], refresh=["f1.parquet"]) == 1
+    kept, _ = zonemap_candidate_files(root, "v", 1000.0, 1005.0)
+    assert any(k.endswith("f1.parquet") for k in kept)
+    kept2, _ = zonemap_candidate_files(root, "v", 0.0, 9.0)
+    assert kept2 == []
+
+
+def test_compact_parquet_dir_handles_uri_hostile_names(spark, tmp_path):
+    """ADVICE r9: input_file_name() is URI-encoded, so a source file
+    named with spaces/percent/plus/non-ASCII must still match the
+    os.listdir-derived plan (the inner join would otherwise silently
+    drop all its rows); the built-in row-count gate certifies it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.layout import compact_parquet_dir
+
+    src = str(tmp_path / "srcdir")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"k": list(range(100))}), os.path.join(src, "plain.parquet")
+    )
+    pq.write_table(
+        pa.table({"k": list(range(100, 200))}),
+        os.path.join(src, "my file+100%_é.parquet"),
+    )
+    dst = str(tmp_path / "dstdir")
+    compact_parquet_dir(spark, src, dst, target_bytes=1 << 20)
+    back = spark.read.parquet(dst)
+    assert sorted(r.k for r in back.collect()) == list(range(200))

@@ -1049,3 +1049,74 @@ def test_streaming_zonemap_sink_ingests_and_prunes(spark, tmp_path):
     assert read_zonemap_pruned(spark, tbl, "k", 5000, 5099).count() == 100
     zm3 = json.load(open(tmp_path / "tbl" / "_zonemap.json"))
     assert len(zm3["files"]) > n_files
+
+
+def test_streaming_zonemap_sink_replay_heals_stale_files_and_bounds(
+    spark, tmp_path
+):
+    """ADVICE r9: a replayed batch is not guaranteed to reproduce the
+    same part split (repartitionByRange samples boundaries), so a stale
+    higher-index batch<id>-<i>.parquet could survive as duplicate rows,
+    and an overwritten name kept its OLD zone bounds (false pruning).
+    Promotion now deletes leftover same-batch files beyond the new set
+    and force-re-stats every promoted name."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uofi_payroll_etl_main_spark.layout import (
+        read_zonemap_pruned,
+        zonemap_candidate_files,
+    )
+    from uofi_payroll_etl_main_spark.streaming.streams import (
+        streaming_zonemap_sink,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    ).coalesce(1).write.parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema("k long, v double").parquet(src)
+        streaming_zonemap_sink(stream, tbl, "k", ck, timeout_s=180)
+
+    drain(str(tmp_path / "ck1"))
+    names = sorted(
+        n for n in os.listdir(tbl) if n.endswith(".parquet")
+    )
+    assert names and all(n.startswith("batch0-") for n in names)
+
+    # simulate the crash-then-replay hazard: a stale extra file from a
+    # previous attempt of the SAME batch, plus corrupted (stale) bounds
+    # for one promoted name
+    stale = os.path.join(tbl, "batch0-99.parquet")
+    pq.write_table(pa.table({"k": [999999], "v": [0.5]}), stale)
+    zm_path = os.path.join(tbl, "_zonemap.json")
+    doc = json.load(open(zm_path))
+    doc["files"][names[0]]["k"] = [10_000_000, 10_000_009]  # stale bounds
+    doc["files"]["batch0-99.parquet"] = {"k": [999999, 999999]}
+    with open(zm_path, "w") as fh:
+        json.dump(doc, fh)
+
+    # fresh checkpoint => batch 0 replays over the same table root
+    drain(str(tmp_path / "ck2"))
+
+    assert not os.path.exists(stale), "stale same-batch file survived replay"
+    doc2 = json.load(open(zm_path))
+    assert "batch0-99.parquet" not in doc2["files"]
+    # bounds re-statted from actual content: k range is sane again
+    assert all(
+        s["k"][0] is None or s["k"][1] <= 999 for s in doc2["files"].values()
+    )
+    # no duplicates, pruning agrees with a full scan
+    assert spark.read.parquet(tbl).count() == 1000
+    got = sorted(
+        r.k for r in read_zonemap_pruned(spark, tbl, "k", 100, 199).collect()
+    )
+    assert got == list(range(100, 200))
+    kept, total = zonemap_candidate_files(tbl, "k", 100, 199)
+    assert len(kept) <= total

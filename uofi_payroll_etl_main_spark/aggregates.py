@@ -961,28 +961,37 @@ def _value_running_totals(
     exclusive form by subtracting the row's own contribution.
     """
     pcols = list(partition_cols)
+    # NaN discipline: Spark's F.max treats NaN as greater than any value,
+    # so one NaN would poison __hi (width_bucket with a NaN bound returns
+    # NULL for EVERY row).  Bounds therefore come from the non-NaN values
+    # only, and NaN rows get the explicit past-the-end bucket buckets+1 --
+    # matching how both Spark's ORDER BY and the DuckDB oracles rank NaN
+    # (greater than all reals), instead of the null bucket sorting FIRST.
+    ordd = F.col(order_col).cast("double")
+    finite = F.when(~F.isnan(ordd), ordd)
     if pcols:
         stats = per_val.groupBy(*pcols).agg(
-            F.min(F.col(order_col).cast("double")).alias("__lo"),
-            F.max(F.col(order_col).cast("double")).alias("__hi"),
+            F.min(finite).alias("__lo"),
+            F.max(finite).alias("__hi"),
         )
         joined = per_val.join(F.broadcast(stats), pcols)
     else:
         stats = per_val.agg(
-            F.min(F.col(order_col).cast("double")).alias("__lo"),
-            F.max(F.col(order_col).cast("double")).alias("__hi"),
+            F.min(finite).alias("__lo"),
+            F.max(finite).alias("__hi"),
         )
         joined = per_val.crossJoin(F.broadcast(stats))
     b = (
         joined
         .withColumn(
             "__bkt",
-            F.when(F.col("__hi") <= F.col("__lo"), F.lit(1))
+            F.when(F.isnan(ordd), F.lit(int(buckets) + 1))
+            .when(F.col("__hi") <= F.col("__lo"), F.lit(1))
             .otherwise(
                 F.least(
                     F.lit(int(buckets)),
                     F.width_bucket(
-                        F.col(order_col).cast("double"),
+                        ordd,
                         F.col("__lo"),
                         F.col("__hi"),
                         F.lit(int(buckets)),

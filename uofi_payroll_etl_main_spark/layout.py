@@ -284,6 +284,23 @@ def _enc_zone_value(v):
     return v
 
 
+def _zone_intersects(stats, lo, hi) -> bool:
+    """Conservative zone-vs-range intersection in the sidecar's
+    serialized domain: prune ONLY when the zone is provably disjoint
+    (`stats[1] < lo or stats[0] > hi`).  Written in the negated form on
+    purpose -- a NaN stat (one NaN in a double column makes Spark's
+    F.max record NaN) fails every ordered comparison, so both disjoint
+    tests come back False and the file is KEPT; the positive form
+    (`stats[1] >= lo`) would silently prune it.  A cross-type
+    comparison (e.g. a string-statted zone probed with a number) raises
+    TypeError and is kept too: unknown means full scan, never data
+    loss."""
+    try:
+        return not (stats[1] < lo or stats[0] > hi)
+    except TypeError:
+        return True
+
+
 def write_zonemapped(
     df: DataFrame,
     path: str,
@@ -323,19 +340,24 @@ def update_zonemap(
     path: str,
     stat_cols: "Sequence[str]",
     full: bool = False,
+    refresh: "Sequence[str] | None" = None,
 ) -> int:
     """(Re)build the `_zonemap.json` sidecar for `path`.  full=True
     stats every file (the initial-write path); full=False stats ONLY
     files absent from the existing map -- the incremental maintenance
     a streaming/append ingest runs per commit, so the per-batch cost
     is one grouped aggregate over the NEW files, never a table rescan.
-    An incremental call whose stat_cols differ from the map's recorded
-    set re-stats EVERY file (self-healing: a half-widened map would
-    otherwise prune pre-existing files on the new column).  Atomic
-    temp-file + rename either way.  Returns the number of files
-    statted."""
+    `refresh` names files that must be re-statted even though the map
+    already has entries for them -- the replayed-batch case where a
+    writer OVERWROTE an existing file name with new content (stale
+    bounds would otherwise falsely prune).  An incremental call whose
+    stat_cols differ from the map's recorded set re-stats EVERY file
+    (self-healing: a half-widened map would otherwise prune
+    pre-existing files on the new column).  Atomic temp-file + rename
+    either way.  Returns the number of files statted."""
     import json
     import os
+    import urllib.parse
 
     stat_cols = list(stat_cols)
     map_path = os.path.join(path, ZONEMAP_NAME)
@@ -349,7 +371,8 @@ def update_zonemap(
     names = sorted(
         n for n in os.listdir(path) if n.endswith(".parquet")
     )
-    todo = [n for n in names if n not in existing]
+    must = set(refresh or ())
+    todo = [n for n in names if n not in existing or n in must]
     if todo:
         back = spark.read.parquet(
             *[os.path.join(path, n) for n in todo]
@@ -359,7 +382,12 @@ def update_zonemap(
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         rows = back.groupBy("__f").agg(*aggs).collect()
         for r in rows:
-            f = r["__f"]
+            # input_file_name() is a URI: strip the scheme and
+            # percent-decode so names with spaces/non-ASCII match the
+            # os.listdir keys (an encoded key would never be looked up
+            # and its file would permanently full-scan or, worse,
+            # shadow a real entry)
+            f = urllib.parse.unquote(r["__f"])
             f = f[len("file:"):] if f.startswith("file:") else f
             existing[os.path.basename(f)] = {
                 c: [_enc_zone_value(r[f"lo_{c}"]), _enc_zone_value(r[f"hi_{c}"])]
@@ -385,7 +413,11 @@ def zonemap_candidate_files(path: str, col: str, lo, hi) -> tuple[list, int]:
     scan, never silent data loss.  Comparisons happen in the sidecar's
     serialized domain (ISO strings for temporals -- order-preserving --
     plain numbers otherwise), so the caller passes `lo`/`hi` in the
-    same form it queries with."""
+    same form it queries with; a DATE hi bound probing a
+    TIMESTAMP-statted column is widened to end-of-day so the encoded
+    comparison agrees with the engine's date->timestamp cast (a file
+    whose min is exactly midnight of the hi date must survive)."""
+    import datetime
     import json
     import os
 
@@ -394,7 +426,24 @@ def zonemap_candidate_files(path: str, col: str, lo, hi) -> tuple[list, int]:
     zm = doc["files"]
     col_mapped = col in doc.get("stat_cols", [])
 
+    hi_is_date = isinstance(hi, datetime.date) and not isinstance(
+        hi, datetime.datetime
+    )
+    if isinstance(hi, str) and len(hi) == 10:
+        try:
+            datetime.date.fromisoformat(hi)
+            hi_is_date = True
+        except ValueError:
+            pass
     lo, hi = _enc_zone_value(lo), _enc_zone_value(hi)
+    if hi_is_date:
+        # date-encoded hi ('YYYY-MM-DD'): the engine's residual filter
+        # casts it to midnight-inclusive and a TIMESTAMP zone min of
+        # exactly that midnight serializes as 'YYYY-MM-DDT00:00:00' >
+        # hi -- widen to end-of-day so the string comparison matches
+        # filter semantics.  Against a DATE-statted zone the widened
+        # bound is merely conservative (keeps the same files).
+        hi = hi + "T23:59:59.999999"
     kept = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
@@ -407,7 +456,7 @@ def zonemap_candidate_files(path: str, col: str, lo, hi) -> tuple[list, int]:
         stats = zm[name][col]
         if stats[0] is None:
             continue  # all-null zone: a range predicate can't match
-        if stats[1] >= lo and stats[0] <= hi:
+        if _zone_intersects(stats, lo, hi):
             kept.append(os.path.join(path, name))
     return kept, len(zm)
 
@@ -491,14 +540,39 @@ def compact_parquet_dir(
     mapping = spark.createDataFrame(
         [(p["file"], p["bin"]) for p in plan], "__fname string, __bin int"
     )
+    # input_file_name() is URI-encoded; the mapping keys come from
+    # os.listdir (raw names), so percent-decode the scan-side basename
+    # or a file named with spaces/non-ASCII never matches and the INNER
+    # join silently drops its rows.  url_decode is URLDecoder semantics
+    # ('+' -> space), which plain file-name percent-encoding does not
+    # use -- protect literal '+' by pre-escaping it.
+    src_df = spark.read.parquet(src)
     df = (
-        spark.read.parquet(src)
+        src_df
         .withColumn(
-            "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            "__fname",
+            F.url_decode(
+                F.regexp_replace(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    r"\+",
+                    "%2B",
+                )
+            ),
         )
         .join(F.broadcast(mapping), "__fname")
         .drop("__fname")
         .repartition(n_bins, "__bin")
     )
     df.write.mode("overwrite").partitionBy("__bin").parquet(dst)
+    # recall-completeness gate: both counts are parquet-footer metadata
+    # (no data scan), so certifying that no file fell out of the join
+    # costs nothing next to the rewrite itself
+    src_rows = src_df.count()
+    dst_rows = spark.read.parquet(dst).count()
+    if src_rows != dst_rows:
+        raise RuntimeError(
+            f"compact_parquet_dir dropped rows: src={src_rows} "
+            f"dst={dst_rows} -- a scanned file name failed to match "
+            "the compaction plan"
+        )
     return plan

@@ -610,9 +610,14 @@ def streaming_zonemap_sink(
     Exactly-once discipline: the batch writes to a staging dir
     (overwrite -- replays re-produce identical content), and the part
     files promote into the table root as `batch<id>-<i>.parquet` via
-    os.replace -- a replayed batch overwrites its own files instead of
-    appending duplicates.  The sidecar refresh runs LAST and is
-    itself idempotent (pure function of the files present).
+    os.replace.  A replay is NOT guaranteed to reproduce the same part
+    split (repartitionByRange samples boundaries with a
+    nondeterministic seed, so a replay can emit fewer non-empty files),
+    so promotion also deletes any leftover `batch<id>-*` beyond the new
+    set -- otherwise a stale higher-index file would survive as
+    duplicate rows -- and the sidecar refresh force-re-stats the
+    promoted names, because an overwritten file keeps its name and the
+    purely incremental path would trust the old (now wrong) bounds.
     """
     import os
     import shutil
@@ -635,13 +640,21 @@ def streaming_zonemap_sink(
             n for n in os.listdir(staging) if n.endswith(".parquet")
         )
         os.makedirs(path, exist_ok=True)
+        promoted = []
         for i, n in enumerate(parts):
-            os.replace(
-                os.path.join(staging, n),
-                os.path.join(path, f"batch{batch_id}-{i}.parquet"),
-            )
+            dst = f"batch{batch_id}-{i}.parquet"
+            os.replace(os.path.join(staging, n), os.path.join(path, dst))
+            promoted.append(dst)
         shutil.rmtree(staging)
-        update_zonemap(spark, path, stat_list)
+        keep = set(promoted)
+        for n in os.listdir(path):
+            if (
+                n.startswith(f"batch{batch_id}-")
+                and n.endswith(".parquet")
+                and n not in keep
+            ):
+                os.remove(os.path.join(path, n))
+        update_zonemap(spark, path, stat_list, refresh=promoted)
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
