@@ -1491,6 +1491,99 @@ def js_divergence(
     )
 
 
+def _pair_gram_stats_multi(
+    docs: DataFrame,
+    p: DataFrame,
+    levels: "Sequence[int]",
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-(ref, cand) clipped n-gram overlap + side totals for EVERY
+    requested n level in ONE pass -- the shared kernel under rouge_n
+    and bleu_score.
+
+    One corpus scan + one explode emits (level, gram) rows for all
+    levels at once (the per-doc gram multiset for n=1..4 is ~4x the
+    token count -- same total explode rows as four single-level passes,
+    but one scan, one counts shuffle, one pair-join chain instead of
+    four of each).  The level id rides as a small int in the count /
+    join keys; the final pair-keyed aggregate splits levels back out
+    with conditional sums, so no per-level joins ever happen.  All
+    counts exact longs.  A pair whose BOTH sides have no grams at any
+    level produces no rows and is absent from the output (and a doc
+    with ANY n-gram always has 1-grams, so presence is decided at
+    level 1 exactly as the old per-level spine did)."""
+    arr = tokens(normalize_text(text_col))
+    levels = [int(n) for n in levels]
+
+    def _gram_struct(nn):
+        # a dedicated unary closure per level: F.transform arity-sniffs
+        # its lambda, so a two-arg `lambda i, n=n:` would be called as
+        # (element, index) and silently bind the array INDEX to n
+        return lambda i: F.struct(
+            F.lit(nn).cast("int").alias("n"),
+            F.concat_ws(" ", F.slice(arr, i, nn)).alias("g"),
+        )
+
+    parts = []
+    for n in levels:
+        parts.append(
+            F.when(
+                F.size(arr) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - n + 1),
+                    _gram_struct(n),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+        )
+    all_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    # explode_nonempty: spreads a single-split scan across the cluster
+    # BEFORE the compute-bound tokenize/gram stage and keeps the
+    # optimizer from cloning the gram expression into a pushed-down
+    # size() filter on the serial scan
+    counts = (
+        explode_nonempty(
+            docs.select(F.col(id_col).alias("__d"), F.col(text_col)),
+            ["__d"],
+            all_grams,
+            "__x",
+        )
+        .select("__d", F.col("__x.n").alias("__n"), F.col("__x.g").alias("__g"))
+        .groupBy("__d", "__n", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ref_side = p.join(
+        counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
+    ).select("ref_id", "cand_id", "__n", "__g", "__cr")
+    cand_side = p.join(
+        counts.withColumnRenamed("__c", "__cc"), p["cand_id"] == counts["__d"]
+    ).select("ref_id", "cand_id", "__n", "__g", "__cc")
+    both = ref_side.join(
+        cand_side, ["ref_id", "cand_id", "__n", "__g"], "full_outer"
+    ).select(
+        "ref_id",
+        "cand_id",
+        "__n",
+        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+    )
+    aggs = []
+    for n in levels:
+        m = F.col("__n") == n
+        aggs += [
+            F.sum(F.when(m, F.least("__cr", "__cc")).otherwise(0))
+            .cast("long")
+            .alias(f"ov{n}"),
+            F.sum(F.when(m, F.col("__cr")).otherwise(0))
+            .cast("long")
+            .alias(f"ref{n}"),
+            F.sum(F.when(m, F.col("__cc")).otherwise(0))
+            .cast("long")
+            .alias(f"cand{n}"),
+        ]
+    return both.groupBy("ref_id", "cand_id").agg(*aggs)
+
+
 def _pair_gram_stats(
     docs: DataFrame,
     p: DataFrame,
@@ -1499,40 +1592,16 @@ def _pair_gram_stats(
     text_col: str,
     suffix: str,
 ) -> DataFrame:
-    """Per-(ref, cand) clipped n-gram overlap + side totals for one n
-    level -- the shared kernel under rouge_n and bleu_score.  Columns
-    suffixed so multiple levels join side by side."""
-    arr = tokens(normalize_text(text_col))
-    grams_arr = F.when(
-        F.size(arr) >= int(n),
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - int(n) + 1),
-            lambda i: F.concat_ws(" ", F.slice(arr, i, int(n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    counts = (
-        docs.select(F.col(id_col).alias("__d"), F.explode(grams_arr).alias("__g"))
-        .groupBy("__d", "__g")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    )
-    ref_side = p.join(
-        counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
-    ).select("ref_id", "cand_id", "__g", "__cr")
-    cand_side = p.join(
-        counts.withColumnRenamed("__c", "__cc"), p["cand_id"] == counts["__d"]
-    ).select("ref_id", "cand_id", "__g", "__cc")
-    both = ref_side.join(
-        cand_side, ["ref_id", "cand_id", "__g"], "full_outer"
-    ).select(
+    """Single-level view over _pair_gram_stats_multi (rouge_n's entry
+    point; bleu_score calls the multi kernel directly)."""
+    n = int(n)
+    out = _pair_gram_stats_multi(docs, p, [n], id_col, text_col)
+    return out.select(
         "ref_id",
         "cand_id",
-        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
-        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
-    )
-    return both.groupBy("ref_id", "cand_id").agg(
-        F.sum(F.least("__cr", "__cc")).cast("long").alias(f"ov{suffix}"),
-        F.sum("__cr").cast("long").alias(f"ref{suffix}"),
-        F.sum("__cc").cast("long").alias(f"cand{suffix}"),
+        F.col(f"ov{n}").alias(f"ov{suffix}"),
+        F.col(f"ref{n}").alias(f"ref{suffix}"),
+        F.col(f"cand{n}").alias(f"cand{suffix}"),
     )
 
 
@@ -1554,12 +1623,16 @@ def bleu_score(
     corpus-curation use is ranking near-duplicates and paraphrases,
     where zeros ARE the signal.
 
-    Scale shape: one gram-count pass per n level (re-derived, not
-    checkpointed -- the rouge_n measurement), level frames joined side
-    by side on the pair key, and the log-mean finishes in a FIXED
-    left-associated expression so the double arithmetic is
-    engine-identical.  Pairs with an empty candidate or reference at
-    n=1 are absent (no grams on either side -> no spine row).
+    Scale shape: ONE gram-count pass for ALL n levels -- a single
+    corpus scan + explode emits (level, gram) rows for n = 1..max_n
+    (_pair_gram_stats_multi), one counts shuffle, one pair-join chain,
+    and the levels split back out in the final pair-keyed aggregate's
+    conditional sums (replacing the previous one-kernel-call-per-level
+    shape: 4 scans + 4 pair-join chains -> 1 of each); the log-mean
+    finishes in a FIXED left-associated expression so the double
+    arithmetic is engine-identical.  Pairs with an empty candidate or
+    reference at n=1 are absent (no grams on either side at any level
+    -> no row; any higher-level gram implies 1-grams).
     Output: (ref_id, cand_id, ref_len, cand_len, p1..p<max_n>, bp,
     bleu), precisions/bp/bleu rounded 6.
     """
@@ -1567,14 +1640,9 @@ def bleu_score(
         raise ValueError(f"max_n must be 1..4, got {max_n}")
     max_n = int(max_n)
     p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
-    spine = _pair_gram_stats(docs, p, 1, id_col, text_col, "1")
-    out = spine
-    for n in range(2, max_n + 1):
-        lvl = _pair_gram_stats(docs, p, n, id_col, text_col, str(n))
-        out = out.join(lvl, ["ref_id", "cand_id"], "left")
-    for n in range(2, max_n + 1):
-        out = out.withColumn(f"ov{n}", F.coalesce(F.col(f"ov{n}"), F.lit(0)))
-        out = out.withColumn(f"cand{n}", F.coalesce(F.col(f"cand{n}"), F.lit(0)))
+    out = _pair_gram_stats_multi(
+        docs, p, list(range(1, max_n + 1)), id_col, text_col
+    )
     precs = [
         F.when(
             F.col(f"cand{n}") > 0,
