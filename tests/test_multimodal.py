@@ -638,3 +638,92 @@ def test_mm_oracle_arithmetic_assumptions(spark):
             px = resize_nearest(_synth_pixels(w, h, mid), 64, 64).astype(np.int64)
             want[mid] = (int(px.sum()), int(px.min()), int(px.max()))
     assert got == want
+
+
+class TestAudioEnvelopeTier:
+    """The integer-exact envelope fingerprint tier (r10: the value-
+    oracle lane behind mm_audio_dedup) and the modulated synth corpus
+    both gates run on."""
+
+    def test_envelope_fp64_matches_hand_computation(self):
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            audio_envelope_fp64,
+        )
+
+        rng_vals = [((5 * 7 + i * 13) % 4096 - 2048) * ((5 + i // 16) % 5)
+                    for i in range(100)]
+        samples = np.array(rng_vals, dtype=np.int16)
+        got = audio_envelope_fp64(samples)
+        # hand replay: double array_split -> int energies -> bits
+        x = samples.astype(np.int64)
+        bands = np.zeros((9, 8), dtype=np.int64)
+        for t, seg in enumerate(np.array_split(x, 9)):
+            for b, sub in enumerate(np.array_split(seg, 8)):
+                bands[t, b] = int((sub * sub).sum())
+        h = 0
+        for bit in (bands[1:] > bands[:-1]).flatten():
+            h = (h << 1) | int(bit)
+        want = h - (1 << 64) if h >= (1 << 63) else h
+        assert got == want
+        assert -(1 << 63) <= got < (1 << 63)
+
+    def test_envelope_fp64_amplitude_invariant_and_short_none(self):
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            audio_envelope_fp64,
+        )
+
+        base = np.array(
+            [((i * 37) % 800 - 400) for i in range(90)], dtype=np.int16
+        )
+        assert audio_envelope_fp64(base * 3) == audio_envelope_fp64(base)
+        assert audio_envelope_fp64(np.array([1] * 8, dtype=np.int16)) is None
+
+    def test_envelope_dup_candidates_find_planted_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            audio_dup_candidates,
+            synth_audio_modulated,
+        )
+
+        base = synth_audio_modulated(spark, 16)
+        shifted = synth_audio_modulated(spark, 16).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+        out = audio_dup_candidates(
+            base.unionByName(shifted), max_hamming=3, method="envelope"
+        ).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+        # every planted copy found at hamming 0; fingerprints otherwise
+        # discriminate (no cross-clip pair sneaks under the threshold)
+        for m in range(16):
+            assert pairs.get((m, m + 1000)) == 0
+        assert all(a + 1000 == b for (a, b) in pairs)
+
+    def test_modulated_vad_splits_and_resumes_runs(self, spark):
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            audio_vad,
+            synth_audio_modulated,
+        )
+
+        out = audio_vad(
+            synth_audio_modulated(spark, 64, block=40, base_len=400),
+            frame_ms=5,
+        ).collect()
+        per_clip: dict[int, list] = {}
+        for r in out:
+            per_clip.setdefault(r["media_id"], []).append(
+                (r["seg_start_ms"], r["seg_end_ms"])
+            )
+        # the corpus must exercise REAL segmentation: every clip splits
+        # into >= 2 runs (silent frames between them), segments ordered
+        # and non-overlapping with actual gaps
+        assert per_clip and all(len(v) >= 2 for v in per_clip.values())
+        for segs in per_clip.values():
+            segs.sort()
+            for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+                assert e1 < s2  # a merged run never touches the next

@@ -283,6 +283,52 @@ def _synth_samples(n: int, seed: int) -> np.ndarray:
     return (((seed * 7 + i * 13) % 4096 - 2048) * 15).astype(np.int16)
 
 
+def _synth_samples_modulated(n: int, seed: int, block: int = 16) -> np.ndarray:
+    """Synth samples with a seed-dependent BLOCK AMPLITUDE ENVELOPE:
+    the flat sawtooth times amp(i) = (seed + i//block) % 5 -- so clips
+    have genuinely different loud/quiet contours (amp 0 blocks are true
+    digital silence).  The plain _synth_samples stream has uniform
+    energy everywhere, which makes every energy-envelope fingerprint
+    identical and every VAD frame active -- useless for exercising
+    either operator.  All integer arithmetic (|base*amp| <= 2048*4 <
+    2^15), so SQL oracles replay it exactly."""
+    i = np.arange(n, dtype=np.int64)
+    base = (seed * 7 + i * 13) % 4096 - 2048
+    amp = (seed + i // block) % 5
+    return (base * amp).astype(np.int16)
+
+
+def synth_audio_modulated(
+    spark: SparkSession, n: int = 32, block: int = 16, base_len: int = 64
+) -> DataFrame:
+    """Audio-only synthetic corpus of WAV clips built from
+    _synth_samples_modulated -- the envelope-bearing companion to
+    synth_media's audio rows, used by the audio dedup / VAD gates so
+    fingerprints discriminate and VAD finds real silence.  media_id =
+    0..n-1 (every row audio); clip length base_len + id % 97 samples at
+    8 kHz (base_len=64 matches synth_media's audio sizing; the VAD gate
+    uses longer clips so runs split and resume across silent frames)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n_s = base_len + mid % 97
+                payload = encode_wav(
+                    _synth_samples_modulated(n_s, mid, block), rate=8000
+                )
+                rows["media_id"].append(mid)
+                rows["kind"].append("audio")
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {"codec": "wav", "rate": "8000", "n_samples": str(n_s)}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono samples -> WAV bytes (stdlib wave writer)."""
     buf = _io.BytesIO()
@@ -808,12 +854,48 @@ def audio_fp64(samples: np.ndarray, rate: int) -> int | None:
     return int(np.int64(h))
 
 
-def audio_fingerprint(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Spectral 64-bit fingerprint per audio row: Arrow-batched WAV
-    decode -> framed band-energy difference hash (audio_fp64).
-    Undecodable/too-short payloads yield a null fingerprint.  Output
-    (media_id, afp); pair with dedup.hamming_candidates64 for banded
-    audio near-dup candidates."""
+def audio_envelope_fp64(samples: np.ndarray) -> int | None:
+    """64-bit ENERGY-ENVELOPE fingerprint -- the integer-exact tier
+    next to audio_fp64's spectral tier (the dHash bit-pack discipline
+    applied to sound): np.array_split the int16 stream into 9 time
+    slices, each slice into 8 sub-bands, band energy = sum of squared
+    samples (EXACT int64 -- s^2 <= 2^30, bounded samples per band), one
+    bit per time-neighbor comparison (energy[t+1][b] > energy[t][b]) ->
+    8x8 = 64 bits, MSB-first signed int64 -- the same pack as dhash64 /
+    audio_fp64, so dedup.hamming_candidates64 consumes it unchanged.
+
+    Amplitude-invariant like the spectral tier (uniform gain scales
+    every energy by the same factor; comparisons unchanged), but every
+    intermediate is integer arithmetic on the decoded samples, so a SQL
+    oracle can replay fingerprint -> Hamming pairs end-to-end (the
+    mm_image_dedup playbook).  Clips shorter than 9 samples -> None."""
+    if len(samples) < 9:
+        return None
+    x = samples.astype(np.int64)
+    bands = np.zeros((9, 8), dtype=np.int64)
+    for t, seg in enumerate(np.array_split(x, 9)):
+        for b, sub in enumerate(np.array_split(seg, 8)):
+            bands[t, b] = int((sub * sub).sum())
+    bits = (bands[1:] > bands[:-1]).flatten()
+    h = 0
+    for bit in bits:
+        h = (h << 1) | int(bit)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "media_id", method: str = "spectral"
+) -> DataFrame:
+    """64-bit fingerprint per audio row: Arrow-batched WAV decode ->
+    method='spectral' (audio_fp64: framed |rfft|^2 band-energy
+    difference hash -- the production perceptual tier) or
+    method='envelope' (audio_envelope_fp64: integer time-domain energy
+    contour -- the value-oracle-replayable tier).  Undecodable /
+    too-short payloads yield a null fingerprint.  Output (media_id,
+    afp); pair with dedup.hamming_candidates64 for banded audio
+    near-dup candidates."""
+    if method not in ("spectral", "envelope"):
+        raise ValueError(f"unknown audio fingerprint method: {method!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -821,7 +903,12 @@ def audio_fingerprint(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 try:
                     decoded = decode_media(bytes(payload), kind)
-                    fps.append(audio_fp64(decoded["samples"], decoded["rate"]))
+                    if method == "envelope":
+                        fps.append(audio_envelope_fp64(decoded["samples"]))
+                    else:
+                        fps.append(
+                            audio_fp64(decoded["samples"], decoded["rate"])
+                        )
                 except Exception:  # noqa: BLE001 -- no codec / corrupt payload:
                     # nothing to fingerprint; null drops the row from
                     # candidate generation
@@ -838,15 +925,19 @@ def audio_dup_candidates(
     max_hamming: int = 3,
     id_col: str = "media_id",
     max_bucket_size: int | None = 4096,
+    method: str = "spectral",
 ) -> DataFrame:
-    """Audio near-dup candidates: spectral fingerprints banded into
-    16-bit chunks (llm/dedup.hamming_candidates64) -- pigeonhole recall
-    guarantee for hamming <= 3, shuffle carries only (id, 8-byte
-    fingerprint).  The audio half of the multimodal dedup story
-    (images: image_dup_candidates)."""
+    """Audio near-dup candidates: fingerprints (spectral or envelope
+    tier, see audio_fingerprint) banded into 16-bit chunks
+    (llm/dedup.hamming_candidates64) -- pigeonhole recall guarantee for
+    hamming <= 3, shuffle carries only (id, 8-byte fingerprint).  The
+    audio half of the multimodal dedup story (images:
+    image_dup_candidates)."""
     from .dedup import hamming_candidates64
 
-    sigs = audio_fingerprint(df, id_col=id_col).filter(F.col("afp").isNotNull())
+    sigs = audio_fingerprint(df, id_col=id_col, method=method).filter(
+        F.col("afp").isNotNull()
+    )
     return hamming_candidates64(
         sigs,
         id_col=id_col,

@@ -4546,6 +4546,126 @@ LLM_ORACLES["mm_image_dedup"] = """
     WHERE bit_count(xor(a.dh, b.dh)) <= 3
 """
 
+LLM_ORACLES["mm_audio_dedup"] = """
+    -- replay: synth int16 samples -> 9 time slices x 8 sub-bands
+    -- (double np.array_split grid, pure integer index arithmetic) ->
+    -- exact int64 energy sums -> envelope dHash64 -> all pairs at
+    -- hamming <= 3 (banding is recall-complete there).
+    WITH mids AS (
+      SELECT CAST(range AS BIGINT) AS m FROM range(32)
+    ), clips AS (
+      SELECT m AS media_id, m AS seed, 64 + m % 97 AS n FROM mids
+      UNION ALL
+      SELECT m + 1000, m, 64 + m % 97 FROM mids
+    ), samp AS (
+      SELECT media_id, seed, n, unnest(generate_series(0, n - 1)) AS i
+      FROM clips
+    ), sv AS (
+      -- modulated generator formula:
+      -- ((seed*7 + i*13) % 4096 - 2048) * ((seed + i//16) % 5)
+      -- (operands positive, so Python % == SQL %); WAV int16 roundtrip
+      -- is lossless
+      SELECT media_id, n, i,
+             CAST(((seed * 7 + i * 13) % 4096 - 2048)
+                  * ((seed + i // 16) % 5) AS BIGINT) AS v,
+             n // 9 AS q, n % 9 AS r
+      FROM samp
+    ), ts AS (
+      -- np.array_split(x, 9): first r slices hold q+1 samples
+      SELECT media_id, n, i, v, q, r,
+             CASE WHEN i < r * (q + 1) THEN i // (q + 1)
+                  ELSE r + (i - r * (q + 1)) // q END AS t
+      FROM sv
+    ), tb AS (
+      SELECT media_id, t, v,
+             i - (CASE WHEN t < r THEN t * (q + 1)
+                       ELSE r * (q + 1) + (t - r) * q END) AS j,
+             CASE WHEN t < r THEN q + 1 ELSE q END AS lt
+      FROM ts
+    ), bb AS (
+      -- np.array_split(slice, 8): same uneven-split arithmetic again
+      SELECT media_id, t,
+             CASE WHEN j < (lt % 8) * (lt // 8 + 1) THEN j // (lt // 8 + 1)
+                  ELSE (lt % 8) + (j - (lt % 8) * (lt // 8 + 1)) // (lt // 8)
+             END AS b,
+             v
+      FROM tb
+    ), grid AS (
+      SELECT c.media_id, tt.t, bt.b
+      FROM clips c,
+           (SELECT unnest(generate_series(0, 8)) AS t) tt,
+           (SELECT unnest(generate_series(0, 7)) AS b) bt
+    ), en AS (
+      -- empty sub-bands (short slices) contribute energy 0
+      SELECT g.media_id, g.t, g.b,
+             coalesce(sum(bb.v * bb.v), 0) AS e
+      FROM grid g
+      LEFT JOIN bb ON bb.media_id = g.media_id AND bb.t = g.t AND bb.b = g.b
+      GROUP BY g.media_id, g.t, g.b
+    ), bits AS (
+      SELECT a.media_id, a.t, a.b,
+             CASE WHEN nxt.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM en a
+      JOIN en nxt ON nxt.media_id = a.media_id AND nxt.t = a.t + 1
+                 AND nxt.b = a.b
+      WHERE a.t < 8
+    ), hashes AS (
+      SELECT media_id,
+             CAST(sum(CAST(bit AS BIGINT) *
+                      CASE WHEN t = 0 AND b = 0
+                           THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << (63 - (t*8 + b)))
+                      END) AS BIGINT) AS afp
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+    FROM hashes a
+    JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+LLM_ORACLES["mm_audio_vad"] = """
+    -- replay: modulated synth samples -> 40-sample frame energies
+    -- (exact int64) -> dBFS active test -> gaps-and-islands run merge.
+    -- Float discipline mirrors numpy's op order: e/2^30 and /40 are
+    -- exact-then-one-rounding, then sqrt, then log10; active frames
+    -- sit >= 1.2 dB from the threshold so no comparison is fragile.
+    WITH mids AS (
+      SELECT CAST(range AS BIGINT) AS m FROM range(64)
+    ), clips AS (
+      SELECT m AS media_id, m AS seed, 400 + m % 97 AS n FROM mids
+    ), fr AS (
+      SELECT media_id, seed, unnest(generate_series(0, n // 40 - 1)) AS f
+      FROM clips WHERE n >= 40
+    ), samp AS (
+      SELECT media_id, seed, f, f * 40 + unnest(generate_series(0, 39)) AS i
+      FROM fr
+    ), sv AS (
+      SELECT media_id, f,
+             CAST(((seed * 7 + i * 13) % 4096 - 2048)
+                  * ((seed + i // 40) % 5) AS BIGINT) AS v
+      FROM samp
+    ), en AS (
+      SELECT media_id, f, sum(v * v) AS e FROM sv GROUP BY media_id, f
+    ), db AS (
+      SELECT media_id, f,
+             CASE WHEN e > 0
+                  THEN 20.0 * log10(sqrt((e / 1073741824.0) / 40.0))
+                  ELSE -200.0 END AS db
+      FROM en
+    ), act AS (
+      SELECT media_id, f, db,
+             f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS grp
+      FROM db WHERE db > -30.0
+    )
+    SELECT media_id,
+           CAST(min(f) * 5 AS BIGINT) AS seg_start_ms,
+           CAST((max(f) + 1) * 5 AS BIGINT) AS seg_end_ms,
+           round(avg(db), 3) AS mean_db
+    FROM act GROUP BY media_id, grp
+"""
+
 LLM_ORACLES["a52_ks_test"] = """
     WITH base AS (
       SELECT event_type AS g, value AS v FROM events

@@ -1498,30 +1498,53 @@ def mm_image_dedup(spark, sf):
 
 
 def mm_audio_vad(spark, sf):
-    """Energy-based voice-activity segments over the synthetic audio
-    corpus (llm/multimodal.audio_vad: framed RMS -> merged active runs,
-    5ms frames to fit the short synth clips).  Rows-only gate
-    (Pandas-UDF decode); segment boundaries pinned by pytest on
-    constructed silence/tone streams."""
-    from .llm.multimodal import audio_vad
+    """Energy-based voice-activity segments (llm/multimodal.audio_vad:
+    framed RMS -> merged active runs, 5ms frames to fit the short
+    synth clips) over the amplitude-MODULATED audio corpus with
+    40-sample blocks -- exactly one block per 5ms/8kHz frame, so amp-0
+    blocks are whole silent frames and the gate exercises real
+    segmentation (the flat synth corpus keeps every frame active).
+    VALUE-checked: frame energies are exact int64 sums of squared
+    int16 samples the oracle re-derives from the generator formula;
+    the active test, dBFS conversion, gaps-and-islands run merge, and
+    3-decimal mean_db all replay in DuckDB (the float steps mirror the
+    numpy operation order: /2^30 and /40 exact-then-rounded, sqrt,
+    log10).  Active frames sit >=1.2 dB from the -30 dB threshold, so
+    no comparison is float-boundary-fragile."""
+    from .llm.multimodal import audio_vad, synth_audio_modulated
 
-    return audio_vad(synth_media(spark, 64), frame_ms=5)
+    return audio_vad(
+        synth_audio_modulated(spark, 64, block=40, base_len=400), frame_ms=5
+    )
 
 
 def mm_audio_dedup(spark, sf):
-    """Audio near-dup candidates by 64-bit spectral fingerprint
-    (llm/multimodal.audio_dup_candidates: band-energy difference hash
-    -> 16-bit-chunk Hamming banding).  Corpus is synth_media plus an
-    id-shifted copy so every clip has one planted perceptual duplicate;
-    rows-only gate (Pandas-UDF decode), invariance + recall pinned by
-    pytest."""
-    from .llm.multimodal import audio_dup_candidates
+    """Audio near-dup candidates by 64-bit ENERGY-ENVELOPE fingerprint
+    (llm/multimodal.audio_dup_candidates method='envelope':
+    integer time-slice x sub-band energy difference hash ->
+    16-bit-chunk Hamming banding).  Corpus is synth_media plus an
+    id-shifted copy so every clip has one planted exact duplicate, and
+    the full WAV decode -> fingerprint -> banded-pair path is
+    VALUE-checked: every energy is an exact int64 sum of squared int16
+    samples, so the DuckDB oracle replays sample synthesis, the double
+    array_split grid, the 64-bit signed pack, and the hamming<=3 pair
+    join (pigeonhole makes banded candidates == all such pairs) -- the
+    mm_image_dedup playbook applied to sound.  The corpus is the
+    amplitude-MODULATED audio synth (synth_media's flat sawtooth has
+    uniform energy, which collapses every envelope fingerprint to one
+    value -- a hollow gate); clips discriminate, planted copies stay
+    hamming 0.  The float spectral tier (method='spectral', |rfft|^2
+    bands) stays pinned by pytest invariance/recall tests, like the
+    lossy JPEG image lanes."""
+    from .llm.multimodal import audio_dup_candidates, synth_audio_modulated
 
-    base = synth_media(spark, 48)
-    shifted = synth_media(spark, 48).withColumn(
+    base = synth_audio_modulated(spark, 32)
+    shifted = synth_audio_modulated(spark, 32).withColumn(
         "media_id", F.col("media_id") + 1000
     )
-    return audio_dup_candidates(base.unionByName(shifted), max_hamming=3)
+    return audio_dup_candidates(
+        base.unionByName(shifted), max_hamming=3, method="envelope"
+    )
 
 
 def mm_resize(spark, sf):
