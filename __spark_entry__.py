@@ -4,17 +4,17 @@ entry(spark)   -- flagship query on /root/testdata/sf0.001 (smoke check).
 queries()      -- one named query per implemented operator (SURVEY.md
                   section 2 + LLM/windowed north-star scope); each
                   callable is (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- matching DuckDB ANSI SQL per query.  367 of 382
+oracle_sql()   -- matching DuckDB ANSI SQL per query.  381 of 393
                   queries carry full value oracles (md5-register
                   sketches, literal-replayed LSH planes, unrolled
                   exact-decimal greedies, recursive-CTE folds,
                   unrolled training stages, and generator-formula
-                  media replays -- see SCALE.md); the remaining 15
+                  media replays -- see SCALE.md); the remaining 12
                   are genuinely float-iterative / trained /
-                  lossy-or-corrupt-media / engine-hash production
-                  tiers whose integer or md5 TWINS ARE value-checked,
-                  each with a pytest replica (driver records
-                  rows-only checks for those).
+                  corrupt-media / engine-hash production tiers whose
+                  integer or md5 TWINS ARE value-checked, each with a
+                  pytest replica (driver records rows-only checks for
+                  those).
 
 Implementation lives in uofi_payroll_etl_main_spark/ (registry_core.py,
 registry_llm.py and the operator modules they compose).
