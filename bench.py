@@ -163,6 +163,8 @@ HEADLINERS = [
     "a55_welch_ttest",
     "llm_rouge",
     "llm_bleu",
+    "llm_bleu_corpus",
+    "llm_chrf",
     "llm_js_divergence",
     "llm_winnowing",
     "g16_bipartite_projection",

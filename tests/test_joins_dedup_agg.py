@@ -2157,3 +2157,86 @@ def test_mann_whitney_nan_ranks_as_greatest_value(spark):
     r = mann_whitney_u(df, "g", "v", "a", "b").first()
     r2 = mann_whitney_u(df_sub, "g", "v", "a", "b").first()
     assert r.u_stat == r2.u_stat and abs(r.z - r2.z) < 1e-12
+
+
+def test_chrf_score_hand_case(spark):
+    """chrF2 against a tiny pure-Python replica: char grams (spaces
+    removed), clipped counts, mean P/R over n=1..max_n, beta=2 F."""
+    from collections import Counter
+
+    from uofi_payroll_etl_main_spark.llm.text import chrf_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat  SAT"),   # normalized chars: 'thecatsat' (9)
+            (2, "the cats sat"),   # 'thecatssat' (10)
+            (3, "xyz"),
+            (4, ""),               # empty candidate
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "ref_id long, cand_id long"
+    )
+    got = {
+        (r["ref_id"], r["cand_id"]): (
+            r["ref_chars"], r["cand_chars"], r["chrp"], r["chrr"], r["chrf"]
+        )
+        for r in chrf_score(docs, pairs, max_n=3).collect()
+    }
+
+    def replica(ref, cand, max_n=3, beta=2.0):
+        ref = "".join(ref.lower().split())
+        cand = "".join(cand.lower().split())
+        ps, rs = [], []
+        for n in range(1, max_n + 1):
+            gr = Counter(ref[i:i+n] for i in range(len(ref) - n + 1))
+            gc = Counter(cand[i:i+n] for i in range(len(cand) - n + 1))
+            ov = sum(min(c, gc[g]) for g, c in gr.items())
+            tr, tc = sum(gr.values()), sum(gc.values())
+            ps.append(ov / tc if tc else 0.0)
+            rs.append(ov / tr if tr else 0.0)
+        p, r = sum(ps) / max_n, sum(rs) / max_n
+        f = (1 + beta**2) * p * r / (beta**2 * p + r) if p + r > 0 else 0.0
+        return (len(ref), len(cand), round(p, 6), round(r, 6), round(f, 6))
+
+    assert got[(1, 2)] == replica("the cat  SAT", "the cats sat")
+    assert got[(1, 3)] == replica("the cat  SAT", "xyz")
+    # empty candidate: present (ref side has chars), all-zero scores
+    assert got[(1, 4)] == (9, 0, 0.0, 0.0, 0.0)
+    # identical text -> perfect score
+    same = spark.createDataFrame([(7, "a bc d"), (8, "abc d")],
+                                 "doc_id long, text string")
+    sp = spark.createDataFrame([(7, 8)], "ref_id long, cand_id long")
+    r = chrf_score(same, sp, max_n=2).first()
+    assert (r["chrp"], r["chrr"], r["chrf"]) == (1.0, 1.0, 1.0)
+
+
+def test_bleu_corpus_hand_case(spark):
+    """Corpus BLEU sums clipped counts over pairs BEFORE the finish --
+    differs from averaging sentence BLEU (one pair with a zero 2-gram
+    precision does NOT zero the corpus score)."""
+    import math
+
+    from uofi_payroll_etl_main_spark.llm.text import bleu_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),     # perfect pair (1,2)
+            (3, "x y"),
+            (4, "y x"),         # pair (3,4): 1-grams match, no 2-gram
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "ref_id long, cand_id long"
+    )
+    r = bleu_corpus(docs, pairs, max_n=2).first()
+    # totals: 1-grams ov 4+2=6 of 6; 2-grams ov 3+0=3 of 4
+    assert (r["n_pairs"], r["ref_tokens"], r["cand_tokens"]) == (2, 6, 6)
+    assert (r["p1"], r["p2"]) == (1.0, 0.75)
+    want = 1.0 * math.exp((math.log(1.0) + math.log(0.75)) / 2.0)
+    assert abs(r["bleu"] - round(want, 6)) < 1e-9
+    # sentence BLEU on pair (3,4) would be 0; the corpus form is not
+    assert r["bleu"] > 0

@@ -1497,6 +1497,7 @@ def _pair_gram_stats_multi(
     levels: "Sequence[int]",
     id_col: str,
     text_col: str,
+    unit: str = "word",
 ) -> DataFrame:
     """Per-(ref, cand) clipped n-gram overlap + side totals for EVERY
     requested n level in ONE pass -- the shared kernel under rouge_n
@@ -1512,8 +1513,22 @@ def _pair_gram_stats_multi(
     counts exact longs.  A pair whose BOTH sides have no grams at any
     level produces no rows and is absent from the output (and a doc
     with ANY n-gram always has 1-grams, so presence is decided at
-    level 1 exactly as the old per-level spine did)."""
-    arr = tokens(normalize_text(text_col))
+    level 1 exactly as the old per-level spine did).
+
+    unit='word' (default): whitespace tokens of the normalized text.
+    unit='char': characters of the normalized text with spaces removed
+    -- the chrF convention (Popovic 2015)."""
+    if unit == "char":
+        s = F.regexp_replace(normalize_text(text_col), " ", "")
+        arr = F.when(
+            F.length(s) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(s, ""))
+        sep = ""
+    elif unit == "word":
+        arr = tokens(normalize_text(text_col))
+        sep = " "
+    else:
+        raise ValueError(f"unknown gram unit: {unit!r}")
     levels = [int(n) for n in levels]
 
     def _gram_struct(nn):
@@ -1522,7 +1537,7 @@ def _pair_gram_stats_multi(
         # (element, index) and silently bind the array INDEX to n
         return lambda i: F.struct(
             F.lit(nn).cast("int").alias("n"),
-            F.concat_ws(" ", F.slice(arr, i, nn)).alias("g"),
+            F.concat_ws(sep, F.slice(arr, i, nn)).alias("g"),
         )
 
     parts = []
@@ -1672,3 +1687,145 @@ def bleu_score(
     cols += [F.round(precs[i], 6).alias(f"p{i+1}") for i in range(max_n)]
     cols += [F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu")]
     return out.select(*cols)
+
+
+def bleu_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """Corpus-level BLEU (the form Papineni et al. actually defined):
+    clipped n-gram matches and totals are SUMMED over all (reference,
+    candidate) pairs BEFORE the precision/geo-mean/brevity-penalty
+    finish -- one score for the whole eval set, robust to the
+    per-sentence zero-precision collapse that makes sentence BLEU
+    unusable as a corpus aggregate.  bp uses total lengths.
+
+    Same single-pass kernel as bleu_score, plus one global aggregate
+    (exact long sums), so the extra cost over sentence BLEU is a
+    single reduce to one row.  Zero total precision at any level
+    zeroes the score (classic unsmoothed).  Output one row:
+    (n_pairs, ref_tokens, cand_tokens, p1..p<max_n>, bp, bleu),
+    floats rounded 6 with the same fixed-order arithmetic as
+    bleu_score."""
+    if not 1 <= int(max_n) <= 4:
+        raise ValueError(f"max_n must be 1..4, got {max_n}")
+    max_n = int(max_n)
+    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    per_pair = _pair_gram_stats_multi(
+        docs, p, list(range(1, max_n + 1)), id_col, text_col
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for n in range(1, max_n + 1):
+        aggs += [
+            F.sum(f"ov{n}").cast("long").alias(f"s_ov{n}"),
+            F.sum(f"ref{n}").cast("long").alias(f"s_ref{n}"),
+            F.sum(f"cand{n}").cast("long").alias(f"s_cand{n}"),
+        ]
+    tot = per_pair.agg(*aggs)
+    precs = [
+        F.when(
+            F.col(f"s_cand{n}") > 0,
+            F.col(f"s_ov{n}").cast("double") / F.col(f"s_cand{n}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        for n in range(1, max_n + 1)
+    ]
+    all_pos = precs[0] > 0
+    for pr in precs[1:]:
+        all_pos = all_pos & (pr > 0)
+    logmean = F.log(precs[0])
+    for pr in precs[1:]:
+        logmean = logmean + F.log(pr)
+    logmean = logmean / float(max_n)
+    r_len = F.col("s_ref1").cast("double")
+    c_len = F.col("s_cand1").cast("double")
+    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - r_len / c_len)
+    )
+    bleu = F.when(all_pos, bp * F.exp(logmean)).otherwise(F.lit(0.0))
+    cols = [
+        "n_pairs",
+        F.col("s_ref1").alias("ref_tokens"),
+        F.col("s_cand1").alias("cand_tokens"),
+    ]
+    cols += [F.round(precs[i], 6).alias(f"p{i+1}") for i in range(max_n)]
+    cols += [F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu")]
+    return tot.select(*cols)
+
+
+def chrf_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_n: int = 6,
+    beta: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """chrF (Popovic 2015) between (reference, candidate) pairs: the
+    character-n-gram F-score that complements word-level BLEU/ROUGE --
+    robust to tokenization and morphology, the WMT-standard third eval
+    metric.  Grams are characters of the normalized text with spaces
+    removed (the chrF convention), n = 1..max_n (default 6);
+    chrP/chrR = the ARITHMETIC MEAN over n of per-level clipped
+    precision/recall (a level with a zero denominator contributes 0);
+    chrF = (1+beta^2)*P*R / (beta^2*P + R) with beta=2 (recall-weighted),
+    0 when P+R = 0.
+
+    Scale shape: the same single-pass _pair_gram_stats_multi kernel as
+    bleu_score, in char mode -- one scan, one (level, gram) explode
+    (~max_n x the char stream), one counts shuffle, one pair-join
+    chain.  All counts exact longs; P/R/F divide and average exact
+    longs in a FIXED left-associated expression, so the doubles are
+    engine-identical.  Pairs with no chars on either side are absent.
+    Output: (ref_id, cand_id, ref_chars, cand_chars, chrp, chrr, chrf),
+    the three scores rounded 6.
+    """
+    if not 1 <= int(max_n) <= 6:
+        raise ValueError(f"max_n must be 1..6, got {max_n}")
+    max_n = int(max_n)
+    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    out = _pair_gram_stats_multi(
+        docs, p, list(range(1, max_n + 1)), id_col, text_col, unit="char"
+    )
+    precs = [
+        F.when(
+            F.col(f"cand{n}") > 0,
+            F.col(f"ov{n}").cast("double") / F.col(f"cand{n}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        for n in range(1, max_n + 1)
+    ]
+    recs = [
+        F.when(
+            F.col(f"ref{n}") > 0,
+            F.col(f"ov{n}").cast("double") / F.col(f"ref{n}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        for n in range(1, max_n + 1)
+    ]
+    chrp = precs[0]
+    for pr in precs[1:]:
+        chrp = chrp + pr
+    chrp = chrp / float(max_n)
+    chrr = recs[0]
+    for rc in recs[1:]:
+        chrr = chrr + rc
+    chrr = chrr / float(max_n)
+    b2 = float(beta) * float(beta)
+    chrf = F.when(
+        chrp + chrr > 0,
+        (1.0 + b2) * chrp * chrr / (b2 * chrp + chrr),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "ref_id",
+        "cand_id",
+        F.col("ref1").alias("ref_chars"),
+        F.col("cand1").alias("cand_chars"),
+        F.round(chrp, 6).alias("chrp"),
+        F.round(chrr, 6).alias("chrr"),
+        F.round(chrf, 6).alias("chrf"),
+    )

@@ -2810,7 +2810,11 @@ LLM_ORACLES["llm_rouge"] = """
     FROM raw
 """
 
-LLM_ORACLES["llm_bleu"] = """
+# Shared CTE chain for the BLEU family: tokenize -> per-level gram
+# counts -> adjacent-pair clipped overlaps -> per-pair raw counts.
+# llm_bleu finishes per pair; llm_bleu_corpus sums the raw counts
+# over all pairs first (the Papineni corpus form).
+_BLEU_CHAIN = """
     WITH toks AS (
       SELECT doc_id,
              CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
@@ -2884,7 +2888,9 @@ LLM_ORACLES["llm_bleu"] = """
       LEFT JOIN o3 ON o3.ref_id = p.ref_id
       LEFT JOIN o4 ON o4.ref_id = p.ref_id
       WHERE tr.t1 > 0 OR tc.t1 > 0
-    ), prec AS (
+    )"""
+
+LLM_ORACLES["llm_bleu"] = _BLEU_CHAIN + """, prec AS (
       SELECT ref_id, cand_id, ref_len, cand_len,
              CASE WHEN cd1 > 0 THEN CAST(ov1 AS DOUBLE) / cd1 ELSE 0.0 END AS q1,
              CASE WHEN cd2 > 0 THEN CAST(ov2 AS DOUBLE) / cd2 ELSE 0.0 END AS q2,
@@ -2906,6 +2912,110 @@ LLM_ORACLES["llm_bleu"] = """
                       ELSE 0.0 END, 6) AS bleu
     FROM prec
 """
+
+LLM_ORACLES["llm_bleu_corpus"] = _BLEU_CHAIN + """, corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(ref_len) AS BIGINT) AS ref_tokens,
+             CAST(sum(cand_len) AS BIGINT) AS cand_tokens,
+             CAST(sum(ov1) AS BIGINT) AS s1, CAST(sum(cd1) AS BIGINT) AS d1,
+             CAST(sum(ov2) AS BIGINT) AS s2, CAST(sum(cd2) AS BIGINT) AS d2,
+             CAST(sum(ov3) AS BIGINT) AS s3, CAST(sum(cd3) AS BIGINT) AS d3,
+             CAST(sum(ov4) AS BIGINT) AS s4, CAST(sum(cd4) AS BIGINT) AS d4
+      FROM raw
+    ), prec AS (
+      SELECT n_pairs, ref_tokens, cand_tokens,
+             CASE WHEN d1 > 0 THEN CAST(s1 AS DOUBLE) / d1 ELSE 0.0 END AS q1,
+             CASE WHEN d2 > 0 THEN CAST(s2 AS DOUBLE) / d2 ELSE 0.0 END AS q2,
+             CASE WHEN d3 > 0 THEN CAST(s3 AS DOUBLE) / d3 ELSE 0.0 END AS q3,
+             CASE WHEN d4 > 0 THEN CAST(s4 AS DOUBLE) / d4 ELSE 0.0 END AS q4,
+             CASE WHEN CAST(cand_tokens AS DOUBLE) >= CAST(ref_tokens AS DOUBLE)
+                  THEN 1.0
+                  ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+                               / CAST(cand_tokens AS DOUBLE)) END AS bp
+      FROM corp
+    )
+    SELECT n_pairs, ref_tokens, cand_tokens,
+           round(q1, 6) AS p1, round(q2, 6) AS p2,
+           round(q3, 6) AS p3, round(q4, 6) AS p4,
+           round(bp, 6) AS bp,
+           round(CASE WHEN q1 > 0 AND q2 > 0 AND q3 > 0 AND q4 > 0
+                      THEN bp * exp((((ln(q1) + ln(q2)) + ln(q3)) + ln(q4))
+                                    / 4.0)
+                      ELSE 0.0 END, 6) AS bleu
+    FROM prec
+"""
+
+LLM_ORACLES["llm_chrf"] = """
+    -- chrF2: char n-grams (n=1..6) of the normalized text with spaces
+    -- removed; mean clipped precision/recall over levels; F with
+    -- beta=2.  Float finish mirrors the engine's fixed left-assoc
+    -- expression order exactly.
+    WITH s AS (
+      SELECT doc_id,
+             replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                     ' ', '') AS cs
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ), lv AS (
+      SELECT unnest(generate_series(1, 6)) AS n
+    ), pos AS (
+      SELECT s.doc_id, lv.n, s.cs,
+             unnest(generate_series(1, length(s.cs) - lv.n + 1)) AS i
+      FROM s, lv WHERE length(s.cs) >= lv.n
+    ), cnt AS (
+      SELECT doc_id, n,
+             substr(cs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pos GROUP BY doc_id, n, g
+    ), tt AS (
+      SELECT s.doc_id, lv.n,
+             CAST(greatest(length(s.cs) - lv.n + 1, 0) AS BIGINT) AS t
+      FROM s, lv
+    ), ov AS (
+      SELECT a.doc_id AS ref_id, a.n,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id + 1 AND a.n = b.n
+                           AND a.g = b.g
+      GROUP BY a.doc_id, a.n
+    ), grid AS (
+      SELECT p.ref_id, p.cand_id, lv.n FROM pairs p, lv
+    ), raw AS (
+      SELECT g2.ref_id, g2.cand_id, g2.n,
+             coalesce(o.ov, 0) AS ov, tr.t AS tref, tc.t AS tcand
+      FROM grid g2
+      JOIN tt tr ON tr.doc_id = g2.ref_id AND tr.n = g2.n
+      JOIN tt tc ON tc.doc_id = g2.cand_id AND tc.n = g2.n
+      LEFT JOIN ov o ON o.ref_id = g2.ref_id AND o.n = g2.n
+    ), lvls AS (
+      SELECT ref_id, cand_id,
+             max(CASE WHEN n = 1 THEN tref END) AS ref_chars,
+             max(CASE WHEN n = 1 THEN tcand END) AS cand_chars,
+             {pcols}
+      FROM raw GROUP BY ref_id, cand_id
+    ), agg AS (
+      SELECT ref_id, cand_id, ref_chars, cand_chars,
+             ((((((q1 + q2) + q3) + q4) + q5) + q6) / 6.0) AS chrp,
+             ((((((r1 + r2) + r3) + r4) + r5) + r6) / 6.0) AS chrr
+      FROM lvls
+    )
+    SELECT ref_id, cand_id, ref_chars, cand_chars,
+           round(chrp, 6) AS chrp, round(chrr, 6) AS chrr,
+           round(CASE WHEN chrp + chrr > 0
+                      THEN 5.0 * chrp * chrr / (4.0 * chrp + chrr)
+                      ELSE 0.0 END, 6) AS chrf
+    FROM agg WHERE ref_chars > 0 OR cand_chars > 0
+""".format(
+    pcols=",\n             ".join(
+        f"max(CASE WHEN n = {n} THEN CASE WHEN tcand > 0 "
+        f"THEN CAST(ov AS DOUBLE) / tcand ELSE 0.0 END END) AS q{n},\n"
+        f"             "
+        f"max(CASE WHEN n = {n} THEN CASE WHEN tref > 0 "
+        f"THEN CAST(ov AS DOUBLE) / tref ELSE 0.0 END END) AS r{n}"
+        for n in range(1, 7)
+    )
+)
 
 LLM_ORACLES["llm_js_divergence"] = """
     WITH ta AS (

@@ -1080,6 +1080,33 @@ def llm_bleu(spark, sf):
     return LT.bleu_score(d, pairs, max_n=4)
 
 
+def llm_bleu_corpus(spark, sf):
+    """Corpus-level BLEU-4 over the adjacent-id pair spine
+    (text.bleu_corpus): clipped matches and totals summed over ALL
+    pairs before the precision / geo-mean / brevity-penalty finish --
+    the Papineni corpus form, one row out.  Exact long sums through
+    the same single-pass kernel as llm_bleu; fully VALUE-checked."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("ref_id"))
+    b = d.select((F.col("doc_id") - 1).alias("ref_id"), F.col("doc_id").alias("cand_id"))
+    pairs = a.join(b, "ref_id").localCheckpoint(eager=True)
+    return LT.bleu_corpus(d, pairs, max_n=4)
+
+
+def llm_chrf(spark, sf):
+    """chrF2 over the same adjacent-id pair spine as llm_rouge/llm_bleu
+    (text.chrf_score): character-n-gram (n=1..6, spaces removed) mean
+    clipped precision/recall, recall-weighted F (beta=2) -- the
+    tokenization-robust WMT eval metric.  Same single-pass
+    (level, gram) kernel as BLEU in char mode; exact long counts,
+    fixed-order float finish; fully VALUE-checked."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("ref_id"))
+    b = d.select((F.col("doc_id") - 1).alias("ref_id"), F.col("doc_id").alias("cand_id"))
+    pairs = a.join(b, "ref_id").localCheckpoint(eager=True)
+    return LT.chrf_score(d, pairs, max_n=6, beta=2.0)
+
+
 def llm_js_divergence(spark, sf):
     """Jensen-Shannon divergence between the even- and odd-doc-id
     corpus slices' unigram distributions (text.js_divergence) -- the
@@ -2859,6 +2886,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a55_welch_ttest": a55_welch_ttest,
     "llm_rouge": llm_rouge,
     "llm_bleu": llm_bleu,
+    "llm_bleu_corpus": llm_bleu_corpus,
+    "llm_chrf": llm_chrf,
     "llm_js_divergence": llm_js_divergence,
     "llm_lsh_eval": llm_lsh_eval,
     "llm_ann_eval": llm_ann_eval,
