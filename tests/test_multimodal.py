@@ -727,3 +727,32 @@ class TestAudioEnvelopeTier:
             segs.sort()
             for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
                 assert e1 < s2  # a merged run never touches the next
+
+
+def test_vad_gate_frames_keep_float_safety_margin():
+    """The mm_audio_vad value oracle depends on the engine's and
+    DuckDB's float paths agreeing on every frame's active/inactive
+    decision.  That holds because no non-silent frame sits within
+    float-rounding distance of the -30 dB threshold -- assert the
+    measured margin floor (min over the gate corpus: ~0.023 dB,
+    ~12 orders above the ~1e-16 relative cross-engine divergence) so
+    a corpus/threshold/frame-size change that lands a frame near the
+    boundary fails HERE instead of going nondeterministic in the
+    gate."""
+    import numpy as np
+
+    from uofi_payroll_etl_main_spark.llm.multimodal import (
+        _synth_samples_modulated,
+    )
+
+    margins = []
+    for m in range(64):
+        n_s = 400 + m % 97
+        s = _synth_samples_modulated(n_s, m, block=40).astype(np.float64)
+        flen = 40  # 5ms at 8kHz, the gate's framing
+        nf = len(s) // flen
+        frames = s[: nf * flen].reshape(nf, flen) / 32768.0
+        rms = np.sqrt((frames**2).mean(axis=1))
+        db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+        margins.extend(abs(d + 30.0) for d in db if d > -190.0)  # skip silence
+    assert margins and min(margins) > 0.01, min(margins)

@@ -4739,8 +4739,10 @@ LLM_ORACLES["mm_audio_vad"] = """
     -- replay: modulated synth samples -> 40-sample frame energies
     -- (exact int64) -> dBFS active test -> gaps-and-islands run merge.
     -- Float discipline mirrors numpy's op order: e/2^30 and /40 are
-    -- exact-then-one-rounding, then sqrt, then log10; active frames
-    -- sit >= 1.2 dB from the threshold so no comparison is fragile.
+    -- exact-then-one-rounding, then sqrt, then log10; non-silent
+    -- frames sit >= 0.02 dB (~0.5% relative energy) from the
+    -- threshold -- ~12 orders above cross-engine float divergence,
+    -- with the margin floor pytest-asserted (test_multimodal.py).
     WITH mids AS (
       SELECT CAST(range AS BIGINT) AS m FROM range(64)
     ), clips AS (

@@ -1536,8 +1536,12 @@ def mm_audio_vad(spark, sf):
     the active test, dBFS conversion, gaps-and-islands run merge, and
     3-decimal mean_db all replay in DuckDB (the float steps mirror the
     numpy operation order: /2^30 and /40 exact-then-rounded, sqrt,
-    log10).  Active frames sit >=1.2 dB from the -30 dB threshold, so
-    no comparison is float-boundary-fragile."""
+    log10).  Non-silent frames sit >=0.02 dB (~0.5% relative energy)
+    from the -30 dB threshold over this corpus -- ~12 orders of
+    magnitude above cross-engine float divergence (~1e-16 relative),
+    and tests/test_multimodal.py asserts the margin floor so a corpus
+    or threshold change that lands a frame near the boundary fails
+    loudly instead of going nondeterministic."""
     from .llm.multimodal import audio_vad, synth_audio_modulated
 
     return audio_vad(
