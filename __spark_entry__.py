@@ -4,7 +4,7 @@ entry(spark)   -- flagship query on /root/testdata/sf0.001 (smoke check).
 queries()      -- one named query per implemented operator (SURVEY.md
                   section 2 + LLM/windowed north-star scope); each
                   callable is (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- matching DuckDB ANSI SQL per query.  383 of 395
+oracle_sql()   -- matching DuckDB ANSI SQL per query.  384 of 396
                   queries carry full value oracles (md5-register
                   sketches, literal-replayed LSH planes, unrolled
                   exact-decimal greedies, recursive-CTE folds,

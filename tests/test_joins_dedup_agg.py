@@ -2240,3 +2240,39 @@ def test_bleu_corpus_hand_case(spark):
     assert abs(r["bleu"] - round(want, 6)) < 1e-9
     # sentence BLEU on pair (3,4) would be 0; the corpus form is not
     assert r["bleu"] > 0
+
+
+def test_rouge_l_hand_case(spark):
+    """ROUGE-L against hand-computed LCS values, including the classic
+    non-contiguous match, a disjoint pair, and empty sides."""
+    from uofi_payroll_etl_main_spark.llm.text import rouge_l
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat lay down on a mat"),  # LCS: the cat on mat = 4
+            (3, "x y z"),
+            (4, ""),
+            (5, "police killed the gunman"),
+            (6, "the gunman police killed"),   # LCS: police killed|the gunman = 2
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "ref_id long, cand_id long"
+    )
+    got = {
+        (r["ref_id"], r["cand_id"]): r for r in rouge_l(docs, pairs).collect()
+    }
+    m = got[(1, 2)]
+    assert (m["lcs"], m["ref_len"], m["cand_len"]) == (4, 6, 7)
+    assert m["recall"] == round(4 / 6, 6) and m["precision"] == round(4 / 7, 6)
+    p, r_ = 4 / 7, 4 / 6
+    assert m["f1"] == round(2 * p * r_ / (p + r_), 6)
+    assert got[(1, 3)]["lcs"] == 0 and got[(1, 3)]["f1"] == 0.0
+    # empty candidate: precision/f1 undefined -> null, recall 0
+    e = got[(1, 4)]
+    assert (e["lcs"], e["cand_len"], e["precision"], e["f1"]) == (0, 0, None, None)
+    assert e["recall"] == 0.0
+    # word order matters to LCS even when the bag of words is identical
+    assert got[(5, 6)]["lcs"] == 2

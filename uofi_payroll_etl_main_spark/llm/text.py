@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "zipf_fit",
     "rouge_n",
+    "rouge_l",
     "bleu_score",
+    "bleu_corpus",
+    "chrf_score",
     "js_divergence",
     "tokens",
     "token_count",
@@ -1687,6 +1690,106 @@ def bleu_score(
     cols += [F.round(precs[i], 6).alias(f"p{i+1}") for i in range(max_n)]
     cols += [F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu")]
     return out.select(*cols)
+
+
+def rouge_l(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """ROUGE-L between (reference, candidate) pairs: longest common
+    subsequence of the token streams -- credits in-order matches
+    without requiring contiguity, the third member of the ROUGE/BLEU
+    eval family.  R = LCS/|ref|, P = LCS/|cand|, F1 = 2PR/(P+R); all
+    null when their denominator is 0 (empty side).
+
+    Scale shape: tokens ride two hash joins onto the pair spine
+    (bounded eval sets in practice -- at corpus scale the joins stay
+    keyed on doc id), then the O(|ref|*|cand|) LCS DP runs per pair in
+    an Arrow-batched mapInPandas kernel -- the genuinely-sequential
+    lattice recurrence that SQL/Catalyst can't express (the
+    llm/unigram.py Viterbi precedent).  The DP is the two-row rolling
+    form: memory per pair is O(|cand|), never the full matrix.  Counts
+    are exact ints; P/R/F divide exact ints -> bit-identical doubles.
+    Output: (ref_id, cand_id, lcs, ref_len, cand_len, precision,
+    recall, f1), floats rounded 6."""
+    toks = docs.select(
+        F.col(id_col).alias("__d"), tokens(normalize_text(text_col)).alias("__t")
+    )
+    p = pairs.select(
+        F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id")
+    )
+    j = (
+        p.join(
+            toks.select(F.col("__d").alias("ref_id"), F.col("__t").alias("__tr")),
+            "ref_id",
+        )
+        .join(
+            toks.select(F.col("__d").alias("cand_id"), F.col("__t").alias("__tc")),
+            "cand_id",
+        )
+        .select("ref_id", "cand_id", "__tr", "__tc")
+    )
+
+    out_schema = (
+        "ref_id long, cand_id long, lcs long, ref_len long, cand_len long, "
+        "precision double, recall double, f1 double"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        def lcs(a, b):
+            if len(a) == 0 or len(b) == 0:
+                return 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                ap = cur.append
+                for jj in range(1, len(b) + 1):
+                    if x == b[jj - 1]:
+                        ap(prev[jj - 1] + 1)
+                    else:
+                        o, n_ = prev[jj], cur[jj - 1]
+                        ap(o if o >= n_ else n_)
+                prev = cur
+            return prev[-1]
+
+        for pdf in batches:
+            rows = {
+                "ref_id": [], "cand_id": [], "lcs": [], "ref_len": [],
+                "cand_len": [], "precision": [], "recall": [], "f1": [],
+            }
+            for rid, cid, tr, tc in zip(
+                pdf["ref_id"], pdf["cand_id"], pdf["__tr"], pdf["__tc"]
+            ):
+                tr = list(tr) if tr is not None else []
+                tc = list(tc) if tc is not None else []
+                val = lcs(tr, tc)
+                n, m_ = len(tr), len(tc)
+                prec = val / m_ if m_ else None
+                rec = val / n if n else None
+                f1 = (
+                    round(2.0 * prec * rec / (prec + rec), 6)
+                    if prec is not None and rec is not None and prec + rec > 0
+                    else (None if (prec is None or rec is None) else 0.0)
+                )
+                rows["ref_id"].append(int(rid))
+                rows["cand_id"].append(int(cid))
+                rows["lcs"].append(val)
+                rows["ref_len"].append(n)
+                rows["cand_len"].append(m_)
+                rows["precision"].append(
+                    None if prec is None else round(prec, 6)
+                )
+                rows["recall"].append(None if rec is None else round(rec, 6))
+                rows["f1"].append(f1)
+            yield pd.DataFrame(rows)
+
+    return j.mapInPandas(run, out_schema)
 
 
 def bleu_corpus(

@@ -2945,6 +2945,83 @@ LLM_ORACLES["llm_bleu_corpus"] = _BLEU_CHAIN + """, corp AS (
     FROM prec
 """
 
+LLM_ORACLES["llm_rouge_l"] = """
+    -- ROUGE-L replay: the LCS lattice walked cell-at-a-time by a
+    -- recursive CTE (the llm_viterbi_fixed list-state pattern).  State
+    -- per pair = (i, j, old, new): `old` is DP row i-1 (m+1 entries,
+    -- 1-indexed, old[j+1] = dp[i-1][j]), `new` is the prefix of row i
+    -- (new[j] = dp[i][j-1]).  Cell value:
+    --   dp[i][j] = ra[i]=ca[j] ? dp[i-1][j-1]+1
+    --                          : greatest(dp[i-1][j], dp[i][j-1])
+    -- Recursion depth = max(n*m) over pairs (~9.4k); total rows = sum
+    -- of n*m (~140k) -- bounded because the gate is a 50-doc slice.
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+                  THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             END AS t
+      FROM documents WHERE doc_id < 50
+    ), base AS (
+      SELECT ta.doc_id AS ref_id, tb.doc_id AS cand_id,
+             ta.t AS ra, tb.t AS ca,
+             CAST(len(ta.t) AS BIGINT) AS n, CAST(len(tb.t) AS BIGINT) AS m
+      FROM toks ta JOIN toks tb ON tb.doc_id = ta.doc_id + 1
+    ), dp AS (
+      SELECT ref_id, cand_id, ra, ca, n, m,
+             CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+             list_transform(generate_series(0, CAST(m AS INTEGER)),
+                            x -> CAST(0 AS BIGINT)) AS old,
+             [CAST(0 AS BIGINT)] AS new
+      FROM base WHERE n > 0 AND m > 0
+      UNION ALL
+      SELECT ref_id, cand_id, ra, ca, n, m,
+             CASE WHEN j = m THEN i + 1 ELSE i END,
+             CASE WHEN j = m THEN 1 ELSE j + 1 END,
+             CASE WHEN j = m
+                  THEN list_append(new,
+                       CASE WHEN ra[CAST(i AS INTEGER)] = ca[CAST(j AS INTEGER)]
+                            THEN old[CAST(j AS INTEGER)] + 1
+                            ELSE greatest(old[CAST(j + 1 AS INTEGER)],
+                                          new[CAST(j AS INTEGER)]) END)
+                  ELSE old END,
+             CASE WHEN j = m
+                  THEN [CAST(0 AS BIGINT)]
+                  ELSE list_append(new,
+                       CASE WHEN ra[CAST(i AS INTEGER)] = ca[CAST(j AS INTEGER)]
+                            THEN old[CAST(j AS INTEGER)] + 1
+                            ELSE greatest(old[CAST(j + 1 AS INTEGER)],
+                                          new[CAST(j AS INTEGER)]) END) END
+      FROM dp WHERE NOT (i = n AND j = m) AND i <= n
+    ), fin AS (
+      SELECT ref_id, cand_id, n, m,
+             CASE WHEN ra[CAST(i AS INTEGER)] = ca[CAST(j AS INTEGER)]
+                  THEN old[CAST(j AS INTEGER)] + 1
+                  ELSE greatest(old[CAST(j + 1 AS INTEGER)],
+                                new[CAST(j AS INTEGER)]) END AS lcs
+      FROM dp WHERE i = n AND j = m
+      UNION ALL
+      SELECT ref_id, cand_id, n, m, CAST(0 AS BIGINT) AS lcs
+      FROM base WHERE n = 0 OR m = 0
+    )
+    SELECT ref_id, cand_id, lcs,
+           n AS ref_len, m AS cand_len,
+           round(CASE WHEN m > 0 THEN CAST(lcs AS DOUBLE) / m END, 6)
+             AS precision,
+           round(CASE WHEN n > 0 THEN CAST(lcs AS DOUBLE) / n END, 6)
+             AS recall,
+           CASE
+             WHEN n = 0 OR m = 0 THEN NULL
+             WHEN CAST(lcs AS DOUBLE) / m + CAST(lcs AS DOUBLE) / n > 0
+               THEN round(2.0 * (CAST(lcs AS DOUBLE) / m)
+                              * (CAST(lcs AS DOUBLE) / n)
+                          / (CAST(lcs AS DOUBLE) / m
+                             + CAST(lcs AS DOUBLE) / n), 6)
+             ELSE 0.0
+           END AS f1
+    FROM fin
+"""
+
 LLM_ORACLES["llm_chrf"] = """
     -- chrF2: char n-grams (n=1..6) of the normalized text with spaces
     -- removed; mean clipped precision/recall over levels; F with

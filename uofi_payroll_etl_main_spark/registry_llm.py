@@ -1080,6 +1080,20 @@ def llm_bleu(spark, sf):
     return LT.bleu_score(d, pairs, max_n=4)
 
 
+def llm_rouge_l(spark, sf):
+    """ROUGE-L (LCS-based P/R/F1, text.rouge_l) over a bounded 50-doc
+    eval slice of the adjacent-id pair spine -- eval sets are
+    fixed-size in practice, and the bound keeps the O(n*m) per-pair
+    DP (mapInPandas lattice kernel, the Viterbi precedent) replayable
+    by the oracle's recursive-CTE cell-at-a-time walk.  Exact integer
+    LCS; fully VALUE-checked."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    a = d.select(F.col("doc_id").alias("ref_id"))
+    b = d.select((F.col("doc_id") - 1).alias("ref_id"), F.col("doc_id").alias("cand_id"))
+    pairs = a.join(b, "ref_id").localCheckpoint(eager=True)
+    return LT.rouge_l(d, pairs)
+
+
 def llm_bleu_corpus(spark, sf):
     """Corpus-level BLEU-4 over the adjacent-id pair spine
     (text.bleu_corpus): clipped matches and totals summed over ALL
@@ -2889,6 +2903,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a54_brown_forsythe": a54_brown_forsythe,
     "a55_welch_ttest": a55_welch_ttest,
     "llm_rouge": llm_rouge,
+    "llm_rouge_l": llm_rouge_l,
     "llm_bleu": llm_bleu,
     "llm_bleu_corpus": llm_bleu_corpus,
     "llm_chrf": llm_chrf,
