@@ -1509,51 +1509,83 @@ def _pair_gram_stats_multi(
     One corpus scan + one explode emits (level, gram) rows for all
     levels at once (the per-doc gram multiset for n=1..4 is ~4x the
     token count -- same total explode rows as four single-level passes,
-    but one scan, one counts shuffle, one pair-join chain instead of
-    four of each).  The level id rides as a small int in the count /
-    join keys; the final pair-keyed aggregate splits levels back out
-    with conditional sums, so no per-level joins ever happen.  All
-    counts exact longs.  A pair whose BOTH sides have no grams at any
-    level produces no rows and is absent from the output (and a doc
-    with ANY n-gram always has 1-grams, so presence is decided at
-    level 1 exactly as the old per-level spine did).
+    but one scan, one counts shuffle, one join chain instead of four of
+    each).  The level id rides as a small int in the count / join keys;
+    the final pair-keyed aggregate splits levels back out with
+    conditional sums, so no per-level joins ever happen.
+
+    Join shape: the clipped overlap is an INNER join -- the pair spine
+    expands the REF side's counts once, then meets the cand side's
+    counts on (cand doc, level, gram), so only COMMON grams ever ride
+    the join (min(count, count) is 0 for a gram one side lacks, so
+    non-common grams contribute nothing).  Side TOTALS never touch the
+    gram table at all: total n-grams of a sequence is just
+    greatest(len - n + 1, 0), a per-doc projection joined onto the
+    spine.  (The previous full-outer union of both expanded sides
+    materialized every gram either side had -- ~2x the join rows for
+    zero information.  At sf0.1 the explode+counts stage dominates and
+    the two shapes time the same within noise; the halved join volume
+    is the 100 TB argument, not a small-SF speedup.)
+
+    All counts exact longs.  A pair whose BOTH sides are empty at
+    the LEAD level is absent from the output (presence = either side
+    has at least one lead-level gram, exactly as the old full-outer
+    spine decided).
 
     unit='word' (default): whitespace tokens of the normalized text.
     unit='char': characters of the normalized text with spaces removed
     -- the chrF convention (Popovic 2015)."""
+    levels = [int(n) for n in levels]
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+    # _gram_struct builders are dedicated unary closures per level:
+    # F.transform arity-sniffs its lambda, so a two-arg `lambda i, n=n:`
+    # would be called as (element, index) and silently bind the array
+    # INDEX to n
     if unit == "char":
+        # grams come straight off the space-stripped string with substr
+        # -- measured 3x faster than materializing a char array and
+        # slice+concat_ws-ing it per gram (6.2s vs 16.6s for the sf0.1
+        # 6-level counts stage)
         s = F.regexp_replace(normalize_text(text_col), " ", "")
-        arr = F.when(
-            F.length(s) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(s, ""))
-        sep = ""
+
+        def _gram_struct(nn):
+            return lambda i: F.struct(
+                F.lit(nn).cast("int").alias("n"),
+                F.substr(s, i, F.lit(nn)).alias("g"),
+            )
+
+        parts = [
+            F.when(
+                F.length(s) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - n + 1),
+                    _gram_struct(n),
+                ),
+            ).otherwise(empty)
+            for n in levels
+        ]
     elif unit == "word":
         arr = tokens(normalize_text(text_col))
-        sep = " "
-    else:
-        raise ValueError(f"unknown gram unit: {unit!r}")
-    levels = [int(n) for n in levels]
 
-    def _gram_struct(nn):
-        # a dedicated unary closure per level: F.transform arity-sniffs
-        # its lambda, so a two-arg `lambda i, n=n:` would be called as
-        # (element, index) and silently bind the array INDEX to n
-        return lambda i: F.struct(
-            F.lit(nn).cast("int").alias("n"),
-            F.concat_ws(sep, F.slice(arr, i, nn)).alias("g"),
-        )
+        def _gram_struct(nn):
+            return lambda i: F.struct(
+                F.lit(nn).cast("int").alias("n"),
+                F.concat_ws(" ", F.slice(arr, i, nn)).alias("g"),
+            )
 
-    parts = []
-    for n in levels:
-        parts.append(
+        parts = [
             F.when(
                 F.size(arr) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(arr) - n + 1),
                     _gram_struct(n),
                 ),
-            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
-        )
+            ).otherwise(empty)
+            for n in levels
+        ]
+    else:
+        raise ValueError(f"unknown gram unit: {unit!r}")
+    seq_len = F.length(s) if unit == "char" else F.size(arr)
     all_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
     # explode_nonempty: spreads a single-split scan across the cluster
     # BEFORE the compute-bound tokenize/gram stage and keeps the
@@ -1570,36 +1602,73 @@ def _pair_gram_stats_multi(
         .groupBy("__d", "__n", "__g")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    ref_side = p.join(
+    # clipped overlap: expand the ref side once, meet the cand side's
+    # counts INNER on (doc, level, gram) -- only common grams ride
+    ref_exp = p.join(
         counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
     ).select("ref_id", "cand_id", "__n", "__g", "__cr")
-    cand_side = p.join(
-        counts.withColumnRenamed("__c", "__cc"), p["cand_id"] == counts["__d"]
-    ).select("ref_id", "cand_id", "__n", "__g", "__cc")
-    both = ref_side.join(
-        cand_side, ["ref_id", "cand_id", "__n", "__g"], "full_outer"
-    ).select(
+    cc = counts.select(
+        F.col("__d").alias("cand_id"),
+        F.col("__n"),
+        F.col("__g"),
+        F.col("__c").alias("__cc"),
+    )
+    ov_aggs = [
+        F.sum(
+            F.when(F.col("__n") == n, F.least("__cr", "__cc")).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"ov{n}")
+        for n in levels
+    ]
+    ov = (
+        ref_exp.join(cc, ["cand_id", "__n", "__g"])
+        .groupBy("ref_id", "cand_id")
+        .agg(*ov_aggs)
+    )
+    # side totals never touch the gram table: total n-grams of a
+    # sequence is greatest(len - n + 1, 0), a per-doc projection
+    lens = docs.select(
+        F.col(id_col).alias("__d"),
+        *[
+            F.greatest(seq_len - n + 1, F.lit(0))
+            .cast("long")
+            .alias(f"__t{n}")
+            for n in levels
+        ],
+    )
+    out = (
+        p.join(
+            lens.select(
+                F.col("__d").alias("ref_id"),
+                *[F.col(f"__t{n}").alias(f"ref{n}") for n in levels],
+            ),
+            "ref_id",
+        )
+        .join(
+            lens.select(
+                F.col("__d").alias("cand_id"),
+                *[F.col(f"__t{n}").alias(f"cand{n}") for n in levels],
+            ),
+            "cand_id",
+        )
+        .join(ov, ["ref_id", "cand_id"], "left")
+    )
+    lead = levels[0]
+    out = out.filter((F.col(f"ref{lead}") > 0) | (F.col(f"cand{lead}") > 0))
+    return out.select(
         "ref_id",
         "cand_id",
-        "__n",
-        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
-        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+        *[
+            c
+            for n in levels
+            for c in (
+                F.coalesce(F.col(f"ov{n}"), F.lit(0)).alias(f"ov{n}"),
+                F.col(f"ref{n}"),
+                F.col(f"cand{n}"),
+            )
+        ],
     )
-    aggs = []
-    for n in levels:
-        m = F.col("__n") == n
-        aggs += [
-            F.sum(F.when(m, F.least("__cr", "__cc")).otherwise(0))
-            .cast("long")
-            .alias(f"ov{n}"),
-            F.sum(F.when(m, F.col("__cr")).otherwise(0))
-            .cast("long")
-            .alias(f"ref{n}"),
-            F.sum(F.when(m, F.col("__cc")).otherwise(0))
-            .cast("long")
-            .alias(f"cand{n}"),
-        ]
-    return both.groupBy("ref_id", "cand_id").agg(*aggs)
 
 
 def _pair_gram_stats(
