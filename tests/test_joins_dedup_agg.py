@@ -2276,3 +2276,43 @@ def test_rouge_l_hand_case(spark):
     assert e["recall"] == 0.0
     # word order matters to LCS even when the bag of words is identical
     assert got[(5, 6)]["lcs"] == 2
+
+
+def test_gram_kernel_keeps_pairs_with_missing_doc_side(spark):
+    """A pair whose ref or cand id is absent from docs keeps its row
+    with that side zeroed (the old full-outer spine's semantics) --
+    the r10 inner-join restructure must not silently drop it or
+    corpus totals change."""
+    from uofi_payroll_etl_main_spark.llm.text import bleu_corpus, rouge_n
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (999, 1), (2, 888)], "ref_id long, cand_id long"
+    )
+    r1 = {(r["ref_id"], r["cand_id"]): r for r in rouge_n(docs, pairs, n=1).collect()}
+    assert set(r1) == {(1, 2), (999, 1), (2, 888)}
+    m = r1[(999, 1)]
+    assert (m["n_overlap"], m["n_ref"], m["n_cand"]) == (0, 0, 3)
+    assert m["recall"] is None and m["precision"] == 0.0
+    m2 = r1[(2, 888)]
+    assert (m2["n_overlap"], m2["n_ref"], m2["n_cand"]) == (0, 3, 0)
+    # corpus totals count the present sides of half-missing pairs
+    c = bleu_corpus(docs, pairs, max_n=1).first()
+    assert (c["n_pairs"], c["ref_tokens"], c["cand_tokens"]) == (3, 6, 6)
+
+
+def test_rouge_l_preserves_string_id_types(spark):
+    """rouge_l must work with non-integer id columns like its siblings
+    (the mapInPandas schema derives from the caller's types)."""
+    from uofi_payroll_etl_main_spark.llm.text import rouge_l
+
+    docs = spark.createDataFrame(
+        [("u-1", "a b c"), ("u-2", "a x c")], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("u-1", "u-2")], "ref_id string, cand_id string"
+    )
+    r = rouge_l(docs, pairs).first()
+    assert (r["ref_id"], r["cand_id"], r["lcs"]) == ("u-1", "u-2", 2)

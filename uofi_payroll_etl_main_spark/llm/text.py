@@ -1389,13 +1389,17 @@ def rouge_n(
     recall = overlap / |ref grams|, precision = overlap / |cand grams|
     (the multiset "clipped count" form of the original metric).
 
-    Scale shape: one token explode -> per-(doc, gram) counts
-    (map-side combined), each pair side keyed by its doc id, a
-    full-outer join on (pair, gram), one pair-keyed aggregate --
-    all hash shuffles on real keys, output is |pairs| rows.  Counts
-    are exact longs; P/R/F1 divide exact longs -> bit-identical
-    doubles.  A pair whose BOTH sides have fewer than n tokens has no
-    gram rows and is absent from the output (no 0/0 row to define).
+    Scale shape (the shared _pair_gram_stats_multi kernel): one token
+    explode -> per-(doc, gram) counts (map-side combined), the REF
+    side expanded once onto the pair spine, an INNER common-gram join
+    with the cand side's counts, one pair-keyed aggregate; side totals
+    come from a per-doc length projection, never the gram table -- all
+    hash shuffles on real keys, output is |pairs| rows.  Counts are
+    exact longs; P/R/F1 divide exact longs -> bit-identical doubles.
+    A pair whose BOTH sides have fewer than n tokens is absent from
+    the output (no 0/0 row to define); a pair side whose doc id is
+    missing from `docs` counts as zero grams (the pair survives if the
+    other side has any).
     Output: (ref_id, cand_id, n, n_overlap, n_ref, n_cand, precision,
     recall, f1), P/R/F1 rounded 6, null when their denominator is 0.
 
@@ -1637,6 +1641,10 @@ def _pair_gram_stats_multi(
             for n in levels
         ],
     )
+    # LEFT joins + coalesce-0: a pair whose ref or cand id is absent
+    # from docs keeps its row with that side zeroed -- exactly how the
+    # old full-outer gram spine treated a missing side (an inner join
+    # here would silently drop such pairs and change corpus totals)
     out = (
         p.join(
             lens.select(
@@ -1644,6 +1652,7 @@ def _pair_gram_stats_multi(
                 *[F.col(f"__t{n}").alias(f"ref{n}") for n in levels],
             ),
             "ref_id",
+            "left",
         )
         .join(
             lens.select(
@@ -1651,9 +1660,16 @@ def _pair_gram_stats_multi(
                 *[F.col(f"__t{n}").alias(f"cand{n}") for n in levels],
             ),
             "cand_id",
+            "left",
         )
         .join(ov, ["ref_id", "cand_id"], "left")
     )
+    for n in levels:
+        out = out.withColumn(
+            f"ref{n}", F.coalesce(F.col(f"ref{n}"), F.lit(0)).cast("long")
+        ).withColumn(
+            f"cand{n}", F.coalesce(F.col(f"cand{n}"), F.lit(0)).cast("long")
+        )
     lead = levels[0]
     out = out.filter((F.col(f"ref{lead}") > 0) | (F.col(f"cand{lead}") > 0))
     return out.select(
@@ -1803,9 +1819,16 @@ def rouge_l(
         .select("ref_id", "cand_id", "__tr", "__tc")
     )
 
+    # ids keep the caller's types (string keys work like the sibling
+    # operators); only the LCS integer leaves the Python kernel -- the
+    # P/R/F floats divide and round JVM-side with F.round, the SAME
+    # decimal half-up discipline every oracle-checked operator uses
+    # (Python's round() is banker's and provably diverges from SQL
+    # round at dyadic ties like 1/128)
+    rt = j.schema["ref_id"].dataType.simpleString()
+    ct = j.schema["cand_id"].dataType.simpleString()
     out_schema = (
-        "ref_id long, cand_id long, lcs long, ref_len long, cand_len long, "
-        "precision double, recall double, f1 double"
+        f"ref_id {rt}, cand_id {ct}, lcs long, ref_len long, cand_len long"
     )
 
     def run(batches):
@@ -1829,36 +1852,41 @@ def rouge_l(
 
         for pdf in batches:
             rows = {
-                "ref_id": [], "cand_id": [], "lcs": [], "ref_len": [],
-                "cand_len": [], "precision": [], "recall": [], "f1": [],
+                "ref_id": [], "cand_id": [], "lcs": [],
+                "ref_len": [], "cand_len": [],
             }
             for rid, cid, tr, tc in zip(
                 pdf["ref_id"], pdf["cand_id"], pdf["__tr"], pdf["__tc"]
             ):
                 tr = list(tr) if tr is not None else []
                 tc = list(tc) if tc is not None else []
-                val = lcs(tr, tc)
-                n, m_ = len(tr), len(tc)
-                prec = val / m_ if m_ else None
-                rec = val / n if n else None
-                f1 = (
-                    round(2.0 * prec * rec / (prec + rec), 6)
-                    if prec is not None and rec is not None and prec + rec > 0
-                    else (None if (prec is None or rec is None) else 0.0)
-                )
-                rows["ref_id"].append(int(rid))
-                rows["cand_id"].append(int(cid))
-                rows["lcs"].append(val)
-                rows["ref_len"].append(n)
-                rows["cand_len"].append(m_)
-                rows["precision"].append(
-                    None if prec is None else round(prec, 6)
-                )
-                rows["recall"].append(None if rec is None else round(rec, 6))
-                rows["f1"].append(f1)
+                rows["ref_id"].append(rid)
+                rows["cand_id"].append(cid)
+                rows["lcs"].append(lcs(tr, tc))
+                rows["ref_len"].append(len(tr))
+                rows["cand_len"].append(len(tc))
             yield pd.DataFrame(rows)
 
-    return j.mapInPandas(run, out_schema)
+    base = j.mapInPandas(run, out_schema)
+    lc = F.col("lcs").cast("double")
+    prec = F.when(F.col("cand_len") > 0, lc / F.col("cand_len").cast("double"))
+    rec = F.when(F.col("ref_len") > 0, lc / F.col("ref_len").cast("double"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull(),
+        F.when(prec + rec > 0, 2.0 * prec * rec / (prec + rec)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return base.select(
+        "ref_id",
+        "cand_id",
+        "lcs",
+        "ref_len",
+        "cand_len",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
 
 
 def bleu_corpus(

@@ -2745,9 +2745,9 @@ LLM_ORACLES["a55_welch_ttest"] = """
 LLM_ORACLES["llm_rouge"] = """
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+             CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0
                   THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents
     ), pairs AS (
@@ -2817,9 +2817,9 @@ LLM_ORACLES["llm_rouge"] = """
 _BLEU_CHAIN = """
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+             CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0
                   THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents
     ), pairs AS (
@@ -2957,9 +2957,9 @@ LLM_ORACLES["llm_rouge_l"] = """
     -- of n*m (~140k) -- bounded because the gate is a 50-doc slice.
     WITH RECURSIVE toks AS (
       SELECT doc_id,
-             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+             CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0
                   THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents WHERE doc_id < 50
     ), base AS (
@@ -3029,7 +3029,7 @@ LLM_ORACLES["llm_chrf"] = """
     -- expression order exactly.
     WITH s AS (
       SELECT doc_id,
-             replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+             replace(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
                      ' ', '') AS cs
       FROM documents
     ), pairs AS (
@@ -3097,17 +3097,17 @@ LLM_ORACLES["llm_chrf"] = """
 LLM_ORACLES["llm_js_divergence"] = """
     WITH ta AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM (
-        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0
                            THEN []
-                           ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                           ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
                       END) AS tok
         FROM documents WHERE doc_id % 2 = 0
       ) GROUP BY tok
     ), tb AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM (
-        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0
                            THEN []
-                           ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                           ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
                       END) AS tok
         FROM documents WHERE doc_id % 2 = 1
       ) GROUP BY tok
@@ -3907,8 +3907,8 @@ def _bpe_stages_sql(n_merges: int) -> str:
     corpus words or the </w> marker)."""
     parts = ["""words AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
-               ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END) AS w
+        SELECT unnest(CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0 THEN []
+               ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') END) AS w
         FROM documents
       ) GROUP BY w
     ), seg0 AS MATERIALIZED (
@@ -4299,8 +4299,8 @@ LLM_ORACLES["llm_ann_pq_int"] = """
 LLM_ORACLES["llm_nb_classifier"] = """
     WITH toks AS (
       SELECT doc_id, lang,
-             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents
     ), ex AS (
@@ -4352,8 +4352,8 @@ LLM_ORACLES["llm_nb_classifier"] = """
 
 LLM_ORACLES["llm_unigram_seed"] = """
     WITH toks AS (
-      SELECT CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      SELECT CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents
     ), words AS (
@@ -4413,8 +4413,8 @@ LLM_ORACLES["llm_char_entropy"] = """
 LLM_ORACLES["llm_viterbi_fixed"] = """
     WITH RECURSIVE toks AS (
       SELECT doc_id,
-             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents
     ), words AS (
@@ -4986,8 +4986,8 @@ LLM_ORACLES["llm_ann_lsh_eval"] = """
 LLM_ORACLES["llm_winnowing"] = """
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 THEN []
-                  ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) = 0 THEN []
+                  ELSE string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
              END AS t
       FROM documents
     ), grams AS (
