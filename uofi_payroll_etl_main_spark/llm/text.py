@@ -1607,16 +1607,27 @@ def _pair_gram_stats_multi(
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
     # clipped overlap: expand the ref side once, meet the cand side's
-    # counts INNER on (doc, level, gram) -- only common grams ride
+    # counts INNER on (doc, level, gram) -- only common grams ride.
+    # merge (sort-merge) hint on the counts side: the gram-counts table
+    # is CORPUS-scale, but its post-aggregate size estimate is a guess
+    # (and the pair spine is often a checkpointed RDD with unknown
+    # stats), so the static planner happily picks it as a broadcast
+    # build -- which works at test SF and dies at 10x ('Not enough
+    # memory to build and broadcast').  shuffle_hash is no better: its
+    # per-task build side cannot spill and 32 concurrent ~130MB hash
+    # relations blow the unified pool at 10x ('Can't acquire ... bytes
+    # to build hash relation').  Sort-merge spills -- the only shape
+    # that survives a corpus-scale x corpus-scale meet.
     ref_exp = p.join(
-        counts.withColumnRenamed("__c", "__cr"), p["ref_id"] == counts["__d"]
+        counts.withColumnRenamed("__c", "__cr").hint("merge"),
+        p["ref_id"] == counts["__d"],
     ).select("ref_id", "cand_id", "__n", "__g", "__cr")
     cc = counts.select(
         F.col("__d").alias("cand_id"),
         F.col("__n"),
         F.col("__g"),
         F.col("__c").alias("__cc"),
-    )
+    ).hint("merge")
     ov_aggs = [
         F.sum(
             F.when(F.col("__n") == n, F.least("__cr", "__cc")).otherwise(0)
@@ -1662,7 +1673,9 @@ def _pair_gram_stats_multi(
             "cand_id",
             "left",
         )
-        .join(ov, ["ref_id", "cand_id"], "left")
+        # ov is |pairs|-scale behind another guess-sized aggregate --
+        # same no-static-broadcast rule
+        .join(ov.hint("merge"), ["ref_id", "cand_id"], "left")
     )
     for n in levels:
         out = out.withColumn(
@@ -1762,8 +1775,12 @@ def bleu_score(
     logmean = logmean / float(max_n)
     r_len = F.col("ref1").cast("double")
     c_len = F.col("cand1").cast("double")
-    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
-        F.exp(F.lit(1.0) - r_len / c_len)
+    # second WHEN (not otherwise): an empty candidate would divide by
+    # zero -- null under the tuned session, a DIVIDE_BY_ZERO error under
+    # a caller's ANSI session.  bp is null for that row; the score is
+    # already 0 via the zero 1-gram precision.
+    bp = F.when(c_len >= r_len, F.lit(1.0)).when(
+        c_len > 0, F.exp(F.lit(1.0) - r_len / c_len)
     )
     bleu = F.when(all_pos, bp * F.exp(logmean)).otherwise(F.lit(0.0))
     cols = [
@@ -1943,8 +1960,12 @@ def bleu_corpus(
     logmean = logmean / float(max_n)
     r_len = F.col("s_ref1").cast("double")
     c_len = F.col("s_cand1").cast("double")
-    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
-        F.exp(F.lit(1.0) - r_len / c_len)
+    # second WHEN (not otherwise): an empty candidate would divide by
+    # zero -- null under the tuned session, a DIVIDE_BY_ZERO error under
+    # a caller's ANSI session.  bp is null for that row; the score is
+    # already 0 via the zero 1-gram precision.
+    bp = F.when(c_len >= r_len, F.lit(1.0)).when(
+        c_len > 0, F.exp(F.lit(1.0) - r_len / c_len)
     )
     bleu = F.when(all_pos, bp * F.exp(logmean)).otherwise(F.lit(0.0))
     cols = [

@@ -2898,7 +2898,8 @@ LLM_ORACLES["llm_bleu"] = _BLEU_CHAIN + """, prec AS (
              CASE WHEN cd4 > 0 THEN CAST(ov4 AS DOUBLE) / cd4 ELSE 0.0 END AS q4,
              CASE WHEN CAST(cand_len AS DOUBLE) >= CAST(ref_len AS DOUBLE)
                   THEN 1.0
-                  ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+                  WHEN cand_len > 0
+                  THEN exp(1.0 - CAST(ref_len AS DOUBLE)
                                / CAST(cand_len AS DOUBLE)) END AS bp
       FROM raw
     )
@@ -2930,7 +2931,8 @@ LLM_ORACLES["llm_bleu_corpus"] = _BLEU_CHAIN + """, corp AS (
              CASE WHEN d4 > 0 THEN CAST(s4 AS DOUBLE) / d4 ELSE 0.0 END AS q4,
              CASE WHEN CAST(cand_tokens AS DOUBLE) >= CAST(ref_tokens AS DOUBLE)
                   THEN 1.0
-                  ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+                  WHEN cand_tokens > 0
+                  THEN exp(1.0 - CAST(ref_tokens AS DOUBLE)
                                / CAST(cand_tokens AS DOUBLE)) END AS bp
       FROM corp
     )
