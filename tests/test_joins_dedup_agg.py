@@ -2046,6 +2046,36 @@ def test_rouge_n_hand_case(spark):
     assert (4, 4) not in r2
 
 
+def test_rouge_scores_matches_per_level_rouge_n(spark):
+    # rouge_scores (one multi-level kernel pass, r10 optimization) must
+    # be row-for-row identical to unioning rouge_n per level -- same
+    # schema, same per-level row presence, same exact values
+    from uofi_payroll_etl_main_spark.llm.text import rouge_n, rouge_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat lay on the mat"),
+            (3, "completely different words entirely"),
+            (4, "x"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 4), (1, 5), (9, 1)], "ref_id long, cand_id long"
+    )
+    multi = rouge_scores(docs, pairs, ns=(1, 2))
+    union = rouge_n(docs, pairs, n=1).unionByName(rouge_n(docs, pairs, n=2))
+    assert multi.columns == union.columns
+    key = lambda r: (r.ref_id, r.cand_id, r.n)  # noqa: E731
+    got = {key(r): r for r in multi.collect()}
+    want = {key(r): r for r in union.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k].asDict() == w.asDict(), k
+
+
 def test_js_divergence_hand_case(spark):
     import math
 

@@ -126,8 +126,6 @@ MANY_SCANS_ALLOWED = {
     "g9_personalized_pr",    # bounded n_iter lineage
     "llm_curation_pipeline", # composed funnel re-derives documents
     "llm_perplexity_buckets",# train/held-out/vocab views of one corpus
-    "llm_rouge",             # 2 sides x 2 n-levels re-derive the gram counts: a gram index is corpus-sized, so re-scanning beats checkpointing it (measured 9.4s vs 17.6s at sf0.1)
-    "llm_bleu",              # 2 sides x 4 n-levels, same re-scan-beats-materialize trade as llm_rouge
     "v12_psi",               # expected/actual histogram halves x bounds
     "v15_monitor",           # composes v12/v13 shapes
 }

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "zipf_fit",
     "rouge_n",
+    "rouge_scores",
     "rouge_l",
     "bleu_score",
     "bleu_corpus",
@@ -1429,6 +1430,72 @@ def rouge_n(
         "ref_id",
         "cand_id",
         F.lit(int(n)).cast("int").alias("n"),
+        "n_overlap",
+        "n_ref",
+        "n_cand",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def rouge_scores(
+    docs: DataFrame,
+    pairs: DataFrame,
+    ns: "Sequence[int]" = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """ROUGE-N for SEVERAL n levels in ONE kernel pass -- row-for-row
+    identical to unioning `rouge_n(docs, pairs, n)` per level, but the
+    (level, gram) kernel (_pair_gram_stats_multi) scans / explodes /
+    shuffles the corpus once instead of once per level.
+
+    A plain union of per-level rouge_n frames re-executes the whole
+    kernel per branch (Catalyst does not dedupe common subtrees), so
+    the levels are instead carried as columns of one kernel row and
+    split into per-level output rows with an inline struct-array
+    explode -- zero recompute, no checkpoint.  Per-level row presence
+    matches rouge_n exactly: a (pair, n) row exists iff either side
+    has at least one n-gram (inline_outer never drops the pair row
+    itself; the per-level filter below does the dropping).
+
+    Output: (ref_id, cand_id, n, n_overlap, n_ref, n_cand, precision,
+    recall, f1) -- same schema, values and per-level semantics as
+    rouge_n (asserted equal on a hand corpus in the test suite).
+    """
+    ns = [int(n) for n in ns]
+    p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
+    stats = _pair_gram_stats_multi(docs, p, ns, id_col, text_col)
+    per_level = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.col(f"ov{n}").alias("n_overlap"),
+                F.col(f"ref{n}").alias("n_ref"),
+                F.col(f"cand{n}").alias("n_cand"),
+            )
+            for n in ns
+        ]
+    )
+    lv = stats.select("ref_id", "cand_id", F.inline_outer(per_level))
+    # rouge_n presence rule, applied per level: either side has >= 1
+    # n-gram (the kernel's own lead-level filter already guarantees it
+    # for ns[0]; higher levels prune here)
+    lv = lv.filter((F.col("n_ref") > 0) | (F.col("n_cand") > 0))
+    ov = F.col("n_overlap").cast("double")
+    prec = F.when(F.col("n_cand") > 0, ov / F.col("n_cand").cast("double"))
+    rec = F.when(F.col("n_ref") > 0, ov / F.col("n_ref").cast("double"))
+    f1 = F.when(
+        (F.col("n_cand") > 0) & (F.col("n_ref") > 0) & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return lv.select(
+        "ref_id",
+        "cand_id",
+        "n",
         "n_overlap",
         "n_ref",
         "n_cand",

@@ -1060,12 +1060,12 @@ def llm_rouge(spark, sf):
     d = _t(spark, sf, "documents")
     a = d.select(F.col("doc_id").alias("ref_id"))
     b = d.select((F.col("doc_id") - 1).alias("ref_id"), F.col("doc_id").alias("cand_id"))
-    # the id-adjacency spine feeds four pair-side joins (2 sides x 2 n
-    # levels): materialize it once (two id-column rows per pair)
+    # the id-adjacency spine feeds the kernel's pair-side joins:
+    # materialize it once (two id-column rows per pair)
     pairs = a.join(b, "ref_id").localCheckpoint(eager=True)
-    r1 = LT.rouge_n(d, pairs, n=1)
-    r2 = LT.rouge_n(d, pairs, n=2)
-    return r1.unionByName(r2)
+    # both n levels in ONE (level, gram) kernel pass -- a per-level
+    # rouge_n union re-executed the whole kernel per branch (r10 opt)
+    return LT.rouge_scores(d, pairs, ns=(1, 2))
 
 
 def llm_bleu(spark, sf):
