@@ -321,6 +321,30 @@ def test_ivf_kmeans_centroids_beat_sampling_on_skew(spark):
     assert r_kmeans >= 0.9, r_kmeans
 
 
+def test_ivf_candidates_unique_without_pair_dedup(embeddings):
+    """r10: the IVF tiers dropped their dropDuplicates((query, neighbor))
+    -- a corpus vector lives in exactly ONE cell, so a pair can only
+    meet in one cogroup.  Pin the invariant the removal rests on: no
+    duplicate output pairs, and per-query ranks stay dense 1..n."""
+    from collections import Counter
+
+    from uofi_payroll_etl_main_spark.llm.similarity import ivf_pq_topk, ivf_topk
+
+    df, _vecs = embeddings
+    for rows in (
+        ivf_topk(df, k=3, n_centroids=8, n_probe=8, id_col="id").collect(),
+        ivf_pq_topk(
+            df, k=3, n_centroids=8, n_probe=8, m_subvectors=4, id_col="id"
+        ).collect(),
+    ):
+        pairs = Counter((r.query_id, r.neighbor_id) for r in rows)
+        assert pairs and max(pairs.values()) == 1, pairs.most_common(3)
+        by_q = Counter(r.query_id for r in rows)
+        for q, n in by_q.items():
+            ranks = sorted(r.rank for r in rows if r.query_id == q)
+            assert ranks == list(range(1, n + 1)), (q, ranks)
+
+
 def test_ivf_centroids_mode_validation(spark):
     import pytest as _pytest
 

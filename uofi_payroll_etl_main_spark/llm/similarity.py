@@ -505,10 +505,14 @@ def ivf_topk(
     )
     from pyspark.sql import Window
 
+    # no pair dedup needed (unlike the multi-table LSH tiers): each
+    # corpus vector is assigned to exactly ONE cell (assign_cells(1)),
+    # so a (query, neighbor) pair meets in at most one cogroup -- a
+    # dropDuplicates here would shuffle the whole candidate table for
+    # nothing (candidates are corpus x k scale at 100 TB)
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return (
-        cand.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
@@ -1409,11 +1413,14 @@ def ivf_pq_topk(
         )
         return out[out.query_id != out.neighbor_id]
 
+    # no pair dedup (same argument as ivf_topk): encode() puts each
+    # corpus vector in exactly ONE cell (argmax), so a (query, neighbor)
+    # pair meets in at most one cogroup and a dropDuplicates would be a
+    # pure extra shuffle of the candidate table
     cand = (
         probes.groupBy("cell")
         .cogroup(encoded.groupBy("cell"))
         .applyInPandas(cell_adc, schema=f"query_id {id_t}, neighbor_id {id_t}, adc double")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
     from pyspark.sql import Window
