@@ -1405,11 +1405,11 @@ def rouge_n(
     recall, f1), P/R/F1 rounded 6, null when their denominator is 0.
 
     The clipped-overlap computation is the shared _pair_gram_stats
-    kernel (also under bleu_score); gram counts are deliberately NOT
-    checkpointed -- a gram index is corpus-sized, so re-deriving it
-    per consumer (a column-pruned scan + explode) beats materializing
-    it (measured 9.4s vs 17.6s at sf0.1; the plan lint's
-    "two-to-few scans are deliberate" rule).
+    kernel (also under bleu_score); gram counts are deliberately
+    re-derived per join side, not checkpointed -- a gram index is
+    corpus-sized, and the r10 10x A/B showed materializing it loses at
+    scale and leaks session storage (see the materialize_counts note
+    in _pair_gram_stats_multi for the numbers).
     """
     p = pairs.select(F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id"))
     agg = _pair_gram_stats(docs, p, int(n), id_col, text_col, "").select(
@@ -1572,6 +1572,7 @@ def _pair_gram_stats_multi(
     id_col: str,
     text_col: str,
     unit: str = "word",
+    materialize_counts: bool = False,
 ) -> DataFrame:
     """Per-(ref, cand) clipped n-gram overlap + side totals for EVERY
     requested n level in ONE pass -- the shared kernel under rouge_n
@@ -1673,6 +1674,28 @@ def _pair_gram_stats_multi(
         .groupBy("__d", "__n", "__g")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    # the counts table feeds BOTH pair sides (ref expansion + cand
+    # meet), and Catalyst re-derives the scan+explode+aggregate chain
+    # per consumer.  materialize_counts=True localCheckpoints the
+    # aggregate once instead (serialized MEMORY_AND_DISK; the default
+    # deserialized level held 44M live rows at 10x and thrashed GC to
+    # death).  Measured r10, and REJECTED as the default: at sf0.1 it
+    # wins big (char 6-level 13.6-23.5s -> 2.2-2.8s, word 4-level
+    # 5.6-6.3s -> 0.9-1.5s, interleaved A/B), but at the 10x harness it
+    # LOSES everywhere (chrf 137s vs 81s re-derive, bleu 25 vs 18,
+    # rouge 15.5 vs 12, bleu_corpus 51 vs 21): pushing a corpus-scale
+    # aggregate through the storage layer beats recompute only at toy
+    # scale, and the blocks leak for the session lifetime (an operator
+    # cannot unpersist what its returned frame still references), so a
+    # long-lived session accumulates corpus-sized storage per eval
+    # query.  Re-derive is the 100 TB posture; the flag stays for the
+    # reproducible A/B.
+    if materialize_counts:
+        from pyspark.storagelevel import StorageLevel
+
+        counts = counts.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     # clipped overlap: expand the ref side once, meet the cand side's
     # counts INNER on (doc, level, gram) -- only common grams ride.
     # merge (sort-merge) hint on the counts side: the gram-counts table
