@@ -1656,3 +1656,90 @@ def test_sorted_neighborhood_fuzz_vs_replica(spark):
                 if d <= 8:
                     want[(base[ai][1], base[bi][1])] = (bi - ai, d)
         assert got == want, (seed, len(got), len(want))
+
+
+def test_bind1_matches_inline_evaluation(spark):
+    """text.bind1 is a pure let-expression: binding the token chain and
+    evaluating grams from the bound value must equal the inline form on
+    every edge (null text, empty, shorter-than-n, repeats)."""
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.llm.dedup import word_shingles
+    from uofi_payroll_etl_main_spark.llm.text import bind1, normalize_text, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "The  quick Brown fox jumps"),
+            (2, "a b"),
+            (3, ""),
+            (4, None),
+            (5, "one two three"),
+            (6, "x x x x x"),
+        ],
+        "id long, text string",
+    )
+    toks = tokens(normalize_text("text"))
+    k = F.size(toks)
+    inline = F.array_distinct(
+        F.when(
+            k >= 3,
+            F.transform(
+                F.sequence(F.lit(0), k - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+    rows = df.select(
+        "id", inline.alias("a"), word_shingles("text", 3).alias("b")
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows), rows
+    # bind1 passes nulls through like any value
+    got = df.select(bind1(F.col("text"), lambda s: F.length(s)).alias("n")).collect()
+    want = df.select(F.length("text").alias("n")).collect()
+    assert [r["n"] for r in got] == [r["n"] for r in want]
+
+
+def test_gram_lambdas_reference_bound_tokens_not_the_chain(spark):
+    """Perf guard for the r10 per-element re-evaluation fix: HOF lambdas
+    re-run any OUTER expression they reference once per element, so the
+    regexp+split tokenize chain must cross into gram/window/turn lambdas
+    as a bound lambda variable (text.bind1 / a materialized column),
+    never inline.  Asserts no lambdafunction body contains the chain."""
+    from pyspark.sql import functions as F
+
+    from uofi_payroll_etl_main_spark.llm.chat import synth_conversations
+    from uofi_payroll_etl_main_spark.llm.dedup import word_shingles
+    from uofi_payroll_etl_main_spark.llm.text import top_ngrams, winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+
+    def chain_inside_lambda(sdf) -> bool:
+        # paren-balanced scan: is any regexp_replace inside the scope of
+        # a lambdafunction(...)?  (A plain substring split would false-
+        # positive on the auto-alias, which restringifies the whole
+        # expression on the same line.)
+        plan = sdf._jdf.queryExecution().analyzed().toString()
+        marker = "lambdafunction("
+        depth, lam_depths, j = 0, [], 0
+        while j < len(plan):
+            if plan.startswith(marker, j):
+                lam_depths.append(depth)
+                depth += 1
+                j += len(marker)
+                continue
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if lam_depths and depth == lam_depths[-1]:
+                    lam_depths.pop()
+            elif lam_depths and plan.startswith("regexp_replace", j):
+                return True
+            j += 1
+        return False
+
+    assert not chain_inside_lambda(df.select(word_shingles("text", 3).alias("sh")))
+    assert not chain_inside_lambda(top_ngrams(df, n=2, k=5))
+    assert not chain_inside_lambda(winnowing_fingerprints(df, k=3, w=2))
+    assert not chain_inside_lambda(synth_conversations(df, turn_tokens=2))

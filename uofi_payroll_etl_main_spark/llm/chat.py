@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text, tokens
+from .text import bind1, normalize_text, tokens
 
 __all__ = [
     "synth_conversations",
@@ -47,23 +47,27 @@ def synth_conversations(
     Output: (id, turns: array<struct<turn:int, role:string,
     content:string>>).  Pure projection -- one codegen transform over an
     index sequence, no explode, no shuffle."""
-    toks = tokens(normalize_text(text_col))
-    n_turns = F.ceil(F.size(toks) / F.lit(int(turn_tokens))).cast("int")
-    turns = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_turns - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("turn"),
-                F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
-                F.concat_ws(
-                    " ", F.slice(toks, i * turn_tokens + 1, int(turn_tokens))
-                ).alias("content"),
+    # tokens bound once per row (text.bind1): an outer chain referenced
+    # from the turn lambda would re-tokenize per turn
+    def _turns(toks: Column) -> Column:
+        n_turns = F.ceil(F.size(toks) / F.lit(int(turn_tokens))).cast("int")
+        return F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("turn"),
+                    F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+                    F.concat_ws(
+                        " ", F.slice(toks, i * turn_tokens + 1, int(turn_tokens))
+                    ).alias("content"),
+                ),
             ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<turn:int,role:string,content:string>>")
-    )
+        ).otherwise(
+            F.array().cast("array<struct<turn:int,role:string,content:string>>")
+        )
+
+    turns = bind1(tokens(normalize_text(text_col)), _turns)
     return docs.select(F.col(id_col), turns.alias("turns"))
 
 

@@ -342,21 +342,25 @@ def chunk_documents(
     len/stride.  Output (id, chunk_start, n_tokens, chunk_text) with
     chunk_start a 1-based token offset.
     """
-    from .text import normalize_text, tokens
+    from .text import bind1, normalize_text, tokens
 
-    toks = tokens(normalize_text(text_col))
-    k = F.size(toks)
-    starts = F.when(k > 0, F.sequence(F.lit(1), k, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.cast("long").alias("chunk_start"),
-            F.least(F.lit(chunk_tokens), k - s + 1).cast("long").alias("n_tokens"),
-            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
-        ),
-    )
+    # tokens bound once per row (text.bind1): an outer chain referenced
+    # from the chunk lambda would re-tokenize per chunk
+    def _chunks(toks: Column) -> Column:
+        k = F.size(toks)
+        starts = F.when(k > 0, F.sequence(F.lit(1), k, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("long").alias("chunk_start"),
+                F.least(F.lit(chunk_tokens), k - s + 1).cast("long").alias("n_tokens"),
+                F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
+            ),
+        )
+
+    chunks = bind1(tokens(normalize_text(text_col)), _chunks)
     return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_start", "c.n_tokens", "c.chunk_text"
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text, tokens
+from .text import bind1, normalize_text, tokens
 
 __all__ = [
     "soft_dedup_weights",
@@ -94,18 +94,24 @@ def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text.
 
-    transform over an index sequence + slice: pure codegen, no UDF.
-    Documents shorter than n words fall back to their full token string
-    (so short docs still participate).
+    transform over an index sequence + slice: no UDF.  Documents
+    shorter than n words fall back to their full token string (so
+    short docs still participate).  The token array crosses into the
+    gram lambda as a BOUND value (text.bind1): an outer
+    tokens(normalize_text(...)) referenced from the lambda would
+    re-run the regexp+split chain once per shingle, not per row.
     """
-    toks = tokens(normalize_text(col))
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    short = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(k >= n, grams).otherwise(short))
+
+    def _grams(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        short = F.array(F.concat_ws(" ", toks))
+        return F.array_distinct(F.when(k >= n, grams).otherwise(short))
+
+    return bind1(tokens(normalize_text(col)), _grams)
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -1232,14 +1238,19 @@ def _window_occurrences(
     shorter than k tokens contribute nothing.  The 8-byte xxhash64 is
     the shuffle key -- the window text itself never leaves the scan
     stage, so the exploded table is ~n_tokens compact rows per doc."""
-    toks = tokens(normalize_text(text_col))
-    wins = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # token array bound once per row (text.bind1): an outer tokens()
+    # chain referenced from the window lambda would re-tokenize per
+    # window, not per doc
+    wins = bind1(
+        tokens(normalize_text(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     return _ensure_parallelism(docs).select(
         F.col(id_col), F.posexplode(wins).alias("start", "whash")
     )

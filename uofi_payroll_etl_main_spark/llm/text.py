@@ -92,6 +92,22 @@ def explode_nonempty(df: DataFrame, keep: list, arr: Column, alias: str) -> Data
     return out.filter(F.col(alias).isNotNull())
 
 
+def bind1(value: Column, fn) -> Column:
+    """let-expression for Catalyst: evaluate `value` ONCE per row and
+    hand the bound result to `fn` as a lambda variable.
+
+    Higher-order-function lambdas re-evaluate any OUTER expression they
+    reference once per element -- a gram builder whose lambda slices
+    `tokens(normalize_text(text))` re-runs the whole regexp+split chain
+    per gram, turning an O(len) stage into O(len^2) (measured: 686 CPU-s
+    for the sf0.1 chrF counts stage, 12x the bound-value cost).  A
+    single-element transform is the engine's only let: the argument
+    array is evaluated once, and the lambda body sees the VALUE as a
+    NamedLambdaVariable, so inner lambdas referencing it are O(1).
+    """
+    return F.get(F.transform(F.array(value), fn), F.lit(0))
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -232,15 +248,18 @@ def top_ngrams(
     speed; the global top-k is orderBy+limit -> TakeOrderedAndProject
     (per-partition heaps, no full sort shuffle).
     """
-    toks = tokens(normalize_text(text_col))
-    sz = F.size(toks)
-    grams = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # tokens bound once per row (bind1): an outer chain referenced from
+    # the gram lambda would re-tokenize per gram
+    grams = bind1(
+        tokens(normalize_text(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return (
         explode_nonempty(df, [], grams, "ngram")
         .groupBy("ngram")
@@ -338,31 +357,38 @@ def repetition_signals(
     keyed aggregate on doc id alone.  Both shuffles are
     scan-proportional; nothing is collected to the driver.
     """
-    toks = tokens(normalize_text(text_col))
-    sz = F.size(toks)
-
     # ONE corpus scan for every n: per-n (n, gram) struct arrays are
     # flattened and exploded together (a per-n union would rescan the
     # text column once per gram size -- n scans of a 100 TB corpus).
+    # The token array crosses into the gram lambdas as a BOUND value
+    # (bind1) so the regexp+split chain runs once per row, not per gram.
     # The HOF lambda must take exactly ONE parameter: F.transform binds
     # a second parameter to the element index, so `n=n` default-arg
     # capture would silently corrupt the slice length -- close over n
     # with a factory instead.
-    def _gram_builder(nn):
-        return lambda i: F.struct(
-            F.lit(nn).alias("n"),
-            F.array_join(F.slice(toks, i, nn), " ").alias("gram"),
-        )
+    def _all_grams(toks: Column) -> Column:
+        sz = F.size(toks)
 
-    per_n = [
-        F.when(
-            sz >= n,
-            F.transform(F.sequence(F.lit(1), sz - n + 1), _gram_builder(n)),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-        for n in ngram_sizes
-    ]
+        def _gram_builder(nn):
+            return lambda i: F.struct(
+                F.lit(nn).alias("n"),
+                F.array_join(F.slice(toks, i, nn), " ").alias("gram"),
+            )
+
+        per_n = [
+            F.when(
+                sz >= n,
+                F.transform(F.sequence(F.lit(1), sz - n + 1), _gram_builder(n)),
+            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+            for n in ngram_sizes
+        ]
+        return F.flatten(F.array(*per_n))
+
     ex = explode_nonempty(
-        df, [F.col(id_col)], F.flatten(F.array(*per_n)), "g"
+        df,
+        [F.col(id_col)],
+        bind1(tokens(normalize_text(text_col)), _all_grams),
+        "g",
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     counted = ex.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
     chars = F.col("cnt") * F.length("gram")
@@ -1314,12 +1340,12 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window
 
-    toks = tokens(normalize_text(F.col(text_col)))
-    sz = F.size(toks)
-    ex = explode_nonempty(
-        df,
-        [F.col(id_col)],
-        F.when(
+    # tokens bound once per row (bind1): the window lambda touches k
+    # elements per position, so an outer tokens() chain would re-run
+    # the regexp+split per element_at -- k*len re-tokenizations per doc
+    def _windows(toks: Column) -> Column:
+        sz = F.size(toks)
+        return F.when(
             sz >= k,
             F.transform(
                 F.sequence(F.lit(1), sz - (k - 1)),
@@ -1336,7 +1362,12 @@ def winnowing_fingerprints(
                     ).alias("h"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>")),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+    ex = explode_nonempty(
+        df,
+        [F.col(id_col)],
+        bind1(tokens(normalize_text(F.col(text_col))), _windows),
         "__e",
     ).select(id_col, F.col("__e.pos").alias("__pos"), F.col("__e.h").alias("__h"))
     wspec = (
@@ -1609,16 +1640,22 @@ def _pair_gram_stats_multi(
     -- the chrF convention (Popovic 2015)."""
     levels = [int(n) for n in levels]
     empty = F.array().cast("array<struct<n:int,g:string>>")
-    # _gram_struct builders are dedicated unary closures per level:
-    # F.transform arity-sniffs its lambda, so a two-arg `lambda i, n=n:`
-    # would be called as (element, index) and silently bind the array
-    # INDEX to n
+    # The normalize/tokenize chain is materialized as a COLUMN before
+    # the gram lambdas reference it: higher-order functions interpret
+    # their lambda body per element, so an unbound expression chain
+    # (regexp_replace+lower+trim / split) inside the lambda re-runs
+    # once PER GRAM, not per row -- measured 686 CPU-seconds for the
+    # sf0.1 chrF counts map stage (7.2M grams x a full re-normalize of
+    # the ~240-char doc each), ~21x the cost of the substr slices the
+    # stage actually needs.  Binding the chain to __src first makes the
+    # per-element work a slice of an already-computed value.
     if unit == "char":
         # grams come straight off the space-stripped string with substr
         # -- measured 3x faster than materializing a char array and
         # slice+concat_ws-ing it per gram (6.2s vs 16.6s for the sf0.1
         # 6-level counts stage)
-        s = F.regexp_replace(normalize_text(text_col), " ", "")
+        src = F.regexp_replace(normalize_text(text_col), " ", "")
+        s = F.col("__src")
 
         def _gram_struct(nn):
             return lambda i: F.struct(
@@ -1637,7 +1674,8 @@ def _pair_gram_stats_multi(
             for n in levels
         ]
     elif unit == "word":
-        arr = tokens(normalize_text(text_col))
+        src = tokens(normalize_text(text_col))
+        arr = F.col("__src")
 
         def _gram_struct(nn):
             return lambda i: F.struct(
@@ -1657,7 +1695,9 @@ def _pair_gram_stats_multi(
         ]
     else:
         raise ValueError(f"unknown gram unit: {unit!r}")
-    seq_len = F.length(s) if unit == "char" else F.size(arr)
+    # lens projects straight off docs (no __src column there): the raw
+    # chain evaluates once per row under codegen, which is fine
+    seq_len = F.length(src) if unit == "char" else F.size(src)
     all_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
     # explode_nonempty: spreads a single-split scan across the cluster
     # BEFORE the compute-bound tokenize/gram stage and keeps the
@@ -1665,7 +1705,7 @@ def _pair_gram_stats_multi(
     # size() filter on the serial scan
     counts = (
         explode_nonempty(
-            docs.select(F.col(id_col).alias("__d"), F.col(text_col)),
+            docs.select(F.col(id_col).alias("__d"), src.alias("__src")),
             ["__d"],
             all_grams,
             "__x",

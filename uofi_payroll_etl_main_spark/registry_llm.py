@@ -1963,15 +1963,18 @@ def llm_line_dedup(spark, sf):
     from .llm.curation import dedup_lines
 
     d = _t(spark, sf, "documents")
-    toks = LT.tokens(LT.normalize_text("text"))
-    sz = F.size(toks)
-    lines = F.when(
-        sz > 0,
-        F.transform(
-            F.sequence(F.lit(1), sz, F.lit(3)),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # tokens bound once per row (text.bind1): an outer chain referenced
+    # from the line lambda would re-tokenize per synthesized line
+    lines = LT.bind1(
+        LT.tokens(LT.normalize_text("text")),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks), F.lit(3)),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     # the _shingle_table double-exchange pattern: parallelize the raw
     # (often single-partition) scan FIRST so the synthesis runs wide,
     # then materialize the projection behind a second repartition so
