@@ -1743,3 +1743,24 @@ def test_gram_lambdas_reference_bound_tokens_not_the_chain(spark):
     assert not chain_inside_lambda(top_ngrams(df, n=2, k=5))
     assert not chain_inside_lambda(winnowing_fingerprints(df, k=3, w=2))
     assert not chain_inside_lambda(synth_conversations(df, turn_tokens=2))
+    # the remaining converted sites: document chunking, repetition
+    # signals, substring-span window hashes, and the eval gram kernel
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from uofi_payroll_etl_main_spark.llm.curation import chunk_documents
+    from uofi_payroll_etl_main_spark.llm.dedup import _window_occurrences
+    from uofi_payroll_etl_main_spark.llm.text import (
+        _pair_gram_stats_multi,
+        repetition_signals,
+    )
+
+    assert not chain_inside_lambda(chunk_documents(df, chunk_tokens=3, stride=2))
+    assert not chain_inside_lambda(repetition_signals(df))
+    assert not chain_inside_lambda(_window_occurrences(df, 3, "doc_id", "text"))
+    pairs = df.select(
+        F.col("doc_id").alias("ref_id"), F.col("doc_id").alias("cand_id")
+    )
+    for unit in ("word", "char"):
+        assert not chain_inside_lambda(
+            _pair_gram_stats_multi(df, pairs, [1, 2], "doc_id", "text", unit=unit)
+        ), unit

@@ -1647,67 +1647,73 @@ def _pair_gram_stats_multi(
     # once PER GRAM, not per row -- measured 686 CPU-seconds for the
     # sf0.1 chrF counts map stage (7.2M grams x a full re-normalize of
     # the ~240-char doc each), ~21x the cost of the substr slices the
-    # stage actually needs.  Binding the chain to __src first makes the
-    # per-element work a slice of an already-computed value.
+    # stage actually needs.  bind1 (not a materialized column): the
+    # chain must evaluate INSIDE the Generate stage, which sits above
+    # explode_nonempty's parallelizing repartition -- a __src projection
+    # would land below the exchange and run the whole corpus's
+    # normalize/tokenize serially on a single-split local scan.
     if unit == "char":
         # grams come straight off the space-stripped string with substr
         # -- measured 3x faster than materializing a char array and
         # slice+concat_ws-ing it per gram (6.2s vs 16.6s for the sf0.1
         # 6-level counts stage)
         src = F.regexp_replace(normalize_text(text_col), " ", "")
-        s = F.col("__src")
 
-        def _gram_struct(nn):
-            return lambda i: F.struct(
-                F.lit(nn).cast("int").alias("n"),
-                F.substr(s, i, F.lit(nn)).alias("g"),
-            )
+        def _all_grams(s: Column) -> Column:
+            def _gram_struct(nn):
+                return lambda i: F.struct(
+                    F.lit(nn).cast("int").alias("n"),
+                    F.substr(s, i, F.lit(nn)).alias("g"),
+                )
 
-        parts = [
-            F.when(
-                F.length(s) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(s) - n + 1),
-                    _gram_struct(n),
-                ),
-            ).otherwise(empty)
-            for n in levels
-        ]
+            parts = [
+                F.when(
+                    F.length(s) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(s) - n + 1),
+                        _gram_struct(n),
+                    ),
+                ).otherwise(empty)
+                for n in levels
+            ]
+            return parts[0] if len(parts) == 1 else F.concat(*parts)
+
     elif unit == "word":
         src = tokens(normalize_text(text_col))
-        arr = F.col("__src")
 
-        def _gram_struct(nn):
-            return lambda i: F.struct(
-                F.lit(nn).cast("int").alias("n"),
-                F.concat_ws(" ", F.slice(arr, i, nn)).alias("g"),
-            )
+        def _all_grams(arr: Column) -> Column:
+            def _gram_struct(nn):
+                return lambda i: F.struct(
+                    F.lit(nn).cast("int").alias("n"),
+                    F.concat_ws(" ", F.slice(arr, i, nn)).alias("g"),
+                )
 
-        parts = [
-            F.when(
-                F.size(arr) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - n + 1),
-                    _gram_struct(n),
-                ),
-            ).otherwise(empty)
-            for n in levels
-        ]
+            parts = [
+                F.when(
+                    F.size(arr) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - n + 1),
+                        _gram_struct(n),
+                    ),
+                ).otherwise(empty)
+                for n in levels
+            ]
+            return parts[0] if len(parts) == 1 else F.concat(*parts)
+
     else:
         raise ValueError(f"unknown gram unit: {unit!r}")
-    # lens projects straight off docs (no __src column there): the raw
-    # chain evaluates once per row under codegen, which is fine
+    # lens projects straight off docs: the raw chain evaluates once per
+    # row under codegen, which is fine
     seq_len = F.length(src) if unit == "char" else F.size(src)
-    all_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
     # explode_nonempty: spreads a single-split scan across the cluster
     # BEFORE the compute-bound tokenize/gram stage and keeps the
     # optimizer from cloning the gram expression into a pushed-down
     # size() filter on the serial scan
     counts = (
         explode_nonempty(
-            docs.select(F.col(id_col).alias("__d"), src.alias("__src")),
+            docs.select(F.col(id_col).alias("__d"), F.col(text_col)),
             ["__d"],
-            all_grams,
+            bind1(src, _all_grams),
             "__x",
         )
         .select("__d", F.col("__x.n").alias("__n"), F.col("__x.g").alias("__g"))
