@@ -704,6 +704,25 @@ def test_jaccard_prefix_integral_threshold_boundary(spark):
     assert len(got) == 1 and abs(got[0].jaccard - 4 / 6) < 1e-9
 
 
+def test_jaccard_prefix_candidate_filters_keep_exact_boundary_pair(spark):
+    """The PPJoin length and positional candidate filters at their EXACT
+    boundaries: A (2 shingles) inside B (5 shingles) gives J = 2/5 = t,
+    where the length filter's t*max = 0.4*5 floats to 2.0000000000000004
+    (> min = 2 without the -1e-9 nudge -- the pair would be silently
+    LOST) and the positional bound t/(1+t)*(|A|+|B|) = 2.0 equals the
+    first common shingle's overlap ubound exactly.  Both filters must
+    keep the pair, and the tier must still equal the naive join."""
+    a = " ".join(f"w{i}" for i in range(4))   # 2 shingles, both shared
+    b = " ".join(f"w{i}" for i in range(7))   # 5 shingles
+    docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    pref = D.jaccard_pairs_prefix(docs, threshold=0.4).collect()
+    naive = D.jaccard_pairs(docs, threshold=0.4).collect()
+    assert len(pref) == 1 and abs(pref[0].jaccard - 0.4) < 1e-9
+    assert {(r.doc_a, r.doc_b, r.inter) for r in pref} == {
+        (r.doc_a, r.doc_b, r.inter) for r in naive
+    }
+
+
 def test_substring_search_matches_plain_contains(spark, sf_dir):
     from uofi_payroll_etl_main_spark.io import load_table
 

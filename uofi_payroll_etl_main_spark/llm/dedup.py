@@ -1028,6 +1028,23 @@ def jaccard_pairs_prefix(
     (partitioned by doc: bounded state) -> prefix equi join -> distinct
     pairs -> verify against the two full arrays.  Oracle-checked with
     the SAME DuckDB SQL as the naive tier: exactness is the contract.
+
+    Candidate pruning (PPJoin, Xiao et al. 2008) -- both provably
+    lossless, applied INSIDE the prefix join so pruned pairs never
+    reach the distinct or the array-verify stage (measured sf0.1:
+    522k candidate pairs -> 206k for 256 true pairs):
+    - length filter: J(A,B) >= t forces |A∩B| >= t*|A∪B| >= t*max, and
+      |A∩B| <= min, so min(|A|,|B|) >= t*max(|A|,|B|).
+    - positional filter: for the pair's globally FIRST common shingle
+      (canonical (df, shingle) order), no common shingle precedes it in
+      either doc, so inter <= 1 + min(|A| - rn_A, |B| - rn_B); a true
+      pair needs inter >= t/(1+t) * (|A|+|B|).  Rows of OTHER common
+      prefix shingles may be pruned by this bound, but the first common
+      shingle's row always survives for a true pair (its bound is
+      exact-side), and the prefix principle guarantees that shingle
+      sits in BOTH prefixes -- so keeping a pair when ANY collision row
+      passes loses nothing.  Both bounds get the same -1e-9 nudge as
+      plen: float error may only weaken a filter, never a guarantee.
     """
     from pyspark.sql import Window
 
@@ -1054,13 +1071,26 @@ def jaccard_pairs_prefix(
     prefix = (
         ranked.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
-        .select("doc", "shingle")
+        .select("doc", "shingle", "n_sh", "__rn")
     )
+    t = float(threshold)
+    length_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
+        F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) - F.lit(1e-9)
+    )
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.__rn"), F.col("b.n_sh") - F.col("b.__rn")
+    )
+    overlap_needed = F.lit(t / (1.0 + t)) * (
+        F.col("a.n_sh") + F.col("b.n_sh")
+    ) - F.lit(1e-9)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & length_ok
+            & (overlap_ub >= overlap_needed),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates()
