@@ -1094,6 +1094,14 @@ def jaccard_pairs_prefix(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates()
+        # spread the candidate table before the verify joins: candidates
+        # are 16-byte pair rows whose downstream cost is an
+        # array_intersect over the two full shingle arrays, so AQE's
+        # BYTE-targeted coalesce under-parallelizes the verify stage at
+        # any scale (measured sf0.1: 12.5 run-s squeezed into 5 tasks).
+        # defaultParallelism-derived, like ensure_parallelism -- not a
+        # tuned constant.  Measured 3.8-4.1s -> 2.65s warm best-of-5.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     arrs = base.select(F.col("doc"), F.col("__sh"))
     va = arrs.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sha"))
@@ -1172,6 +1180,9 @@ def containment_pairs_prefix(
             F.greatest("pdoc", "fdoc").alias("doc_b"),
         )
         .dropDuplicates()
+        # same verify-stage spread as jaccard_pairs_prefix: byte-targeted
+        # AQE coalesce under-parallelizes the CPU-bound array verify
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     va = base.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sha"))
     vb = base.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__shb"))
