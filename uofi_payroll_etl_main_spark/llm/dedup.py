@@ -1043,8 +1043,11 @@ def jaccard_pairs_prefix(
       shingle's row always survives for a true pair (its bound is
       exact-side), and the prefix principle guarantees that shingle
       sits in BOTH prefixes -- so keeping a pair when ANY collision row
-      passes loses nothing.  Both bounds get the same -1e-9 nudge as
-      plen: float error may only weaken a filter, never a guarantee.
+      passes loses nothing.  Both bounds get an absolute (1e-9) PLUS
+      relative (1e-12 * the size term) slack: double rounding error is
+      relative, so a fixed epsilon alone stops covering it for docs
+      beyond ~5e6 distinct shingles -- the combined slack only ever
+      weakens a filter, never a guarantee.
     """
     from pyspark.sql import Window
 
@@ -1074,15 +1077,23 @@ def jaccard_pairs_prefix(
         .select("doc", "shingle", "n_sh", "__rn")
     )
     t = float(threshold)
+    # Slack on both bounds is absolute AND relative: double rounding of
+    # t*max is ~2 ulps, i.e. RELATIVE (~5e-16 * the product), so a fixed
+    # 1e-9 alone stops covering it once a doc has >~5e6 distinct
+    # shingles; the added 1e-12-relative term dominates the rounding
+    # error at every size with four orders of margin.  Slack can only
+    # WEAKEN a filter (false positives go to verify and die there).
+    gmax = F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
     length_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
-        F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) - F.lit(1e-9)
+        F.lit(t) * gmax - (F.lit(1e-9) + F.lit(1e-12) * gmax)
     )
     overlap_ub = F.lit(1) + F.least(
         F.col("a.n_sh") - F.col("a.__rn"), F.col("b.n_sh") - F.col("b.__rn")
     )
-    overlap_needed = F.lit(t / (1.0 + t)) * (
-        F.col("a.n_sh") + F.col("b.n_sh")
-    ) - F.lit(1e-9)
+    nsum = F.col("a.n_sh") + F.col("b.n_sh")
+    overlap_needed = F.lit(t / (1.0 + t)) * nsum - (
+        F.lit(1e-9) + F.lit(1e-12) * nsum
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -1099,6 +1110,16 @@ def jaccard_pairs_prefix(
         # array_intersect over the two full shingle arrays, so AQE's
         # BYTE-targeted coalesce under-parallelizes the verify stage at
         # any scale (measured sf0.1: 12.5 run-s squeezed into 5 tasks).
+        # Round-robin by-num, deliberately, after measuring the "nicer"
+        # keyed shapes: repartition(P, doc_a) is ELIDED (the window's
+        # doc partitioning aliases through the self-join to doc_a, so
+        # the exchange is redundant -- 3.9s, the 5-task verify back);
+        # repartition(P, doc_a, doc_b) BEFORE the distinct replaces the
+        # dedup's exchange on paper but measured 5.0s vs 2.65s here.
+        # Known cost accepted: in the shuffle-join regime (corpus-scale
+        # arrays can't broadcast) the verify join re-shuffles by doc_a
+        # on top of this round-robin -- one extra pass over the pair-id
+        # table, the cheapest table in the query.
         # defaultParallelism-derived, like ensure_parallelism -- not a
         # tuned constant.  Measured 3.8-4.1s -> 2.65s warm best-of-5.
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -1180,8 +1201,10 @@ def containment_pairs_prefix(
             F.greatest("pdoc", "fdoc").alias("doc_b"),
         )
         .dropDuplicates()
-        # same verify-stage spread as jaccard_pairs_prefix: byte-targeted
-        # AQE coalesce under-parallelizes the CPU-bound array verify
+        # same verify-stage spread as jaccard_pairs_prefix: round-robin
+        # by-num after the distinct (the keyed shapes measured slower
+        # there -- see that function's comment); AQE byte-coalescing
+        # otherwise under-parallelizes the CPU-bound array verify
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     va = base.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sha"))
