@@ -46,6 +46,10 @@ def test_baseline_covers_only_live_headliners():
     assert not dead, f"baseline entries with no registered query: {sorted(dead)}"
 
 
+# r11: the per-headliner envelope battery is opt-in (`pytest -m deep`,
+# round-close certification) so the default run fits the driver's
+# pytest budget; the cheap baseline-integrity check above stays default.
+@pytest.mark.deep
 @pytest.mark.parametrize("name", sorted(set(HEADLINERS) & set(BASELINE["queries"])))
 def test_headliner_within_baseline_envelope(spark, name):
     fn = entrymod.queries()[name]

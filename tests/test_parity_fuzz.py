@@ -21,6 +21,11 @@ import duckdb
 import pandas as pd
 import pytest
 
+# r11: registry-wide sweep battery -- opt-in (`pytest -m deep`), part of
+# the round-close certification; excluded from the default run so the
+# driver's pytest budget is met (VERIFY_r10 truncation, 29m31s suite).
+pytestmark = pytest.mark.deep
+
 from pyspark.sql import Row
 
 from test_cpa_duckdb_parity import CERT_COLS, CERT_SCHEMA, CPA_SQL, SETUP_SQL

