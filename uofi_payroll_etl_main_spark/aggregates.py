@@ -1576,22 +1576,55 @@ def bootstrap_ci(
             f"{lo_rank}/{hi_rank}/{n_replicates}"
         )
     g, v = F.col(group_col), F.col(value_col).cast("decimal(18,2)")
+
     # one md5 serves FOUR replicates: its 32 hex chars are four
-    # independent 8-char uniforms (lane = r % 4 picks the slice), so
-    # the dominant per-row cost is R/4 hashes, not R
-    u = F.md5(
-        F.concat(
-            F.col(id_col).cast("string"),
-            F.lit(":"),
-            F.floor(F.col("__r") / 4).cast("long").cast("string"),
-        )
-    ).substr(
-        (F.pmod(F.col("__r"), F.lit(4)) * 8 + 1).cast("int"), F.lit(8)
+    # independent 8-char uniforms (lane = r % 4 picks the slice).  The
+    # digests are built ONCE per input row as a ceil(R/4)-element array
+    # (the lambda body evaluates per ARRAY ELEMENT, so exactly R/4
+    # md5s), each fanned into its 4 lane weights; posexplode of the
+    # flat R-int weight array recovers (replicate, weight).  The
+    # previous shape exploded __r FIRST and computed md5(id, r/4) per
+    # exploded row -- R digests per input row, 4x the intended work
+    # (identical VALUES repeat within a 4-lane group, but Catalyst
+    # evaluates per row) -- and its digest + 9-branch indicator chain
+    # compiled into one huge whole-stage-codegen method whose JIT
+    # warm-up dominated cold runs (observed 2.75-40s spread on
+    # identical input).  The HOF form is CodegenFallback (interpreted),
+    # trading peak codegen throughput for 4x fewer digests and a small,
+    # JIT-friendly generated stage; weights are byte-identical.
+    def _let(value: Column, fn) -> Column:
+        # single-element transform = Catalyst's only let-binding: the
+        # bound value evaluates once, not per inner-lambda element
+        return F.get(F.transform(F.array(value), fn), F.lit(0))
+
+    def _weight(u: Column) -> Column:
+        w = None
+        for t in _POISSON1_HEX:
+            ind = F.when(u >= F.lit(t), 1).otherwise(0)
+            w = ind if w is None else (w + ind)
+        return w
+
+    n_hashes = (int(n_replicates) + 3) // 4
+    w_arr = _let(
+        F.col(id_col).cast("string"),
+        lambda sid: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda rr: _let(
+                    F.md5(F.concat(sid, F.lit(":"), rr.cast("string"))),
+                    lambda h: F.transform(
+                        F.sequence(F.lit(0), F.lit(3)),
+                        lambda lane: _let(
+                            h.substr((lane * 8 + 1).cast("int"), F.lit(8)),
+                            _weight,
+                        ),
+                    ),
+                ),
+            )
+        ),
     )
-    w = None
-    for t in _POISSON1_HEX:
-        ind = F.when(u >= F.lit(t), 1).otherwise(0)
-        w = ind if w is None else (w + ind)
+    if n_hashes * 4 != int(n_replicates):
+        w_arr = F.slice(w_arr, 1, int(n_replicates))
     # spread the compact input BEFORE the R-fold explode: a single-file
     # scan would otherwise fan out R x rows inside one task (one small
     # shuffle of the raw rows buys R-way parallel expression work)
@@ -1602,10 +1635,9 @@ def bootstrap_ci(
         spread.select(
             g.alias("__g"),
             v.alias("__v"),
-            F.col(id_col).alias(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__r"),
+            F.posexplode(w_arr).alias("__r", "__w"),
         )
-        .withColumn("__w", w.cast("decimal(10,0)"))
+        .withColumn("__w", F.col("__w").cast("decimal(10,0)"))
         .groupBy("__g", "__r")
         # exact DECIMAL sums (addition-order-free), then ONE double
         # division -- both engines produce the identical IEEE quotient
