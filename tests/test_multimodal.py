@@ -669,6 +669,35 @@ class TestAudioEnvelopeTier:
         assert got == want
         assert -(1 << 63) <= got < (1 << 63)
 
+    def test_envelope_batch_matches_scalar_on_awkward_lengths(self):
+        """The r11 vectorized batch path (one reduceat over the
+        concatenated stream) must reproduce the scalar fingerprint
+        bit-for-bit, including the reduceat hazard cases: empty
+        sub-bands (len < 72), a zero-length band whose offset equals
+        the stream end (last clip shorter than 72), None rows, and
+        too-short clips."""
+        import numpy as np
+
+        from uofi_payroll_etl_main_spark.llm.multimodal import (
+            _envelope_fp64_batch,
+            audio_envelope_fp64,
+        )
+
+        rng = np.random.RandomState(7)
+        lengths = [0, 1, 8, 9, 10, 17, 18, 63, 71, 72, 73, 100, 144, 1000, 9]
+        clips = [
+            rng.randint(-32768, 32768, size=n).astype(np.int16)
+            for n in lengths
+        ]
+        clips.insert(3, None)  # undecodable payload slot
+        clips.append(np.zeros(90, dtype=np.int16))  # all-zero energies
+        want = [None if c is None else audio_envelope_fp64(c) for c in clips]
+        assert _envelope_fp64_batch(clips) == want
+        # a batch ENDING on a clip with empty trailing sub-bands pins
+        # the offset == stream-length reduceat edge
+        tail = [rng.randint(-32768, 32768, size=10).astype(np.int16)]
+        assert _envelope_fp64_batch(tail) == [audio_envelope_fp64(tail[0])]
+
     def test_envelope_fp64_amplitude_invariant_and_short_none(self):
         import numpy as np
 
