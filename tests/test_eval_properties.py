@@ -228,6 +228,35 @@ def test_chrf_matches_replica(spark, corpus):
 
 @SETTINGS
 @given(CORPUS)
+def test_chrf_derive_counts_equivalent(spark, corpus):
+    """The opt-in shared-suffix derivation path (derive_counts=True:
+    explode only the M-grams + boundary tails, prefix-expand to the
+    lower levels) must be value-identical to the default all-levels
+    emit.  The path was measured and REJECTED as the default (r11 A/B:
+    1.47x slower at sf0.1, 1.26x at 10x -- low within-doc repetition),
+    but it stays available for high-repetition corpora, so its
+    equivalence is pinned here across short docs (< M chars), empty
+    docs, and repeated grams."""
+    from uofi_payroll_etl_main_spark.llm.text import chrf_score
+
+    docs, pairs = _mk(spark, corpus)
+    for max_n in (3, 6):
+        base = sorted(
+            map(tuple, chrf_score(docs, pairs, max_n=max_n).collect())
+        )
+        derived = sorted(
+            map(
+                tuple,
+                chrf_score(
+                    docs, pairs, max_n=max_n, derive_counts=True
+                ).collect(),
+            )
+        )
+        assert base == derived, (max_n, corpus)
+
+
+@SETTINGS
+@given(CORPUS)
 def test_rouge_l_matches_replica(spark, corpus):
     from uofi_payroll_etl_main_spark.llm.text import rouge_l
 
