@@ -446,7 +446,8 @@ def ivf_topk(
 
     def assign_cells(n_out: int):
         """mapInPandas fn: one matmul against all centroids per batch;
-        emit (vid, cell, vec) for the n_out nearest cells."""
+        emit (vid, cell, pri, vec) for the n_out nearest cells, pri
+        marking the single nearest (the vector's ASSIGNED cell)."""
 
         def fn(batches):
             for pdf in batches:
@@ -466,6 +467,7 @@ def ivf_topk(
                     {
                         "vid": pdf["vid"].to_numpy()[qi],
                         "cell": order.ravel().astype("int32"),
+                        "pri": np.tile(np.arange(take) == 0, len(pdf)),
                         "vec": pdf["vec"].to_numpy()[qi],
                     }
                 )
@@ -475,11 +477,20 @@ def ivf_topk(
     ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     id_t = _id_sql_type(corpus, id_col)
     empty_t = "int64" if id_t == "long" else "object"
-    cell_schema = f"vid {id_t}, cell int, vec array<float>"
-    assigned = ids.mapInPandas(assign_cells(1), schema=cell_schema)
-    probes = ids.mapInPandas(assign_cells(n_probe), schema=cell_schema)
+    # ONE corpus pass serves both IVF roles: a vector's assigned cell
+    # (old assign_cells(1)) is by construction the FIRST of its n_probe
+    # probe rows (same lexsort, same rounding), so the probe frame with
+    # a primary flag carries the member list too.  The previous shape
+    # ran two scans + two Python passes + a two-sided cogroup shuffle;
+    # this is one scan, one pass, and one exchange of the same probe
+    # rows (the n member rows no longer ship separately at all).
+    probes = ids.mapInPandas(
+        assign_cells(n_probe),
+        schema=f"vid {id_t}, cell int, pri boolean, vec array<float>",
+    )
 
-    def cell_topk(key, probe_pdf, cell_pdf):
+    def cell_topk(key, pdf):
+        probe_pdf, cell_pdf = pdf, pdf[pdf["pri"]]
         if not len(probe_pdf) or not len(cell_pdf):
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "similarity": []}).astype(
                 {"query_id": empty_t, "neighbor_id": empty_t, "similarity": "float64"}
@@ -498,16 +509,15 @@ def ivf_topk(
         )
         return out[out.query_id != out.neighbor_id]
 
-    cand = (
-        probes.groupBy("cell")
-        .cogroup(assigned.groupBy("cell"))
-        .applyInPandas(cell_topk, schema=f"query_id {id_t}, neighbor_id {id_t}, similarity double")
+    cand = probes.groupBy("cell").applyInPandas(
+        cell_topk, schema=f"query_id {id_t}, neighbor_id {id_t}, similarity double"
     )
     from pyspark.sql import Window
 
     # no pair dedup needed (unlike the multi-table LSH tiers): each
-    # corpus vector is assigned to exactly ONE cell (assign_cells(1)),
-    # so a (query, neighbor) pair meets in at most one cogroup -- a
+    # corpus vector is assigned to exactly ONE cell (pri marks only
+    # the lexsort-first), so a (query, neighbor) pair meets in at most
+    # one cell group -- a
     # dropDuplicates here would shuffle the whole candidate table for
     # nothing (candidates are corpus x k scale at 100 TB)
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
@@ -1348,48 +1358,53 @@ def ivf_pq_topk(
     empty_t = "int64" if id_t == "long" else "object"
     ids = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
 
-    def encode(batches):
-        """corpus pass: nearest cell + PQ codes, full vector DROPPED."""
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
-            cells = (vm @ cn.T).argmax(axis=1).astype("int32")
-            codes = np.zeros((len(pdf), m_subvectors), dtype="int16")
-            for j in range(m_subvectors):
-                sub = vm[:, j * dsub : (j + 1) * dsub]
-                d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[j].T)
-                codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {"vid": pdf["vid"], "cell": cells, "codes": list(codes)}
-            )
-
-    encoded = ids.mapInPandas(
-        encode, schema=f"vid {id_t}, cell int, codes array<smallint>"
-    )
-
-    def probe(batches):
-        """query pass: n_probe nearest cells, full vector kept."""
+    def encode_and_probe(batches):
+        """ONE corpus pass for both IVF-PQ roles (the previous shape
+        ran separate encode + probe passes -- two scans, two Python
+        crossings, and the centroid matmul computed twice).  Emits, per
+        vector: n_probe probe rows (pri=false, full vec, codes null)
+        exactly as probe() did, plus one member row (pri=true, codes,
+        vec NULL -- the PQ squeeze: the corpus side of the shuffle
+        still carries m smallint codes, never the embedding) exactly as
+        encode() did, with the identical argmax cell."""
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64))
             scores = vm @ cn.T
+            cells = scores.argmax(axis=1).astype("int32")
+            codes = np.zeros((len(pdf), m_subvectors), dtype="int16")
+            for j in range(m_subvectors):
+                sub = vm[:, j * dsub : (j + 1) * dsub]
+                d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[j].T)
+                codes[:, j] = d.argmin(axis=1)
             take = min(n_probe, scores.shape[1])
             order = np.argsort(-scores, axis=1)[:, :take]
             qi = np.repeat(np.arange(len(pdf)), take)
+            vids = pdf["vid"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "vid": pdf["vid"].to_numpy()[qi],
-                    "cell": order.ravel().astype("int32"),
-                    "vec": pdf["vec"].to_numpy()[qi],
+                    "vid": np.concatenate([vids[qi], vids]),
+                    "cell": np.concatenate([order.ravel().astype("int32"), cells]),
+                    "pri": np.concatenate(
+                        [np.zeros(len(qi), dtype=bool), np.ones(len(pdf), dtype=bool)]
+                    ),
+                    "vec": list(pdf["vec"].to_numpy()[qi]) + [None] * len(pdf),
+                    "codes": [None] * len(qi) + list(codes),
                 }
             )
 
-    probes = ids.mapInPandas(probe, schema=f"vid {id_t}, cell int, vec array<float>")
+    merged = ids.mapInPandas(
+        encode_and_probe,
+        schema=(
+            f"vid {id_t}, cell int, pri boolean, "
+            "vec array<float>, codes array<smallint>"
+        ),
+    )
     n_cand = (k * refine_factor if refine_factor else k) + 1  # +1 absorbs self
 
-    def cell_adc(key, probe_pdf, cell_pdf):
+    def cell_adc(key, pdf):
+        probe_pdf, cell_pdf = pdf[~pdf["pri"]], pdf[pdf["pri"]]
         if not len(probe_pdf) or not len(cell_pdf):
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []}).astype(
                 {"query_id": empty_t, "neighbor_id": empty_t, "adc": "float64"}
@@ -1413,14 +1428,12 @@ def ivf_pq_topk(
         )
         return out[out.query_id != out.neighbor_id]
 
-    # no pair dedup (same argument as ivf_topk): encode() puts each
-    # corpus vector in exactly ONE cell (argmax), so a (query, neighbor)
-    # pair meets in at most one cogroup and a dropDuplicates would be a
-    # pure extra shuffle of the candidate table
-    cand = (
-        probes.groupBy("cell")
-        .cogroup(encoded.groupBy("cell"))
-        .applyInPandas(cell_adc, schema=f"query_id {id_t}, neighbor_id {id_t}, adc double")
+    # no pair dedup (same argument as ivf_topk): encode_and_probe puts
+    # each corpus vector in exactly ONE cell (argmax), so a
+    # (query, neighbor) pair meets in at most one cell group and a
+    # dropDuplicates would be a pure extra shuffle of the candidate table
+    cand = merged.groupBy("cell").applyInPandas(
+        cell_adc, schema=f"query_id {id_t}, neighbor_id {id_t}, adc double"
     )
 
     from pyspark.sql import Window
