@@ -1497,9 +1497,6 @@ def kmeans_int(
     driver sees only the k x dim centroid cells per iteration.
     Returns (vec_id, cluster_id, dist2) under the FINAL centroids.
     """
-    from pyspark.sql import Window
-
-    spark = corpus.sparkSession
     q = quantize_embeddings(corpus, vec_col).select(
         F.col(id_col).alias("__vid"),
         F.col("qvec").cast("array<long>").alias("__qv"),
@@ -1521,23 +1518,39 @@ def kmeans_int(
     cents = [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(cent_rows)]
     dim = len(cents[0][1])
 
-    d2 = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("__vid").orderBy("dist2", "cluster_id")
-
     def _assign(centroids):
-        cdf = spark.createDataFrame(
-            centroids, "cluster_id long, __cv array<long>"
+        # the k centroids are literals, so the argmin needs NO join and
+        # NO shuffle: per row, an array of (dist2, cluster_id) structs
+        # -- dist2 the identical zip_with/aggregate integer squared-L2
+        # as before -- and array_min's lexicographic struct ordering IS
+        # the old window's orderBy("dist2", "cluster_id") rn=1 pick.
+        # The previous crossJoin(broadcast) + row_number shape paid a
+        # full exchange of the corpus per iteration (n_iter + 1 of
+        # them) just to rank k=8 rows per vector.
+        def _d2(vec):
+            cv = F.array(*[F.lit(int(x)) for x in vec])
+            return F.aggregate(
+                F.zip_with("__qv", cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _d2(vec).alias("dist2"),
+                        F.lit(int(cid)).cast("long").alias("cluster_id"),
+                    )
+                    for cid, vec in centroids
+                ]
+            )
         )
-        return (
-            q.crossJoin(F.broadcast(cdf))
-            .withColumn("dist2", d2)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__vid", "__qv", "cluster_id", "dist2")
+        return q.withColumn("__b", best).select(
+            "__vid",
+            "__qv",
+            F.col("__b.cluster_id").alias("cluster_id"),
+            F.col("__b.dist2").alias("dist2"),
         )
 
     for _ in range(int(n_iter)):
