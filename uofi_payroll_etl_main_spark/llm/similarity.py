@@ -757,11 +757,16 @@ def kmeans_assign(
         init_rows = ids.orderBy("vid").limit(k).collect()
         cents = np.array(_centroid_array(init_rows, "vec"), dtype=np.float64)
         dim = cents.shape[1]
-        assigned = None
+        last_cb = cents
         for _ in range(max(1, int(n_iter))):
-            cb = cents  # closure-captured; k*dim doubles, task-broadcast
+            cb = last_cb = cents  # closure-captured; k*dim doubles, task-broadcast
 
-            def assign_fn(batches, cb=cb):
+            def update_fn(batches, cb=cb):
+                # the centroid-sum pass needs (cluster, vec) only; the
+                # vec is ALREADY in the Python worker, so emitting it
+                # alongside the argmin removes the per-iteration
+                # ids-join (a corpus shuffle) the old shape paid to
+                # re-attach vectors to (vid, cluster) assignments
                 for pdf in batches:
                     if not len(pdf):
                         continue
@@ -769,12 +774,17 @@ def kmeans_assign(
                     # ||x-c||^2 argmin == (-2xc + ||c||^2) argmin
                     d = -2.0 * (m @ cb.T) + (cb * cb).sum(axis=1)[None, :]
                     yield pd.DataFrame(
-                        {"vid": pdf["vid"], "cluster": d.argmin(axis=1).astype("int32")}
+                        {
+                            "cluster": d.argmin(axis=1).astype("int32"),
+                            "vec": pdf["vec"],
+                        }
                     )
 
-            assigned = ids.mapInPandas(assign_fn, schema=f"vid {id_t}, cluster int")
+            clustered = ids.mapInPandas(
+                update_fn, schema="cluster int, vec array<float>"
+            )
             cells = (
-                ids.join(assigned, "vid")
+                clustered
                 .select("cluster", F.posexplode("vec").alias("pos", "val"))
                 .groupBy("cluster", "pos")
                 .agg(
@@ -791,7 +801,20 @@ def kmeans_assign(
             live = acc[1][:, 0] > 0
             nxt[live] = acc[0][live] / acc[1][live]
             cents = nxt
-        out = assigned.select(
+
+        def assign_fn(batches, cb=last_cb):
+            # returned assignments use the same centroids as the last
+            # update pass (pre-final-update, the historical contract)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(list(pdf["vec"]), dtype=np.float64)
+                d = -2.0 * (m @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "cluster": d.argmin(axis=1).astype("int32")}
+                )
+
+        out = ids.mapInPandas(assign_fn, schema=f"vid {id_t}, cluster int").select(
             F.col("vid").alias(id_col), F.col("cluster").cast("int").alias("cluster")
         )
         return out, cents
