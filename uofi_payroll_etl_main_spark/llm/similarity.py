@@ -1204,10 +1204,26 @@ def mmr_topk(
     Two stages, both bounded: (1) an exact cosine top-`pool` candidate
     fetch per query (broadcast queries, corpus never shuffles); (2) the
     inherently sequential greedy selection runs per query group over at
-    most `pool` candidates -- one applyInPandas whose group size is
-    `pool`, never corpus-scale, so at 100 TB the quadratic term is
-    pool^2 per query, not n^2.  Swap stage 1 for ivf_topk/lsh_topk when
-    the corpus outgrows the exact tier; stage 2 is unchanged.
+    most `pool` candidates -- group size `pool`, never corpus-scale, so
+    at 100 TB the quadratic term is pool^2 per query, not n^2.  Swap
+    stage 1 for ivf_topk/lsh_topk when the corpus outgrows the exact
+    tier; stage 2 is unchanged.
+
+    Stage 2 executes as mapInPandas over a bucket-keyed repartition,
+    NOT groupBy().applyInPandas: per-query groups are tiny (pool rows)
+    and per-group Arrow round-trips cost ~2ms each, while AQE
+    byte-coalesces the candidate exchange (a few MB) into one
+    partition, so the applyInPandas shape ran EVERY group serially in
+    a single task (measured 6.1s vs 1.5s at sf0.1; a keyed repartition
+    cannot fix it -- Catalyst elides it as redundant against the
+    window's partitioning, the r10-documented trap).  The explicit
+    repartition on pmod(xxhash64(query_id), 32*N) survives both the
+    elision (different expression) and AQE coalescing (explicit
+    numPartitions), N = spark.sql.shuffle.partitions so the width is
+    conf-scaled, not tuned to this host; groups stay whole because the
+    bucket is a function of query_id, and contiguous because of the
+    partition-local sort, so the batch iterator re-forms them with a
+    carry-over buffer (memory = one Arrow batch + one group).
 
     Greedy order is a pure function of rounded similarities with id
     tie-breaks, so reruns and the pytest NumPy replica agree exactly.
@@ -1234,7 +1250,7 @@ def mmr_topk(
     )
     staged = cands.join(vecs, "neighbor_id")
 
-    def select_group(key, pdf):
+    def select_group(pdf):
         m = np.array(list(pdf["__nv"]), dtype=np.float64)
         mn = _norm_rows(m)
         rel = pdf["relevance"].to_numpy(dtype=np.float64)
@@ -1270,8 +1286,36 @@ def mmr_topk(
             }
         )
 
-    return staged.groupBy("query_id").applyInPandas(
-        select_group,
+    def run(batches):
+        # groups are partition-pure (bucket = f(query_id)) and
+        # contiguous (partition-local sort); only the LAST group of a
+        # batch can be cut by the Arrow batch boundary, so it is
+        # carried into the next batch and flushed at iterator end
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                continue
+            last_q = pdf["query_id"].iloc[-1]
+            cut = (pdf["query_id"] == last_q).to_numpy()
+            carry = pdf[cut]
+            body = pdf[~cut]
+            for _, g in body.groupby("query_id", sort=False):
+                yield select_group(g)
+        if carry is not None and len(carry):
+            for _, g in carry.groupby("query_id", sort=False):
+                yield select_group(g)
+
+    n_part = int(
+        staged.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    spread = staged.repartition(
+        n_part, F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_part * 32))
+    ).sortWithinPartitions("query_id")
+    return spread.mapInPandas(
+        run,
         schema=(
             f"query_id {id_t}, neighbor_id {id_t}, relevance double, "
             "mmr_score double, rank long"
