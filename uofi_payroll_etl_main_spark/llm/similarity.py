@@ -618,10 +618,16 @@ def cosine_topk_vectorized(
 
     from pyspark.sql import Window
 
-    # NOTE: no repartition-up here -- the per-batch matmul amortizes best
-    # over FEW LARGE Arrow batches; splitting a small corpus across the
-    # cluster pays a Python-worker spin-up per sliver for no compute win.
-    cand = corpus.mapInPandas(topk_batches, schema=out_schema)
+    # spread a single-split scan before the compute-bound matmul stage
+    # (ensure_parallelism is up-only: a no-op at scale where the scan
+    # already has many splits).  The earlier no-repartition note feared
+    # per-sliver Python spin-up, but workers are reused and the r11 A/B
+    # measured 1.24s -> 0.91s at sf0.1 with identical output; the only
+    # cost is O(queries * k) candidate rows per extra batch into the
+    # final window, which the batch-local top-k already bounds.
+    from .text import ensure_parallelism
+
+    cand = ensure_parallelism(corpus).mapInPandas(topk_batches, schema=out_schema)
     if self_mode:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
