@@ -1579,24 +1579,21 @@ def bootstrap_ci(
 
     # one md5 serves FOUR replicates: its 32 hex chars are four
     # independent 8-char uniforms (lane = r % 4 picks the slice).  The
-    # digests are built ONCE per input row as a ceil(R/4)-element array
-    # (the lambda body evaluates per ARRAY ELEMENT, so exactly R/4
-    # md5s), each fanned into its 4 lane weights; posexplode of the
-    # flat R-int weight array recovers (replicate, weight).  The
-    # previous shape exploded __r FIRST and computed md5(id, r/4) per
+    # replicate fan-out is TWO codegen explodes: first the ceil(R/4)
+    # hash indices (one md5 per exploded row -- exactly R/4 digests per
+    # input row), then a posexplode of the plain 4-element lane-weight
+    # array built off that digest, with __r = 4*hash_idx + lane.  The
+    # original shape exploded __r FIRST and computed md5(id, r/4) per
     # exploded row -- R digests per input row, 4x the intended work
     # (identical VALUES repeat within a 4-lane group, but Catalyst
-    # evaluates per row) -- and its digest + 9-branch indicator chain
-    # compiled into one huge whole-stage-codegen method whose JIT
-    # warm-up dominated cold runs (observed 2.75-40s spread on
-    # identical input).  The HOF form is CodegenFallback (interpreted),
-    # trading peak codegen throughput for 4x fewer digests and a small,
-    # JIT-friendly generated stage; weights are byte-identical.
-    def _let(value: Column, fn) -> Column:
-        # single-element transform = Catalyst's only let-binding: the
-        # bound value evaluates once, not per inner-lambda element
-        return F.get(F.transform(F.array(value), fn), F.lit(0))
-
+    # evaluates per row).  An r11 HOF variant (nested transform
+    # let-bindings building the full R-weight array per row) hit the
+    # CodegenFallback interpreter instead and measured ~1s SLOWER than
+    # even the 4x-digest shape (interleaved fresh-session A/B: warm
+    # 3.4-4.5s vs 2.8-3.6s); this two-explode form keeps whole-stage
+    # codegen AND the 4x digest saving, and the generated method stays
+    # small (one md5 + 4 nine-branch indicator sums).  Weights are
+    # byte-identical in all three shapes (oracle-pinned).
     def _weight(u: Column) -> Column:
         w = None
         for t in _POISSON1_HEX:
@@ -1605,26 +1602,22 @@ def bootstrap_ci(
         return w
 
     n_hashes = (int(n_replicates) + 3) // 4
-    w_arr = _let(
-        F.col(id_col).cast("string"),
-        lambda sid: F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda rr: _let(
-                    F.md5(F.concat(sid, F.lit(":"), rr.cast("string"))),
-                    lambda h: F.transform(
-                        F.sequence(F.lit(0), F.lit(3)),
-                        lambda lane: _let(
-                            h.substr((lane * 8 + 1).cast("int"), F.lit(8)),
-                            _weight,
-                        ),
-                    ),
-                ),
-            )
-        ),
+    dig = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("__hh").cast("string"),
+        )
     )
-    if n_hashes * 4 != int(n_replicates):
-        w_arr = F.slice(w_arr, 1, int(n_replicates))
+    # the weight array MUST be materialized as a Project column before
+    # the posexplode: whole-stage codegen's subexpression elimination
+    # collapses the 36 md5/substr references inside a Project to one
+    # digest per row, but generator expressions are evaluated outside
+    # CSE -- posexplode(<array expr>) re-ran the md5 per threshold
+    # branch (measured 24-32s vs ~3s for this query at sf0.1)
+    lane_w = F.array(
+        *[_weight(dig.substr(F.lit(lane * 8 + 1), F.lit(8))) for lane in range(4)]
+    )
     # spread the compact input BEFORE the R-fold explode: a single-file
     # scan would otherwise fan out R x rows inside one task (one small
     # shuffle of the raw rows buys R-way parallel expression work)
@@ -1635,8 +1628,28 @@ def bootstrap_ci(
         spread.select(
             g.alias("__g"),
             v.alias("__v"),
-            F.posexplode(w_arr).alias("__r", "__w"),
+            F.col(id_col).alias(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("__hh"),
         )
+        .select("__g", "__v", "__hh", lane_w.alias("__ws"))
+        # posexplode_OUTER: the inner form lets InferFiltersFromGenerate
+        # clone the whole 36-md5 array expression into a pushed-down
+        # size() filter (the explode_nonempty trap, llm/text.py) -- the
+        # outer form infers nothing, and the array is never null/empty
+        # by construction so the semantics are identical
+        .select(
+            "__g",
+            "__v",
+            "__hh",
+            F.posexplode_outer(F.col("__ws")).alias("__lane", "__w"),
+        )
+        .select(
+            "__g",
+            "__v",
+            (F.col("__hh") * 4 + F.col("__lane")).alias("__r"),
+            "__w",
+        )
+        .filter(F.col("__r") < n_replicates)
         .withColumn("__w", F.col("__w").cast("decimal(10,0)"))
         .groupBy("__g", "__r")
         # exact DECIMAL sums (addition-order-free), then ONE double
